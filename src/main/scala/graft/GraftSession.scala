@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap + table loading for the graft engine.
+  *
+  * Spark-native replacement for the reference's `Pipeline.create(options)`
+  * (reference: sdks/java/core/src/main/java/org/apache/beam/sdk/Pipeline.java:131):
+  * a Beam Pipeline is a deferred DAG; in graft the SparkSession plus lazy
+  * DataFrame lineage plays that role, and Catalyst supplies the optimizer
+  * Beam never had.
+  *
+  * Scale notes: shuffle partitions default to the local core count (the
+  * driver harness runs local[32]); on a real cluster AQE coalesces and
+  * re-splits at runtime, so we enable it unconditionally.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The driver's synthetic star schema (see /root/repo/TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load every table and register temp views (for spark.sql usage). */
+  def registerAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    tableNames.map { n =>
+      val df = table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }.toMap
+}

@@ -1,0 +1,332 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The operator-coverage query catalog: one named query per implemented
+  * operator from SURVEY.md §2 (+ the LLM-pipeline ops), each with a
+  * DuckDB-equivalent oracle SQL where the semantics are SQL-expressible.
+  *
+  * Determinism rules used throughout (so driver hash-compare is exact):
+  *  - money: per-row `CAST(floor(x*100 + 0.5) AS BIGINT)` cents, summed as
+  *    exact integers (identical in IEEE double on both engines, no
+  *    rounding-mode dependence);
+  *  - averages/ratios: round(..., 4..6) — double noise is ~1e-15 relative,
+  *    far below the rounding grain;
+  *  - every ranking has a total-order tiebreak;
+  *  - aggregated collections are sorted and joined to strings.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** Exact integer cents from a cents-aligned (or computed) double. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------- element-wise
+
+  def qMapProject(s: SparkSession, dir: String): DataFrame = {
+    import ElementWise._
+    t(s, dir, "lineitem").mapElements(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+  }
+
+  def qFilter(s: SparkSession, dir: String): DataFrame = {
+    import ElementWise._
+    t(s, dir, "lineitem")
+      .filterBy(col("l_shipdate") <= lit("1996-12-31").cast("timestamp")
+        && col("l_quantity") < 24)
+  }
+
+  def qFlatMapWordcount(s: SparkSession, dir: String): DataFrame = {
+    import ElementWise._
+    t(s, dir, "documents")
+      .flatMapElements(split(lower(col("text")), "\\s+"), "word")
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+  }
+
+  def qPartition(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = when(col("l_quantity") < 10, 0)
+      .when(col("l_quantity") < 30, 1).otherwise(2)
+    val parts = ElementWise.DataFrameOps(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+      .partitionBy(3, bucketExpr)
+    // re-tag and flatten so the routing is observable/checkable
+    Joins.flatten(parts.zipWithIndex.map { case (df, i) =>
+      df.withColumn("bucket", lit(i))
+    })
+  }
+
+  def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      ElementWise.RegexOps.matchesGroup(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("int").as("k"))
+
+  def qToStringKv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      ElementWise.ToStringOps.kvs(col("event_type"), col("user_id")).as("kv"))
+
+  def qWithKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id").as("key"), col("event_id").as("value"))
+
+  // ---------------------------------------------------------------- aggregations
+
+  /** Flagship: TPC-H Q1-shaped composed combine (Sum/Mean/Count per key). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def qCountGlobal(s: SparkSession, dir: String): DataFrame =
+    Aggregates.countGlobally(t(s, dir, "lineitem"))
+
+  def qCountPerElement(s: SparkSession, dir: String): DataFrame =
+    Aggregates.countPerElement(
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")))
+
+  def qMinMaxPerKey(s: SparkSession, dir: String): DataFrame =
+    Aggregates.perKey(t(s, dir, "orders"), Seq(col("o_orderpriority")), Seq(
+      count(lit(1)).as("cnt"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      round(avg(col("o_totalprice")), 4).as("avg_price")))
+
+  def qTopPerKey(s: SparkSession, dir: String): DataFrame =
+    Aggregates.topPerKey(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+
+  def qLatestPerKey(s: SparkSession, dir: String): DataFrame =
+    Aggregates.latestPerKey(
+      t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      Seq(col("user_id")), col("ts"), col("event_id"))
+
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Aggregates.distinctRows(t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")))
+
+  def qDistinctRep(s: SparkSession, dir: String): DataFrame =
+    Aggregates.distinctByRepresentative(
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"), col("c_name")),
+      Seq(col("c_mktsegment")), col("c_custkey"))
+
+  def qMeanPerKey(s: SparkSession, dir: String): DataFrame =
+    Aggregates.perKey(t(s, dir, "events"), Seq(col("event_type")), Seq(
+      round(avg(col("value")), 4).as("avg_value"),
+      count(lit(1)).as("cnt")))
+
+  def qQuantileExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Aggregates.approxQuantiles(t(s, dir, "lineitem"), Seq(col("l_returnflag")),
+      col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.9))
+
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  def qApproxUnique(s: SparkSession, dir: String): DataFrame =
+    Aggregates.approxUniquePerKey(t(s, dir, "lineitem"), Seq(col("l_returnflag")), col("l_partkey"))
+
+  def qSampleResidue(s: SparkSession, dir: String): DataFrame =
+    Aggregates.sampleByResidue(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type")),
+      col("event_id"), 10)
+
+  def qSampleAny(s: SparkSession, dir: String): DataFrame =
+    Aggregates.sampleAny(t(s, dir, "events"), 10)
+
+  def qGbkList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+
+  def qGroupIntoBatches(s: SparkSession, dir: String): DataFrame =
+    Aggregates.groupIntoBatches(
+      t(s, dir, "events").select(col("event_type"), col("event_id")),
+      Seq(col("event_type")), col("event_id"), 100)
+      .select(col("event_type"), col("batch_id"), col("batch_size"))
+
+  def qSortValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("l_linenumber").as("k2"),
+          col("l_quantity").cast("long").as("v")))),
+        x => x.getField("v").cast("string")), ",").as("qtys"))
+
+  def qArgMax(s: SparkSession, dir: String): DataFrame =
+    Aggregates.latestPerKey(
+      t(s, dir, "events").select(col("event_type"), col("event_id"), col("value")),
+      Seq(col("event_type")), col("value"), col("event_id"))
+      .withColumnRenamed("event_id", "top_event_id")
+
+  // ---------------------------------------------------------------- joins
+
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    Joins.inner(
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+      Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"), col("c_name"), col("o_totalprice"))
+
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    Joins.leftOuter(
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+      Seq("custkey"))
+      .groupBy(col("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_nationkey") < 10)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").filter(col("s_nationkey") > 5)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    Joins.fullOuter(c, sup, Seq("nationkey"),
+      Map("n_cust" -> lit(0L), "n_supp" -> lit(0L)))
+  }
+
+  def qCoGbk(s: SparkSession, dir: String): DataFrame =
+    Joins.coGroupByKey("nationkey", Map(
+      "nations"   -> (t(s, dir, "nation").withColumnRenamed("n_nationkey", "nationkey"), col("n_name")),
+      "customers" -> (t(s, dir, "customer").withColumnRenamed("c_nationkey", "nationkey"), col("c_custkey")),
+      "suppliers" -> (t(s, dir, "supplier").withColumnRenamed("s_nationkey", "nationkey"), col("s_suppkey"))))
+      .select(col("nationkey"),
+        array_join(col("nations"), ",").as("nation_names"),
+        size(col("customers")).cast("long").as("n_cust"),
+        size(col("suppliers")).cast("long").as("n_supp"))
+
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Joins.leftSemi(
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      .select(col("custkey"), col("c_name"))
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Joins.leftAnti(
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      .select(col("custkey"), col("c_name"))
+
+  def qBroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Joins.broadcastJoin(
+      t(s, dir, "lineitem").withColumnRenamed("l_partkey", "partkey"),
+      t(s, dir, "part").withColumnRenamed("p_partkey", "partkey"), Seq("partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+           count(lit(1)).as("n_items"))
+
+  def qFlatten(s: SparkSession, dir: String): DataFrame =
+    Joins.flatten(Seq(
+      t(s, dir, "region").select(col("r_name").as("name")),
+      t(s, dir, "nation").select(col("n_name").as("name"))))
+
+  // ---------------------------------------------------------------- windowing
+
+  def qWindowFixed(s: SparkSession, dir: String): DataFrame =
+    Windows.aggregate(t(s, dir, "events"),
+      Windows.WindowingStrategy(Windows.FixedWindows("1 hour")), col("ts"),
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents")))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value_cents"))
+
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.aggregate(t(s, dir, "events"),
+      Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")), col("ts"),
+      Seq.empty,
+      Seq(count(lit(1)).as("n")))
+      .select(col("window.start").as("wstart"), col("n"))
+
+  def qWindowSession(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  def qWindowCalendar(s: SparkSession, dir: String): DataFrame =
+    Windows.aggregate(t(s, dir, "events"),
+      Windows.WindowingStrategy(Windows.CalendarWindows("week")), col("ts"),
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .withColumnRenamed("window", "wstart")
+
+  // ---------------------------------------------------------------- LLM-pipeline ops
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(t(s, dir, "documents"), col("text"), col("doc_id"),
+        shingleN = 3, bands = 4)
+      .select(col("band"), col("minhash"),
+        array_join(transform(col("bucket_ids"), x => x.cast("string")), ",").as("ids"),
+        col("bucket_size"))
+
+  def qSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+        shingleN = 2, threshold = 0.05)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.cosineTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+  }
+
+  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.lshTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, planes = 6)
+  }
+
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      planes = 8, threshold = 0.5)
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"))
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(s,
+      Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "image"))
+
+  def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s,
+      Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "image"))
+      .select(col("media_id"),
+        round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_l1"),
+        size(col("features")).as("dim"))
+}

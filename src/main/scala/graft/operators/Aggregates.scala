@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators: the reference's Combine / Count / Sum / Min / Max /
+  * Mean / Top / Latest / Distinct / ApproximateQuantiles / ApproximateUnique /
+  * Sample / GroupByKey / GroupIntoBatches / SortValues family
+  * (reference files per SURVEY.md §2.4).
+  *
+  * Scale notes: every helper below compiles to Catalyst HashAggregate
+  * partial→Exchange→final (map-side combine for free); Top-K per key uses a
+  * rank-window only after a partial per-partition truncation is impossible —
+  * for bounded K prefer the TopKCombineFn Aggregator (graft.functions) whose
+  * shuffle payload is K rows per key per partition.
+  */
+object Aggregates {
+
+  /** Combine.globally: whole-frame aggregation. */
+  def globally(df: DataFrame, aggs: Column*): DataFrame = df.agg(aggs.head, aggs.tail: _*)
+
+  /** Combine.perKey / GroupByKey+fold. */
+  def perKey(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Count.globally / perKey / perElement (reference: SDK/transforms/Count.java). */
+  def countGlobally(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
+  def countPerKey(df: DataFrame, keys: Column*): DataFrame =
+    df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+  def countPerElement(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("cnt"))
+
+  /** Top.perKey (reference: SDK/transforms/Top.java:237): top-k rows per key
+    * by `order`, deterministic via `tiebreak`. Catalyst plans a single
+    * shuffle + per-partition sort; with AQE skewed keys split automatically. */
+  def topPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Latest.perKey (reference: SDK/transforms/Latest.java): max_by on the
+    * event-time column; `tiebreak` keeps it deterministic when timestamps
+    * collide (Beam leaves ties unspecified; we pin them). */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ts.desc, tiebreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct.create (reference: SDK/transforms/Distinct.java:76). */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** Distinct.withRepresentativeValueFn (reference: Distinct.java:87): dedup
+    * by an extracted id. Beam keeps an arbitrary element per id; we keep the
+    * minimum by `pick` so the result is deterministic and oracle-checkable. */
+  def distinctByRepresentative(df: DataFrame, id: Seq[Column], pick: Column): DataFrame = {
+    val w = Window.partitionBy(id: _*).orderBy(pick.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** ApproximateQuantiles (reference: SDK/transforms/ApproximateQuantiles.java:59
+    * — Munro–Paterson). Spark's percentile_approx (GK sketch) honors the same
+    * contract: mergeable, bounded-memory, epsilon-accurate. */
+  def approxQuantiles(df: DataFrame, keys: Seq[Column], value: Column, probs: Seq[Double],
+                      accuracy: Int = 10000): DataFrame = {
+    val p = array(probs.map(lit): _*)
+    val agg = percentile_approx(value, p, lit(accuracy)).as("quantiles")
+    if (keys.isEmpty) df.agg(agg) else df.groupBy(keys: _*).agg(agg)
+  }
+
+  /** Exact quantiles (for the oracle gate; same API shape). */
+  def exactQuantile(df: DataFrame, keys: Seq[Column], value: Column, prob: Double): DataFrame = {
+    val agg = expr(s"percentile(${value.toString}, $prob)").as("quantile")
+    if (keys.isEmpty) df.agg(agg) else df.groupBy(keys: _*).agg(agg)
+  }
+
+  /** ApproximateUnique (reference: SDK/transforms/ApproximateUnique.java:46 —
+    * KMV top-hash sample). Spark's approx_count_distinct (HLL++) honors the
+    * same contract: mergeable distinct-count estimate with tunable error. */
+  def approxUniquePerKey(df: DataFrame, keys: Seq[Column], value: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as("approx_distinct"))
+
+  /** Sample.any(n) (reference: SDK/transforms/Sample.java:74): any n elements. */
+  def sampleAny(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** Deterministic uniform-ish sample by key residue — the oracle-checkable
+    * stand-in for fixedSizeGlobally in batch; the true reservoir lives in
+    * graft.functions.ReservoirSampleFn. */
+  def sampleByResidue(df: DataFrame, key: Column, mod: Int, residue: Int = 0): DataFrame =
+    df.filter(pmod(key, lit(mod)) === residue)
+
+  /** GroupByKey → sorted value list (reference: SDK/transforms/GroupByKey.java:120).
+    * Beam's per-key Iterable<V> is unordered; we sort for determinism.
+    * sort_array(collect_list(...)) keeps it a single HashAggregate. */
+  def groupByKeyList(df: DataFrame, keys: Seq[Column], value: Column): DataFrame =
+    df.groupBy(keys: _*).agg(sort_array(collect_list(value)).as("values"))
+
+  /** GroupIntoBatches.ofSize (reference: SDK/transforms/GroupIntoBatches.java:79),
+    * batch form: per-key batches of at most n, batch index attached.
+    * At scale this is one shuffle; each batch is built inside the aggregate. */
+  def groupIntoBatches(df: DataFrame, keys: Seq[Column], value: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(value.asc)
+    df.withColumn("__idx", row_number().over(w) - 1)
+      .withColumn("batch_id", floor(col("__idx") / n))
+      .groupBy(keys :+ col("batch_id"): _*)
+      .agg(sort_array(collect_list(value)).as("batch"), count(lit(1)).as("batch_size"))
+      .drop("__idx")
+  }
+
+  /** SortValues secondary sort (reference: extensions/sorter/SortValues.java:70).
+    * Moderate groups: sort_array(collect_list(struct(k2, v))). Large groups
+    * (spill path): repartition by k1 + sortWithinPartitions(k1, k2) keeps
+    * Spark's UnsafeExternalSorter in charge — no driver memory involved. */
+  def sortValues(df: DataFrame, key: Column, secondary: Column, value: Column): DataFrame =
+    df.groupBy(key)
+      .agg(transform(sort_array(collect_list(struct(secondary.as("k2"), value.as("v")))),
+        x => x.getField("v")).as("sorted_values"))
+
+  /** Large-group secondary sort: shuffle once, sort within partitions, then
+    * stream each key's rows in order (no per-group materialization). */
+  def sortValuesLarge(df: DataFrame, key: Column, secondary: Column): DataFrame =
+    df.repartition(key).sortWithinPartitions(key, secondary)
+
+  /** Reshuffle (reference: SDK/transforms/Reshuffle.java:54): redistribution
+    * + stable-input barrier — in Spark a shuffle boundary provides both. */
+  def reshuffle(df: DataFrame, numPartitions: Int): DataFrame = df.repartition(numPartitions)
+
+  /** Combine.perKey(...).withHotKeyFanout (reference: Combine.java:1598):
+    * two-stage combine with key salting for skew. Spark already does partial
+    * aggregation; explicit salting shown for completeness — `salt` buckets
+    * first-stage, then final combine without the salt. Only worthwhile for
+    * algebraic aggs; counts/sums shown. */
+  def sumPerKeyWithFanout(df: DataFrame, key: Column, value: Column, fanout: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(fanout)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("__partial")).as("sum_value"))
+}

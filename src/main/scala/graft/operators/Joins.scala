@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins: the reference has only key-equality joins, all built on
+  * CoGroupByKey (reference: SDK/transforms/join/CoGroupByKey.java:74;
+  * extension joins sdks/java/extensions/join-library/Join.java:48,:94,:147,:201).
+  *
+  * Scale notes: Beam's CoGBK is always a full shuffle of both sides; here
+  * Catalyst picks broadcast-hash vs shuffled-hash vs sort-merge per side
+  * statistics, and AQE converts to broadcast at runtime when a side turns out
+  * small. `broadcastJoin` pins the hint for dimension tables (the reference's
+  * "side input join" pattern, examples/.../JoinExamples.java:82-85).
+  */
+object Joins {
+
+  /** Join.innerJoin (reference: Join.java:48). */
+  def inner(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "inner")
+
+  /** Join.leftOuterJoin(nullValue) (reference: Join.java:94): Beam requires a
+    * null substitute because KV values can't be null; we coalesce the given
+    * columns to the substitute. */
+  def leftOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                nullSubs: Map[String, Column] = Map.empty): DataFrame =
+    substitute(left.join(right, keys, "left_outer"), nullSubs)
+
+  /** Join.rightOuterJoin (reference: Join.java:147). */
+  def rightOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 nullSubs: Map[String, Column] = Map.empty): DataFrame =
+    substitute(left.join(right, keys, "right_outer"), nullSubs)
+
+  /** Join.fullOuterJoin (reference: Join.java:201). */
+  def fullOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                nullSubs: Map[String, Column] = Map.empty): DataFrame =
+    substitute(left.join(right, keys, "full_outer"), nullSubs)
+
+  private def substitute(df: DataFrame, subs: Map[String, Column]): DataFrame =
+    subs.foldLeft(df) { case (d, (c, sub)) => d.withColumn(c, coalesce(col(c), sub)) }
+
+  /** Semi/anti (expressible in Beam by filtering CoGbkResult; named here). */
+  def leftSemi(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+  def leftAnti(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Side-input / broadcast join: pins a broadcast of the small side.
+    * (reference: View.asMap used inside DoFn — SDK/transforms/View.java:445) */
+  def broadcastJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                    how: String = "inner"): DataFrame =
+    big.join(broadcast(small), keys, how)
+
+  /** CoGroupByKey, N-way (reference: CoGroupByKey.java:74 → KV<K, CoGbkResult>
+    * with per-tag iterables). Spark shape: per-input pre-aggregation to
+    * (key, collect_list(value)) then chained full-outer joins on the key —
+    * each input shuffles ONCE on the key, identical to Beam's union+GBK cost,
+    * and the per-tag lists arrive exactly like CoGbkResult's iterables
+    * (empty list when the key is absent on that side).
+    */
+  def coGroupByKey(key: String, inputs: Map[String, (DataFrame, Column)]): DataFrame = {
+    val grouped = inputs.map { case (tag, (df, value)) =>
+      df.groupBy(col(key)).agg(sort_array(collect_list(value)).as(tag))
+    }
+    val joined = grouped.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+    // CoGbkResult yields an EMPTY iterable, not null, for absent tags.
+    inputs.keys.foldLeft(joined) { (d, tag) =>
+      d.withColumn(tag, coalesce(col(tag), array()))
+    }
+  }
+
+  /** View.asSingleton / asList / asMap (reference: SDK/transforms/View.java:302,
+    * :249, :445): materialize a small frame for use inside per-element logic.
+    * Batch: collect + broadcast; the caller uses the returned broadcast in a
+    * closure. Streaming: prefer stream-static joins instead. */
+  def viewAsList[T](spark: SparkSession, df: DataFrame, f: org.apache.spark.sql.Row => T)
+      : org.apache.spark.broadcast.Broadcast[Seq[T]] =
+    spark.sparkContext.broadcast(df.collect().toSeq.map(f))
+
+  def viewAsMap[K, V](spark: SparkSession, df: DataFrame,
+                      f: org.apache.spark.sql.Row => (K, V))
+      : org.apache.spark.broadcast.Broadcast[Map[K, V]] =
+    spark.sparkContext.broadcast(df.collect().toSeq.map(f).toMap)
+
+  /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
+    * union, no dedup; unionByName tolerates column order drift. */
+  def flatten(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+}
