@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Session bootstrap + table loading for the graft engine.
   *
@@ -38,9 +40,20 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from a scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one table from a scale-factor directory.
+    *
+    * Parquet TIMESTAMP(NANOS) (the `events.ts` column) is illegal for
+    * Spark's reader; `nanosAsLong` surfaces it as LongType ns-since-epoch,
+    * which we floor-truncate to a µs TimestampType column (the same
+    * truncation DuckDB's TIMESTAMP_NS→TIMESTAMP cast performs, so oracle
+    * comparisons agree). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else df
+  }
 
   /** Load every table and register temp views (for spark.sql usage). */
   def registerAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

@@ -130,9 +130,12 @@ object Queries {
       count(lit(1)).as("cnt")))
 
   def qQuantileExact(s: SparkSession, dir: String): DataFrame =
+    // round(, 6): exact-percentile linear interpolation differs between
+    // engines only in double rounding of index*fraction (~1e-15) — the
+    // rounding grain absorbs it for the oracle hash-compare.
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .agg(round(call_function("percentile", col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+           round(call_function("percentile", col("l_quantity"), lit(0.9)), 6).as("p90_qty"))
 
   def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     Aggregates.approxQuantiles(t(s, dir, "lineitem"), Seq(col("l_returnflag")),
@@ -220,9 +223,12 @@ object Queries {
       .select(col("custkey"), col("c_name"))
 
   def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    // anti vs urgent orders only — every customer has SOME order in the
+    // synthetic data, so anti vs all orders would be trivially empty.
     Joins.leftAnti(
       t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
-      t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("o_custkey", "custkey"), Seq("custkey"))
       .select(col("custkey"), col("c_name"))
 
   def qBroadcastJoin(s: SparkSession, dir: String): DataFrame =
@@ -282,8 +288,11 @@ object Queries {
     Dedup.simHash(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    // threshold 0.8 = the operator's intended near-dup regime; the synthetic
+    // corpus contains engineered near-dups that land above it (sf0.01: 25
+    // pairs). A near-zero threshold would emit ~all pairs — quadratic output.
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
-        shingleN = 2, threshold = 0.05)
+        shingleN = 2, threshold = 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {

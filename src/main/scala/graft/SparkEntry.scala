@@ -1,13 +1,83 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-coverage catalog (one entry per implemented
+  * operator from SURVEY.md §2 + the LLM-pipeline ops); `oracleSql` carries a
+  * DuckDB-equivalent SQL for every query whose semantics are deterministic
+  * and SQL-expressible (the driver hash-compares both results at sf0.01).
+  * Queries without an oracle get a weaker rows-only check (approximate /
+  * hash-seeded / stub-backed operators).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // element-wise
+    "q_map_project"     -> Queries.qMapProject _,
+    "q_filter"          -> Queries.qFilter _,
+    "q_flatmap_wc"      -> Queries.qFlatMapWordcount _,
+    "q_partition"       -> Queries.qPartition _,
+    "q_regex_extract"   -> Queries.qRegexExtract _,
+    "q_tostring_kv"     -> Queries.qToStringKv _,
+    "q_with_keys"       -> Queries.qWithKeys _,
+    // aggregations
+    "q1_agg"            -> Queries.q1Agg _,
+    "q_count_global"    -> Queries.qCountGlobal _,
+    "q_count_per_elem"  -> Queries.qCountPerElement _,
+    "q_minmax_per_key"  -> Queries.qMinMaxPerKey _,
+    "q_top_per_key"     -> Queries.qTopPerKey _,
+    "q_latest_per_key"  -> Queries.qLatestPerKey _,
+    "q_distinct"        -> Queries.qDistinct _,
+    "q_distinct_rep"    -> Queries.qDistinctRep _,
+    "q_mean_per_key"    -> Queries.qMeanPerKey _,
+    "q_quantile_exact"  -> Queries.qQuantileExact _,
+    "q_approx_quant"    -> Queries.qApproxQuantiles _,
+    "q_count_distinct"  -> Queries.qCountDistinct _,
+    "q_approx_unique"   -> Queries.qApproxUnique _,
+    "q_sample_residue"  -> Queries.qSampleResidue _,
+    "q_sample_any"      -> Queries.qSampleAny _,
+    "q_gbk_list"        -> Queries.qGbkList _,
+    "q_group_batches"   -> Queries.qGroupIntoBatches _,
+    "q_sort_values"     -> Queries.qSortValues _,
+    "q_argmax"          -> Queries.qArgMax _,
+    // joins
+    "q_join_inner"      -> Queries.qJoinInner _,
+    "q_join_left"       -> Queries.qJoinLeft _,
+    "q_join_full"       -> Queries.qJoinFull _,
+    "q_cogbk"           -> Queries.qCoGbk _,
+    "q_join_semi"       -> Queries.qJoinSemi _,
+    "q_join_anti"       -> Queries.qJoinAnti _,
+    "q_broadcast_join"  -> Queries.qBroadcastJoin _,
+    "q_flatten"         -> Queries.qFlatten _,
+    // windowing
+    "q_window_fixed"    -> Queries.qWindowFixed _,
+    "q_window_sliding"  -> Queries.qWindowSliding _,
+    "q_window_session"  -> Queries.qWindowSession _,
+    "q_window_calendar" -> Queries.qWindowCalendar _,
+    // LLM-pipeline ops
+    "q_dedup_exact"     -> Queries.qDedupExact _,
+    "q_dedup_minhash"   -> Queries.qDedupMinhash _,
+    "q_simhash"         -> Queries.qSimHash _,
+    "q_ngram_jaccard"   -> Queries.qNgramJaccard _,
+    "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
+    "q_lsh_ann"         -> Queries.qLshAnn _,
+    "q_embed_neardup"   -> Queries.qEmbedNearDup _,
+    "q_text_quality"    -> Queries.qTextQuality _,
+    "q_lang_id"         -> Queries.qLangId _,
+    "q_token_count"     -> Queries.qTokenCount _,
+    "q_fingerprint"     -> Queries.qFingerprint _,
+    "q_mm_decode"       -> Queries.qMultimodalDecode _,
+    "q_mm_features"     -> Queries.qMultimodalFeatures _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.all
 }

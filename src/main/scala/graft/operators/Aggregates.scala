@@ -70,7 +70,9 @@ object Aggregates {
 
   /** Exact quantiles (for the oracle gate; same API shape). */
   def exactQuantile(df: DataFrame, keys: Seq[Column], value: Column, prob: Double): DataFrame = {
-    val agg = expr(s"percentile(${value.toString}, $prob)").as("quantile")
+    // call_function keeps the Column typed (Column.toString is not a stable
+    // SQL identifier to splice into expr() text).
+    val agg = call_function("percentile", value, lit(prob)).as("quantile")
     if (keys.isEmpty) df.agg(agg) else df.groupBy(keys: _*).agg(agg)
   }
 
@@ -131,7 +133,10 @@ object Aggregates {
     * first-stage, then final combine without the salt. Only worthwhile for
     * algebraic aggs; counts/sums shown. */
   def sumPerKeyWithFanout(df: DataFrame, key: Column, value: Column, fanout: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(fanout)))
+    // Salt derived from row content, not partition position: a re-executed
+    // map task must route each row to the same salt bucket or retries under
+    // fetch failure double-count (SPARK-23207 class of bug).
+    df.withColumn("__salt", pmod(xxhash64(key, value), lit(fanout)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col("key"))

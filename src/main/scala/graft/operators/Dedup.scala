@@ -26,7 +26,7 @@ object Dedup {
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => when(size(words) >= n, concat_ws(" ",
-          slice(words, i + 1, n))).otherwise(null)),
+          slice(words, i + 1, lit(n)))).otherwise(null)),
       x => x.isNotNull))
   }
 
@@ -43,20 +43,12 @@ object Dedup {
     * recall, post-filter with [[ngramJaccard]] for precision.
     */
   def minHashCandidates(docs: DataFrame, text: Column, id: Column,
-                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = sh.select(col("doc_id"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .join(sh, "doc_id")
-      .select(col("doc_id"), col("band"),
-        array_min(transform(col("sh"),
-          s => md5(concat(col("band").cast("string"), lit(":"), s)))).as("minhash"))
-    banded.groupBy(col("band"), col("minhash"))
+                        shingleN: Int = 3, bands: Int = 8): DataFrame =
+    minHashSignatures(docs, text, id, shingleN, bands)
+      .groupBy(col("band"), col("minhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("bucket_ids"),
            count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > 1)
-  }
 
   /** Same signature computation without the self-join (single pass). */
   def minHashSignatures(docs: DataFrame, text: Column, id: Column,
@@ -77,17 +69,21 @@ object Dedup {
     * At scale: one narrow pass; grouping by fingerprint (or by rotated
     * prefixes for Hamming-k search) is a signature-only shuffle. */
   def simHash(docs: DataFrame, text: Column, id: Column, shingleN: Int = 2): DataFrame = {
-    val sh = shingles(text, shingleN)
-    val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
-      aggregate(col("__sh"), lit(0),
-        (acc, s) => acc + when(shiftright(xxhash64(s), bit).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    docs.select(id.as("doc_id"), sh.as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc_id"),
-        aggregate(
-          zip_with(bitVotes, sequence(lit(0), lit(63)),
-            (v, bit) => when(v > 0, shiftleft(lit(1L), bit)).otherwise(0L)),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+    // One pass: per shingle hash, vote +1/-1 per bit into a 64-slot array
+    // accumulator; fingerprint bit i set iff vote i > 0. Shift amounts are
+    // lambda-bound Columns, so we go through the SQL functions (which accept
+    // Column shift amounts) via call_function — still pure codegen'd Catalyst.
+    val signs = (h: Column) => transform(sequence(lit(0), lit(63)), bit =>
+      when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val votes = aggregate(col("__h"), array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, signs(h), (a, v) => a + v))
+    val fingerprint = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    docs.select(id.as("doc_id"), transform(shingles(text, shingleN), s => xxhash64(s)).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** N-gram Jaccard verification over candidate pairs: docs sharing a

@@ -66,7 +66,9 @@ object Similarity {
         zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
           (x, i) => x.cast("double") * planeComponent(p, i, seed)),
         lit(0.0), (acc, x) => acc + x)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      // p is a lambda-bound Column; the SQL shiftleft accepts Column shift
+      // amounts (the Scala overload only takes Int).
+      when(dotp >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
     })
     embs.select(id.as("id"), vec.as("vec"))
       .withColumn("bucket", aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
