@@ -51,7 +51,10 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      // integer `div`, NOT floor(ts/1000): double division of an ~1e18 ns
+      // value loses precision below 2^-53 relative — off-by-1µs truncations
+      // that break oracle hash-compares.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -7,6 +7,16 @@ package graft
   * nondeterministic edge (float summation order, exact-percentile
   * interpolation) is rounded below the comparison grain on both sides.
   *
+  * Cross-engine gotchas handled here:
+  *  - DuckDB `CAST(double AS BIGINT)` rounds, Spark truncates → integral
+  *    doubles go through floor() first on the DuckDB side;
+  *  - DuckDB `sum(BIGINT)` returns HUGEINT → cast back to BIGINT;
+  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark floor-truncates to µs
+  *    (GraftSession.table), DuckDB side mirrors with CAST(ts AS TIMESTAMP);
+  *  - DuckDB regexp_replace needs the 'g' flag to replace all (Spark always
+  *    replaces all);
+  *  - Java \p{Punct} = POSIX ASCII punct = RE2 [[:punct:]].
+  *
   * Queries intentionally absent (weaker rows-only check):
   *  - q_approx_quant / q_approx_unique / q_sample_any: approximate or
   *    any-n semantics, not hash-stable across engines;
@@ -16,5 +26,317 @@ package graft
   *    covered by ScalaTest instead.
   */
 object OracleSql {
-  val all: Map[String, String] = Map()
+
+  private val cents = "CAST(floor(%s * 100 + 0.5) AS BIGINT)"
+  private def c(e: String): String = cents.format(e)
+
+  val all: Map[String, String] = Map(
+
+    // ------------------------------------------------------------ element-wise
+    "q_map_project" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       ${c("l_extendedprice * (1 - l_discount)")} AS revenue_cents
+         |FROM lineitem""".stripMargin,
+
+    "q_filter" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1996-12-31 00:00:00' AND l_quantity < 24""".stripMargin,
+
+    "q_flatmap_wc" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents
+        |) WHERE length(word) > 0 GROUP BY word""".stripMargin,
+
+    "q_partition" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CASE WHEN l_quantity < 10 THEN 0 WHEN l_quantity < 30 THEN 1 ELSE 2 END AS bucket
+        |FROM lineitem""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q_tostring_kv" ->
+      """SELECT event_id, event_type || ',' || CAST(user_id AS VARCHAR) AS kv FROM events""",
+
+    "q_with_keys" ->
+      """SELECT user_id AS key, event_id AS value FROM events""",
+
+    // ------------------------------------------------------------ aggregations
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,
+         |       CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |       CAST(sum(${c("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+         |       CAST(sum(${c("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_cents,
+         |       round(avg(l_quantity), 4) AS avg_qty,
+         |       round(avg(l_discount), 6) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_global" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q_count_per_elem" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_minmax_per_key" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |       CAST(sum(${c("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |       round(avg(o_totalprice), 4) AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_top_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_distinct" -> "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_distinct_rep" ->
+      """SELECT c_mktsegment, c_custkey, c_name FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name,
+        |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey ASC) AS rn
+        |  FROM customer
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_mean_per_key" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_quantile_exact" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_sample_residue" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 0",
+
+    "q_gbk_list" ->
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "q_group_batches" ->
+      """SELECT event_type, batch_id, count(*) AS batch_size FROM (
+        |  SELECT event_type,
+        |         CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) - 1) / 100) AS BIGINT) AS batch_id
+        |  FROM events
+        |) GROUP BY 1, 2""".stripMargin,
+
+    "q_sort_values" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list(CAST(floor(l_quantity) AS BIGINT)
+        |                            ORDER BY l_linenumber ASC, floor(l_quantity) ASC), ',') AS qtys
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_typed_meanmax" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT event_type, event_id AS top_event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    // ------------------------------------------------------------ joins
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |           FROM customer WHERE c_nationkey < 10 GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |           FROM supplier WHERE s_nationkey > 5 GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON c.nationkey = s.nationkey""".stripMargin,
+
+    "q_cogbk" ->
+      """WITH n AS (SELECT n_nationkey AS nationkey,
+        |                  array_to_string(list_sort(list(n_name)), ',') AS nation_names
+        |           FROM nation GROUP BY 1),
+        |     c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(n.nationkey, c.nationkey, s.nationkey) AS nationkey,
+        |       COALESCE(nation_names, '') AS nation_names,
+        |       COALESCE(n_cust, 0) AS n_cust,
+        |       COALESCE(n_supp, 0) AS n_supp
+        |FROM n FULL JOIN c ON n.nationkey = c.nationkey
+        |       FULL JOIN s ON COALESCE(n.nationkey, c.nationkey) = s.nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_broadcast_join" ->
+      s"""SELECT p_brand,
+         |       CAST(sum(${c("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents,
+         |       count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin,
+
+    "q_flatten" ->
+      "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+
+    // ------------------------------------------------------------ windowing
+    "q_window_fixed" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+         |       count(*) AS n, CAST(sum(${c("value")}) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - k * INTERVAL '15 minutes' AS wstart,
+        |       count(*) AS n
+        |FROM events, (VALUES (0), (1), (2), (3)) AS t(k)
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_session" ->
+      """SELECT user_id, min(tsu) AS session_start, count(*) AS n_events FROM (
+        |  SELECT user_id, tsu,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+        |                THEN 1 ELSE 0 END AS new_sess
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |  )
+        |) GROUP BY user_id, sess""".stripMargin,
+
+    "q_window_calendar" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ------------------------------------------------------------ LLM-pipeline ops
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |sig AS (SELECT doc_id, b.band AS band, min(md5(b.band || ':' || s)) AS minhash
+        |        FROM sh, (VALUES (0), (1), (2), (3)) AS b(band) GROUP BY 1, 2)
+        |SELECT band, minhash,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS ids,
+        |       count(*) AS bucket_size
+        |FROM sig GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words))) AS t(i)
+        |       WHERE len(words) >= 2),
+        |capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |         round(list_dot_product(cvec, qvec)
+        |               / (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(qvec, qvec))),
+        |               6) AS score
+        |  FROM c, q)
+        |SELECT query_id, corpus_id, score FROM (
+        |  SELECT query_id, corpus_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rn
+        |  FROM scored
+        |) WHERE rn <= 5""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |       round(len(regexp_extract_all(text, '[[:punct:]]'))
+        |             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+        |       round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                             x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+        |             / CAST(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS DOUBLE), 6) AS stopword_ratio,
+        |       round(length(regexp_replace(text, '\s+', '', 'g'))
+        |             / CAST(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS DOUBLE), 6) AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |profiles(lang, profile) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','nicht','mit','ein','ich']),
+        |  ('en', ['the','and','of','to','is','you','that','was','with']),
+        |  ('es', ['el','de','que','la','los','una','por','con','para']),
+        |  ('fr', ['le','la','et','les','des','est','une','dans','que']),
+        |  ('zh', ['的','是','了','我','在','他','这','不','有'])),
+        |scores AS (SELECT doc_id, lang,
+        |                  len(list_filter(words, x -> list_contains(profile, x))) AS score
+        |           FROM w, profiles)
+        |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang FROM (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM scores
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN length(text) > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS feat_l1,
+        |       16 AS dim
+        |FROM documents""".stripMargin
+  )
 }

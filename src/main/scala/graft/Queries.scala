@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.functions.{CombineFns, MeanFn, ReservoirSampleFn, TopKCombineFn}
 
 /** The operator-coverage query catalog: one named query per implemented
   * operator from SURVEY.md §2 (+ the LLM-pipeline ops), each with a
@@ -180,6 +181,38 @@ object Queries {
       Seq(col("event_type")), col("value"), col("event_id"))
       .withColumnRenamed("event_id", "top_event_id")
 
+  // ------------------------------------------------------- typed CombineFn façade
+
+  /** CombineFns.compose2(MeanFn, TopKCombineFn) as a typed Aggregator — the
+    * reference's CombineFn contract end-to-end (one pass, partial agg). */
+  def qTypedMeanMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fn = CombineFns.compose2(
+      new MeanFn().contramap[(String, Double)](_._2),
+      new TopKCombineFn[Double](1).contramap[(String, Double)](_._2))
+    t(s, dir, "events").select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(fn.asAggregator.toColumn.name("mt"))
+      .map { case (k, (mean, top)) =>
+        // HALF_UP decimal rounding — the same rule Spark's round() and
+        // DuckDB's round() apply, so the oracle hash matches.
+        (k, BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, top.head)
+      }
+      .toDF("event_type", "avg_value", "max_value")
+  }
+
+  /** Sample.fixedSizeGlobally as the seeded reservoir Aggregator (rows-only
+    * check: the priority hash is engine-specific; determinism is proven in
+    * ReservoirSpec). */
+  def qReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fn = new ReservoirSampleFn[Long](15, seed = 42L)
+    t(s, dir, "events").select(col("event_id")).as[Long]
+      .select(fn.asAggregator.toColumn.name("sample"))
+      .flatMap(identity)
+      .toDF("event_id")
+  }
+
   // ---------------------------------------------------------------- joins
 
   def qJoinInner(s: SparkSession, dir: String): DataFrame =
@@ -270,7 +303,7 @@ object Queries {
     Windows.aggregate(t(s, dir, "events"),
       Windows.WindowingStrategy(Windows.CalendarWindows("week")), col("ts"),
       Seq(col("event_type")), Seq(count(lit(1)).as("n")))
-      .withColumnRenamed("window", "wstart")
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
 
   // ---------------------------------------------------------------- LLM-pipeline ops
 

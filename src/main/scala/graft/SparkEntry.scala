@@ -47,6 +47,8 @@ object SparkEntry {
     "q_group_batches"   -> Queries.qGroupIntoBatches _,
     "q_sort_values"     -> Queries.qSortValues _,
     "q_argmax"          -> Queries.qArgMax _,
+    "q_typed_meanmax"   -> Queries.qTypedMeanMax _,
+    "q_reservoir"       -> Queries.qReservoir _,
     // joins
     "q_join_inner"      -> Queries.qJoinInner _,
     "q_join_left"       -> Queries.qJoinLeft _,

@@ -34,6 +34,29 @@ abstract class CombineFn[IN, ACC, OUT] extends Serializable {
       override def outputEncoder: Encoder[OUT] = outEnc
     }
   }
+
+  /** Adapt the input side (Beam: Combine.perKey over a projected value;
+    * lets one CombineFn aggregate a field of a wider row type). */
+  def contramap[IN2](f: IN2 => IN): CombineFn[IN2, ACC, OUT] = {
+    val self = this
+    new CombineFn[IN2, ACC, OUT] {
+      override def createAccumulator(): ACC = self.createAccumulator()
+      override def addInput(acc: ACC, in: IN2): ACC = self.addInput(acc, f(in))
+      override def mergeAccumulators(a: ACC, b: ACC): ACC = self.mergeAccumulators(a, b)
+      override def extractOutput(acc: ACC): OUT = self.extractOutput(acc)
+    }
+  }
+
+  /** Adapt the output side. */
+  def map[OUT2](f: OUT => OUT2): CombineFn[IN, ACC, OUT2] = {
+    val self = this
+    new CombineFn[IN, ACC, OUT2] {
+      override def createAccumulator(): ACC = self.createAccumulator()
+      override def addInput(acc: ACC, in: IN): ACC = self.addInput(acc, in)
+      override def mergeAccumulators(a: ACC, b: ACC): ACC = self.mergeAccumulators(a, b)
+      override def extractOutput(acc: ACC): OUT2 = f(self.extractOutput(acc))
+    }
+  }
 }
 
 /** Bounded-heap Top-K (reference: SDK/transforms/Top.java:392 TopCombineFn —
@@ -60,11 +83,20 @@ class TopKCombineFn[T: Ordering: ClassTag](k: Int)
   * result independent of partitioning/merge order — crucial because Spark's
   * merge order is nondeterministic.
   */
-class ReservoirSampleFn[T: ClassTag](n: Int, seed: Long)
+class ReservoirSampleFn[T: ClassTag](n: Int, seed: Long,
+                                     stableKey: T => String = (t: T) => t.toString)
     extends CombineFn[T, List[(Long, T)], List[T]] {
+  /** 64-bit FNV-1a over the element's stable byte form, then splitmix64:
+    * well-mixed and independent of JVM hashCode (32-bit hashCode collides by
+    * birthday bound at ~77k elements, and is identity-based for arrays —
+    * either breaks merge-order determinism). Ties on the full 64-bit
+    * priority are broken by the key's total order in [[trim]]. */
   private def priority(in: T): Long = {
-    // splitmix64 of (seed ^ element hash): stable, well-mixed priority
-    var z = seed ^ in.hashCode().toLong * 0x9E3779B97F4A7C15L
+    var h = 0xCBF29CE484222325L
+    stableKey(in).getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL); h *= 0x100000001B3L
+    }
+    var z = seed ^ h * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
@@ -75,9 +107,11 @@ class ReservoirSampleFn[T: ClassTag](n: Int, seed: Long)
   override def mergeAccumulators(a: List[(Long, T)], b: List[(Long, T)]): List[(Long, T)] =
     trim(a ++ b)
   override def extractOutput(acc: List[(Long, T)]): List[T] =
-    acc.sortBy(_._1).map(_._2)
+    sorted(acc).map(_._2)
+  private def sorted(xs: List[(Long, T)]): List[(Long, T)] =
+    xs.sortBy { case (p, t) => (p, stableKey(t)) }
   private def trim(xs: List[(Long, T)]): List[(Long, T)] =
-    if (xs.sizeIs <= n) xs else xs.sortBy(_._1).take(n)
+    if (xs.sizeIs <= n) xs else sorted(xs).take(n)
 }
 
 /** Latest-by-event-time (reference: SDK/transforms/Latest.java — value with
@@ -115,7 +149,7 @@ class MeanFn extends CombineFn[Double, (Long, Double), Double] {
 object CombineFns {
   /** CombineFns.compose (reference: SDK/transforms/CombineFns.java): several
     * CombineFns in one pass = several aggregate Columns in one .agg() — in
-    * Spark this is native; helper kept for the typed façade. */
+    * Spark this is native; helpers kept for the typed façade. */
   def compose2[IN, A1, O1, A2, O2](f1: CombineFn[IN, A1, O1], f2: CombineFn[IN, A2, O2])
       : CombineFn[IN, (A1, A2), (O1, O2)] =
     new CombineFn[IN, (A1, A2), (O1, O2)] {
@@ -126,5 +160,23 @@ object CombineFns {
         (f1.mergeAccumulators(a._1, b._1), f2.mergeAccumulators(a._2, b._2))
       override def extractOutput(acc: (A1, A2)): (O1, O2) =
         (f1.extractOutput(acc._1), f2.extractOutput(acc._2))
+    }
+
+  def compose3[IN, A1, O1, A2, O2, A3, O3](
+      f1: CombineFn[IN, A1, O1], f2: CombineFn[IN, A2, O2], f3: CombineFn[IN, A3, O3])
+      : CombineFn[IN, ((A1, A2), A3), ((O1, O2), O3)] =
+    compose2(compose2(f1, f2), f3)
+
+  /** N-ary homogeneous compose (reference: CombineFns.ComposedCombineFn —
+    * arbitrary arity; the heterogeneous typed case is compose2/compose3). */
+  def composeAll[IN, A, O](fns: Seq[CombineFn[IN, A, O]]): CombineFn[IN, List[A], List[O]] =
+    new CombineFn[IN, List[A], List[O]] {
+      override def createAccumulator(): List[A] = fns.map(_.createAccumulator()).toList
+      override def addInput(acc: List[A], in: IN): List[A] =
+        acc.lazyZip(fns).map((a, f) => f.addInput(a, in))
+      override def mergeAccumulators(a: List[A], b: List[A]): List[A] =
+        a.lazyZip(b).lazyZip(fns).map((x, y, f) => f.mergeAccumulators(x, y))
+      override def extractOutput(acc: List[A]): List[O] =
+        acc.lazyZip(fns).map((a, f) => f.extractOutput(a))
     }
 }

@@ -39,6 +39,30 @@ object Aggregates {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Scale-safe bounded top-k per key: two-phase salted aggregation instead
+    * of a rank window. A window partitioned by a low-cardinality key funnels
+    * every scored row into ≤(distinct keys) tasks — a scale-killer; here
+    * stage 1 groups by (key, salt) so the heavy reduction fans out over
+    * `fanout`× more tasks and stage 2 only merges fanout×k candidates per
+    * key. The salt is derived from row content (deterministic under task
+    * retry — SPARK-23207 class of bug with nondeterministic salts).
+    *
+    * `item` must be a struct whose ASCENDING sort order is the desired rank
+    * order (negate numeric fields for descending). Returns one row per kept
+    * item with the struct exploded as column `item`.
+    *
+    * For an even tighter shuffle (≤k rows per key per partition, map-side
+    * truncation), use the typed graft.functions.TopKCombineFn Aggregator —
+    * Similarity.cosineTopK does. */
+  def topKPerKeySalted(df: DataFrame, keys: Seq[Column], item: Column,
+                       saltFrom: Column, k: Int, fanout: Int = 32): DataFrame = {
+    val salted = df.groupBy(keys :+ pmod(xxhash64(saltFrom), lit(fanout)).as("__salt"): _*)
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("__cand"))
+    salted.groupBy(keys: _*)
+      .agg(slice(array_sort(flatten(collect_list(col("__cand")))), 1, k).as("__top"))
+      .select(keys :+ explode(col("__top")).as("item"): _*)
+  }
+
   /** Latest.perKey (reference: SDK/transforms/Latest.java): max_by on the
     * event-time column; `tiebreak` keeps it deterministic when timestamps
     * collide (Beam leaves ties unspecified; we pin them). */
@@ -108,6 +132,13 @@ object Aggregates {
       .agg(sort_array(collect_list(value)).as("batch"), count(lit(1)).as("batch_size"))
       .drop("__idx")
   }
+
+  /** Combine.groupedValues (reference: Combine.java:2073): combine AFTER an
+    * explicit GBK — the input is (key, values array); fold the array with a
+    * Catalyst lambda, no second shuffle. */
+  def groupedValues(df: DataFrame, values: Column, zero: Column,
+                    merge: (Column, Column) => Column, as: String): DataFrame =
+    df.withColumn(as, aggregate(values, zero, merge))
 
   /** SortValues secondary sort (reference: extensions/sorter/SortValues.java:70).
     * Moderate groups: sort_array(collect_list(struct(k2, v))). Large groups

@@ -75,15 +75,36 @@ object ElementWise {
     tags.map(t => t -> tagged.filter(col("__tag") === t).drop("__tag")).toMap
   }
 
-  /** Regex family (reference: SDK/transforms/Regex.java).
+  /** Regex family (reference: SDK/transforms/Regex.java — matches :51,
+    * matchesKV :137, allMatches :115, find :184, findAll :248, replaceAll
+    * :318, replaceFirst :342, split :365).
     * All return Column expressions to compose into selects. */
   object RegexOps {
     def matchesGroup(c: Column, pattern: String, group: Int): Column =
       regexp_extract(c, pattern, group)
     def find(c: Column, pattern: String): Column = c.rlike(pattern)
     def findAll(c: Column, pattern: String): Column = regexp_extract_all(c, lit(pattern), lit(0))
+    /** allMatches with a capture group: every match's group `group`. */
+    def allMatchesGroup(c: Column, pattern: String, group: Int): Column =
+      regexp_extract_all(c, lit(pattern), lit(group))
+    /** matchesKV (reference: Regex.java:137): extract (key, value) from two
+      * capture groups of a whole-string match. */
+    def matchesKV(c: Column, pattern: String, keyGroup: Int, valueGroup: Int): Column =
+      struct(regexp_extract(c, pattern, keyGroup).as("key"),
+             regexp_extract(c, pattern, valueGroup).as("value"))
     def replaceAll(c: Column, pattern: String, replacement: String): Column =
       regexp_replace(c, pattern, replacement)
+    /** replaceFirst (reference: Regex.java:342): replace only the first
+      * occurrence. Pure-Catalyst splice via regexp_instr + regexp_extract
+      * (replacement is literal — no $group refs, documented narrowing). */
+    def replaceFirst(c: Column, pattern: String, replacement: String): Column = {
+      val pos = regexp_instr(c, lit(pattern))       // 1-based; 0 = no match
+      val hit = regexp_extract(c, pattern, 0)
+      when(pos === 0, c).otherwise(concat(
+        substring(c, lit(1), pos - 1),
+        lit(replacement),
+        substr(c, pos + length(hit))))
+    }
     def splitBy(c: Column, pattern: String): Column = split(c, pattern)
   }
 

@@ -69,18 +69,48 @@ object Joins {
     }
   }
 
-  /** View.asSingleton / asList / asMap (reference: SDK/transforms/View.java:302,
-    * :249, :445): materialize a small frame for use inside per-element logic.
+  /** View.asSingleton / asList / asIterable / asMap / asMultimap (reference:
+    * SDK/transforms/View.java:302, :249, :275, :445, :418): materialize a
+    * SMALL side input for use inside per-element logic — the Beam contract is
+    * that views fit in worker memory (they are broadcast by every runner), so
+    * the collect() here is the operator's semantics, not a hot-path collect.
     * Batch: collect + broadcast; the caller uses the returned broadcast in a
     * closure. Streaming: prefer stream-static joins instead. */
   def viewAsList[T](spark: SparkSession, df: DataFrame, f: org.apache.spark.sql.Row => T)
       : org.apache.spark.broadcast.Broadcast[Seq[T]] =
     spark.sparkContext.broadcast(df.collect().toSeq.map(f))
 
+  /** Beam's asIterable ≡ asList under Spark materialization. */
+  def viewAsIterable[T](spark: SparkSession, df: DataFrame, f: org.apache.spark.sql.Row => T)
+      : org.apache.spark.broadcast.Broadcast[Seq[T]] = viewAsList(spark, df, f)
+
   def viewAsMap[K, V](spark: SparkSession, df: DataFrame,
                       f: org.apache.spark.sql.Row => (K, V))
       : org.apache.spark.broadcast.Broadcast[Map[K, V]] =
     spark.sparkContext.broadcast(df.collect().toSeq.map(f).toMap)
+
+  /** View.asMultimap (reference: View.java:418): key → all values. */
+  def viewAsMultimap[K, V](spark: SparkSession, df: DataFrame,
+                           f: org.apache.spark.sql.Row => (K, V))
+      : org.apache.spark.broadcast.Broadcast[Map[K, Seq[V]]] =
+    spark.sparkContext.broadcast(
+      df.collect().toSeq.map(f).groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2) })
+
+  /** View.asSingleton (reference: View.java:302): exactly-one-element view;
+    * `default` when empty (Beam's withDefaultValue), error when >1 — the
+    * same contract as Beam's SingletonViewFn. */
+  def viewAsSingleton[T: scala.reflect.ClassTag](spark: SparkSession, df: DataFrame,
+                         f: org.apache.spark.sql.Row => T, default: Option[T] = None)
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    val rows = df.take(2)
+    val value = rows.length match {
+      case 0 => default.getOrElse(
+        throw new IllegalArgumentException("asSingleton on empty input with no default"))
+      case 1 => f(rows(0))
+      case _ => throw new IllegalArgumentException("asSingleton on multi-element input")
+    }
+    spark.sparkContext.broadcast(value)
+  }
 
   /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
     * union, no dedup; unionByName tolerates column order drift. */

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKCombineFn
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]). Not in the reference (Beam has no vector ops); designed
   * for the 100 TB training-data path:
@@ -37,19 +39,49 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** "Better" = higher score, ties to the SMALLER corpus id.
+    * TopKCombineFn keeps the k LARGEST elements under this ordering and
+    * outputs them best-first, so greater-than here must mean better. */
+  private[graft] val scoreOrdering: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val s = java.lang.Double.compare(a._1, b._1) // higher score = greater
+        if (s != 0) s else java.lang.Long.compare(b._2, a._2) // lower id = greater
+      }
+    }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` must be small (it is broadcast). Deterministic
-    * ordering: (rounded score desc, corpus id asc). */
+    * ordering: (rounded score desc, corpus id asc).
+    *
+    * The reduction is a typed bounded-heap Aggregator (the reference's
+    * Top.TopCombineFn shape, SDK/transforms/Top.java:392): map-side partial
+    * aggregation truncates to k per query per partition, so the shuffle
+    * carries ≤ k·partitions rows per query — no rank-window funnel, no
+    * corpus shuffle at any scale. */
   def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                  queries: DataFrame, queryId: Column, queryVec: Column,
                  k: Int): DataFrame = {
-    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cvec"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qvec"))
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"))
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
-    Aggregates.topPerKey(scored, Seq(col("query_id")),
-        Seq(col("score").desc, col("corpus_id").asc), k)
-      .select(col("query_id"), col("corpus_id"), col("score"))
+    topKByScore(scored, k)
+  }
+
+  /** Shared typed top-k reduction over a (query_id, corpus_id, score) frame. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Double, Long)] = scoreOrdering
+    val fn = new TopKCombineFn[(Double, Long)](k)
+      .contramap[(Long, Double, Long)](r => (r._2, r._3))
+    scored.select(col("query_id"), col("score"), col("corpus_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(fn.asAggregator.toColumn.name("top"))
+      .flatMap { case (qid, top) => top.map(t => (qid, t._2, t._1)) }
+      .toDF("query_id", "corpus_id", "score")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -74,20 +106,32 @@ object Similarity {
       .withColumn("bucket", aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
   }
 
-  /** LSH-bucketed ANN top-k: candidates share a bucket with the query; exact
-    * cosine re-rank per query. Recall grows with fewer planes (bigger
-    * buckets) or multiple tables (vary seed, union, re-rank). */
+  /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any
+    * of `tables` independent hash tables (multi-table union raises recall the
+    * standard way); exact cosine re-rank per query via the salted two-phase
+    * top-k (no rank-window funnel; dedup across tables rides the same
+    * aggregation). Raise `planes` with corpus size so buckets stay small. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = hyperplaneBucket(corpus, corpusId, corpusVec, planes, seed)
-      .withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec")
-    val q = hyperplaneBucket(queries, queryId, queryVec, planes, seed)
-      .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
-    val scored = c.join(q, "bucket")
-      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
-    Aggregates.topPerKey(scored, Seq(col("query_id")),
-        Seq(col("score").desc, col("corpus_id").asc), k)
-      .select(col("query_id"), col("corpus_id"), col("score"))
+              k: Int, planes: Int = 8, seed: Long = 42L, tables: Int = 2): DataFrame = {
+    val scoredPerTable = (0 until tables).map { t =>
+      val c = hyperplaneBucket(corpus, corpusId, corpusVec, planes, seed + t)
+        .withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec")
+      val q = hyperplaneBucket(queries, queryId, queryVec, planes, seed + t)
+        .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
+      c.join(q, "bucket")
+        .select(col("query_id"), col("corpus_id"),
+          round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    }
+    // the table union can contain the same (query, corpus) pair up to
+    // `tables` times with an identical score — dedup before ranking so the
+    // top-k holds k distinct neighbors. The distinct shuffles only the
+    // narrow candidate triples (long, long, double), never vectors.
+    val scored = scoredPerTable.reduce(_ unionByName _).distinct()
+    Aggregates.topKPerKeySalted(scored, Seq(col("query_id")),
+        struct((-col("score")).as("negscore"), col("corpus_id").as("corpus_id")),
+        col("corpus_id"), k)
+      .select(col("query_id"), col("item.corpus_id").as("corpus_id"),
+        (-col("item.negscore")).as("score"))
   }
 }

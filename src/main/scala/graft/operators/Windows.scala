@@ -48,9 +48,14 @@ object Windows {
     case Sessions(gap)              => Some(session_window(ts, gap))
     case CalendarWindows(unit)      =>
       // Variable-length calendar windows can't be expressed by window();
-      // date_trunc gives the window start, the canonical Beam window id
-      // (reference: CalendarWindows.DaysWindows:96 aligns to local day).
-      Some(date_trunc(unit, ts))
+      // date_trunc gives the window start (the canonical Beam window id,
+      // reference: CalendarWindows.DaysWindows:96 aligns to local day) and
+      // end = start + 1 unit, so the column shape is the same
+      // struct<start,end> that window()/session_window() emit and
+      // TimestampCombiners.endOfWindow composes with any WindowFn.
+      val start = date_trunc(unit, ts)
+      val end = start + expr(s"INTERVAL 1 ${unit.toUpperCase}")
+      Some(struct(start.as("start"), end.as("end")))
   }
 
   /** Windowed aggregation: groupBy(window?, keys).agg(...). */
