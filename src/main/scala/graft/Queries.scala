@@ -342,8 +342,13 @@ object Queries {
   }
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    // The synthetic embeddings are near-orthogonal random vectors (max
+    // pairwise cosine ≈ 0.51 at sf0.01), so the "near-dup" regime for this
+    // fixture is ≥0.3; planes=6 keeps per-pair bucket-collision probability
+    // high enough to demonstrate recall. Production near-dup would use
+    // ≥0.9 with more planes + multi-table.
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      planes = 8, threshold = 0.5)
+      planes = 6, threshold = 0.3)
 
   def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"), col("doc_id"))

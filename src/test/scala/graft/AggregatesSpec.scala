@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Create}
+
+/** Mirrors transforms/{Combine,Count,Top,Distinct,GroupByKey}Test
+  * (reference: sdks/java/core/src/test/.../transforms/). */
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv = Create.of(spark,
+    Seq(("a", 3), ("a", 1), ("a", 2), ("b", 10), ("b", 20))).toDF("k", "v")
+
+  test("countGlobally / countPerKey / countPerElement") {
+    assertRows(Aggregates.countGlobally(kv), Seq(Seq(5L)))
+    assertRows(Aggregates.countPerKey(kv, col("k")), Seq(Seq("a", 3L), Seq("b", 2L)))
+    val dup = Create.of(spark, Seq("x", "x", "y")).toDF("e")
+    assertRows(Aggregates.countPerElement(dup), Seq(Seq("x", 2L), Seq("y", 1L)))
+  }
+
+  test("topPerKey keeps k per key in order with deterministic tiebreak") {
+    val top = Aggregates.topPerKey(kv, Seq(col("k")), Seq(col("v").desc), 2)
+    assertRows(top, Seq(Seq("a", 3), Seq("a", 2), Seq("b", 20), Seq("b", 10)))
+  }
+
+  test("topKPerKeySalted agrees with the rank-window top-k") {
+    val viaWindow = Aggregates.topPerKey(kv, Seq(col("k")), Seq(col("v").desc), 2)
+      .select(col("k"), col("v"))
+    val viaSalted = Aggregates.topKPerKeySalted(kv, Seq(col("k")),
+        struct((-col("v")).as("negv")), col("v"), 2)
+      .select(col("k"), (-col("item.negv")).as("v"))
+    assert(viaSalted.collect().map(_.toSeq).toSet == viaWindow.collect().map(_.toSeq).toSet)
+  }
+
+  test("latestPerKey picks max-ts row with tiebreak") {
+    val e = Create.of(spark, Seq(("a", 1L, "old"), ("a", 5L, "new"), ("a", 5L, "zz")))
+      .toDF("k", "ts", "val")
+    assertRows(Aggregates.latestPerKey(e, Seq(col("k")), col("ts"), col("val")),
+      Seq(Seq("a", 5L, "zz")))
+  }
+
+  test("distinctByRepresentative keeps the minimum pick per id") {
+    val d = Create.of(spark, Seq(("seg", 5, "e"), ("seg", 2, "b"), ("seg2", 9, "z")))
+      .toDF("seg", "id", "name")
+    assertRows(Aggregates.distinctByRepresentative(d, Seq(col("seg")), col("id")),
+      Seq(Seq("seg", 2, "b"), Seq("seg2", 9, "z")))
+  }
+
+  test("groupIntoBatches caps batch size and covers all rows") {
+    val rows = Create.of(spark, (1 to 25).map(i => ("k", i))).toDF("k", "v")
+    val batches = Aggregates.groupIntoBatches(rows, Seq(col("k")), col("v"), 10)
+    val sizes = batches.select(col("batch_size")).as[Long].collect().sorted
+    assert(sizes.toSeq == Seq(5L, 10L, 10L))
+  }
+
+  test("sortValues orders values by secondary key inside each key") {
+    val d = Create.of(spark, Seq(("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c")))
+      .toDF("k", "pos", "v")
+    val out = Aggregates.sortValues(d, col("k"), col("pos"), col("v"))
+    assertRows(out, Seq(Seq("k", Seq("a", "b", "c"))))
+  }
+
+  test("groupedValues folds a grouped array without reshuffle") {
+    val g = Create.of(spark, Seq(("k", Seq(1, 2, 3)))).toDF("k", "vals")
+    val out = Aggregates.groupedValues(g, col("vals"), lit(0), (a, x) => a + x, "total")
+    assertRows(out.select(col("k"), col("total")), Seq(Seq("k", 6)))
+  }
+
+  test("sumPerKeyWithFanout equals plain per-key sum") {
+    val big = Create.of(spark, (1 to 1000).map(i => (s"k${i % 3}", i.toLong))).toDF("k", "v")
+    val expected = big.groupBy(col("k").as("key")).agg(sum(col("v")).as("sum_value"))
+    val fanned = Aggregates.sumPerKeyWithFanout(big, col("k"), col("v"), 8)
+    assert(fanned.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+  }
+
+  test("exactQuantile median matches hand-computed value") {
+    val d = Create.of(spark, Seq(1.0, 2.0, 3.0, 4.0)).toDF("x")
+    val q = Aggregates.exactQuantile(d, Seq.empty, col("x"), 0.5)
+    assert(q.collect()(0).getDouble(0) == 2.5)
+  }
+
+  test("reshuffle preserves data and changes partitioning") {
+    val out = Aggregates.reshuffle(kv, 7)
+    assert(out.rdd.getNumPartitions == 7 && out.count() == 5)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions._
+
+import scala.util.Random
+
+/** Algebraic laws for every CombineFn — the reference's CombineFnTester
+  * contract (reference: SDK/testing/CombineFnTester.java: result must not
+  * depend on input order or on how inputs are sharded into accumulators).
+  * Seeded random cases (no scalatestplus bridge in the offline cache). */
+class CombineFnLawsSpec extends SparkSpec {
+
+  /** Apply fn over inputs split into `shards` accumulators, merged pairwise
+    * in sequence — any shard/merge plan must give one result. */
+  private def run[IN, ACC, OUT](fn: CombineFn[IN, ACC, OUT], inputs: Seq[IN], shards: Int): OUT = {
+    val groups = if (inputs.isEmpty) Seq(Seq.empty[IN])
+      else inputs.grouped(math.max(1, math.ceil(inputs.size.toDouble / shards).toInt)).toSeq
+    val accs = groups.map(g => g.foldLeft(fn.createAccumulator())(fn.addInput))
+    fn.extractOutput(accs.reduce(fn.mergeAccumulators))
+  }
+
+  /** 100 seeded cases: random input list, random shard count, random
+    * permutation — sequential single-accumulator result must match. */
+  private def lawCheck[IN, ACC, OUT](fn: CombineFn[IN, ACC, OUT], gen: Random => IN): Unit = {
+    val rnd = new Random(20260812L)
+    (1 to 100).foreach { i =>
+      val xs = List.fill(rnd.nextInt(40))(gen(rnd))
+      val shards = 1 + rnd.nextInt(7)
+      val shuffled = rnd.shuffle(xs)
+      assert(run(fn, xs, 1) == run(fn, shuffled, shards),
+        s"case $i: order/shard dependence for input $xs")
+    }
+  }
+
+  test("MeanFn is shard- and order-insensitive (integral doubles: exact)") {
+    lawCheck(new MeanFn, r => (r.nextInt(2001) - 1000).toDouble)
+  }
+
+  test("TopKCombineFn(k) is shard- and order-insensitive") {
+    lawCheck(new TopKCombineFn[Int](3), r => r.nextInt(101) - 50)
+  }
+
+  test("TopKCombineFn returns k best, best-first") {
+    val fn = new TopKCombineFn[Int](3)
+    assert(run(fn, Seq(5, 1, 9, 7, 3), 2) == List(9, 7, 5))
+    assert(run(fn, Seq(1), 1) == List(1))
+    assert(run(fn, Seq.empty[Int], 1) == List())
+  }
+
+  test("ReservoirSampleFn is deterministic under sharding/order and exact-size") {
+    lawCheck(new ReservoirSampleFn[Int](5, seed = 7L), r => r.nextInt(10000))
+    val fn = new ReservoirSampleFn[Int](5, seed = 7L)
+    assert(run(fn, 1 to 100, 4).size == 5)
+    assert(run(fn, 1 to 3, 2).toSet == Set(1, 2, 3))
+  }
+
+  test("ReservoirSampleFn different seeds draw different samples") {
+    val a = run(new ReservoirSampleFn[Int](5, 1L), 1 to 1000, 3)
+    val b = run(new ReservoirSampleFn[Int](5, 2L), 1 to 1000, 3)
+    assert(a != b)
+  }
+
+  test("ReservoirSampleFn sample is roughly uniform (chi-square sanity)") {
+    // sample 10 of 0..99, 200 seeds; each element should be drawn ~20 times
+    val counts = new Array[Int](100)
+    (0 until 200).foreach { s =>
+      run(new ReservoirSampleFn[Int](10, s.toLong), 0 until 100, 4).foreach(counts(_) += 1)
+    }
+    assert(counts.forall(c => c > 2 && c < 60), s"skewed sample: ${counts.toList}")
+  }
+
+  test("LatestFn picks max-timestamp value, ties to larger value") {
+    val fn = new LatestFn[String]
+    lawCheck(fn, r => (r.nextInt(20).toLong, r.alphanumeric.take(3).mkString))
+    assert(run(fn, Seq((1L, "a"), (9L, "z"), (9L, "b")), 2).contains("z"))
+    assert(run(fn, Seq.empty[(Long, String)], 1).isEmpty)
+  }
+
+  test("compose2 runs both fns in one pass") {
+    val fn = CombineFns.compose2(new MeanFn, new TopKCombineFn[Double](2))
+    val (mean, top) = run(fn, Seq(1.0, 2.0, 3.0, 4.0), 2)
+    assert(mean == 2.5 && top == List(4.0, 3.0))
+  }
+
+  test("composeAll runs n homogeneous fns in one pass") {
+    val fn = CombineFns.composeAll[Int, List[Int], List[Int]](
+      Seq(new TopKCombineFn[Int](1), new TopKCombineFn[Int](2)))
+    assert(run(fn, Seq(3, 1, 2), 2) == List(List(3), List(3, 2)))
+  }
+
+  test("contramap and map adapt input/output sides") {
+    val fn = new MeanFn().contramap[(String, Double)](_._2).map(m => m * 10)
+    assert(run(fn, Seq(("a", 1.0), ("b", 3.0)), 2) == 20.0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Create, Dedup, Similarity}
+
+/** LLM-pipeline dedup + ANN operators on engineered fixtures. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private def docs = Create.of(spark, Seq(
+    (1L, base),
+    (2L, base),                                   // exact dup of 1
+    (3L, base + " tonight"),                      // near dup of 1
+    (4L, "completely different text about spark catalyst optimization rules"),
+    (5L, ""))).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, min id as representative") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+    val dupGroup = out.filter(col("copies") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup(0).getAs[Long]("rep_id") == 1L)
+    assert(out.count() == 4) // 1&2 merged; 3, 4, "" distinct
+  }
+
+  test("shingles: n-grams of normalized words, distinct, empty-safe") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 10) // 12 words -> 10 trigram windows, all distinct
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minHashCandidates buckets exact+near dups together") {
+    val cands = Dedup.minHashCandidates(docs, col("text"), col("doc_id"),
+      shingleN = 3, bands = 8).collect()
+    assert(cands.nonEmpty)
+    // every bucket holding doc 1 must also hold doc 2 (identical shingles)
+    val with1 = cands.filter(_.getSeq[Long](2).contains(1L))
+    assert(with1.nonEmpty && with1.forall(_.getSeq[Long](2).contains(2L)))
+  }
+
+  test("simHash: identical docs equal; near-dups within small Hamming distance") {
+    val fp = Dedup.simHash(docs.filter(length(col("text")) > 0), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) <= 16, s"near-dup hamming ${hamming(fp(1L), fp(3L))}")
+    assert(hamming(fp(1L), fp(4L)) > hamming(fp(1L), fp(3L)))
+  }
+
+  test("ngramJaccardPairs finds engineered near-dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("cosineTopK: self-match scores 1.0 and ranks first") {
+    val vecs = Create.of(spark, Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 0L), col("vec_id"), col("embedding"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.head == ((0L, 1.0)))
+    assert(out(1)._1 == 1L)
+  }
+
+  test("lshTopK includes the self-match (same bucket by construction)") {
+    val vecs = Create.of(spark,
+      (0L to 20L).map(i => (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 5L), col("vec_id"), col("embedding"),
+      k = 3, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(r => r._2 == 5L && r._3 == 1.0))
+  }
+
+  test("embeddingNearDup finds a planted duplicate pair") {
+    val planted = Create.of(spark, Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.01f)),   // near-identical direction
+      (2L, Seq(-4.0f, 3.0f, -2.0f, 1.0f)))).toDF("id", "vec")
+    val out = Dedup.embeddingNearDup(planted, col("id"), col("vec"),
+      planes = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((0L, 1L)))
+  }
+}

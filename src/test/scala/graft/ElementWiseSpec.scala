@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Create, ElementWise}
+import ElementWise.{DataFrameOps, RegexOps, ToStringOps}
+
+/** Mirrors the reference's transforms/{MapElements,Filter,Partition,Regex,
+  * ToString}Test matrix (reference: sdks/java/core/src/test/.../transforms/). */
+class ElementWiseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Create.of(spark, Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")))
+    .toDF("id", "name")
+
+  test("mapElements projects 1:1") {
+    assertRows(df.mapElements(col("id"), length(col("name")).as("len")),
+      Seq(Seq(1, 5), Seq(2, 4), Seq(3, 5), Seq(4, 5)))
+  }
+
+  test("filterBy keeps matching rows only") {
+    assertRows(df.filterBy(col("id") % 2 === 0).select(col("name")),
+      Seq(Seq("beta"), Seq("delta")))
+  }
+
+  test("flatMapElements is 1:N via explode") {
+    val out = df.flatMapElements(split(col("name"), "a"), "piece")
+    assert(out.count() == 10) // alpha->3, beta->2, gamma->3, delta->2
+  }
+
+  test("partitionBy routes every row to exactly one output") {
+    val parts = df.partitionBy(2, col("id") % 2)
+    assert(parts.map(_.count()).sum == 4)
+    assertRows(parts(0).select(col("id")), Seq(Seq(2), Seq(4)))
+    assertRows(parts(1).select(col("id")), Seq(Seq(1), Seq(3)))
+  }
+
+  test("withKeys / kvSwap / keysOnly round-trip") {
+    val kv = df.withKeys(col("id") * 10)
+    assertRows(kv.keysOnly, Seq(Seq(10), Seq(20), Seq(30), Seq(40)))
+    val swapped = Create.of(spark, Seq(("k", 1))).toDF("key", "value").kvSwap
+    assertRows(swapped, Seq(Seq(1, "k")))
+  }
+
+  test("parDo runs setup per partition and flatMaps") {
+    val ds = Create.of(spark, Seq(1, 2, 3))
+    val out = ElementWise.parDo[Int, Int](ds)(() => ())(x => Seq(x, x * 100))
+    assertRows(out.toDF(), Seq(Seq(1), Seq(100), Seq(2), Seq(200), Seq(3), Seq(300)))
+  }
+
+  test("parDoMultiOutput tags rows into disjoint views") {
+    val outs = ElementWise.parDoMultiOutput(df,
+      when(col("id") <= 2, "small").otherwise("big"), Seq("small", "big"))
+    assert(outs("small").count() == 2 && outs("big").count() == 2)
+  }
+
+  test("Regex matchesGroup / findAll / replaceAll") {
+    val t = Create.of(spark, Seq("a1 b22 c333")).toDF("s")
+    assertRows(t.select(RegexOps.matchesGroup(col("s"), "b(\\d+)", 1)), Seq(Seq("22")))
+    assertRows(t.select(RegexOps.findAll(col("s"), "\\d+")),
+      Seq(Seq(Seq("1", "22", "333"))))
+    assertRows(t.select(RegexOps.replaceAll(col("s"), "\\d+", "#")),
+      Seq(Seq("a# b# c#")))
+  }
+
+  test("Regex replaceFirst replaces only the first occurrence") {
+    val t = Create.of(spark, Seq("a1 b2 c3", "no digits")).toDF("s")
+    assertRows(t.select(RegexOps.replaceFirst(col("s"), "\\d", "#")),
+      Seq(Seq("a# b2 c3"), Seq("no digits")))
+  }
+
+  test("Regex matchesKV extracts key and value groups") {
+    val t = Create.of(spark, Seq("k=v")).toDF("s")
+    val kv = t.select(RegexOps.matchesKV(col("s"), "(\\w+)=(\\w+)", 1, 2).as("kv"))
+      .select(col("kv.key"), col("kv.value"))
+    assertRows(kv, Seq(Seq("k", "v")))
+  }
+
+  test("ToString kvs and iterables") {
+    val t = Create.of(spark, Seq(("a", 1))).toDF("k", "v")
+    assertRows(t.select(ToStringOps.kvs(col("k"), col("v"))), Seq(Seq("a,1")))
+    val arr = Create.of(spark, Seq(Seq("x", "y"))).toDF("a")
+    assertRows(arr.select(ToStringOps.iterables(col("a"))), Seq(Seq("x,y")))
+  }
+
+  test("Create.timestamped attaches event_time; Create.empty has schema but no rows") {
+    val ts = Create.timestamped(spark, Seq(("a", 1000L), ("b", 2000L)))
+    assert(ts.schema.fieldNames.toSeq == Seq("value", "event_time"))
+    assert(ts.count() == 2)
+    val empty = Create.emptyDs[String](spark)
+    assert(empty.count() == 0)
+  }
+}

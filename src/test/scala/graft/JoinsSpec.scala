@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Create, Joins}
+
+/** Mirrors the reference's join-library tests + CoGroupByKeyTest
+  * (reference: sdks/java/extensions/join-library, transforms/join/). */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left  = Create.of(spark, Seq((1, "l1"), (2, "l2"), (3, "l3"))).toDF("k", "lv")
+  private def right = Create.of(spark, Seq((2, "r2"), (3, "r3"), (4, "r4"))).toDF("k", "rv")
+
+  test("inner join keeps matching keys only") {
+    assertRows(Joins.inner(left, right, Seq("k")),
+      Seq(Seq(2, "l2", "r2"), Seq(3, "l3", "r3")))
+  }
+
+  test("leftOuter substitutes the Beam nullValue") {
+    val out = Joins.leftOuter(left, right, Seq("k"), Map("rv" -> lit("NONE")))
+    assertRows(out, Seq(Seq(1, "l1", "NONE"), Seq(2, "l2", "r2"), Seq(3, "l3", "r3")))
+  }
+
+  test("fullOuter substitutes both sides") {
+    val out = Joins.fullOuter(left, right, Seq("k"),
+      Map("lv" -> lit("NL"), "rv" -> lit("NR")))
+    assertRows(out, Seq(Seq(1, "l1", "NR"), Seq(2, "l2", "r2"),
+      Seq(3, "l3", "r3"), Seq(4, "NL", "r4")))
+  }
+
+  test("semi and anti") {
+    assertRows(Joins.leftSemi(left, right, Seq("k")).select(col("k")),
+      Seq(Seq(2), Seq(3)))
+    assertRows(Joins.leftAnti(left, right, Seq("k")).select(col("k")), Seq(Seq(1)))
+  }
+
+  test("coGroupByKey yields EMPTY iterables (not null) for absent tags") {
+    val out = Joins.coGroupByKey("k", Map(
+      "ls" -> (left, col("lv")), "rs" -> (right, col("rv"))))
+    val byKey = out.collect().map(r =>
+      r.getInt(0) -> (r.getSeq[String](1).toList, r.getSeq[String](2).toList)).toMap
+    assert(byKey(1) == (List("l1"), List()))
+    assert(byKey(4) == (List(), List("r4")))
+    assert(byKey(2) == (List("l2"), List("r2")))
+  }
+
+  test("broadcastJoin plans a BroadcastHashJoin") {
+    val out = Joins.broadcastJoin(left, right, Seq("k"))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(out.count() == 2)
+  }
+
+  test("flatten unions bags without dedup") {
+    val out = Joins.flatten(Seq(left.select(col("k")), left.select(col("k"))))
+    assert(out.count() == 6)
+  }
+
+  test("viewAsSingleton: value, default, multi-element error") {
+    val one = Create.of(spark, Seq(42)).toDF("x")
+    assert(Joins.viewAsSingleton[Int](spark, one, _.getInt(0)).value == 42)
+    val none = one.filter(col("x") > 100)
+    assert(Joins.viewAsSingleton[Int](spark, none, _.getInt(0), Some(-1)).value == -1)
+    intercept[IllegalArgumentException] {
+      Joins.viewAsSingleton[Int](spark, Create.of(spark, Seq(1, 2)).toDF("x"), _.getInt(0))
+    }
+  }
+
+  test("viewAsMultimap groups all values per key") {
+    val mm = Joins.viewAsMultimap[Int, String](spark,
+      Create.of(spark, Seq((1, "a"), (1, "b"), (2, "c"))).toDF("k", "v"),
+      r => (r.getInt(0), r.getString(1))).value
+    assert(mm(1).toSet == Set("a", "b") && mm(2) == Seq("c"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Create, Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCountWs: empty, whitespace-only, normal") {
+    val t = Create.of(spark, Seq("", "   ", "one two  three")).toDF("s")
+    val got = t.select(TextAnalysis.tokenCountWs(col("s"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 3))
+  }
+
+  test("tokenCountBpe counts subword-ish pieces") {
+    val t = Create.of(spark, Seq("hello, world 42")).toDF("s")
+    // hello | , | world | 4 | 2
+    assert(t.select(TextAnalysis.tokenCountBpe(col("s"))).collect()(0).getInt(0) == 5)
+  }
+
+  test("langId votes stopwords per language; und when no hits") {
+    val t = Create.of(spark, Seq(
+      ("en", "the cat and the dog was with you"),
+      ("de", "der hund ist nicht mit der katze"),
+      ("fr", "le chat est dans les jardins"),
+      ("es", "el perro que corre por la casa con los gatos"),
+      ("und", "zxcvb qwerty"))).toDF("expected", "text")
+    val got = t.select(col("expected"), TextAnalysis.langId(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("fingerprint invariant to case/punct/whitespace edits") {
+    val t = Create.of(spark, Seq("Hello,  World!", "hello world")).toDF("s")
+    val fps = t.select(TextAnalysis.fingerprint(col("s"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityFeatures computes ratios in [0,1]") {
+    val d = Create.of(spark, Seq((1L, "The quick brown fox. It is fast!"))).toDF("id", "text")
+    val r = TextAnalysis.qualityFeatures(d, col("text"), col("id")).collect()(0)
+    assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 0.2)
+    assert(r.getAs[Double]("stopword_ratio") > 0 && r.getAs[Double]("stopword_ratio") < 1)
+    assert(r.getAs[Int]("n_tokens") == 7)
+  }
+
+  test("multimodal decode is deterministic and batched per partition") {
+    val media = Multimodal.asMedia(
+      Create.of(spark, Seq((1L, "payload-one"), (2L, "payload-two"))).toDF("id", "txt"),
+      col("id"), col("txt"), "image")
+    val a = Multimodal.decodeImages(spark, media).collect().map(_.toSeq).toSet
+    val b = Multimodal.decodeImages(spark, media.repartition(3)).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 2)
+  }
+
+  test("multimodal features: L1-normalized histogram of dim 16") {
+    val media = Multimodal.asMedia(
+      Create.of(spark, Seq((1L, "some payload bytes"))).toDF("id", "txt"),
+      col("id"), col("txt"), "image")
+    val feats = Multimodal.extractFeatures(spark, media).collect()(0).getSeq[Float](1)
+    assert(feats.size == 16)
+    assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-6)
+  }
+
+  test("multimodal frame sampling takes every k-th block") {
+    val big = "x" * 2048 // 8 blocks of 256
+    val media = Multimodal.asMedia(
+      Create.of(spark, Seq((1L, big))).toDF("id", "txt"), col("id"), col("txt"), "video")
+    val frames = Multimodal.sampleFrames(spark, media, everyK = 4).collect()
+    assert(frames.length == 2) // blocks 0 and 4
+  }
+
+  test("Metrics counter accumulates across a distributed action") {
+    import spark.implicits._
+    val c = Metrics.counter(spark, "rows_seen")
+    c.reset()
+    Create.of(spark, 1 to 100).map { x => c.add(1); x }.count()
+    assert(Metrics.counterValue("rows_seen").contains(100L))
+  }
+
+  test("Metrics observedDistribution returns min/max/count/sum") {
+    val df = Create.of(spark, Seq(1L, 2L, 3L)).toDF("v")
+    val r = Metrics.observedDistribution(df, "dist_test", col("v"))
+    assert(r.toSeq == Seq(1L, 3L, 3L, 6L))
+  }
+}
