@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // transformWithState (stateful ParDo / trigger engine) needs a state
+      // store with column families — RocksDB, bundled with Spark.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

@@ -152,6 +152,14 @@ object OracleSql {
       """SELECT event_type, round(avg(value), 4) AS avg_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q_stateful_batches" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT event_type, CAST(100 AS INT) AS batch_size
+        |FROM c, UNNEST(range(cnt // 100)) AS t(i)
+        |UNION ALL
+        |SELECT event_type, CAST(cnt % 100 AS INT) AS batch_size
+        |FROM c WHERE cnt % 100 > 0""".stripMargin,
+
     "q_argmax" ->
       """SELECT event_type, event_id AS top_event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -213,6 +213,20 @@ object Queries {
       .toDF("event_id")
   }
 
+  /** GroupIntoBatches via the stateful-ParDo path (transformWithState works
+    * on batch Datasets too — Beam's unified model): batch sizes are
+    * deterministic (full batches + one remainder per key) even though batch
+    * contents follow partition order. */
+  def qStatefulBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "events").select(col("event_type"), col("event_id"))
+      .as[(String, Long)].groupByKey(_._1)
+    graft.streaming.Stateful.groupIntoBatches(grouped, n = 100, flushDelayMs = 0L,
+        timeMode = org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+      .map { case (k, vs) => (k, vs.size) }
+      .toDF("event_type", "batch_size")
+  }
+
   // ---------------------------------------------------------------- joins
 
   def qJoinInner(s: SparkSession, dir: String): DataFrame =

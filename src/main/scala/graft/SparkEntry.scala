@@ -49,6 +49,7 @@ object SparkEntry {
     "q_argmax"          -> Queries.qArgMax _,
     "q_typed_meanmax"   -> Queries.qTypedMeanMax _,
     "q_reservoir"       -> Queries.qReservoir _,
+    "q_stateful_batches" -> Queries.qStatefulBatches _,
     // joins
     "q_join_inner"      -> Queries.qJoinInner _,
     "q_join_left"       -> Queries.qJoinLeft _,

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming._
+
+/** Stateful per-key processing: the reference's DoFn state & timers
+  * (reference: SDK/transforms/DoFn.java:414 @StateId, :458 @TimerId,
+  * :477 @OnTimer; SDK/state/ValueState.java:29, BagState.java:33,
+  * MapState.java:34, Timer.java:45) on Spark's `transformWithState`
+  * StatefulProcessor — a 1:1 surface:
+  *
+  *   Beam ValueState      → ValueState          (getValueState)
+  *   Beam BagState        → ListState           (getListState)
+  *   Beam SetState        → MapState[T, Unit]   (getMapState)
+  *   Beam MapState        → MapState            (getMapState)
+  *   Beam CombiningState  → ValueState[ACC] + CombineFn application
+  *   Beam event/proc timer→ registerTimer under TimeMode.EventTime /
+  *                          ProcessingTime (TimerValues carries both clocks)
+  *
+  * Beam scopes user state per (key, window); here state is per key — the
+  * per-window scoping is recovered by keying on (userKey, window) when
+  * windowed state is needed (see Triggers).
+  */
+object Stateful {
+
+  /** transformWithState requires a state store with column families —
+    * RocksDB (bundled with Spark), not the default HDFS-backed provider.
+    * Call once per session before starting stateful queries. */
+  def requireRocksDBStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Batch-mode transformWithState needs the driver's StateStoreCoordinator
+    * RPC endpoint, which Spark only creates lazily when a STREAMING query
+    * starts (StreamingQueryManager.stateStoreCoordinator). Touch that lazy
+    * val so pure-batch stateful ops (Beam's unified batch/stream model) work
+    * without a dummy stream. Idempotent. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val m = spark.streams.getClass.getDeclaredMethod("stateStoreCoordinator")
+    m.setAccessible(true)
+    m.invoke(spark.streams)
+  }
+
+  /** Beam CombiningState (reference: SDK/state/CombiningState.java:36):
+    * a ValueState accumulator folded with a CombineFn. */
+  class CombiningState[IN, ACC, OUT](underlying: ValueState[ACC],
+                                     fn: graft.functions.CombineFn[IN, ACC, OUT]) {
+    def add(in: IN): Unit = {
+      val acc = if (underlying.exists()) underlying.get() else fn.createAccumulator()
+      underlying.update(fn.addInput(acc, in))
+    }
+    def read(): OUT =
+      fn.extractOutput(if (underlying.exists()) underlying.get() else fn.createAccumulator())
+    def isEmpty: Boolean = !underlying.exists()
+    def clear(): Unit = underlying.clear()
+  }
+
+  /** Stateful ParDo (reference: stateful DoFn, DoFn.java:414-477): the
+    * general wrapper. `initStates` declares the key-scoped states (Spark
+    * only allows getValueState/getListState/getMapState inside init —
+    * Beam's @StateId declarations are likewise static); `process` sees
+    * (key, new rows, declared states, handle-for-timers, clock);
+    * `onTimer` fires for expired timers. */
+  def statefulParDo[K, V, O: Encoder, S](
+      grouped: KeyValueGroupedDataset[K, V],
+      timeMode: TimeMode = TimeMode.EventTime(),
+      outputMode: OutputMode = OutputMode.Append())(
+      initStates: StatefulProcessorHandle => S)(
+      process: (K, Iterator[V], S, StatefulProcessorHandle, TimerValues) => Iterator[O])(
+      onTimer: (K, S, StatefulProcessorHandle, TimerValues, ExpiredTimerInfo) => Iterator[O] =
+        (_: K, _: S, _: StatefulProcessorHandle, _: TimerValues, _: ExpiredTimerInfo) => Iterator.empty)
+      : Dataset[O] = {
+    val proc = new StatefulProcessor[K, V, O] {
+      @transient private var states: S = _
+      override def init(om: OutputMode, tm: TimeMode): Unit = states = initStates(getHandle)
+      override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[O] =
+        process(key, rows, states, getHandle, tv)
+      override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] =
+        onTimer(key, states, getHandle, tv, info)
+    }
+    grouped.transformWithState(proc, timeMode, outputMode)
+  }
+
+  /** GroupIntoBatches, streaming form (reference:
+    * SDK/transforms/GroupIntoBatches.java:79 — buffer per key in BagState,
+    * flush on size n or on the window-expiry event-time timer). Here:
+    * ListState buffer, flush on size n; a per-key event-time timer at
+    * watermark + `flushDelayMs` flushes stragglers. */
+  class GroupIntoBatchesProcessor[K, V](n: Int, flushDelayMs: Long)(
+      implicit vEnc: Encoder[V], kvListEnc: Encoder[(K, List[V])])
+      extends StatefulProcessor[K, V, (K, List[V])] {
+    @transient private var buf: ListState[V] = _
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var eventTime: Boolean = true
+
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      eventTime = tm != TimeMode.ProcessingTime()
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[(K, List[V])] = {
+      var out = List.empty[(K, List[V])]
+      var pending = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { v =>
+        buf.appendValue(v)
+        pending += 1
+        if (pending >= n) {
+          out = (key, buf.get().toList) :: out
+          buf.clear(); pending = 0
+        }
+      }
+      cnt.update(pending)
+      if (pending > 0) {
+        // straggler-flush timer: fires once the clock (watermark in
+        // EventTime mode — Beam's window-expiry timer,
+        // GroupIntoBatches.java:79) advances past now + flushDelayMs
+        val now = if (eventTime) tv.getCurrentWatermarkInMs()
+                  else tv.getCurrentProcessingTimeInMs()
+        getHandle.registerTimer(now + flushDelayMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[(K, List[V])] = {
+      val pending = if (cnt.exists()) cnt.get() else 0L
+      if (pending > 0) {
+        val batch = buf.get().toList
+        buf.clear(); cnt.update(0L)
+        Iterator((key, batch))
+      } else Iterator.empty
+    }
+  }
+
+  /** GroupIntoBatches.ofSize for streams: emits (key, batch) rows. */
+  def groupIntoBatches[K, V](grouped: KeyValueGroupedDataset[K, V], n: Int,
+                             flushDelayMs: Long = 0L,
+                             timeMode: TimeMode = TimeMode.EventTime())(
+      implicit vEnc: Encoder[V], outEnc: Encoder[(K, List[V])]): Dataset[(K, List[V])] = {
+    val ds = grouped.transformWithState(
+      new GroupIntoBatchesProcessor[K, V](n, flushDelayMs), timeMode, OutputMode.Append())
+    ensureStateStoreCoordinator(ds.sparkSession)
+    ds
+  }
+}

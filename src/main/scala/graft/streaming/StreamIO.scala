@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming sources & sinks (reference: SDK/io/UnboundedSource.java,
+  * TextIO.watchForNewFiles TextIO.java:315, KafkaIO.java:241,
+  * GenerateSequence.java:103 unbounded form).
+  *
+  * Structured Streaming's file source already does continuous new-file
+  * discovery (Beam's Watch.growthOf specialization for files); the rate
+  * source replaces GenerateSequence.withRate; MemoryStream (test scope)
+  * replaces CreateStream/TestStream.
+  */
+object StreamIO {
+
+  /** GenerateSequence.withRate (reference: GenerateSequence.java:113):
+    * unbounded monotonically increasing longs with event timestamps —
+    * columns (timestamp, value). */
+  def rate(spark: SparkSession, rowsPerSecond: Long, numPartitions: Int = 1): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** TextIO.watchForNewFiles (reference: TextIO.java:315): line-oriented
+    * continuous directory read. */
+  def textDir(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): Dataset[String] = {
+    import spark.implicits._
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger).textFile(dir)
+  }
+
+  /** Schema'd continuous directory reads (parquet/json/csv). */
+  def fileDir(spark: SparkSession, dir: String, format: String, schema: StructType): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** KafkaIO.read (reference: KafkaIO.java:241). Config-level wrapper: the
+    * kafka connector jar is not in this container, so this constructs the
+    * standard reader; semantics are exercised where the connector exists. */
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
+            startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** KafkaIO.write: value (and optional key) to a topic. */
+  def kafkaSink[T](ds: Dataset[T], bootstrapServers: String, topic: String): DataStreamWriter[T] =
+    ds.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+
+  /** File sink with sharding via partition count (TextIO.write.withNumShards
+    * ≈ repartition(n); dynamic destinations ≈ partitionBy columns —
+    * reference: TextIO.java:210, :146). */
+  def fileSink[T](ds: Dataset[T], format: String, path: String, checkpoint: String,
+                  partitionByCols: Seq[String] = Nil): DataStreamWriter[T] = {
+    val w = ds.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+    if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
+  }
+
+  /** foreachBatch sink: per-micro-batch arbitrary logic (the Beam
+    * "write via ParDo" escape hatch). */
+  def foreachBatchSink[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
+    ds.writeStream.foreachBatch(f)
+
+  /** Test-scope memory sink: start + return the query; read results via
+    * spark.table(name). */
+  def memorySink[T](ds: Dataset[T], name: String, outputMode: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ds.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(trigger).start()
+}

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+
+import graft.operators.Windows._
+import graft.operators.Create
+import graft.streaming.{Stateful, StreamingOps}
+
+/** MemoryStream scenario tests — the reference's TestStream/LeaderBoardTest
+  * pattern (reference: SDK/testing/TestStream.java:52,
+  * examples/java8/src/test/.../game/LeaderBoardTest.java): scripted element
+  * batches advance the watermark; assert pane content per firing regime. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ckpt() = Files.createTempDirectory("graft-ckpt").toString
+
+  test("append mode = AfterWatermark.pastEndOfWindow: emits once watermark passes; drops too-late") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val agg = StreamingOps.windowedAggregate(
+      input.toDF().toDF("k", "t"),
+      WindowingStrategy(FixedWindows("1 hour"), allowedLateness = "10 minutes"),
+      col("t"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = agg.select(col("window.start").cast("string").as("ws"), col("k"), col("n"))
+      .writeStream.format("memory").queryName("append_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // on-time elements in [10:00, 11:00); watermark stays below window end
+      input.addData(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("append_test").count() == 0, "no pane before watermark passes")
+
+      // late-but-within-lateness: watermark = 10:50 - 10min = 10:40 < 11:00
+      input.addData(("a", ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      assert(spark.table("append_test").count() == 0)
+
+      // advance watermark past end-of-window: 12:30 - 10min = 12:20 > 11:00
+      input.addData(("b", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val pane = spark.table("append_test").collect().map(_.toSeq)
+      assert(pane.toSeq == Seq(Seq("2024-01-01 10:00:00", "a", 3L)),
+        s"exactly one final pane with all 3 on-time elements, got ${pane.toSeq}")
+
+      // too-late element (watermark 12:20 >> window end + lateness): dropped
+      input.addData(("a", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("append_test").count() == 1, "too-late data must not re-fire the pane")
+    } finally q.stop()
+  }
+
+  test("update mode = accumulating early firings: refined panes per micro-batch") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val strategy = WindowingStrategy(FixedWindows("1 hour"),
+      allowedLateness = "10 minutes", accumulating = true)
+    assert(StreamingOps.outputModeFor(strategy) == "update")
+    val agg = StreamingOps.windowedAggregate(input.toDF().toDF("k", "t"),
+      strategy, col("t"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = agg.select(col("k"), col("n"))
+      .writeStream.format("memory").queryName("update_test")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // early pane visible before the watermark passes the window end
+      assert(spark.table("update_test").collect().map(_.toSeq).toSeq == Seq(Seq("a", 2L)))
+
+      input.addData(("a", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // accumulating refinement: a new pane with the cumulative count
+      val panes = spark.table("update_test").collect().map(_.toSeq).toSeq
+      assert(panes.contains(Seq("a", 3L)), s"expected refined pane n=3 in $panes")
+    } finally q.stop()
+  }
+
+  test("distinctWithinWatermark dedups a stream exactly") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val out = StreamingOps.distinctWithinWatermark(
+      input.toDF().toDF("id", "t"), col("t"), "1 hour", Seq("id"))
+    val q = out.select(col("id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:30")),
+                    (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"))) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-static join broadcasts the bounded side") {
+    val input = MemoryStream[Long](spark)
+    val dim = Create.of(spark, Seq((1L, "one"), (2L, "two"))).toDF("id", "name")
+    val joined = StreamingOps.streamStaticJoin(input.toDF().toDF("id"), dim, Seq("id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test").collect().map(_.toSeq).toSet
+      assert(rows == Set(Seq(1L, "one"), Seq(2L, "two")))
+    } finally q.stop()
+  }
+
+  test("statefulParDo: ValueState + CombiningState accumulate across batches") {
+    Stateful.requireRocksDBStateStore(spark)
+    val input = MemoryStream[(String, Long)](spark)
+    val out = Stateful.statefulParDo[String, (String, Long), (String, Long, Double),
+        (org.apache.spark.sql.streaming.ValueState[Long],
+         Stateful.CombiningState[Double, (Long, Double), Double])](
+      input.toDS().groupByKey(_._1),
+      TimeMode.None(), OutputMode.Update()) { h =>
+        (h.getValueState[Long]("sum", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE),
+         new Stateful.CombiningState[Double, (Long, Double), Double](
+           h.getValueState[(Long, Double)]("mean",
+             org.apache.spark.sql.Encoders.tuple(
+               org.apache.spark.sql.Encoders.scalaLong,
+               org.apache.spark.sql.Encoders.scalaDouble), TTLConfig.NONE),
+           new graft.functions.MeanFn))
+      } { case (key, rows, (sum, mean), h, tv) =>
+        var s = if (sum.exists()) sum.get() else 0L
+        rows.foreach { case (_, v) => s += v; mean.add(v.toDouble) }
+        sum.update(s)
+        Iterator((key, s, mean.read()))
+      }()
+    val q = out.toDF("k", "sum", "mean")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      input.addData(("a", 3L))
+      q.processAllAvailable()
+      val byBatch = spark.table("state_test").collect().map(_.toSeq).toSeq
+      assert(byBatch.contains(Seq("a", 3L, 1.5)), s"batch-1 state: $byBatch")
+      assert(byBatch.contains(Seq("a", 6L, 2.0)), s"state carried into batch 2: $byBatch")
+      assert(byBatch.contains(Seq("b", 10L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("groupIntoBatches streaming: size-triggered batches + event-time timer flush") {
+    Stateful.requireRocksDBStateStore(spark)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val grouped = input.toDF().toDF("k", "t")
+      .withWatermark("t", "1 second")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+    val out = Stateful.groupIntoBatches(grouped, n = 10, flushDelayMs = 0L,
+      timeMode = TimeMode.EventTime())
+    val q = out.map { case (k, vs) => (k, vs.size) }.toDF("k", "batch_size")
+      .writeStream.format("memory").queryName("gib_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((1 to 25).map(_ => ("k", ts("2024-01-01 10:00:00"))): _*)
+      q.processAllAvailable()
+      val full = spark.table("gib_test").collect().map(_.getInt(1))
+      assert(full.count(_ == 10) == 2, s"two full size-triggered batches, got ${full.toSeq}")
+
+      // advancing the watermark fires the straggler-flush event-time timer
+      input.addData(("other", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(("other2", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val sizes = spark.table("gib_test").collect().map(_.getInt(1)).sorted.toSeq
+      assert(sizes.contains(5), s"straggler batch flushed by event-time timer: $sizes")
+    } finally q.stop()
+  }
+}
