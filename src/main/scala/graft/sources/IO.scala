@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** Batch IO surface (reference: SDK/io/TextIO.java:176/:210,
+  * AvroIO.java, GenerateSequence.java:103, jdbc/JdbcIO.java:145/:154).
+  * Thin Spark-native wrappers: Spark's readers already supply glob
+  * expansion, compression handling (CompressedSource), offset-range
+  * splitting (FileBasedSource) and the temp-file-commit protocol
+  * (FileBasedSink/WriteFiles) that the reference implements by hand.
+  */
+object IO {
+
+  // ------------------------------------------------------------------ text
+
+  /** TextIO.read(): line-oriented text, glob + compression handled by the
+    * reader (reference: TextIO.java:176; CompressedSource.java). */
+  def readText(spark: SparkSession, path: String): Dataset[String] =
+    spark.read.textFile(path)
+
+  /** TextIO.write() (reference: TextIO.java:210):
+    *  - withNumShards(n)    → repartition(n) = n output files
+    *  - dynamic destinations (to(DynamicDestinations), TextIO.java:146)
+    *    → partitionBy(cols) = one directory per destination key
+    *  - compression         → codec option. */
+  def writeText(ds: Dataset[String], path: String, numShards: Int = 0,
+                compression: Option[String] = None): Unit = {
+    val sharded = if (numShards > 0) ds.repartition(numShards) else ds
+    val w = sharded.write.mode(SaveMode.Overwrite)
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
+
+  /** Dynamic-destination text/parquet write: route rows to per-key dirs. */
+  def writePartitioned(df: DataFrame, path: String, format: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .format(format).save(path)
+
+  // --------------------------------------------------------- columnar files
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String, numShards: Int = 0): Unit =
+    (if (numShards > 0) df.repartition(numShards) else df)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** AvroIO.read/write (reference: AvroIO.java): container files with
+    * schema evolution via the standard spark-avro module. NOTE: this
+    * container ships no spark-avro connector jar, so these wrappers are
+    * exercised only where the module is on the classpath (any standard
+    * Spark distribution); schema mapping per SURVEY.md §1.2 AvroCoder row. */
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("avro").load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("avro").save(path)
+
+  /** CSV/JSON (Beam reads these via TextIO + parse ParDo; Spark's readers
+    * subsume the parse step with schema inference or explicit schema). */
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header).csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header).csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  // ------------------------------------------------------------- sequences
+
+  /** GenerateSequence.from(a).to(b) (reference: GenerateSequence.java:103):
+    * bounded longs [from, to), splittable across default parallelism —
+    * CountingSource's splitIntoBundles is spark.range's partitioning.
+    * Unbounded form = StreamIO.rate. */
+  def generateSequence(spark: SparkSession, from: Long, to: Long,
+                       numPartitions: Option[Int] = None): Dataset[java.lang.Long] =
+    numPartitions.fold(spark.range(from, to))(n => spark.range(from, to, 1, n))
+      .toDF("value").selectExpr("value").as(org.apache.spark.sql.Encoders.LONG)
+
+  // ------------------------------------------------------------------ jdbc
+
+  /** JdbcIO.read (reference: JdbcIO.java:145): query or table read;
+    * `partitionColumn` + bounds shard the read across executors (the
+    * reference reads on one worker — this exceeds it). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: Map[String, String] = Map.empty,
+               partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    partitionColumn match {
+      case Some((colName, lower, upper, numParts)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, numParts, p)
+      case None => spark.read.jdbc(url, table, p)
+    }
+  }
+
+  /** JdbcIO.write (reference: JdbcIO.java:154): batched inserts per
+    * partition (the reference's 1000-row statement batching is the JDBC
+    * writer's `batchsize` option). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: Map[String, String] = Map.empty,
+                batchSize: Int = 1000, mode: SaveMode = SaveMode.Append): Unit = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, p)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Create
+import graft.sources.IO
+
+/** Round-trip tests per format (reference: TextIOTest, AvroIOTest,
+  * GenerateSequenceTest, JdbcIOTest shapes). Avro is wrapper-only here —
+  * the spark-avro module jar is not in this container. */
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-io").toString
+
+  test("text round-trip with numShards") {
+    val dir = tmp() + "/text"
+    val data = (1 to 100).map(i => s"line-$i")
+    IO.writeText(Create.of(spark, data), dir, numShards = 4)
+    val back = IO.readText(spark, dir).collect().toSet
+    assert(back == data.toSet)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 4, s"withNumShards(4) must write 4 shard files, got $parts")
+  }
+
+  test("text write with gzip compression reads back transparently") {
+    val dir = tmp() + "/gz"
+    IO.writeText(Create.of(spark, Seq("a", "b")), dir, compression = Some("gzip"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+    assert(IO.readText(spark, dir).collect().toSet == Set("a", "b"))
+  }
+
+  test("dynamic destinations: partitionBy writes per-key directories") {
+    val dir = tmp() + "/dyn"
+    val df = Create.of(spark, Seq(("a", 1), ("b", 2), ("a", 3))).toDF("dest", "v")
+    IO.writePartitioned(df, dir, "parquet", Seq("dest"))
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("dest=a", "dest=b"))
+    assert(IO.readParquet(spark, dir).count() == 3)
+  }
+
+  test("parquet and csv and json round-trips") {
+    val df = Create.of(spark, Seq((1L, "x"), (2L, "y"))).toDF("id", "s")
+    val p = tmp()
+    IO.writeParquet(df, s"$p/pq"); assert(IO.readParquet(spark, s"$p/pq").count() == 2)
+    IO.writeCsv(df, s"$p/csv")
+    assert(IO.readCsv(spark, s"$p/csv").collect().map(_.getString(1)).toSet == Set("x", "y"))
+    IO.writeJson(df, s"$p/json")
+    assert(IO.readJson(spark, s"$p/json").count() == 2)
+  }
+
+  test("generateSequence produces [from, to) split across partitions") {
+    val ds = IO.generateSequence(spark, 10, 110, numPartitions = Some(5))
+    assert(ds.count() == 100)
+    assert(ds.agg(min(col("value")), max(col("value"))).collect()(0).toSeq == Seq(10L, 109L))
+    assert(ds.rdd.getNumPartitions == 5)
+  }
+
+  test("jdbc round-trip against embedded Derby, sharded read") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val df = Create.of(spark, (1L to 50L).map(i => (i, s"name-$i"))).toDF("id", "name")
+    IO.writeJdbc(df, url, "people", props, batchSize = 10,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val back = IO.readJdbc(spark, url, "people", props,
+      partitionColumn = Some(("id", 1L, 50L, 4)))
+    assert(back.rdd.getNumPartitions == 4, "partitioned jdbc read shards the query")
+    assert(back.count() == 50)
+    assert(back.filter(col("id") === 7L).collect()(0).getString(1) == "name-7")
+  }
+}
