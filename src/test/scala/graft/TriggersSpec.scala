@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.CombineFn
+import graft.streaming.Triggers
+import graft.streaming.Triggers._
+
+/** Trigger/pane conformance scenarios — the LeaderBoardTest pattern
+  * (reference: examples/java8/src/test/.../game/LeaderBoardTest.java:
+  * on-time pane, late pane within lateness, dropped beyond lateness;
+  * trigger semantics per RCORE/ReduceFnRunner.java + PaneInfo.java). */
+class TriggersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ckpt() = Files.createTempDirectory("graft-trig").toString
+
+  private val countFn: CombineFn[Long, Long, Long] = new CombineFn[Long, Long, Long] {
+    def createAccumulator(): Long = 0L
+    def addInput(acc: Long, in: Long): Long = acc + 1
+    def mergeAccumulators(a: Long, b: Long): Long = a + b
+    def extractOutput(acc: Long): Long = acc
+  }
+
+  private def runScenario(cfg: TriggerConfig, name: String)(
+      script: (MemoryStream[(String, Timestamp, Long)],
+               org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(String, Long, Int, String, Boolean)] = {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignFixedWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)],
+      cfg.windowSizeMs)
+    val panes = Triggers.triggeredAggregate(assigned, countFn, cfg)
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try script(input, q) finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("value"), r.getAs[Int]("pane_index"),
+        r.getAs[String]("timing"), r.getAs[Boolean]("is_final")))
+      .sortBy(_._3).toSeq
+  }
+
+  test("default trigger: on-time pane, accumulating late pane, drop beyond lateness") {
+    val panes = runScenario(TriggerConfig(
+      windowSizeMs = 60000L, allowedLatenessMs = 120000L), "trig_default") { (input, q) =>
+      // window W = [10:00:00, 10:01:00)
+      input.addData(("a", ts("2024-01-01 10:00:10"), 1L), ("a", ts("2024-01-01 10:00:20"), 1L))
+      q.processAllAvailable()
+      // watermark past W end -> ON_TIME firing
+      input.addData(("b", ts("2024-01-01 10:01:30"), 1L))
+      q.processAllAvailable()
+      // late element within lateness (wm = 10:01:30 < W end + 2min)
+      input.addData(("a", ts("2024-01-01 10:00:40"), 1L))
+      q.processAllAvailable()
+      // too-late: advance wm beyond W end + lateness, then an ancient element
+      input.addData(("c", ts("2024-01-01 10:10:00"), 1L))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 10:00:50"), 1L))
+      q.processAllAvailable()
+      // advance the watermark again so any (wrong) state for W would fire
+      input.addData(("c", ts("2024-01-01 10:20:00"), 1L))
+      q.processAllAvailable()
+    }
+    val aPanes = panes.filter(_._1 == "a").map(p => (p._2, p._3, p._4, p._5))
+    assert(aPanes.contains((2L, 0, "ON_TIME", false)),
+      s"on-time pane with the 2 on-time elements: $panes")
+    assert(aPanes.contains((3L, 1, "LATE", false)),
+      s"accumulating late pane refines to 3: $panes")
+    assert(aPanes.size == 2, s"too-late element must not produce a pane: $panes")
+  }
+
+  test("early firings every batch + discarding mode emit per-pane deltas") {
+    val panes = runScenario(TriggerConfig(
+      windowSizeMs = 60000L, allowedLatenessMs = 0L,
+      early = EveryBatch, accumulating = false), "trig_early") { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:05"), 1L), ("a", ts("2024-01-01 10:00:06"), 1L))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 10:00:30"), 1L))
+      q.processAllAvailable()
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L)) // advance wm past W end
+      q.processAllAvailable()
+    }
+    val a = panes.filter(_._1 == "a").map(p => (p._2, p._3, p._4, p._5))
+    assert(a.take(2) == Seq((2L, 0, "EARLY", false), (1L, 1, "EARLY", false)),
+      s"discarding early panes carry per-batch deltas: $panes")
+    assert(a.exists(p => p._2 == 2 && p._3 == "ON_TIME" && p._1 == 0L && p._4),
+      s"FIRE_ALWAYS empty on-time final pane after discarding firings: $panes")
+  }
+
+  test("AfterPane.elementCountAtLeast fires when the count threshold is met") {
+    val panes = runScenario(TriggerConfig(
+      windowSizeMs = 60000L, allowedLatenessMs = 0L,
+      early = AfterCount(5)), "trig_count") { (input, q) =>
+      input.addData((1 to 3).map(i => ("a", ts("2024-01-01 10:00:01"), i.toLong)): _*)
+      q.processAllAvailable() // 3 < 5: no pane
+      input.addData((1 to 4).map(i => ("a", ts("2024-01-01 10:00:02"), i.toLong)): _*)
+      q.processAllAvailable() // 7 >= 5: EARLY pane
+      input.addData(("z", ts("2024-01-01 10:09:00"), 1L))
+      q.processAllAvailable() // ON_TIME final
+    }
+    val a = panes.filter(_._1 == "a").map(p => (p._2, p._3, p._4, p._5))
+    assert(a.head == ((7L, 0, "EARLY", false)), s"count trigger at >=5: $panes")
+    assert(a.exists(p => p._2 == 1 && p._3 == "ON_TIME" && p._1 == 7L && p._4),
+      s"accumulating on-time pane repeats the total: $panes")
+  }
+}
