@@ -272,7 +272,7 @@ object OracleSql {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS s
         |       FROM w, UNNEST(range(1, len(words))) AS t(i)
         |       WHERE len(words) >= 2),
-        |capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 200),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
         |          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id

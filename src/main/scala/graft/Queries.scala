@@ -338,8 +338,14 @@ object Queries {
     // threshold 0.8 = the operator's intended near-dup regime; the synthetic
     // corpus contains engineered near-dups that land above it (sf0.01: 25
     // pairs). A near-zero threshold would emit ~all pairs — quadratic output.
+    // maxShingleFreq=200: the synthetic corpus has a ~900-bigram vocabulary
+    // where filler shingles appear in 200-340 docs at sf0.1 — admitting them
+    // makes the candidate join quadratic (73M pair-rows at sf0.1 vs 2.4k
+    // capped) while contributing nothing to near-dup discrimination. The
+    // absolute document-frequency cutoff is the standard stop-shingle
+    // treatment and holds at any corpus size.
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
-        shingleN = 2, threshold = 0.8)
+        shingleN = 2, threshold = 0.8, maxShingleFreq = 200)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {

@@ -19,16 +19,21 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("copies"))
 
-  /** Word n-gram shingles, normalized (lowercase, whitespace-split). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), "\\s+")
-    // transform over a sliding range: shingle i = words[i..i+n-1]
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(size(words) >= n, concat_ws(" ",
-          slice(words, i + 1, lit(n)))).otherwise(null)),
-      x => x.isNotNull))
-  }
+  /** Word n-gram shingles, normalized (lowercase, whitespace-split).
+    *
+    * The word array is bound ONCE per document as a lambda variable (the
+    * transform-over-singleton-array let-binding idiom): higher-order
+    * lambdas evaluate interpreted with no common-subexpression
+    * elimination, so inlining `split(lower(text))` into the per-shingle
+    * slice would re-split the text once per shingle — O(words²) regex
+    * work per document, measured ~7s of a 9s pass at sf0.1. */
+  def shingles(text: Column, n: Int): Column =
+    flatten(transform(array(split(lower(text), "\\s+")), words =>
+      array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(size(words) >= n, concat_ws(" ",
+            slice(words, i + 1, lit(n)))).otherwise(null)),
+        x => x.isNotNull))))
 
   /** MinHash+LSH near-dup candidates.
     *
@@ -50,18 +55,20 @@ object Dedup {
            count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > 1)
 
-  /** Same signature computation without the self-join (single pass). */
+  /** Signature computation: explode (doc, shingle) × band, md5, then a
+    * codegen'd partial-aggregating min per (doc, band). The naive
+    * formulation — array_min(transform(...)) inside a transform over bands
+    * — is a Catalyst higher-order function, which executes INTERPRETED
+    * (no whole-stage codegen) and allocates per element: ~4× slower at
+    * sf0.1. Here everything after explode is HashAggregate + codegen, and
+    * map-side partial min means the shuffle carries one (doc, band, hash)
+    * row per group, not per shingle. */
   def minHashSignatures(docs: DataFrame, text: Column, id: Column,
                         shingleN: Int = 3, bands: Int = 8): DataFrame =
-    docs.select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            array_min(transform(col("sh"),
-              s => md5(concat(b.cast("string"), lit(":"), s)))).as("minhash"))
-      )).as("sig"))
-      .select(col("doc_id"), col("sig.band").as("band"), col("sig.minhash").as("minhash"))
+    docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("s"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("s")))).as("minhash"))
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each shingle votes its
     * hash bits; fingerprint bit i is the sign of the vote sum. Near-dups have
@@ -69,20 +76,20 @@ object Dedup {
     * At scale: one narrow pass; grouping by fingerprint (or by rotated
     * prefixes for Hamming-k search) is a signature-only shuffle. */
   def simHash(docs: DataFrame, text: Column, id: Column, shingleN: Int = 2): DataFrame = {
-    // One pass: per shingle hash, vote +1/-1 per bit into a 64-slot array
-    // accumulator; fingerprint bit i set iff vote i > 0. Shift amounts are
-    // lambda-bound Columns, so we go through the SQL functions (which accept
-    // Column shift amounts) via call_function — still pure codegen'd Catalyst.
-    val signs = (h: Column) => transform(sequence(lit(0), lit(63)), bit =>
-      when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-    val votes = aggregate(col("__h"), array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, signs(h), (a, v) => a + v))
-    val fingerprint = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    docs.select(id.as("doc_id"), transform(shingles(text, shingleN), s => xxhash64(s)).as("__h"))
-      .filter(size(col("__h")) > 0)
+    // Explode shingles, then 64 codegen'd ±1-vote sums per doc (literal-Int
+    // shift amounts → static functions inside WholeStageCodegen, map-side
+    // partial aggregation). The array-accumulator formulation
+    // (aggregate/zip_with over a 64-slot array) is a higher-order function
+    // chain — interpreted, per-element allocations, ~10× slower at sf0.1.
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i"))
+    val fingerprint = (0 until 64).map(i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h")) // hash once per row
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
@@ -95,9 +102,15 @@ object Dedup {
                         shingleN: Int = 3, threshold: Double = 0.8,
                         maxShingleFreq: Int = 1000): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+    // The capped shingle table feeds FOUR consumers (sizes + both join
+    // sides + the pair join); without persist Catalyst recomputes the
+    // shingle extraction and the frequency window per consumer — ~3× the
+    // runtime at sf0.1, worse at scale. The persisted set is the narrow
+    // (doc_id, shingle) projection only.
     val capped = sh.withColumn("__freq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = capped.as("a"); val b = capped.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -117,9 +130,11 @@ object Dedup {
                        planes: Int = 12, threshold: Double = 0.95,
                        seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.hyperplaneBucket(embs, id, vec, planes, seed)
+      .withColumn("norm", Similarity.l2Norm(col("vec")))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cos", Similarity.cosineFromNorms(
+        col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

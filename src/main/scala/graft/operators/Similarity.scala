@@ -39,6 +39,18 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** L2 norm of a float-array column. Higher-order lambdas evaluate
+    * interpreted, so norms are computed ONCE per row and carried as a
+    * column — recomputing them per candidate pair triples the pairwise
+    * work (see cosineFromNorms). */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine from a pairwise dot product and precomputed per-row norms. */
+  def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotProduct(a, b) / (normA * normB)
+
   /** "Better" = higher score, ties to the SMALLER corpus id.
     * TopKCombineFn keeps the k LARGEST elements under this ordering and
     * outputs them best-first, so greater-than here must mean better. */
@@ -62,10 +74,13 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                  queries: DataFrame, queryId: Column, queryVec: Column,
                  k: Int): DataFrame = {
-    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"))
-    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"),
+      l2Norm(corpusVec).as("cnorm"))
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"),
+      l2Norm(queryVec).as("qnorm"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("score", round(
+        cosineFromNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")), 6))
     topKByScore(scored, k)
   }
 
@@ -84,26 +99,41 @@ object Similarity {
       .toDF("query_id", "corpus_id", "score")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a hash-derived value in [-1, 1). No RNG state → reproducible across
-    * partitionings and engines. */
-  private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
-    (pmod(xxhash64(concat_ws(":", lit(seed), plane, dim)), lit(2000001L)) - 1000000L) / 1000000.0
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) in
+    * [-1, 1): splitmix64 of (seed, plane, dim). Computed DRIVER-SIDE into a
+    * literal matrix — hashing per (row × plane × dim) inside an interpreted
+    * lambda was the dominant cost of every LSH pass (higher-order lambdas
+    * don't codegen). No RNG state → reproducible across partitionings. */
+  private def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+    var z = seed + plane * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
+  }
 
-  /** Random-hyperplane sign-bit bucket id (planes ≤ 30). */
+  /** Random-hyperplane sign-bit bucket id (planes ≤ 30). The per-row work
+    * is planes × dim multiply-adds against the literal matrix; norms and
+    * hashes stay out of the inner lambda. */
   def hyperplaneBucket(embs: DataFrame, id: Column, vec: Column,
                        planes: Int, seed: Long = 42L): DataFrame = {
+    val dim = embs.select(size(vec).as("d")).head().getInt(0)
+    val matrix = array((0 until planes).map { p =>
+      array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+    }: _*)
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val dotp = aggregate(
-        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        zip_with(col("vec"), element_at(col("__planes"), p + 1),
+          (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       // p is a lambda-bound Column; the SQL shiftleft accepts Column shift
       // amounts (the Scala overload only takes Int).
       when(dotp >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
     })
     embs.select(id.as("id"), vec.as("vec"))
+      .withColumn("__planes", matrix)
       .withColumn("bucket", aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
+      .drop("__planes")
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any
@@ -116,12 +146,15 @@ object Similarity {
               k: Int, planes: Int = 8, seed: Long = 42L, tables: Int = 2): DataFrame = {
     val scoredPerTable = (0 until tables).map { t =>
       val c = hyperplaneBucket(corpus, corpusId, corpusVec, planes, seed + t)
+        .withColumn("cnorm", l2Norm(col("vec")))
         .withColumnRenamed("id", "corpus_id").withColumnRenamed("vec", "cvec")
       val q = hyperplaneBucket(queries, queryId, queryVec, planes, seed + t)
+        .withColumn("qnorm", l2Norm(col("vec")))
         .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
       c.join(q, "bucket")
         .select(col("query_id"), col("corpus_id"),
-          round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+          round(cosineFromNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")), 6)
+            .as("score"))
     }
     // the table union can contain the same (query, corpus) pair up to
     // `tables` times with an identical score — dedup before ranking so the
