@@ -170,4 +170,236 @@ object Triggers {
       val t = ts.getTime
       (k, math.floorDiv(t, sizeMs) * sizeMs, v)
     }
+
+  // ------------------------------------------------------- composite triggers
+
+  /** Composite trigger AST (reference: SDK/transforms/windowing/Trigger.java:72;
+    * state machines RCORE/triggers/AfterFirstStateMachine.java,
+    * AfterAllStateMachine.java, AfterEachStateMachine.java,
+    * RepeatedlyStateMachine.java, OrFinallyStateMachine.java). Each node
+    * keeps (elementCount, finished) per (key, window); semantics follow the
+    * reference:
+    *  - AfterWatermarkT fires once the watermark passes end-of-window, then
+    *    finishes;
+    *  - AfterCountT(n) fires when ≥ n elements arrived since its last
+    *    reset, then finishes;
+    *  - AfterFirstT fires when ANY child would fire, then finishes;
+    *  - AfterAllT fires when ALL children would fire, then finishes;
+    *  - AfterEachT runs children in sequence, advancing as each finishes;
+    *    it finishes with its last child;
+    *  - RepeatedlyT(t) fires whenever t would fire and resets t — never
+    *    finishes;
+    *  - OrFinallyT(main, until): main's firings repeat until `until` would
+    *    fire, which produces the FINAL pane and finishes the window.
+    * A finished root closes the window (state GC'd, later data dropped) —
+    * ReduceFnRunner's trigger-finished contract.
+    */
+  sealed trait TriggerAst extends Serializable
+  case object AfterWatermarkT extends TriggerAst
+  final case class AfterCountT(n: Long) extends TriggerAst
+  final case class AfterFirstT(children: Seq[TriggerAst]) extends TriggerAst
+  final case class AfterAllT(children: Seq[TriggerAst]) extends TriggerAst
+  final case class AfterEachT(children: Seq[TriggerAst]) extends TriggerAst
+  final case class RepeatedlyT(child: TriggerAst) extends TriggerAst
+  final case class OrFinallyT(main: TriggerAst, until: TriggerAst) extends TriggerAst
+
+  /** Mutable per-window trigger state: node path → (count, finished). */
+  private type TrigState = collection.mutable.Map[String, (Long, Boolean)]
+
+  private object TriggerEval {
+    def childPath(p: String, i: Int): String = s"$p.$i"
+
+    def addElements(t: TriggerAst, path: String, st: TrigState, n: Long): Unit = {
+      val (c, f) = st.getOrElse(path, (0L, false))
+      st(path) = (c + n, f)
+      t match {
+        case AfterFirstT(cs) => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
+        case AfterAllT(cs)   => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
+        case AfterEachT(cs)  => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
+        case RepeatedlyT(ch) => addElements(ch, childPath(path, 0), st, n)
+        case OrFinallyT(m, u) =>
+          addElements(m, childPath(path, 0), st, n); addElements(u, childPath(path, 1), st, n)
+        case _ => ()
+      }
+    }
+
+    def finished(path: String, st: TrigState): Boolean = st.getOrElse(path, (0L, false))._2
+
+    def shouldFire(t: TriggerAst, path: String, st: TrigState,
+                   wmPastEnd: Boolean): Boolean =
+      !finished(path, st) && (t match {
+        case AfterWatermarkT  => wmPastEnd
+        case AfterCountT(n)   => st.getOrElse(path, (0L, false))._1 >= n
+        case AfterFirstT(cs)  => cs.zipWithIndex.exists { case (ch, i) =>
+          shouldFire(ch, childPath(path, i), st, wmPastEnd) }
+        case AfterAllT(cs)    => cs.zipWithIndex.forall { case (ch, i) =>
+          finished(childPath(path, i), st) || shouldFire(ch, childPath(path, i), st, wmPastEnd) }
+        case AfterEachT(cs)   => cs.zipWithIndex.find { case (_, i) =>
+          !finished(childPath(path, i), st) }.exists { case (ch, i) =>
+          shouldFire(ch, childPath(path, i), st, wmPastEnd) }
+        case RepeatedlyT(ch)  => shouldFire(ch, childPath(path, 0), st, wmPastEnd)
+        case OrFinallyT(m, u) =>
+          shouldFire(u, childPath(path, 1), st, wmPastEnd) ||
+          shouldFire(m, childPath(path, 0), st, wmPastEnd)
+      })
+
+    /** Post-firing transition (the reference's onFire/onElement reset
+      * logic). Returns nothing; mutates finished flags / resets counts. */
+    def onFire(t: TriggerAst, path: String, st: TrigState, wmPastEnd: Boolean): Unit = t match {
+      case AfterWatermarkT | AfterCountT(_) =>
+        st(path) = (0L, true)
+      case AfterFirstT(cs) =>
+        cs.zipWithIndex.foreach { case (ch, i) =>
+          if (shouldFire(ch, childPath(path, i), st, wmPastEnd)) onFire(ch, childPath(path, i), st, wmPastEnd) }
+        st(path) = (0L, true)
+      case AfterAllT(cs) =>
+        cs.zipWithIndex.foreach { case (ch, i) =>
+          if (!finished(childPath(path, i), st)) onFire(ch, childPath(path, i), st, wmPastEnd) }
+        st(path) = (0L, true)
+      case AfterEachT(cs) =>
+        cs.zipWithIndex.find { case (_, i) => !finished(childPath(path, i), st) }
+          .foreach { case (ch, i) => onFire(ch, childPath(path, i), st, wmPastEnd) }
+        if (cs.indices.forall(i => finished(childPath(path, i), st)))
+          st(path) = (0L, true)
+      case RepeatedlyT(ch) =>
+        onFire(ch, childPath(path, 0), st, wmPastEnd)
+        reset(ch, childPath(path, 0), st) // forever: child restarts
+      case OrFinallyT(m, u) =>
+        if (shouldFire(u, childPath(path, 1), st, wmPastEnd)) st(path) = (0L, true)
+        else {
+          onFire(m, childPath(path, 0), st, wmPastEnd)
+          if (finished(childPath(path, 0), st)) reset(m, childPath(path, 0), st)
+        }
+    }
+
+    def reset(t: TriggerAst, path: String, st: TrigState): Unit = {
+      st(path) = (0L, false)
+      t match {
+        case AfterFirstT(cs) => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
+        case AfterAllT(cs)   => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
+        case AfterEachT(cs)  => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
+        case RepeatedlyT(ch) => reset(ch, childPath(path, 0), st)
+        case OrFinallyT(m, u) => reset(m, childPath(path, 0), st); reset(u, childPath(path, 1), st)
+        case _ => ()
+      }
+    }
+  }
+
+  /** ReduceFnRunner with a composite trigger. Fires whenever the root
+    * trigger says so; a finished root emits its pane as FINAL and GCs the
+    * window. Timing labels: EARLY before the watermark passes end-of-window,
+    * ON_TIME for the first at/after, LATE subsequently. */
+  private class CompositeTriggerProcessor[K, V, ACC, OUT](
+      fn: CombineFn[V, ACC, OUT], trigger: TriggerAst,
+      windowSizeMs: Long, allowedLatenessMs: Long, accumulating: Boolean)(
+      implicit accEnc: Encoder[ACC], outEnc: Encoder[Pane[K, OUT]])
+      extends StatefulProcessor[(K, Long), (K, Long, V), Pane[K, OUT]] {
+
+    @transient private var acc: ValueState[ACC] = _
+    @transient private var paneIndex: ValueState[Int] = _
+    @transient private var trigState: ValueState[List[(String, Long, Boolean)]] = _
+    @transient private var onTimeDone: ValueState[Boolean] = _
+    @transient private var timersSet: ValueState[Boolean] = _
+
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      acc = getHandle.getValueState[ACC]("acc", accEnc, TTLConfig.NONE)
+      paneIndex = getHandle.getValueState[Int]("paneIndex", Encoders.scalaInt, TTLConfig.NONE)
+      trigState = getHandle.getValueState[List[(String, Long, Boolean)]]("trig",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long, Boolean)]](),
+        TTLConfig.NONE)
+      onTimeDone = getHandle.getValueState[Boolean]("onTimeDone", Encoders.scalaBoolean, TTLConfig.NONE)
+      timersSet = getHandle.getValueState[Boolean]("timersSet", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    private def windowEnd(ws: Long) = ws + windowSizeMs
+    private def gcTime(ws: Long) = windowEnd(ws) + allowedLatenessMs
+
+    private def loadTrig(): TrigState = {
+      val m = collection.mutable.Map.empty[String, (Long, Boolean)]
+      if (trigState.exists()) trigState.get().foreach { case (p, c, f) => m(p) = (c, f) }
+      m
+    }
+    private def saveTrig(st: TrigState): Unit =
+      trigState.update(st.toList.map { case (p, (c, f)) => (p, c, f) })
+
+    private def fire(key: (K, Long), wmPastEnd: Boolean, isFinal: Boolean): Pane[K, OUT] = {
+      val idx = if (paneIndex.exists()) paneIndex.get() else 0
+      val a = if (acc.exists()) acc.get() else fn.createAccumulator()
+      paneIndex.update(idx + 1)
+      if (!accumulating) acc.update(fn.createAccumulator())
+      val timing =
+        if (!wmPastEnd) "EARLY"
+        else if (!(if (onTimeDone.exists()) onTimeDone.get() else false)) { onTimeDone.update(true); "ON_TIME" }
+        else "LATE"
+      (key._1, key._2, windowEnd(key._2), fn.extractOutput(a), idx, timing, isFinal)
+    }
+
+    private def evalAndFire(key: (K, Long), wm: Long): Iterator[Pane[K, OUT]] = {
+      val st = loadTrig()
+      val wmPastEnd = wm >= windowEnd(key._2)
+      var out = List.empty[Pane[K, OUT]]
+      if (TriggerEval.shouldFire(trigger, "r", st, wmPastEnd)) {
+        TriggerEval.onFire(trigger, "r", st, wmPastEnd)
+        val rootDone = TriggerEval.finished("r", st)
+        out = fire(key, wmPastEnd, isFinal = rootDone) :: out
+        if (rootDone) { clearAll(); return out.reverseIterator }
+      }
+      saveTrig(st)
+      out.reverseIterator
+    }
+
+    override def handleInputRows(key: (K, Long), rows: Iterator[(K, Long, V)],
+                                 tv: TimerValues): Iterator[Pane[K, OUT]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      if (wm >= gcTime(key._2)) return Iterator.empty // too late
+      var a = if (acc.exists()) acc.get() else fn.createAccumulator()
+      var n = 0L
+      rows.foreach { r => a = fn.addInput(a, r._3); n += 1 }
+      acc.update(a)
+      val st = loadTrig()
+      TriggerEval.addElements(trigger, "r", st, n)
+      saveTrig(st)
+      if (!(if (timersSet.exists()) timersSet.get() else false)) {
+        getHandle.registerTimer(windowEnd(key._2))
+        getHandle.registerTimer(gcTime(key._2))
+        timersSet.update(true)
+      }
+      evalAndFire(key, wm)
+    }
+
+    override def handleExpiredTimer(key: (K, Long), tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Pane[K, OUT]] = {
+      if (!acc.exists() && !trigState.exists()) return Iterator.empty // already closed
+      // GC first: with allowedLateness=0 the end-of-window timer IS the GC
+      // timer (same timestamp, Spark dedups) — window expiry wins
+      if (info.getExpiryTimeInMs() >= gcTime(key._2)) {
+        // final pane at window expiry regardless of trigger state
+        // (ReduceFnRunner's onTrigger at GC; OnTimeBehavior.FIRE_ALWAYS)
+        val out = Iterator.single(fire(key, wmPastEnd = true, isFinal = true))
+        clearAll()
+        out
+      } else {
+        evalAndFire(key, wm = windowEnd(key._2))
+      }
+    }
+
+    private def clearAll(): Unit = {
+      acc.clear(); paneIndex.clear(); trigState.clear(); onTimeDone.clear(); timersSet.clear()
+    }
+  }
+
+  /** Triggered aggregation with a composite trigger AST. */
+  def triggeredAggregateComposite[K, V, ACC, OUT](
+      assigned: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
+      trigger: TriggerAst, windowSizeMs: Long, allowedLatenessMs: Long = 0L,
+      accumulating: Boolean = true)(
+      implicit kEnc: Encoder[(K, Long)], accEnc: Encoder[ACC],
+      outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] = {
+    Stateful.requireRocksDBStateStore(assigned.sparkSession)
+    assigned.groupByKey(r => (r._1, r._2))
+      .transformWithState(
+        new CompositeTriggerProcessor[K, V, ACC, OUT](fn, trigger, windowSizeMs,
+          allowedLatenessMs, accumulating),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

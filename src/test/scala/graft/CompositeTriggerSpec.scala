@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.CombineFn
+import graft.streaming.Triggers
+import graft.streaming.Triggers._
+
+/** Composite-trigger conformance scenarios (reference:
+  * RCORE/triggers/AfterFirstStateMachine.java, AfterEachStateMachine.java,
+  * RepeatedlyStateMachine.java, OrFinallyStateMachine.java; transcript
+  * corpus sdks/python/apache_beam/testing/data/trigger_transcripts.yaml). */
+class CompositeTriggerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ckpt() = Files.createTempDirectory("graft-ctrig").toString
+
+  private val countFn: CombineFn[Long, Long, Long] = new CombineFn[Long, Long, Long] {
+    def createAccumulator(): Long = 0L
+    def addInput(acc: Long, in: Long): Long = acc + 1
+    def mergeAccumulators(a: Long, b: Long): Long = a + b
+    def extractOutput(acc: Long): Long = acc
+  }
+
+  /** Run a scripted scenario; returns key-"a" panes as
+    * (value, paneIndex, timing, isFinal) ordered by pane index. */
+  private def run(trigger: TriggerAst, name: String, lateness: Long = 0L,
+                  accumulating: Boolean = true)(
+      script: (MemoryStream[(String, Timestamp, Long)],
+               org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(Long, Int, String, Boolean)] = {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignFixedWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)], 60000L)
+    val panes = Triggers.triggeredAggregateComposite(assigned, countFn, trigger,
+      windowSizeMs = 60000L, allowedLatenessMs = lateness, accumulating = accumulating)
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try script(input, q) finally q.stop()
+    spark.table(name).collect()
+      .filter(_.getAs[String]("k") == "a")
+      .map(r => (r.getAs[Long]("value"), r.getAs[Int]("pane_index"),
+        r.getAs[String]("timing"), r.getAs[Boolean]("is_final")))
+      .sortBy(_._2).toSeq
+  }
+
+  test("Repeatedly.forever(AfterCount(2)) fires every 2 elements") {
+    val panes = run(RepeatedlyT(AfterCountT(2)), "ct_repeat") { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 10:00:03"), 1L))
+      q.processAllAvailable() // 1 since reset: no firing
+      input.addData(("a", ts("2024-01-01 10:00:04"), 1L))
+      q.processAllAvailable() // 2 since reset: fire (accumulating: 4)
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark past end: GC final pane
+    }
+    assert(panes.take(2) == Seq((2L, 0, "EARLY", false), (4L, 1, "EARLY", false)), panes.toString)
+    assert(panes.last._4, s"GC emits the final pane: $panes")
+  }
+
+  test("AfterFirst(AfterCount(10), AfterWatermark) = whichever comes first, then finished") {
+    val panes = run(AfterFirstT(Seq(AfterCountT(10), AfterWatermarkT)), "ct_first") { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // 2 < 10, wm below end: nothing
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark wins: fire + finish window
+      input.addData(("z", ts("2024-01-01 10:06:00"), 1L))
+      q.processAllAvailable()
+    }
+    assert(panes == Seq((2L, 0, "ON_TIME", true)), panes.toString)
+  }
+
+  test("AfterEach(AfterCount(2), AfterCount(3)) runs children in sequence") {
+    val panes = run(AfterEachT(Seq(AfterCountT(2), AfterCountT(3))), "ct_each",
+      lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // child 0 (>=2): fire
+      input.addData(("a", ts("2024-01-01 10:00:03"), 1L), ("a", ts("2024-01-01 10:00:04"), 1L))
+      q.processAllAvailable() // child 1 needs 3 SINCE ITS OWN COUNT (4 total >= 3): fires
+      input.addData(("z", ts("2024-01-01 10:20:00"), 1L))
+      q.processAllAvailable()
+    }
+    assert(panes.head == ((2L, 0, "EARLY", false)), panes.toString)
+    assert(panes.length >= 2 && panes(1)._1 == 4L, panes.toString)
+  }
+
+  test("orFinally(Repeatedly(AfterCount(1)), AfterWatermark): repeat until watermark closes") {
+    val panes = run(OrFinallyT(RepeatedlyT(AfterCountT(1)), AfterWatermarkT), "ct_orfinally",
+      accumulating = false) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L))
+      q.processAllAvailable() // fire delta 1
+      input.addData(("a", ts("2024-01-01 10:00:02"), 1L), ("a", ts("2024-01-01 10:00:03"), 1L))
+      q.processAllAvailable() // fire delta 2
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark: final pane, finished
+      input.addData(("z", ts("2024-01-01 10:06:00"), 1L))
+      q.processAllAvailable()
+    }
+    assert(panes.take(2) == Seq((1L, 0, "EARLY", false), (2L, 1, "EARLY", false)), panes.toString)
+    assert(panes.last._4 && panes.last._3 == "ON_TIME", s"final on-time pane closes: $panes")
+    assert(panes.length == 3, s"no firings after finish: $panes")
+  }
+
+  test("AfterAll(AfterCount(2), AfterWatermark) waits for both conditions") {
+    val panes = run(AfterAllT(Seq(AfterCountT(2), AfterWatermarkT)), "ct_all",
+      lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // count met, watermark not: no fire
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // both met now: fire
+      input.addData(("z", ts("2024-01-01 10:20:00"), 1L))
+      q.processAllAvailable()
+    }
+    assert(panes.head == ((2L, 0, "ON_TIME", true)) || panes.head == ((2L, 0, "ON_TIME", false)),
+      panes.toString)
+    assert(panes.head._1 == 2L && panes.head._3 == "ON_TIME", panes.toString)
+  }
+}
