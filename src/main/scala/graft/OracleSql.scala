@@ -283,6 +283,30 @@ object OracleSql {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8""".stripMargin,
 
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words))) AS t(i)
+        |       WHERE len(words) >= 2),
+        |capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 200),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT src, dst FROM edges
+        |          UNION
+        |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM (SELECT src, dst FROM reach UNION SELECT src, src FROM edges)
+        |GROUP BY 1""".stripMargin,
+
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 5),

@@ -361,6 +361,14 @@ object Queries {
       k = 5, planes = 6)
   }
 
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    // candidate pairs from verified n-gram jaccard (same config as
+    // q_ngram_jaccard) → connected components → (doc_id, cluster_id)
+    Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
+        shingleN = 2, threshold = 0.8, maxShingleFreq = 200),
+      col("id_a"), col("id_b"))
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     // The synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cosine ≈ 0.51 at sf0.01), so the "near-dup" regime for this

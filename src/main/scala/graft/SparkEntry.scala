@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,
     "q_simhash"         -> Queries.qSimHash _,
     "q_ngram_jaccard"   -> Queries.qNgramJaccard _,
+    "q_dedup_clusters"  -> Queries.qDedupClusters _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_embed_neardup"   -> Queries.qEmbedNearDup _,

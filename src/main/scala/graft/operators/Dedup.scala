@@ -124,6 +124,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup candidate pairs → dedup clusters:
+    * every doc in a connected component gets the component's minimum doc id
+    * as its cluster id (the canonical representative). This is the step a
+    * real dedup pipeline runs after [[minHashCandidates]] +
+    * [[ngramJaccardPairs]] verification: keep one doc per cluster.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round a
+    * node takes the min label across itself and its neighbors; rounds
+    * needed = graph diameter (near-dup clusters are small and dense, so
+    * 3-5 rounds close almost all; `maxIter` bounds the worst case and the
+    * loop exits early when a round changes nothing). Each round is one
+    * join + one aggregation on (node, label) pairs only — at 100 TB the
+    * shuffle carries ids, never documents. For adversarial long-chain
+    * graphs switch to the large-star/small-star algorithm (same join
+    * primitive, O(log n) rounds).
+    */
+  def nearDupClusters(pairs: DataFrame, idA: Column, idB: Column,
+                      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, "node")
+        .select(col("node"), least(col("label"), col("nmin")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane sign bits,
     * verify cosine within buckets. See Similarity.cosine for the kernel. */
   def embeddingNearDup(embs: DataFrame, id: Column, vec: Column,

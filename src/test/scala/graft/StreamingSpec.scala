@@ -147,6 +147,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulParDo: MapState as Beam SetState gives exact distinct counts") {
+    Stateful.requireRocksDBStateStore(spark)
+    val input = MemoryStream[(String, Long)](spark)
+    // Beam SetState == MapState[T, Unit] (SURVEY §2.7): per-key exact
+    // distinct element count across batches
+    val out = Stateful.statefulParDo[String, (String, Long), (String, Long),
+        org.apache.spark.sql.streaming.MapState[Long, Boolean]](
+      input.toDS().groupByKey(_._1),
+      TimeMode.None(), OutputMode.Update()) { h =>
+        h.getMapState[Long, Boolean]("seen",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+      } { case (key, rows, seen, h, tv) =>
+        rows.foreach { case (_, v) => seen.updateValue(v, true) }
+        Iterator((key, seen.keys().size.toLong))
+      }()
+    val q = out.toDF("k", "n_distinct")
+      .writeStream.format("memory").queryName("set_state_test")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 2L))
+      q.processAllAvailable()
+      input.addData(("a", 1L), ("a", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("set_state_test").collect().map(_.toSeq).toSeq
+      assert(rows.contains(Seq("a", 2L)), s"batch 1 distinct {1,2}: $rows")
+      assert(rows.contains(Seq("a", 3L)), s"batch 2 distinct {1,2,3} across batches: $rows")
+    } finally q.stop()
+  }
+
   test("groupIntoBatches streaming: size-triggered batches + event-time timer flush") {
     Stateful.requireRocksDBStateStore(spark)
     val input = MemoryStream[(String, Timestamp)](spark)
