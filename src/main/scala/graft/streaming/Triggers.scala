@@ -300,6 +300,7 @@ object Triggers {
     @transient private var trigState: ValueState[List[(String, Long, Boolean)]] = _
     @transient private var onTimeDone: ValueState[Boolean] = _
     @transient private var timersSet: ValueState[Boolean] = _
+    @transient private var sinceFire: ValueState[Long] = _
 
     override def init(om: OutputMode, tm: TimeMode): Unit = {
       acc = getHandle.getValueState[ACC]("acc", accEnc, TTLConfig.NONE)
@@ -309,6 +310,7 @@ object Triggers {
         TTLConfig.NONE)
       onTimeDone = getHandle.getValueState[Boolean]("onTimeDone", Encoders.scalaBoolean, TTLConfig.NONE)
       timersSet = getHandle.getValueState[Boolean]("timersSet", Encoders.scalaBoolean, TTLConfig.NONE)
+      sinceFire = getHandle.getValueState[Long]("sinceFire", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def windowEnd(ws: Long) = ws + windowSizeMs
@@ -326,6 +328,7 @@ object Triggers {
       val idx = if (paneIndex.exists()) paneIndex.get() else 0
       val a = if (acc.exists()) acc.get() else fn.createAccumulator()
       paneIndex.update(idx + 1)
+      sinceFire.update(0L)
       if (!accumulating) acc.update(fn.createAccumulator())
       val timing =
         if (!wmPastEnd) "EARLY"
@@ -356,6 +359,7 @@ object Triggers {
       var n = 0L
       rows.foreach { r => a = fn.addInput(a, r._3); n += 1 }
       acc.update(a)
+      sinceFire.update((if (sinceFire.exists()) sinceFire.get() else 0L) + n)
       val st = loadTrig()
       TriggerEval.addElements(trigger, "r", st, n)
       saveTrig(st)
@@ -373,9 +377,22 @@ object Triggers {
       // GC first: with allowedLateness=0 the end-of-window timer IS the GC
       // timer (same timestamp, Spark dedups) — window expiry wins
       if (info.getExpiryTimeInMs() >= gcTime(key._2)) {
-        // final pane at window expiry regardless of trigger state
-        // (ReduceFnRunner's onTrigger at GC; OnTimeBehavior.FIRE_ALWAYS)
-        val out = Iterator.single(fire(key, wmPastEnd = true, isFinal = true))
+        // Window expiry. Final pane fires when:
+        //  - the trigger itself would fire and its on-time pane has not
+        //    fired yet (e.g. orFinally's AfterWatermark until-clause when
+        //    allowedLateness=0 folds end-of-window into GC), or
+        //  - data arrived since the last firing
+        //    (ClosingBehavior.FIRE_IF_NON_EMPTY, WindowingStrategy.java:105), or
+        //  - no pane ever fired (every window produces at least one pane).
+        val st = loadTrig()
+        val onTime = onTimeDone.exists() && onTimeDone.get()
+        val trigWants = !onTime && TriggerEval.shouldFire(trigger, "r", st, wmPastEnd = true)
+        val pending = if (sinceFire.exists()) sinceFire.get() else 0L
+        val everFired = paneIndex.exists() && paneIndex.get() > 0
+        val out =
+          if (trigWants || pending > 0 || !everFired)
+            Iterator.single(fire(key, wmPastEnd = true, isFinal = true))
+          else Iterator.empty[Pane[K, OUT]]
         clearAll()
         out
       } else {
@@ -384,7 +401,8 @@ object Triggers {
     }
 
     private def clearAll(): Unit = {
-      acc.clear(); paneIndex.clear(); trigState.clear(); onTimeDone.clear(); timersSet.clear()
+      acc.clear(); paneIndex.clear(); trigState.clear(); onTimeDone.clear()
+      timersSet.clear(); sinceFire.clear()
     }
   }
 

@@ -60,8 +60,9 @@ class CompositeTriggerSpec extends SparkSpec {
       input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
       q.processAllAvailable() // watermark past end: GC final pane
     }
-    assert(panes.take(2) == Seq((2L, 0, "EARLY", false), (4L, 1, "EARLY", false)), panes.toString)
-    assert(panes.last._4, s"GC emits the final pane: $panes")
+    // FIRE_IF_NON_EMPTY: nothing pending after the second firing, so the
+    // window closes silently at GC — exactly two panes
+    assert(panes == Seq((2L, 0, "EARLY", false), (4L, 1, "EARLY", false)), panes.toString)
   }
 
   test("AfterFirst(AfterCount(10), AfterWatermark) = whichever comes first, then finished") {
