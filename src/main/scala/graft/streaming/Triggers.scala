@@ -406,6 +406,134 @@ object Triggers {
     }
   }
 
+  // --------------------------------------------------------- merging sessions
+
+  /** Session-window pane processor: the reference's merging-window path
+    * (reference: Sessions.java:40, WindowFn.mergeWindows WindowFn.java:82,
+    * RCORE/MergingActiveWindowSet.java; ReduceFnRunner merge handling).
+    * Spark's built-in `session_window` covers untriggered sessions; this
+    * operator adds what it cannot express: pane metadata, late-data panes
+    * within allowedLateness, and merge of PARTIAL AGGREGATES — each element
+    * opens [ts, ts+gap) and any overlapping active windows merge via
+    * CombineFn.mergeAccumulators (the contract that makes merging windows
+    * possible without re-buffering raw elements).
+    *
+    * Per key: MapState windowStart → (end, acc, paneIndex, onTimeFired).
+    * Timers fire per window end (ON_TIME) and end+lateness (final + GC);
+    * timers orphaned by merges are ignored (no active window matches).
+    * Default-trigger semantics (AfterWatermark with per-batch late panes);
+    * composite triggers over merging windows are deferred. */
+  private class SessionProcessor[K, V, ACC, OUT](
+      fn: CombineFn[V, ACC, OUT], gapMs: Long, allowedLatenessMs: Long,
+      accumulating: Boolean)(
+      implicit accEnc: Encoder[(Long, ACC, Int, Boolean, Boolean)],
+      outEnc: Encoder[Pane[K, OUT]])
+      extends StatefulProcessor[K, (K, Long, V), Pane[K, OUT]] {
+
+    // windowStart -> (end, acc, paneIndex, onTimeFired, pendingSinceFire)
+    private type W = (Long, ACC, Int, Boolean, Boolean)
+    @transient private var windows: MapState[Long, W] = _
+
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      windows = getHandle.getMapState[Long, W](
+        "sessions", Encoders.scalaLong, accEnc, TTLConfig.NONE)
+
+    private def fireFrom(key: K, start: Long, w: W, timing: String,
+                         isFinal: Boolean): (Pane[K, OUT], W) = {
+      val out = (key, start, w._1, fn.extractOutput(w._2), w._3, timing, isFinal)
+      val nextAcc = if (accumulating) w._2 else fn.createAccumulator()
+      (out, (w._1, nextAcc, w._3 + 1, timing != "EARLY" || w._4, false))
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
+                                 tv: TimerValues): Iterator[Pane[K, OUT]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val active = collection.mutable.Map.empty[Long, W]
+      windows.iterator().foreach { p => active(p._1) = p._2 }
+      val touched = collection.mutable.Set.empty[Long]
+      rows.foreach { case (_, ts, v) =>
+        val end = ts + gapMs
+        if (wm < end + allowedLatenessMs) { // not too late
+          var start = ts
+          var acc = fn.addInput(fn.createAccumulator(), v)
+          var newEnd = end
+          var paneIdx = 0
+          var fired = false
+          // merge every overlapping active window (interval overlap with
+          // [start, newEnd)) - MergingActiveWindowSet.mergeIfAppropriate
+          val overlapping = active.filter { case (s, (e, _, _, _, _)) => s < newEnd && start < e }
+          overlapping.foreach { case (s, (e, a, pi, f, _)) =>
+            start = math.min(start, s); newEnd = math.max(newEnd, e)
+            acc = fn.mergeAccumulators(a, acc)
+            paneIdx = math.max(paneIdx, pi); fired = fired || f
+            active.remove(s); touched -= s
+          }
+          active(start) = (newEnd, acc, paneIdx, fired, true)
+          touched += start
+        }
+      }
+      var out = List.empty[Pane[K, OUT]]
+      windows.clear()
+      touched.foreach { s =>
+        val w = active(s)
+        if (wm >= w._1) {
+          // the (possibly merged) session's end is already behind the
+          // watermark: fire now - its end timer may never come. ON_TIME for
+          // the first firing, LATE afterwards (Default-trigger late panes).
+          val timing = if (w._4) "LATE" else "ON_TIME"
+          val closing = allowedLatenessMs == 0 || wm >= w._1 + allowedLatenessMs
+          val (pane, next) = fireFrom(key, s, w, timing, isFinal = closing)
+          out = pane :: out
+          if (closing) active.remove(s) else active(s) = next
+        }
+        active.get(s).foreach { w2 =>
+          getHandle.registerTimer(w2._1)
+          if (allowedLatenessMs > 0) getHandle.registerTimer(w2._1 + allowedLatenessMs)
+        }
+      }
+      active.foreach { case (s, w) => windows.updateValue(s, w) }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Pane[K, OUT]] = {
+      val expiry = info.getExpiryTimeInMs()
+      var out = List.empty[Pane[K, OUT]]
+      windows.iterator().toList.foreach { case (s, w) =>
+        if (w._1 + allowedLatenessMs == expiry || (allowedLatenessMs == 0 && w._1 == expiry)) {
+          // GC horizon: FIRE_IF_NON_EMPTY - final pane only when data is
+          // pending since the last firing, or no pane ever fired
+          if (w._5 || w._3 == 0) {
+            val (pane, _) = fireFrom(key, s, w, if (w._4) "LATE" else "ON_TIME", isFinal = true)
+            out = pane :: out
+          }
+          windows.removeKey(s)
+        } else if (w._1 == expiry && !w._4) {
+          val (pane, next) = fireFrom(key, s, w, "ON_TIME", isFinal = false)
+          out = pane :: out
+          windows.updateValue(s, next)
+        }
+        // stale timers from merged-away windows match nothing: ignored
+      }
+      out.reverseIterator
+    }
+  }
+
+  /** Session-windowed triggered aggregation: panes carry the real merged
+    * session bounds. `events` must be (key, eventTimeMs, value) with a
+    * watermark declared upstream. */
+  def sessionAggregate[K, V, ACC, OUT](
+      events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
+      gapMs: Long, allowedLatenessMs: Long = 0L, accumulating: Boolean = true)(
+      implicit kEnc: Encoder[K], accEnc: Encoder[(Long, ACC, Int, Boolean, Boolean)],
+      outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] = {
+    Stateful.requireRocksDBStateStore(events.sparkSession)
+    events.groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessor[K, V, ACC, OUT](fn, gapMs, allowedLatenessMs, accumulating),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Triggered aggregation with a composite trigger AST. */
   def triggeredAggregateComposite[K, V, ACC, OUT](
       assigned: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.CombineFn
+import graft.streaming.Triggers
+
+/** Merging session windows with pane metadata (reference: Sessions.java:40,
+  * MergingActiveWindowSet.java; early_late_sessions transcript shape). */
+class SessionTriggerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ckpt() = Files.createTempDirectory("graft-sess").toString
+
+  private val collectFn: CombineFn[Long, List[Long], List[Long]] =
+    new CombineFn[Long, List[Long], List[Long]] {
+      def createAccumulator(): List[Long] = Nil
+      def addInput(acc: List[Long], in: Long): List[Long] = in :: acc
+      def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] = a ++ b
+      def extractOutput(acc: List[Long]): List[Long] = acc.sorted
+    }
+
+  /** (wstartSec, wendSec, values, timing, isFinal) for key "a". */
+  private def run(name: String, gapSec: Long, latenessSec: Long)(
+      script: (MemoryStream[(String, Timestamp, Long)],
+               org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(Long, Long, Seq[Long], String, Boolean)] = {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val events = input.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "0 seconds")
+      .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
+      .as[(String, Long, Long)]
+    val panes = Triggers.sessionAggregate(events, collectFn,
+      gapMs = gapSec * 1000, allowedLatenessMs = latenessSec * 1000)
+    val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try script(input, q) finally q.stop()
+    spark.table(name).collect().filter(_.getAs[String]("k") == "a")
+      .map(r => (r.getAs[Long]("wstart") / 1000, r.getAs[Long]("wend") / 1000,
+        r.getSeq[Long](3).toSeq, r.getAs[String]("timing"), r.getAs[Boolean]("is_final")))
+      .sortBy(p => (p._1, p._3.size)).toSeq
+  }
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("elements within gap merge into one session; watermark fires it once") {
+    val panes = run("sess_merge", gapSec = 10, latenessSec = 0) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(2), 2L), ("a", ts(3), 3L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable()
+    }
+    assert(panes == Seq((1L, 13L, Seq(1L, 2L, 3L), "ON_TIME", true)), panes.toString)
+  }
+
+  test("disjoint bursts form separate sessions") {
+    val panes = run("sess_disjoint", gapSec = 10, latenessSec = 0) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(30), 30L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable()
+    }
+    assert(panes == Seq(
+      (1L, 11L, Seq(1L), "ON_TIME", true),
+      (30L, 40L, Seq(30L), "ON_TIME", true)), panes.toString)
+  }
+
+  test("a bridging element merges two open sessions (partial-accumulator merge)") {
+    // rows 1 and 15 open [1,11) and [15,25); row 8 opens [8,18), which
+    // INTERSECTS both (half-open intervals that merely abut, like [10,20)
+    // and [20,30), must NOT merge — Beam IntervalWindow.intersects) ->
+    // one session [1,25) whose accumulator merges the partials
+    val panes = run("sess_bridge", gapSec = 10, latenessSec = 0) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(15), 15L), ("a", ts(8), 8L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable()
+    }
+    assert(panes == Seq((1L, 25L, Seq(1L, 8L, 15L), "ON_TIME", true)), panes.toString)
+  }
+
+  test("abutting windows do not merge; a fired session refines via LATE pane on extension") {
+    val panes = run("sess_abut", gapSec = 10, latenessSec = 1000) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(20), 20L))
+      q.processAllAvailable() // [1,11) and [20,30); watermark -> 20
+      input.addData(("a", ts(10), 10L)) // [10,20): extends the FIRED [1,11), abuts [20,30)
+      q.processAllAvailable()
+      input.addData(("__wm", ts(2000), 0L))
+      q.processAllAvailable()
+    }
+    assert(panes.contains((1L, 11L, Seq(1L), "ON_TIME", false)), panes.toString)
+    assert(panes.contains((1L, 20L, Seq(1L, 10L), "LATE", false)),
+      s"late extension refines the fired session without merging across the abutment: $panes")
+    assert(panes.contains((20L, 30L, Seq(20L), "ON_TIME", false)), panes.toString)
+  }
+
+  test("late element into a fired session emits a LATE refinement pane") {
+    val panes = run("sess_late", gapSec = 10, latenessSec = 1000) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(2), 2L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(50), 0L))
+      q.processAllAvailable() // session [1,12) fires ON_TIME
+      input.addData(("a", ts(3), 3L)) // late, within lateness, inside session span
+      q.processAllAvailable()
+    }
+    assert(panes.exists(p => p._3 == Seq(1L, 2L) && p._4 == "ON_TIME"), panes.toString)
+    assert(panes.exists(p => p._3 == Seq(1L, 2L, 3L) && p._4 == "LATE"), panes.toString)
+  }
+}
