@@ -218,6 +218,14 @@ object OracleSql {
     "q_flatten" ->
       "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
 
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
+
     // ------------------------------------------------------------ windowing
     "q_window_fixed" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,

@@ -286,6 +286,16 @@ object Queries {
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
            count(lit(1)).as("n_items"))
 
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    Joins.intersect(
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")),
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    Joins.except(
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")),
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
   def qFlatten(s: SparkSession, dir: String): DataFrame =
     Joins.flatten(Seq(
       t(s, dir, "region").select(col("r_name").as("name")),

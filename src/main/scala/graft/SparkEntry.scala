@@ -59,6 +59,8 @@ object SparkEntry {
     "q_join_anti"       -> Queries.qJoinAnti _,
     "q_broadcast_join"  -> Queries.qBroadcastJoin _,
     "q_flatten"         -> Queries.qFlatten _,
+    "q_intersect"       -> Queries.qIntersect _,
+    "q_except"          -> Queries.qExcept _,
     // windowing
     "q_window_fixed"    -> Queries.qWindowFixed _,
     "q_window_sliding"  -> Queries.qWindowSliding _,

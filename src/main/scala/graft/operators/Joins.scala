@@ -115,4 +115,10 @@ object Joins {
   /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
     * union, no dedup; unionByName tolerates column order drift. */
   def flatten(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** Set ops — absent as named primitives in the reference (expressible via
+    * CoGroupByKey + filter, SURVEY §2.5); named here because Catalyst plans
+    * them as a single shuffle with partial aggregation. */
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
 }
