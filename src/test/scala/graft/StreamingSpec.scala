@@ -147,6 +147,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window streaming aggregation merges within gap under watermark") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val agg = StreamingOps.windowedAggregate(
+      input.toDF().toDF("k", "t"),
+      WindowingStrategy(Sessions("10 minutes"), allowedLateness = "0 seconds"),
+      col("t"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = agg.select(col("k"), col("n"))
+      .writeStream.format("memory").queryName("sess_stream_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:05:00")),
+                    ("a", ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      input.addData(("b", ts("2024-01-01 12:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream_test").collect().map(_.toSeq).toSeq
+      assert(rows.contains(Seq("a", 2L)) && rows.contains(Seq("a", 1L)),
+        s"two sessions for key a (merged pair + singleton): $rows")
+    } finally q.stop()
+  }
+
   test("statefulParDo: MapState as Beam SetState gives exact distinct counts") {
     Stateful.requireRocksDBStateStore(spark)
     val input = MemoryStream[(String, Long)](spark)
