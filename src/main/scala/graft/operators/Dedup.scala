@@ -64,11 +64,19 @@ object Dedup {
     * map-side partial min means the shuffle carries one (doc, band, hash)
     * row per group, not per shingle. */
   def minHashSignatures(docs: DataFrame, text: Column, id: Column,
-                        shingleN: Int = 3, bands: Int = 8): DataFrame =
+                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
+    // one min-agg column per band instead of an explode × bands: the md5
+    // count is identical but `bands`× fewer rows flow through the
+    // aggregation; the tiny per-doc unpivot afterwards is O(docs)
+    val mins = (0 until bands).map(b =>
+      min(md5(concat(lit(s"$b:"), col("s")))).as(s"__m$b"))
     docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("s"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("s")))).as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"__m$b").as("minhash"))): _*)).as("sig"))
+      .select(col("doc_id"), col("sig.band").as("band"), col("sig.minhash").as("minhash"))
+  }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each shingle votes its
     * hash bits; fingerprint bit i is the sign of the vote sum. Near-dups have
