@@ -379,6 +379,13 @@ object Queries {
         shingleN = 2, threshold = 0.8, maxShingleFreq = 200),
       col("id_a"), col("id_b"))
 
+  def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.ivfTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, nlist = 16, nprobe = 4)
+  }
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     // The synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cosine ≈ 0.51 at sf0.01), so the "near-dup" regime for this

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_clusters"  -> Queries.qDedupClusters _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
+    "q_ivf_ann"         -> Queries.qIvfAnn _,
     "q_embed_neardup"   -> Queries.qEmbedNearDup _,
     "q_text_quality"    -> Queries.qTextQuality _,
     "q_lang_id"         -> Queries.qLangId _,

@@ -136,6 +136,64 @@ object Similarity {
       .drop("__planes")
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path:
+    *
+    *  1. `nlist` centroids are hash-sampled from the corpus
+    *     (deterministic: smallest xxhash64(id) win) and collected to the
+    *     driver — nlist × dim doubles, tiny;
+    *  2. every corpus vector is assigned to its nearest centroid (per-row
+    *     argmax over the broadcast literal centroid matrix — no shuffle);
+    *  3. each query probes its `nprobe` nearest centroids and exact-cosine
+    *     re-ranks only those inverted lists.
+    *
+    * At 100 TB the corpus shuffles ONCE on the cell id (or is written
+    * cell-partitioned and never reshuffles); probe cost is
+    * corpus/nlist × nprobe per query. Recall tunes with nprobe.
+    * A production variant would Lloyd-iterate the centroids; hash-sampling
+    * keeps this fully deterministic, which the correctness gate needs. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.select(corpusVec.as("v"), xxhash64(corpusId).as("__h"))
+      .orderBy(col("__h")).limit(nlist)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = centroids.head.length
+    val matrix = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cnorms = array(centroids.map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
+
+    // nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
+    // sort = best-first; vnorm is computed once per row
+    def cells(vec: Column, vnorm: Column): Column =
+      array_sort(transform(sequence(lit(0), lit(centroids.length - 1)), c => {
+        val dot = aggregate(zip_with(vec, element_at(col("__cmat"), c + 1),
+          (x, m) => x.cast("double") * m), lit(0.0), (a, x) => a + x)
+        struct((-dot / (vnorm * element_at(col("__cnorm"), c + 1))).as("negcos"),
+          c.as("cell"))
+      }))
+
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .withColumn("__cmat", matrix).withColumn("__cnorm", cnorms)
+      .withColumn("cell", element_at(cells(col("cvec"), col("cnorm")), 1).getField("cell"))
+      .drop("__cmat", "__cnorm")
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .withColumn("__cmat", matrix).withColumn("__cnorm", cnorms)
+      .withColumn("cell", explode(transform(
+        slice(cells(col("qvec"), col("qnorm")), 1, nprobe), s => s.getField("cell"))))
+      .drop("__cmat", "__cnorm")
+
+    val scored = c.join(q, "cell")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosineFromNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")), 6)
+          .as("score"))
+    Aggregates.topKPerKeySalted(scored, Seq(col("query_id")),
+        struct((-col("score")).as("negscore"), col("corpus_id").as("corpus_id")),
+        col("corpus_id"), k)
+      .select(col("query_id"), col("item.corpus_id").as("corpus_id"),
+        (-col("item.negscore")).as("score"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any
     * of `tables` independent hash tables (multi-table union raises recall the
     * standard way); exact cosine re-rank per query via the salted two-phase

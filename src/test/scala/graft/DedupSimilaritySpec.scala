@@ -92,6 +92,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.exists(r => r._2 == 5L && r._3 == 1.0))
   }
 
+  test("ivfTopK: self-match always found (query's own cell is probed first)") {
+    val vecs = Create.of(spark,
+      (0L to 40L).map(i => (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 5L), col("vec_id"), col("embedding"),
+      k = 3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(r => r._2 == 5L && r._3 == 1.0), out.toSeq.toString)
+    assert(out.length <= 3)
+  }
+
+  test("ivfTopK with nprobe = nlist equals brute-force top-k") {
+    val vecs = Create.of(spark,
+      (0L to 30L).map(i => (i, Seq.tabulate(6)(d => ((i * 17 + d * 5) % 11 - 5).toFloat)))
+    ).toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3L)
+    val brute = Similarity.cosineTopK(vecs, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 4, nlist = 5, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
   test("embeddingNearDup finds a planted duplicate pair") {
     val planted = Create.of(spark, Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
