@@ -19,15 +19,20 @@ import scala.collection.concurrent.TrieMap
   */
 object Metrics {
 
-  private val counters = TrieMap.empty[String, LongAccumulator]
+  // keyed by (applicationId, name): an accumulator is bound to its
+  // SparkContext — caching by name alone would hand back a dead
+  // accumulator (silently dropping adds) after a session restart
+  private val counters = TrieMap.empty[(String, String), LongAccumulator]
   private val gauges   = TrieMap.empty[String, Long]
 
   /** Metrics.counter: a named distributed counter. Increment from closures
     * (ds.map / mapPartitions); read on the driver after an action. */
   def counter(spark: SparkSession, name: String): LongAccumulator =
-    counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(name))
+    counters.getOrElseUpdate((spark.sparkContext.applicationId, name),
+      spark.sparkContext.longAccumulator(name))
 
-  def counterValue(name: String): Option[Long] = counters.get(name).map(_.value)
+  def counterValue(name: String): Option[Long] =
+    counters.collectFirst { case ((_, n), acc) if n == name => acc.value }
 
   /** Metrics.gauge: driver-side last value. */
   def gauge(name: String, value: Long): Unit = gauges.put(name, value)

@@ -84,7 +84,7 @@ class TopKCombineFn[T: Ordering: ClassTag](k: Int)
   * merge order is nondeterministic.
   */
 class ReservoirSampleFn[T: ClassTag](n: Int, seed: Long,
-                                     stableKey: T => String = (t: T) => t.toString)
+                                     stableKey: T => String = ReservoirSampleFn.defaultKey[T] _)
     extends CombineFn[T, List[(Long, T)], List[T]] {
   /** 64-bit FNV-1a over the element's stable byte form, then splitmix64:
     * well-mixed and independent of JVM hashCode (32-bit hashCode collides by
@@ -112,6 +112,17 @@ class ReservoirSampleFn[T: ClassTag](n: Int, seed: Long,
     xs.sortBy { case (p, t) => (p, stableKey(t)) }
   private def trim(xs: List[(Long, T)]): List[(Long, T)] =
     if (xs.sizeIs <= n) xs else sorted(xs).take(n)
+}
+
+object ReservoirSampleFn {
+  /** Content-based default key: toString for scalars, element-wise join for
+    * arrays (whose toString is identity-based — the very nondeterminism the
+    * stable key exists to avoid). Supply an explicit stableKey for nested
+    * or custom types. */
+  def defaultKey[T](t: T): String = t match {
+    case a: Array[_] => a.mkString("[", ",", "]")
+    case other       => String.valueOf(other)
+  }
 }
 
 /** Latest-by-event-time (reference: SDK/transforms/Latest.java — value with

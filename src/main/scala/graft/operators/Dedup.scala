@@ -114,7 +114,8 @@ object Dedup {
     // sides + the pair join); without persist Catalyst recomputes the
     // shingle extraction and the frequency window per consumer — ~3× the
     // runtime at sf0.1, worse at scale. The persisted set is the narrow
-    // (doc_id, shingle) projection only.
+    // (doc_id, shingle) projection only; Spark's ContextCleaner unpersists
+    // it once the returned frame's lineage is garbage-collected.
     val capped = sh.withColumn("__freq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("__freq") <= maxShingleFreq).drop("__freq")

@@ -74,6 +74,7 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                  queries: DataFrame, queryId: Column, queryVec: Column,
                  k: Int): DataFrame = {
+    requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"),
       l2Norm(corpusVec).as("cnorm"))
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"),
@@ -82,6 +83,19 @@ object Similarity {
       .withColumn("score", round(
         cosineFromNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")), 6))
     topKByScore(scored, k)
+  }
+
+  /** The typed/salted top-k paths encode ids as Long; a silent
+    * cast("long") of a string/UUID id would null every id out. Fail loudly
+    * instead (use content-hash surrogate ids upstream for non-numeric
+    * keys). */
+  private def requireIntegralId(df: DataFrame, id: Column): Unit = {
+    val dt = df.select(id).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.LongType
+        || dt == org.apache.spark.sql.types.IntegerType
+        || dt == org.apache.spark.sql.types.ShortType,
+      s"ANN id column must be integral (got $dt); derive a surrogate id " +
+        "(e.g. xxhash64) for non-numeric keys")
   }
 
   /** Shared typed top-k reduction over a (query_id, corpus_id, score) frame. */
@@ -117,7 +131,13 @@ object Similarity {
     * hashes stay out of the inner lambda. */
   def hyperplaneBucket(embs: DataFrame, id: Column, vec: Column,
                        planes: Int, seed: Long = 42L): DataFrame = {
-    val dim = embs.select(size(vec).as("d")).head().getInt(0)
+    // one-row eager read for the dimension (plan-construction job; the
+    // alternative — per-row hashing inside the lambda — dominated every
+    // LSH pass). Empty input → empty bucketed frame, same schema.
+    val firstDim = embs.select(size(vec).as("d")).limit(1).collect()
+    if (firstDim.isEmpty)
+      return embs.select(id.as("id"), vec.as("vec"), lit(0L).as("bucket")).limit(0)
+    val dim = firstDim(0).getInt(0)
     val matrix = array((0 until planes).map { p =>
       array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
     }: _*)
@@ -154,10 +174,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.select(corpusVec.as("v"), xxhash64(corpusId).as("__h"))
+    requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
+    // cast to array<double> BEFORE collecting so float and double
+    // embedding columns both work
+    val centroids = corpus
+      .select(corpusVec.cast("array<double>").as("v"), xxhash64(corpusId).as("__h"))
       .orderBy(col("__h")).limit(nlist)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val dim = centroids.head.length
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (centroids.isEmpty)
+      return corpus.select(corpusId.cast("long").as("query_id"),
+        corpusId.cast("long").as("corpus_id"), lit(0.0).as("score")).limit(0)
     val matrix = array(centroids.map(c => array(c.map(lit): _*)): _*)
     val cnorms = array(centroids.map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
 

@@ -69,22 +69,26 @@ object Triggers {
     @transient private var paneIndex: ValueState[Int] = _
     @transient private var sinceLastFire: ValueState[Long] = _
     @transient private var timersSet: ValueState[Boolean] = _
+    @transient private var onTimeDone: ValueState[Boolean] = _
 
     override def init(om: OutputMode, tm: TimeMode): Unit = {
       acc = getHandle.getValueState[ACC]("acc", accEnc, TTLConfig.NONE)
       paneIndex = getHandle.getValueState[Int]("paneIndex", Encoders.scalaInt, TTLConfig.NONE)
       sinceLastFire = getHandle.getValueState[Long]("sinceLastFire", Encoders.scalaLong, TTLConfig.NONE)
       timersSet = getHandle.getValueState[Boolean]("timersSet", Encoders.scalaBoolean, TTLConfig.NONE)
+      onTimeDone = getHandle.getValueState[Boolean]("onTimeDone", Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     private def windowEnd(wstart: Long): Long = wstart + cfg.windowSizeMs
     private def gcTime(wstart: Long): Long = windowEnd(wstart) + cfg.allowedLatenessMs
+    private def onTimeFired: Boolean = onTimeDone.exists() && onTimeDone.get()
 
     private def fire(key: (K, Long), timing: String, isFinal: Boolean): Iterator[Pane[K, OUT]] = {
       val idx = if (paneIndex.exists()) paneIndex.get() else 0
       val a = if (acc.exists()) acc.get() else fn.createAccumulator()
       paneIndex.update(idx + 1)
       sinceLastFire.update(0L)
+      if (timing == ON_TIME) onTimeDone.update(true)
       if (!cfg.accumulating) acc.update(fn.createAccumulator()) // discarding: emit delta
       Iterator((key._1, key._2, windowEnd(key._2), fn.extractOutput(a), idx, timing, isFinal))
     }
@@ -108,10 +112,13 @@ object Triggers {
         timersSet.update(true)
       }
 
-      val onTimeFired = wm >= windowEnd(key._2)
-      if (onTimeFired) {
-        // post-on-time input within lateness → LATE pane per batch
-        if (cfg.lateFirings && count > 0) fire(key, LATE, isFinal = false)
+      if (wm >= windowEnd(key._2)) {
+        // input after the watermark passed end-of-window. The FIRST
+        // post-watermark pane is the ON_TIME pane even when input and the
+        // end-of-window timer land in the same micro-batch (PaneInfo's
+        // ordering contract: ON_TIME precedes every LATE pane).
+        if (cfg.lateFirings && count > 0)
+          fire(key, if (onTimeFired) LATE else ON_TIME, isFinal = false)
         else Iterator.empty
       } else cfg.early match {
         case EveryBatch if count > 0          => fire(key, EARLY, isFinal = false)
@@ -127,7 +134,11 @@ object Triggers {
         val isFinal = cfg.allowedLatenessMs == 0
         val pending = if (sinceLastFire.exists()) sinceLastFire.get() else 0L
         val out =
-          if (cfg.onTimeAlways || pending > 0) fire(key, ON_TIME, isFinal)
+          if (onTimeFired) {
+            // the ON_TIME pane already went out with same-batch input;
+            // the timer only flushes data that arrived since
+            if (pending > 0) fire(key, LATE, isFinal) else Iterator.empty[Pane[K, OUT]]
+          } else if (cfg.onTimeAlways || pending > 0) fire(key, ON_TIME, isFinal)
           else Iterator.empty[Pane[K, OUT]]
         if (isFinal) clearAll()
         out
@@ -145,6 +156,7 @@ object Triggers {
 
     private def clearAll(): Unit = {
       acc.clear(); paneIndex.clear(); sinceLastFire.clear(); timersSet.clear()
+      onTimeDone.clear()
     }
   }
 
