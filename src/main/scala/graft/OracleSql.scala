@@ -345,16 +345,20 @@ object OracleSql {
         |FROM documents""".stripMargin,
 
     "q_lang_id" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
         |profiles(lang, profile) AS (VALUES
         |  ('de', ['der','die','und','das','ist','nicht','mit','ein','ich']),
         |  ('en', ['the','and','of','to','is','you','that','was','with']),
         |  ('es', ['el','de','que','la','los','una','por','con','para']),
-        |  ('fr', ['le','la','et','les','des','est','une','dans','que']),
-        |  ('zh', ['的','是','了','我','在','他','这','不','有'])),
+        |  ('fr', ['le','la','et','les','des','est','une','dans','que'])),
         |scores AS (SELECT doc_id, lang,
         |                  len(list_filter(words, x -> list_contains(profile, x))) AS score
-        |           FROM w, profiles)
+        |           FROM w, profiles
+        |           UNION ALL
+        |           SELECT doc_id, 'zh' AS lang,
+        |                  len(list_filter(['的','是','了','我','在','他','这','不','有'],
+        |                                  c -> contains(text, c))) AS score
+        |           FROM w)
         |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang FROM (
         |  SELECT doc_id, lang, score,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn

@@ -52,9 +52,18 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val words = split(lower(text), "\\s+")
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      val profile = array(ws.map(lit): _*)
-      struct(size(filter(words, w => array_contains(profile, w))).as("score"),
-             lit(lang).as("lang"))
+      // zh is unsegmented — whitespace tokens would never equal a profile
+      // word, so score zh by CHARACTER containment instead (each profile
+      // char found anywhere in the text counts once)
+      val score =
+        if (lang == "zh")
+          ws.map(ch => when(contains(text, lit(ch)), 1).otherwise(0))
+            .reduce((a, b) => a + b)
+        else {
+          val profile = array(ws.map(lit): _*)
+          size(filter(words, w => array_contains(profile, w)))
+        }
+      struct(score.as("score"), lit(lang).as("lang"))
     }
     // argmax by (score, lang): array_max on structs orders by first field,
     // ties broken by lang name — deterministic.

@@ -437,13 +437,14 @@ object Triggers {
     * composite triggers over merging windows are deferred. */
   private class SessionProcessor[K, V, ACC, OUT](
       fn: CombineFn[V, ACC, OUT], gapMs: Long, allowedLatenessMs: Long,
-      accumulating: Boolean)(
-      implicit accEnc: Encoder[(Long, ACC, Int, Boolean, Boolean)],
+      accumulating: Boolean,
+      earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
+      implicit accEnc: Encoder[(Long, ACC, Int, Boolean, Long)],
       outEnc: Encoder[Pane[K, OUT]])
       extends StatefulProcessor[K, (K, Long, V), Pane[K, OUT]] {
 
     // windowStart -> (end, acc, paneIndex, onTimeFired, pendingSinceFire)
-    private type W = (Long, ACC, Int, Boolean, Boolean)
+    private type W = (Long, ACC, Int, Boolean, Long)
     @transient private var windows: MapState[Long, W] = _
 
     override def init(om: OutputMode, tm: TimeMode): Unit =
@@ -454,7 +455,7 @@ object Triggers {
                          isFinal: Boolean): (Pane[K, OUT], W) = {
       val out = (key, start, w._1, fn.extractOutput(w._2), w._3, timing, isFinal)
       val nextAcc = if (accumulating) w._2 else fn.createAccumulator()
-      (out, (w._1, nextAcc, w._3 + 1, timing != "EARLY" || w._4, false))
+      (out, (w._1, nextAcc, w._3 + 1, timing != "EARLY" || w._4, 0L))
     }
 
     override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
@@ -471,16 +472,18 @@ object Triggers {
           var newEnd = end
           var paneIdx = 0
           var fired = false
-          // merge every overlapping active window (interval overlap with
-          // [start, newEnd)) - MergingActiveWindowSet.mergeIfAppropriate
+          var pending = 1L
+          // merge every INTERSECTING active window - abutting half-open
+          // intervals stay separate (Beam IntervalWindow.intersects;
+          // MergingActiveWindowSet.mergeIfAppropriate)
           val overlapping = active.filter { case (s, (e, _, _, _, _)) => s < newEnd && start < e }
-          overlapping.foreach { case (s, (e, a, pi, f, _)) =>
+          overlapping.foreach { case (s, (e, a, pi, f, pd)) =>
             start = math.min(start, s); newEnd = math.max(newEnd, e)
             acc = fn.mergeAccumulators(a, acc)
-            paneIdx = math.max(paneIdx, pi); fired = fired || f
+            paneIdx = math.max(paneIdx, pi); fired = fired || f; pending += pd
             active.remove(s); touched -= s
           }
-          active(start) = (newEnd, acc, paneIdx, fired, true)
+          active(start) = (newEnd, acc, paneIdx, fired, pending)
           touched += start
         }
       }
@@ -490,13 +493,24 @@ object Triggers {
         val w = active(s)
         if (wm >= w._1) {
           // the (possibly merged) session's end is already behind the
-          // watermark: fire now - its end timer may never come. ON_TIME for
-          // the first firing, LATE afterwards (Default-trigger late panes).
-          val timing = if (w._4) "LATE" else "ON_TIME"
+          // watermark. First post-watermark pane is ON_TIME; afterwards,
+          // LATE panes fire per batch (Default) or once the late count
+          // threshold is met (AfterWatermark.withLateFirings(AfterCount)).
           val closing = allowedLatenessMs == 0 || wm >= w._1 + allowedLatenessMs
-          val (pane, next) = fireFrom(key, s, w, timing, isFinal = closing)
+          if (!w._4) {
+            val (pane, next) = fireFrom(key, s, w, "ON_TIME", isFinal = closing)
+            out = pane :: out
+            if (closing) active.remove(s) else active(s) = next
+          } else if (lateCount.forall(w._5 >= _)) {
+            val (pane, next) = fireFrom(key, s, w, "LATE", isFinal = closing)
+            out = pane :: out
+            if (closing) active.remove(s) else active(s) = next
+          }
+        } else if (earlyCount.exists(w._5 >= _)) {
+          // AfterWatermark.withEarlyFirings(AfterCount(n)), repeated
+          val (pane, next) = fireFrom(key, s, w, "EARLY", isFinal = false)
           out = pane :: out
-          if (closing) active.remove(s) else active(s) = next
+          active(s) = next
         }
         active.get(s).foreach { w2 =>
           getHandle.registerTimer(w2._1)
@@ -515,7 +529,7 @@ object Triggers {
         if (w._1 + allowedLatenessMs == expiry || (allowedLatenessMs == 0 && w._1 == expiry)) {
           // GC horizon: FIRE_IF_NON_EMPTY - final pane only when data is
           // pending since the last firing, or no pane ever fired
-          if (w._5 || w._3 == 0) {
+          if (w._5 > 0 || w._3 == 0) {
             val (pane, _) = fireFrom(key, s, w, if (w._4) "LATE" else "ON_TIME", isFinal = true)
             out = pane :: out
           }
@@ -536,13 +550,15 @@ object Triggers {
     * watermark declared upstream. */
   def sessionAggregate[K, V, ACC, OUT](
       events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
-      gapMs: Long, allowedLatenessMs: Long = 0L, accumulating: Boolean = true)(
-      implicit kEnc: Encoder[K], accEnc: Encoder[(Long, ACC, Int, Boolean, Boolean)],
+      gapMs: Long, allowedLatenessMs: Long = 0L, accumulating: Boolean = true,
+      earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
+      implicit kEnc: Encoder[K], accEnc: Encoder[(Long, ACC, Int, Boolean, Long)],
       outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] = {
     Stateful.requireRocksDBStateStore(events.sparkSession)
     events.groupByKey(_._1)
       .transformWithState(
-        new SessionProcessor[K, V, ACC, OUT](fn, gapMs, allowedLatenessMs, accumulating),
+        new SessionProcessor[K, V, ACC, OUT](fn, gapMs, allowedLatenessMs, accumulating,
+          earlyCount, lateCount),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -24,7 +24,8 @@ class SessionTriggerSpec extends SparkSpec {
     }
 
   /** (wstartSec, wendSec, values, timing, isFinal) for key "a". */
-  private def run(name: String, gapSec: Long, latenessSec: Long)(
+  private def run(name: String, gapSec: Long, latenessSec: Long,
+                  earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
       script: (MemoryStream[(String, Timestamp, Long)],
                org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(Long, Long, Seq[Long], String, Boolean)] = {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
@@ -33,7 +34,8 @@ class SessionTriggerSpec extends SparkSpec {
       .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
       .as[(String, Long, Long)]
     val panes = Triggers.sessionAggregate(events, collectFn,
-      gapMs = gapSec * 1000, allowedLatenessMs = latenessSec * 1000)
+      gapMs = gapSec * 1000, allowedLatenessMs = latenessSec * 1000,
+      earlyCount = earlyCount, lateCount = lateCount)
     val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", ckpt()).start()
@@ -95,6 +97,33 @@ class SessionTriggerSpec extends SparkSpec {
     assert(panes.contains((1L, 20L, Seq(1L, 10L), "LATE", false)),
       s"late extension refines the fired session without merging across the abutment: $panes")
     assert(panes.contains((20L, 30L, Seq(20L), "ON_TIME", false)), panes.toString)
+  }
+
+  test("transcript early_late_sessions: AfterWatermark(early=AfterCount(2), late=AfterCount(3))") {
+    // reference: trigger_transcripts.yaml `early_late_sessions` —
+    // Sessions(10), early count 2, late count 3, accumulating
+    val panes = run("sess_transcript", gapSec = 10, latenessSec = 1000,
+      earlyCount = Some(2L), lateCount = Some(3L)) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(2), 2L), ("a", ts(3), 3L))
+      q.processAllAvailable() // 3 >= 2 -> EARLY [1,2,3], window [1,13)
+      input.addData(("a", ts(4), 4L))
+      q.processAllAvailable() // 1 since fire: no output
+      input.addData(("a", ts(5), 5L))
+      q.processAllAvailable() // 2 since fire -> EARLY [1..5], window [1,15)
+      input.addData(("a", ts(6), 6L))
+      q.processAllAvailable() // 1 since fire: no output
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable() // watermark past end -> ON_TIME [1..6], window [1,16)
+      input.addData(("a", ts(1), 1L))
+      q.processAllAvailable() // late; 1 < 3: no output
+      input.addData(("a", ts(3), 3L), ("a", ts(4), 4L))
+      q.processAllAvailable() // 3 >= 3 -> LATE [1,1,2,3,3,4,4,5,6]
+    }
+    assert(panes == Seq(
+      (1L, 13L, Seq(1L, 2L, 3L), "EARLY", false),
+      (1L, 15L, Seq(1L, 2L, 3L, 4L, 5L), "EARLY", false),
+      (1L, 16L, Seq(1L, 2L, 3L, 4L, 5L, 6L), "ON_TIME", false),
+      (1L, 16L, Seq(1L, 1L, 2L, 3L, 3L, 4L, 4L, 5L, 6L), "LATE", false)), panes.toString)
   }
 
   test("late element into a fired session emits a LATE refinement pane") {

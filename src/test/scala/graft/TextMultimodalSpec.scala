@@ -24,6 +24,7 @@ class TextMultimodalSpec extends SparkSpec {
       ("de", "der hund ist nicht mit der katze"),
       ("fr", "le chat est dans les jardins"),
       ("es", "el perro que corre por la casa con los gatos"),
+      ("zh", "我在这里他不是你的朋友"), // unsegmented: char containment, not tokens
       ("und", "zxcvb qwerty"))).toDF("expected", "text")
     val got = t.select(col("expected"), TextAnalysis.langId(col("text")))
       .collect().map(r => (r.getString(0), r.getString(1)))
