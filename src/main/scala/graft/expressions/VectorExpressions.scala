@@ -1,0 +1,98 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding dot product: the one scalar
+  * kernel hot enough to justify `doGenCode` (SURVEY §4.2 preference order —
+  * native Expression > higher-order lambda > UDF). The
+  * `aggregate(zip_with(...))` formulation it replaces is a Catalyst
+  * higher-order function chain: interpreted evaluation, two intermediate
+  * arrays allocated per row-pair. This compiles to a tight primitive loop
+  * inside WholeStageCodegen — no allocation, no virtual calls.
+  *
+  * Semantics match the lambda version exactly: elements promoted to double,
+  * products accumulated left-to-right (bit-identical sums, which the DuckDB
+  * oracle comparisons rely on), null elements contribute 0, length mismatch
+  * uses the shorter prefix.
+  */
+case class VecDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case other       => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) sum += get(x, i, lt) * get(y, i, rt)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def accessor(dt: DataType, arr: String, i: String): String = dt match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other       => throw new IllegalStateException(s"unsupported element type $other")
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$l.isNullAt($i) && !$r.isNullAt($i)) {
+         |    $sum += ${accessor(lt, l, i)} * ${accessor(rt, r, i)};
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Dot product of two numeric array columns (codegen'd). */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -23,29 +23,23 @@ import graft.functions.TopKCombineFn
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double,
-    * left-to-right (deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two numeric-array columns, accumulated in double,
+    * left-to-right (deterministic). Prefer [[cosineFromNorms]] on pairwise
+    * paths so norms are computed once per row, not per pair. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Codegen'd native dot product (graft.expressions.VecDotProduct) —
+    * replaces the interpreted aggregate(zip_with(...)) chain with a
+    * primitive loop; summation order and double promotion are identical. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.vecDot(a, b)
 
-  /** L2 norm of a float-array column. Higher-order lambdas evaluate
-    * interpreted, so norms are computed ONCE per row and carried as a
-    * column — recomputing them per candidate pair triples the pairwise
-    * work (see cosineFromNorms). */
+  /** L2 norm of a numeric-array column. Computed ONCE per row and carried
+    * as a column — recomputing norms per candidate pair triples the
+    * pairwise work (see cosineFromNorms). */
   def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.expressions.VectorExpressions.vecDot(v, v))
 
   /** Cosine from a pairwise dot product and precomputed per-row norms. */
   def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
