@@ -377,6 +377,13 @@ object OracleSql {
         |       md5(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
 
+    "q_mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n, UNNEST(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS blk FROM d)
+        |SELECT doc_id AS media_id, CAST(blk // 2 AS INT) AS frame_idx,
+        |       CAST(least(256, n - blk * 256) AS INT) AS frame_bytes
+        |FROM b WHERE blk % 2 = 0""".stripMargin,
+
     "q_mm_features" ->
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN length(text) > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS feat_l1,

@@ -415,6 +415,12 @@ object Queries {
     Multimodal.decodeImages(s,
       Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "image"))
 
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s,
+      Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "video"),
+      everyK = 2)
+      .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s,
       Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "image"))

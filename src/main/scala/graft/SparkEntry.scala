@@ -82,6 +82,7 @@ object SparkEntry {
     "q_fingerprint"     -> Queries.qFingerprint _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
     "q_mm_features"     -> Queries.qMultimodalFeatures _,
+    "q_mm_frames"       -> Queries.qMultimodalFrames _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -150,11 +150,41 @@ object Dedup {
     * primitive, O(log n) rounds).
     */
   def nearDupClusters(pairs: DataFrame, idA: Column, idB: Column,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 10, localThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .union(pairs.select(idB.as("src"), idA.as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path: near-dup candidate graphs are usually tiny
+    // relative to the corpus (pairs above a high similarity threshold).
+    // Below `localThreshold` edges, a driver-side union-find replaces
+    // ~4 Spark jobs per propagation round with one collect — the same
+    // hybrid a production dedup pipeline uses. The distributed loop below
+    // remains the 100 TB path.
+    val edgeCount = edges.count()
+    if (edgeCount <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the cluster id is the component minimum
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      edges.unpersist()
+      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("node"), col("src").as("label"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -59,13 +59,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
-  test("nearDupClusters: transitive closure assigns min-id cluster labels") {
+  test("nearDupClusters: transitive closure assigns min-id cluster labels (both paths)") {
     // chain 1-2-3-4 (diameter 3) + isolated pair (10, 11)
     val pairs = Create.of(spark, Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
       .toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val local = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(local == expected)
+    // force the distributed label-propagation loop (the 100 TB path)
+    val distributed = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected)
   }
 
   test("cosineTopK: self-match scores 1.0 and ranks first") {
