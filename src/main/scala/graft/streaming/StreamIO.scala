@@ -67,6 +67,37 @@ object StreamIO {
   def foreachBatchSink[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
     ds.writeStream.foreachBatch(f)
 
+  /** Watch.growthOf (reference: SDK/transforms/Watch.java:119): generic
+    * polling for growth of a set — every tick invokes `poll` on an
+    * executor and each new element (by `idCols`) is emitted exactly once;
+    * seen-element state is GC'd by the watermark after `dedupWithin`.
+    * The file-discovery specialization is [[textDir]]/[[fileDir]]
+    * (Spark's file source polls natively). */
+  def watchGrowth[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, pollEverySeconds: Long,
+      poll: () => Seq[T], idCols: Seq[String], dedupWithin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ticks = rate(spark, rowsPerSecond = 1)
+      .filter(pmod(unix_timestamp(col("timestamp")), lit(pollEverySeconds)) === 0)
+    watchGrowthFrom(ticks, poll, idCols, dedupWithin)
+  }
+
+  /** watchGrowth with an injected tick stream (any streaming frame; one
+    * poll per row) — the testable core. */
+  def watchGrowthFrom[T: org.apache.spark.sql.Encoder](
+      ticks: DataFrame, poll: () => Seq[T], idCols: Seq[String],
+      dedupWithin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.select(lit(1).as("__t")).as[Int]
+      .flatMap(_ => poll())
+      .toDF()
+      .withColumn("__poll_time", current_timestamp())
+      .withWatermark("__poll_time", dedupWithin)
+      .dropDuplicatesWithinWatermark(idCols)
+  }
+
   /** Test-scope memory sink: start + return the query; read results via
     * spark.table(name). */
   def memorySink[T](ds: Dataset[T], name: String, outputMode: String,

@@ -183,6 +183,21 @@ object Triggers {
       (k, math.floorDiv(t, sizeMs) * sizeMs, v)
     }
 
+  /** Sliding-window assignment (SlidingWindows.java:43): each element lands
+    * in size/period windows — row duplication mirrors Beam's multi-window
+    * WindowedValue membership. The pane processors work unchanged (window
+    * end = start + size holds for sliding windows too). */
+  def assignSlidingWindows[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
+                                 sizeMs: Long, periodMs: Long)(
+      implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =
+    ds.flatMap { case (k, ts, v) =>
+      val t = ts.getTime
+      val lastStart = math.floorDiv(t, periodMs) * periodMs
+      Iterator.iterate(lastStart)(_ - periodMs)
+        .takeWhile(s => s > t - sizeMs)
+        .map(s => (k, s, v)).toSeq
+    }
+
   // ------------------------------------------------------- composite triggers
 
   /** Composite trigger AST (reference: SDK/transforms/windowing/Trigger.java:72;

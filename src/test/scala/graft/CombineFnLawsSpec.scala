@@ -92,4 +92,18 @@ class CombineFnLawsSpec extends SparkSpec {
     val fn = new MeanFn().contramap[(String, Double)](_._2).map(m => m * 10)
     assert(run(fn, Seq(("a", 1.0), ("b", 3.0)), 2) == 20.0)
   }
+
+  test("CombineFnWithContext: aggregator closes over a broadcast side input") {
+    // reference: SDK/transforms/CombineWithContext.java — a CombineFn that
+    // reads a side input; Spark-native form is an Aggregator closure over
+    // a broadcast value, applied here through a real distributed agg
+    import spark.implicits._
+    val factor = spark.sparkContext.broadcast(10.0)
+    val fn = new MeanFn().contramap[(String, Double)](_._2).map(m => m * factor.value)
+    val out = graft.operators.Create.of(spark, Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)))
+      .groupByKey(_._1)
+      .agg(fn.asAggregator.toColumn.name("scaled_mean"))
+      .collect().toMap
+    assert(out == Map("a" -> 20.0, "b" -> 50.0))
+  }
 }

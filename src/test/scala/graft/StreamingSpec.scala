@@ -11,6 +11,14 @@ import graft.operators.Windows._
 import graft.operators.Create
 import graft.streaming.{Stateful, StreamingOps}
 
+/** Shared mutable "external system" for the Watch.growthOf test (static so
+  * executor closures in local mode see the same state). */
+object WatchGrowthFixture {
+  @volatile private var items: Seq[Long] = Seq.empty
+  def set(xs: Seq[Long]): Unit = items = xs
+  def snapshot(): Seq[Long] = items
+}
+
 /** MemoryStream scenario tests — the reference's TestStream/LeaderBoardTest
   * pattern (reference: SDK/testing/TestStream.java:52,
   * examples/java8/src/test/.../game/LeaderBoardTest.java): scripted element
@@ -165,6 +173,25 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("sess_stream_test").collect().map(_.toSeq).toSeq
       assert(rows.contains(Seq("a", 2L)) && rows.contains(Seq("a", 1L)),
         s"two sessions for key a (merged pair + singleton): $rows")
+    } finally q.stop()
+  }
+
+  test("watchGrowth: polled set growth emits each new element exactly once") {
+    val input = MemoryStream[Long](spark) // tick stream
+    val out = graft.streaming.StreamIO.watchGrowthFrom[Long](
+      input.toDF(), () => WatchGrowthFixture.snapshot(), Seq("value"))
+    val q = out.select(col("value"))
+      .writeStream.format("memory").queryName("watch_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      WatchGrowthFixture.set(Seq(1L, 2L))
+      input.addData(0L) // tick 1
+      q.processAllAvailable()
+      WatchGrowthFixture.set(Seq(1L, 2L, 3L)) // grows by one
+      input.addData(1L) // tick 2 re-polls: 1 and 2 must not re-emit
+      q.processAllAvailable()
+      val got = spark.table("watch_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"each element exactly once: $got")
     } finally q.stop()
   }
 

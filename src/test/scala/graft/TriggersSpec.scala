@@ -92,6 +92,33 @@ class TriggersSpec extends SparkSpec {
       s"FIRE_ALWAYS empty on-time final pane after discarding firings: $panes")
   }
 
+  test("sliding windows through the pane processor: one ON_TIME pane per membership") {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignSlidingWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)],
+      sizeMs = 60000L, periodMs = 30000L)
+    val panes = Triggers.triggeredAggregate(assigned, countFn,
+      TriggerConfig(windowSizeMs = 60000L))
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("sliding_panes")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // 10:00:45 belongs to [10:00:00,10:01:00) and [10:00:30,10:01:30)
+      input.addData(("a", ts("2024-01-01 10:00:45"), 1L))
+      q.processAllAvailable()
+      input.addData(("z", ts("2024-01-01 10:10:00"), 1L))
+      q.processAllAvailable()
+      val got = spark.table("sliding_panes").collect()
+        .filter(_.getString(0) == "a")
+        .map(r => (r.getAs[Long]("wstart"), r.getAs[Long]("value"),
+          r.getAs[String]("timing"))).sortBy(_._1).toSeq
+      val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      assert(got == Seq((base, 1L, "ON_TIME"), (base + 30000L, 1L, "ON_TIME")),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("AfterPane.elementCountAtLeast fires when the count threshold is met") {
     val panes = runScenario(TriggerConfig(
       windowSizeMs = 60000L, allowedLatenessMs = 0L,
