@@ -17,13 +17,16 @@ import org.apache.spark.sql.types._
   *
   * Semantics match the lambda version exactly: elements promoted to double,
   * products accumulated left-to-right (bit-identical sums, which the DuckDB
-  * oracle comparisons rely on), null elements contribute 0, length mismatch
-  * uses the shorter prefix.
+  * oracle comparisons rely on), and NULL on length mismatch or any null
+  * element — the same null-poisoning aggregate(zip_with(...)) produced, so
+  * malformed vector pairs stay excluded by downstream threshold filters
+  * instead of scoring a fabricated prefix sum.
   */
 case class VecDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch / null element
   override def prettyName: String = "vec_dot"
 
   private def elemType(e: Expression): DataType =
@@ -31,7 +34,7 @@ case class VecDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType | ByteType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -44,17 +47,20 @@ case class VecDotProduct(left: Expression, right: Expression)
     case DoubleType  => arr.getDouble(i)
     case IntegerType => arr.getInt(i).toDouble
     case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
     case other       => throw new IllegalStateException(s"unsupported element type $other")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
     var sum = 0.0
     var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) sum += get(x, i, lt) * get(y, i, rt)
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += get(x, i, lt) * get(y, i, rt)
       i += 1
     }
     sum
@@ -66,22 +72,25 @@ case class VecDotProduct(left: Expression, right: Expression)
       case DoubleType  => s"$arr.getDouble($i)"
       case IntegerType => s"(double) $arr.getInt($i)"
       case LongType    => s"(double) $arr.getLong($i)"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
       case other       => throw new IllegalStateException(s"unsupported element type $other")
     }
     val (lt, rt) = (elemType(left), elemType(right))
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$l.isNullAt($i) && !$r.isNullAt($i)) {
+         |if ($l.numElements() != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $l.numElements(); $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $sum += ${accessor(lt, l, i)} * ${accessor(rt, r, i)};
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

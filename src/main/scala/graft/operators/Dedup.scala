@@ -160,9 +160,14 @@ object Dedup {
     // Below `localThreshold` edges, a driver-side union-find replaces
     // ~4 Spark jobs per propagation round with one collect — the same
     // hybrid a production dedup pipeline uses. The distributed loop below
-    // remains the 100 TB path.
-    val edgeCount = edges.count()
-    if (edgeCount <= localThreshold) {
+    // remains the 100 TB path. Taken only for integral id types, and the
+    // result is cast back to the INPUT id type so both paths produce the
+    // same schema (a silent cast("long") on string ids would null them).
+    val idType = edges.schema("src").dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    if (integralId && edges.count() <= localThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -179,11 +184,11 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         // union by MIN root so the cluster id is the component minimum
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
       }
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       edges.unpersist()
       return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+        .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
     }
     var labels = edges.select(col("src").as("node"), col("src").as("label"))
       .distinct()

@@ -69,13 +69,17 @@ object StreamIO {
 
   /** Watch.growthOf (reference: SDK/transforms/Watch.java:119): generic
     * polling for growth of a set — every tick invokes `poll` on an
-    * executor and each new element (by `idCols`) is emitted exactly once;
-    * seen-element state is GC'd by the watermark after `dedupWithin`.
-    * The file-discovery specialization is [[textDir]]/[[fileDir]]
-    * (Spark's file source polls natively). */
+    * executor and each element (by `idCols`) is emitted exactly once, EVER
+    * (Beam's contract: seen-set state is unbounded until the watch
+    * terminates — `dedupWithin = None`, the default, matches it with
+    * dropDuplicates state). Pass `dedupWithin = Some(horizon)` for the
+    * bounded-state variant: elements re-polled after the horizon re-emit —
+    * a deliberate narrowing for unbounded id spaces. The file-discovery
+    * specialization is [[textDir]]/[[fileDir]]. */
   def watchGrowth[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, pollEverySeconds: Long,
-      poll: () => Seq[T], idCols: Seq[String], dedupWithin: String = "1 hour"): DataFrame = {
+      poll: () => Seq[T], idCols: Seq[String],
+      dedupWithin: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val ticks = rate(spark, rowsPerSecond = 1)
       .filter(pmod(unix_timestamp(col("timestamp")), lit(pollEverySeconds)) === 0)
@@ -86,16 +90,20 @@ object StreamIO {
     * poll per row) — the testable core. */
   def watchGrowthFrom[T: org.apache.spark.sql.Encoder](
       ticks: DataFrame, poll: () => Seq[T], idCols: Seq[String],
-      dedupWithin: String = "1 hour"): DataFrame = {
+      dedupWithin: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = ticks.sparkSession
     import spark.implicits._
-    ticks.select(lit(1).as("__t")).as[Int]
+    val polled = ticks.select(lit(1).as("__t")).as[Int]
       .flatMap(_ => poll())
       .toDF()
-      .withColumn("__poll_time", current_timestamp())
-      .withWatermark("__poll_time", dedupWithin)
-      .dropDuplicatesWithinWatermark(idCols)
+    dedupWithin match {
+      case None => polled.dropDuplicates(idCols) // emit once, ever (Beam)
+      case Some(horizon) => polled
+        .withColumn("__poll_time", current_timestamp())
+        .withWatermark("__poll_time", horizon)
+        .dropDuplicatesWithinWatermark(idCols)
+    }
   }
 
   /** Test-scope memory sink: start + return the query; read results via

@@ -183,10 +183,24 @@ object Triggers {
       (k, math.floorDiv(t, sizeMs) * sizeMs, v)
     }
 
+  /** Sliding-window triggered aggregation: takes the size ONCE and wires
+    * assignment + TriggerConfig consistently (passing different sizes to
+    * the two stages would silently corrupt window ends and timers). */
+  def triggeredSlidingAggregate[K, V, ACC, OUT](
+      events: Dataset[(K, java.sql.Timestamp, V)], fn: CombineFn[V, ACC, OUT],
+      sizeMs: Long, periodMs: Long, allowedLatenessMs: Long = 0L,
+      early: EarlyFiring = NoEarlyFiring, accumulating: Boolean = true)(
+      implicit aEnc: Encoder[(K, Long, V)], kEnc: Encoder[(K, Long)],
+      accEnc: Encoder[ACC], outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] =
+    triggeredAggregate(assignSlidingWindows(events, sizeMs, periodMs), fn,
+      TriggerConfig(windowSizeMs = sizeMs, allowedLatenessMs = allowedLatenessMs,
+        early = early, accumulating = accumulating))
+
   /** Sliding-window assignment (SlidingWindows.java:43): each element lands
     * in size/period windows — row duplication mirrors Beam's multi-window
     * WindowedValue membership. The pane processors work unchanged (window
-    * end = start + size holds for sliding windows too). */
+    * end = start + size holds for sliding windows too). Prefer
+    * [[triggeredSlidingAggregate]], which wires the size consistently. */
   def assignSlidingWindows[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
                                  sizeMs: Long, periodMs: Long)(
       implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =

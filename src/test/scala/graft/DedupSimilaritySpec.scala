@@ -74,6 +74,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distributed == expected)
   }
 
+  test("vecDot: NULL on length mismatch or null element (lambda-equivalent)") {
+    import graft.expressions.VectorExpressions.vecDot
+    val df = Create.of(spark, Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 2.0f, 9.0f), Seq(3.0f, 4.0f)))).toDF("a", "b")
+    val got = df.select(vecDot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq == Seq(11.0, null))
+  }
+
   test("cosineTopK: self-match scores 1.0 and ranks first") {
     val vecs = Create.of(spark, Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

@@ -94,12 +94,10 @@ class TriggersSpec extends SparkSpec {
 
   test("sliding windows through the pane processor: one ON_TIME pane per membership") {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
-    val assigned = Triggers.assignSlidingWindows(
+    val panes = Triggers.triggeredSlidingAggregate(
       input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
         .as[(String, Timestamp, Long)],
-      sizeMs = 60000L, periodMs = 30000L)
-    val panes = Triggers.triggeredAggregate(assigned, countFn,
-      TriggerConfig(windowSizeMs = 60000L))
+      countFn, sizeMs = 60000L, periodMs = 30000L)
     val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
       .writeStream.format("memory").queryName("sliding_panes")
       .outputMode("append").option("checkpointLocation", ckpt()).start()
