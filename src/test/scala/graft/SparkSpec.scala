@@ -9,17 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 
-  /** containsInAnyOrder: compare ignoring row order (and Seq flavor). */
-  def assertRows(df: org.apache.spark.sql.DataFrame, expected: Seq[Seq[Any]]): Unit = {
-    def norm(v: Any): Any = v match {
-      case r: org.apache.spark.sql.Row    => r.toSeq.map(norm).toList
-      case s: scala.collection.Seq[_]     => s.map(norm).toList
-      case other                          => other
-    }
-    val got = df.collect().map(r => norm(r)).map(_.toString).sorted.toSeq
-    val exp = expected.map(e => norm(e)).map(_.toString).sorted
-    assert(got == exp, s"\ngot:      $got\nexpected: $exp")
-  }
+  /** containsInAnyOrder: compare ignoring row order (and Seq flavor);
+    * delegates to the library's PAssert (graft.testing.PAssert). */
+  def assertRows(df: org.apache.spark.sql.DataFrame, expected: Seq[Seq[Any]]): Unit =
+    graft.testing.PAssert.containsInAnyOrder(df, expected)
 }
 
 object SparkSpec {
