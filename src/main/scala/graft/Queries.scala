@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.{CombineFns, MeanFn, ReservoirSampleFn, TopKCombineFn}
+import graft.functions.{ApproximateUniqueFn, CombineFns, MeanFn, ReservoirSampleFn, TopKCombineFn}
 
 /** The operator-coverage query catalog: one named query per implemented
   * operator from SURVEY.md §2 (+ the LLM-pipeline ops), each with a
@@ -225,6 +225,17 @@ object Queries {
         timeMode = org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
       .map { case (k, vs) => (k, vs.size) }
       .toDF("event_type", "batch_size")
+  }
+
+  /** The reference's own KMV distinct-count estimator as a typed Aggregator
+    * (rows-only check: hash-specific; accuracy proven in CombineFnLawsSpec). */
+  def qKmvUnique(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fn = new ApproximateUniqueFn[Long](128).contramap[(String, Long)](_._2)
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(fn.asAggregator.toColumn.name("approx_distinct"))
+      .toDF("l_returnflag", "approx_distinct")
   }
 
   // ---------------------------------------------------------------- joins

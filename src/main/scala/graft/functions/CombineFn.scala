@@ -125,6 +125,54 @@ object ReservoirSampleFn {
   }
 }
 
+/** KMV (k-minimum-values) distinct-count estimator — the reference's OWN
+  * ApproximateUnique algorithm (reference:
+  * SDK/transforms/ApproximateUnique.java:61-66 LargestUnique — keep the
+  * `sampleSize` smallest 64-bit hashes; if the sample is not full the
+  * count is exact, else extrapolate from the sample's spread of the hash
+  * space). Spark's approx_count_distinct (HLL++) satisfies the same
+  * contract; this Aggregator exists for estimator-level parity and as a
+  * pure CombineFn (shard/order-insensitive, laws-tested).
+  *
+  * Accumulator: sorted list of the k smallest distinct hashes.
+  * Estimate: k * 2^64 / (maxOfSample − Long.MinValue) when full.
+  */
+class ApproximateUniqueFn[T](sampleSize: Int,
+                             stableKey: T => String = (t: T) => ReservoirSampleFn.defaultKey(t))
+    extends CombineFn[T, List[Long], Long] {
+  private def hash(in: T): Long = {
+    var h = 0xCBF29CE484222325L
+    stableKey(in).getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL); h *= 0x100000001B3L
+    }
+    var z = h * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  override def createAccumulator(): List[Long] = Nil
+  override def addInput(acc: List[Long], in: T): List[Long] = insert(acc, hash(in))
+  override def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] =
+    b.foldLeft(a)((acc, h) => insert(acc, h))
+  override def extractOutput(acc: List[Long]): Long =
+    if (acc.sizeIs < sampleSize) acc.size.toLong
+    else {
+      // sample spans [Long.MinValue, max]; density k / span extrapolated
+      // over the full 2^64 space (reference: LargestUnique mirror-image —
+      // it keeps largest, we keep smallest; same estimate)
+      val span = (BigDecimal(acc.max) - BigDecimal(Long.MinValue)).max(1)
+      (BigDecimal(sampleSize) * BigDecimal(2).pow(64) / span)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  /** insert keeping the k smallest DISTINCT hashes, sorted ascending. */
+  private def insert(acc: List[Long], h: Long): List[Long] =
+    if (acc.contains(h)) acc
+    else {
+      val merged = (h :: acc).sorted
+      if (merged.sizeIs <= sampleSize) merged else merged.take(sampleSize)
+    }
+}
+
 /** Latest-by-event-time (reference: SDK/transforms/Latest.java — value with
   * max timestamp). Equivalent to max_by(value, ts); provided as a CombineFn
   * for the typed façade and for streaming state use. Ties break toward the

@@ -69,6 +69,16 @@ class CombineFnLawsSpec extends SparkSpec {
     assert(counts.forall(c => c > 2 && c < 60), s"skewed sample: ${counts.toList}")
   }
 
+  test("ApproximateUniqueFn: shard/order-insensitive; exact below sample size; ~accurate above") {
+    lawCheck(new ApproximateUniqueFn[Int](16), r => r.nextInt(500))
+    val fn = new ApproximateUniqueFn[Int](64)
+    // below sample size: exact
+    assert(run(fn, (1 to 50) ++ (1 to 50), 3) == 50L)
+    // above: within the KMV error envelope (~2/sqrt(64) = 25%)
+    val est = run(fn, 1 to 10000, 5)
+    assert(est > 7000 && est < 13000, s"estimate $est for true 10000")
+  }
+
   test("LatestFn picks max-timestamp value, ties to larger value") {
     val fn = new LatestFn[String]
     lawCheck(fn, r => (r.nextInt(20).toLong, r.alphanumeric.take(3).mkString))
