@@ -164,13 +164,20 @@ class ApproximateUniqueFn[T](sampleSize: Int,
       (BigDecimal(sampleSize) * BigDecimal(2).pow(64) / span)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-  /** insert keeping the k smallest DISTINCT hashes, sorted ascending. */
-  private def insert(acc: List[Long], h: Long): List[Long] =
-    if (acc.contains(h)) acc
+  /** insert keeping the k smallest DISTINCT hashes, sorted ascending.
+    * Steady-state fast path: once the sample saturates, almost every hash
+    * is ≥ the current kth-minimum and is rejected in O(1) (acc is sorted,
+    * so the kth-minimum is `acc.last`) — without it every element pays an
+    * O(k) scan and the estimator dominates the aggregation. */
+  private def insert(acc: List[Long], h: Long): List[Long] = {
+    if (acc.sizeIs >= sampleSize && h >= lastOf(acc)) acc
+    else if (acc.contains(h)) acc
     else {
       val merged = (h :: acc).sorted
       if (merged.sizeIs <= sampleSize) merged else merged.take(sampleSize)
     }
+  }
+  private def lastOf(xs: List[Long]): Long = xs.last
 }
 
 /** Latest-by-event-time (reference: SDK/transforms/Latest.java — value with
