@@ -227,6 +227,19 @@ object Queries {
       .toDF("event_type", "batch_size")
   }
 
+  /** The reference's own Munro–Paterson quantile estimator as a typed
+    * Aggregator (rows-only check: merge-tree-dependent like Beam's;
+    * accuracy proven in CombineFnLawsSpec). */
+  def qMpQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fn = new graft.functions.ApproximateQuantilesFn(numQuantiles = 5)
+      .contramap[(String, Double)](_._2)
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(fn.asAggregator.toColumn.name("quantiles"))
+      .toDF("l_returnflag", "quantiles")
+  }
+
   /** The reference's own KMV distinct-count estimator as a typed Aggregator
     * (rows-only check: hash-specific; accuracy proven in CombineFnLawsSpec). */
   def qKmvUnique(s: SparkSession, dir: String): DataFrame = {

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_count_distinct"  -> Queries.qCountDistinct _,
     "q_approx_unique"   -> Queries.qApproxUnique _,
     "q_kmv_unique"      -> Queries.qKmvUnique _,
+    "q_mp_quantiles"    -> Queries.qMpQuantiles _,
     "q_sample_residue"  -> Queries.qSampleResidue _,
     "q_sample_any"      -> Queries.qSampleAny _,
     "q_gbk_list"        -> Queries.qGbkList _,

@@ -180,6 +180,95 @@ class ApproximateUniqueFn[T](sampleSize: Int,
   private def lastOf(xs: List[Long]): Long = xs.last
 }
 
+/** Munro–Paterson approximate quantiles — the reference's OWN algorithm
+  * (reference: SDK/transforms/ApproximateQuantiles.java:215
+  * ApproximateQuantilesCombineFn; buffer scheme :239-258): level-l buffers
+  * of `bufferSize` sorted values, each value weighing 2^l; two same-level
+  * buffers collapse into one at level l+1 by merging and keeping alternate
+  * elements. Bounded memory (≤ maxBuffers live), mergeable, epsilon ≈
+  * bufferSize⁻¹·log₂(n/bufferSize) accuracy. Spark's percentile_approx
+  * (GK sketch) satisfies the same contract; this Aggregator exists for
+  * estimator-level parity with the reference.
+  *
+  * Output: `numQuantiles` values from min to max (Beam's N-tiles shape,
+  * ApproximateQuantiles.java:59).
+  */
+class ApproximateQuantilesFn(numQuantiles: Int, bufferSize: Int = 256, maxBuffers: Int = 32)
+    extends CombineFn[Double, (List[Double], List[(Int, List[Double])], Double, Double), List[Double]] {
+  // accumulator = (unsorted level-0 staging, leveled sorted buffers,
+  //                exact min, exact max) - Beam also tracks the extremes
+  //                exactly so the first/last N-tile are true min/max
+  type ACCQ = (List[Double], List[(Int, List[Double])], Double, Double)
+
+  override def createAccumulator(): ACCQ =
+    (Nil, Nil, Double.PositiveInfinity, Double.NegativeInfinity)
+
+  override def addInput(acc: ACCQ, in: Double): ACCQ = {
+    val staged = in :: acc._1
+    val mn = math.min(acc._3, in); val mx = math.max(acc._4, in)
+    if (staged.sizeIs < bufferSize) (staged, acc._2, mn, mx)
+    else (Nil, collapseAll((0, staged.sorted) :: acc._2), mn, mx)
+  }
+
+  override def mergeAccumulators(a: ACCQ, b: ACCQ): ACCQ = {
+    val staged = a._1 ++ b._1
+    val buffers = collapseAll(a._2 ++ b._2)
+    val mn = math.min(a._3, b._3); val mx = math.max(a._4, b._4)
+    if (staged.sizeIs < bufferSize) (staged, buffers, mn, mx)
+    else {
+      // deterministic re-staging regardless of merge order
+      val sortedStage = staged.sorted
+      val (full, rest) = sortedStage.splitAt(bufferSize)
+      (rest, collapseAll((0, full) :: buffers), mn, mx)
+    }
+  }
+
+  override def extractOutput(acc: ACCQ): List[Double] = {
+    val weighted = (acc._1.map(v => (v, 1L)) ++
+      acc._2.flatMap { case (l, buf) => buf.map(v => (v, 1L << l)) }).sortBy(_._1)
+    if (weighted.isEmpty) return Nil
+    val total = weighted.map(_._2).sum
+    (0 until numQuantiles).toList.map { i =>
+      if (i == 0) acc._3                       // exact min
+      else if (i == numQuantiles - 1) acc._4   // exact max
+      else {
+        val target = total.toDouble * i / (numQuantiles - 1)
+        var cum = 0L
+        var ans = weighted.last._1
+        val it = weighted.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val (v, w) = it.next()
+          cum += w
+          if (cum >= target) { ans = v; done = true }
+        }
+        ans
+      }
+    }
+  }
+
+  /** Collapse same-level buffer pairs until every level has at most one
+    * buffer. Alternation offset derives from the level so the collapse is
+    * deterministic under any merge order (Beam alternates too). */
+  private def collapseAll(buffers: List[(Int, List[Double])]): List[(Int, List[Double])] = {
+    var bufs = buffers
+    var continue = true
+    while (continue) {
+      bufs.groupBy(_._1).toSeq.sortBy(_._1).find(_._2.sizeIs >= 2) match {
+        case Some((level, same)) =>
+          val merged = (same(0)._2 ++ same(1)._2).sorted
+          val offset = level % 2 // deterministic alternation
+          val kept = merged.zipWithIndex.collect {
+            case (v, i) if i % 2 == offset => v
+          }
+          bufs = (level + 1, kept) :: same.drop(2) ++ bufs.filterNot(_._1 == level)
+        case None => continue = false
+      }
+    }
+    bufs
+  }
+}
+
 /** Latest-by-event-time (reference: SDK/transforms/Latest.java — value with
   * max timestamp). Equivalent to max_by(value, ts); provided as a CombineFn
   * for the typed façade and for streaming state use. Ties break toward the

@@ -79,6 +79,24 @@ class CombineFnLawsSpec extends SparkSpec {
     assert(est > 7000 && est < 13000, s"estimate $est for true 10000")
   }
 
+  test("ApproximateQuantilesFn: epsilon accuracy under any sharding/order") {
+    val fn = new ApproximateQuantilesFn(numQuantiles = 5, bufferSize = 64)
+    val rnd = new Random(7L)
+    (1 to 10).foreach { _ =>
+      val data = rnd.shuffle((1 to 5000).map(_.toDouble).toList)
+      val shards = 1 + rnd.nextInt(8)
+      val qs = run(fn, data, shards)
+      assert(qs.size == 5)
+      assert(qs.head == 1.0 && qs.last == 5000.0, s"min/max exact: $qs")
+      // interior quantiles (25/50/75%) within ~5% of true
+      Seq(1 -> 1250.0, 2 -> 2500.0, 3 -> 3750.0).foreach { case (i, truth) =>
+        assert(math.abs(qs(i) - truth) < 250, s"q$i=${qs(i)} vs $truth in $qs")
+      }
+    }
+    assert(run(fn, Seq.empty[Double], 1) == Nil)
+    assert(run(fn, Seq(42.0), 3) == List(42.0, 42.0, 42.0, 42.0, 42.0))
+  }
+
   test("LatestFn picks max-timestamp value, ties to larger value") {
     val fn = new LatestFn[String]
     lawCheck(fn, r => (r.nextInt(20).toLong, r.alphanumeric.take(3).mkString))
