@@ -79,6 +79,27 @@ class AggregatesSpec extends SparkSpec {
     assert(q.collect()(0).getDouble(0) == 2.5)
   }
 
+  test("globally folds the whole frame; groupByKeyList yields sorted per-key bags") {
+    assertRows(Aggregates.globally(kv, count(lit(1)).as("n"), sum(col("v")).as("s")),
+      Seq(Seq(5L, 36L)))
+    assertRows(Aggregates.groupByKeyList(kv, Seq(col("k")), col("v")),
+      Seq(Seq("a", Seq(1, 2, 3)), Seq("b", Seq(10, 20))))
+  }
+
+  test("sortValuesLarge: spill-path secondary sort orders rows within key partitions") {
+    val big = Create.of(spark, (1 to 200).map(i => (s"k${i % 2}", 200 - i))).toDF("k", "pos")
+    val sorted = Aggregates.sortValuesLarge(big, col("k"), col("pos"))
+    // within each partition, (k, pos) must be non-decreasing
+    val ok = sorted.rdd.mapPartitions { it =>
+      val rows = it.map(r => (r.getString(0), r.getInt(1))).toSeq
+      Iterator(rows.sliding(2).forall {
+        case Seq((k1, p1), (k2, p2)) => k1 < k2 || (k1 == k2 && p1 <= p2)
+        case _ => true
+      })
+    }.collect()
+    assert(ok.forall(identity) && sorted.count() == 200)
+  }
+
   test("reshuffle preserves data and changes partitioning") {
     val out = Aggregates.reshuffle(kv, 7)
     assert(out.rdd.getNumPartitions == 7 && out.count() == 5)

@@ -110,6 +110,13 @@ class CombineFnLawsSpec extends SparkSpec {
     assert(mean == 2.5 && top == List(4.0, 3.0))
   }
 
+  test("compose3 runs three heterogeneous fns in one pass") {
+    val fn = CombineFns.compose3(new MeanFn, new TopKCombineFn[Double](1),
+      new ApproximateUniqueFn[Double](64))
+    val ((mean, top), uniq) = run(fn, Seq(1.0, 2.0, 3.0, 3.0), 2)
+    assert(mean == 2.25 && top == List(3.0) && uniq == 3L)
+  }
+
   test("composeAll runs n homogeneous fns in one pass") {
     val fn = CombineFns.composeAll[Int, List[Int], List[Int]](
       Seq(new TopKCombineFn[Int](1), new TopKCombineFn[Int](2)))

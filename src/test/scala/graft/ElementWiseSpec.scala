@@ -75,6 +75,14 @@ class ElementWiseSpec extends SparkSpec {
     assertRows(kv, Seq(Seq("k", "v")))
   }
 
+  test("Regex allMatchesGroup and splitBy") {
+    val t = Create.of(spark, Seq("a=1,b=22,c=333")).toDF("s")
+    assertRows(t.select(RegexOps.allMatchesGroup(col("s"), "(\\w)=(\\d+)", 2)),
+      Seq(Seq(Seq("1", "22", "333"))))
+    assertRows(t.select(RegexOps.splitBy(col("s"), ",")),
+      Seq(Seq(Seq("a=1", "b=22", "c=333"))))
+  }
+
   test("ToString kvs and iterables") {
     val t = Create.of(spark, Seq(("a", 1))).toDF("k", "v")
     assertRows(t.select(ToStringOps.kvs(col("k"), col("v"))), Seq(Seq("a,1")))

@@ -65,6 +65,12 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("viewAsIterable materializes the small side like asList") {
+    val v = Joins.viewAsIterable[Int](spark,
+      Create.of(spark, Seq(7, 8)).toDF("x"), _.getInt(0)).value
+    assert(v.toSet == Set(7, 8))
+  }
+
   test("viewAsMultimap groups all values per key") {
     val mm = Joins.viewAsMultimap[Int, String](spark,
       Create.of(spark, Seq((1, "a"), (1, "b"), (2, "c"))).toDF("k", "v"),
