@@ -176,6 +176,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming file sink writes exactly-once parquet via the commit protocol") {
+    val input = MemoryStream[(Long, String)](spark)
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val q = graft.streaming.StreamIO.fileSink(
+      input.toDF().toDF("id", "name"), "parquet", s"$dir/out", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/out").collect().map(_.toSeq).toSet
+      assert(back == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink sees each micro-batch once with its batch id") {
+    val input = MemoryStream[Long](spark)
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Seq[Long]]
+    val q = graft.streaming.StreamIO.foreachBatchSink(input.toDS()) { (batch, id) =>
+      seen(id) = batch.collect().toSeq.sorted
+    }.option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      assert(seen.values.flatten.toSeq.sorted == Seq(1L, 2L, 3L), seen.toString)
+      assert(seen.size == 2, s"one callback per micro-batch: $seen")
+    } finally q.stop()
+  }
+
   test("watchGrowth: polled set growth emits each new element exactly once") {
     val input = MemoryStream[Long](spark) // tick stream
     val out = graft.streaming.StreamIO.watchGrowthFrom[Long](
