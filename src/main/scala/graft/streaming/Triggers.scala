@@ -51,7 +51,48 @@ object Triggers {
       accumulating: Boolean = true,
       /** OnTimeBehavior.FIRE_ALWAYS: emit the on-time pane even when empty
         * (WindowingStrategy.java:106) */
-      onTimeAlways: Boolean = true)
+      onTimeAlways: Boolean = true,
+      /** Some("day"|"week"|"month"|"year"): variable-length calendar
+        * windows (reference: CalendarWindows.java:96/:198/:314) — window
+        * end = start + 1 unit in UTC, ignoring windowSizeMs. Assign with
+        * [[assignCalendarWindows]]. */
+      calendarUnit: Option[String] = None)
+
+  /** End of the window starting at `startMs` under `cfg` (fixed span or
+    * calendar unit — months/years vary in length, computed in UTC). */
+  private[streaming] def windowEndOf(cfg: TriggerConfig, startMs: Long): Long =
+    cfg.calendarUnit match {
+      case None => startMs + cfg.windowSizeMs
+      case Some(unit) =>
+        val zdt = java.time.Instant.ofEpochMilli(startMs).atZone(java.time.ZoneOffset.UTC)
+        val end = unit.toLowerCase match {
+          case "day"   => zdt.plusDays(1)
+          case "week"  => zdt.plusWeeks(1)
+          case "month" => zdt.plusMonths(1)
+          case "year"  => zdt.plusYears(1)
+          case other   => throw new IllegalArgumentException(s"calendar unit: $other")
+        }
+        end.toInstant.toEpochMilli
+    }
+
+  /** Calendar-window assignment: wstart = UTC truncation of the event time
+    * to the unit (weeks start Monday, ISO — matching date_trunc). */
+  def assignCalendarWindows[K, V](ds: Dataset[(K, java.sql.Timestamp, V)], unit: String)(
+      implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
+    val u = unit.toLowerCase
+    ds.map { case (k, ts, v) =>
+      val zdt = java.time.Instant.ofEpochMilli(ts.getTime).atZone(java.time.ZoneOffset.UTC)
+      val day = zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+      val start = u match {
+        case "day"   => day
+        case "week"  => day.minusDays((day.getDayOfWeek.getValue - 1).toLong)
+        case "month" => day.withDayOfMonth(1)
+        case "year"  => day.withDayOfYear(1)
+        case other   => throw new IllegalArgumentException(s"calendar unit: $other")
+      }
+      (k, start.toInstant.toEpochMilli, v)
+    }
+  }
 
   /** One fired pane: (key, windowStart, windowEnd, value, paneIndex,
     * timing, isFinal). timing ∈ EARLY | ON_TIME | LATE. */
@@ -79,7 +120,7 @@ object Triggers {
       onTimeDone = getHandle.getValueState[Boolean]("onTimeDone", Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
-    private def windowEnd(wstart: Long): Long = wstart + cfg.windowSizeMs
+    private def windowEnd(wstart: Long): Long = windowEndOf(cfg, wstart)
     private def gcTime(wstart: Long): Long = windowEnd(wstart) + cfg.allowedLatenessMs
     private def onTimeFired: Boolean = onTimeDone.exists() && onTimeDone.get()
 

@@ -117,6 +117,33 @@ class TriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calendar month windows: variable-length panes (Jan=31d, Feb=29d in 2024)") {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignCalendarWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)], "month")
+    val panes = Triggers.triggeredAggregate(assigned, countFn,
+      TriggerConfig(windowSizeMs = 0L, calendarUnit = Some("month")))
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("calendar_panes")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", ts("2024-01-05 00:00:00"), 1L), ("a", ts("2024-01-28 00:00:00"), 1L),
+                    ("a", ts("2024-02-10 00:00:00"), 1L))
+      q.processAllAvailable()
+      input.addData(("z", ts("2024-06-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      val got = spark.table("calendar_panes").collect().filter(_.getString(0) == "a")
+        .map(r => (new Timestamp(r.getAs[Long]("wstart")).toString.take(10),
+          new Timestamp(r.getAs[Long]("wend")).toString.take(10),
+          r.getAs[Long]("value"))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2024-01-01", "2024-02-01", 2L),   // 31-day window
+        ("2024-02-01", "2024-03-01", 1L)),  // 29-day window (leap Feb)
+        got.toString)
+    } finally q.stop()
+  }
+
   test("AfterPane.elementCountAtLeast fires when the count threshold is met") {
     val panes = runScenario(TriggerConfig(
       windowSizeMs = 60000L, allowedLatenessMs = 0L,
