@@ -117,6 +117,34 @@ class TriggersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("volume: 6000 events / 50 keys / 24 windows reconcile with batch totals") {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignFixedWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)], 3600000L)
+    val panes = Triggers.triggeredAggregate(assigned, countFn,
+      TriggerConfig(windowSizeMs = 3600000L))
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("volume_panes")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val events = (0 until 6000).map { i =>
+        (s"k${i % 50}", new Timestamp(base + (i.toLong * 14400)), 1L) // spread over 24h
+      }
+      events.grouped(2000).foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+      input.addData(("z", new Timestamp(base + 48L * 3600000), 1L)) // close all windows
+      q.processAllAvailable()
+      val got = spark.table("volume_panes").collect().filter(_.getString(0) != "z")
+      // every event lands in exactly one ON_TIME pane; totals reconcile
+      assert(got.map(_.getAs[Long]("value")).sum == 6000L, s"pane total ${got.map(_.getAs[Long]("value")).sum}")
+      assert(got.forall(_.getAs[String]("timing") == "ON_TIME"))
+      val keyWindow = got.map(r => (r.getString(0), r.getAs[Long]("wstart"))).toSeq
+      assert(keyWindow.distinct.size == keyWindow.size, "one final pane per (key, window)")
+      assert(keyWindow.size == 50 * 24, s"${keyWindow.size} panes")
+    } finally q.stop()
+  }
+
   test("calendar month windows: variable-length panes (Jan=31d, Feb=29d in 2024)") {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
     val assigned = Triggers.assignCalendarWindows(
