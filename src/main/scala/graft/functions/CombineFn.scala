@@ -302,6 +302,26 @@ class MeanFn extends CombineFn[Double, (Long, Double), Double] {
 }
 
 object CombineFns {
+  /** TimestampCombiner support (reference:
+    * windowing/TimestampCombiner.java — END_OF_WINDOW default per
+    * WindowingStrategy.java:103, EARLIEST, LATEST): wraps a CombineFn over
+    * (eventTimeMs, value) pairs so every pane also carries the
+    * earliest/latest element time; the caller picks the pane's output
+    * timestamp (end-of-window needs nothing — the pane already has the
+    * window end). */
+  def withTimestamps[V, ACC, OUT](fn: CombineFn[V, ACC, OUT])
+      : CombineFn[(Long, V), (Long, Long, ACC), (Long, Long, OUT)] =
+    new CombineFn[(Long, V), (Long, Long, ACC), (Long, Long, OUT)] {
+      override def createAccumulator(): (Long, Long, ACC) =
+        (Long.MaxValue, Long.MinValue, fn.createAccumulator())
+      override def addInput(acc: (Long, Long, ACC), in: (Long, V)): (Long, Long, ACC) =
+        (math.min(acc._1, in._1), math.max(acc._2, in._1), fn.addInput(acc._3, in._2))
+      override def mergeAccumulators(a: (Long, Long, ACC), b: (Long, Long, ACC)): (Long, Long, ACC) =
+        (math.min(a._1, b._1), math.max(a._2, b._2), fn.mergeAccumulators(a._3, b._3))
+      override def extractOutput(acc: (Long, Long, ACC)): (Long, Long, OUT) =
+        (acc._1, acc._2, fn.extractOutput(acc._3))
+    }
+
   /** CombineFns.compose (reference: SDK/transforms/CombineFns.java): several
     * CombineFns in one pass = several aggregate Columns in one .agg() — in
     * Spark this is native; helpers kept for the typed façade. */

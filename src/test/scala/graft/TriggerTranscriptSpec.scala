@@ -123,6 +123,43 @@ class TriggerTranscriptSpec extends SparkSpec {
         Expect(Seq.empty)))
   }
 
+  test("transcripts timestamp_combiner_earliest / latest / eow") {
+    // reference: timestamp_combiner_earliest / _latest rows — panes carry
+    // the earliest/latest element time via CombineFns.withTimestamps;
+    // OUTPUT_AT_EOW is the pane's window end (already in the Pane shape)
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    // assignment carrying the event time next to the value
+    val withTs = input.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "0 seconds").as[(String, Timestamp, Long)]
+      .map { case (k, t, v) =>
+        val ts = t.getTime
+        (k, math.floorDiv(ts, 10000L) * 10000L, (ts, v))
+      }
+    val fn = graft.functions.CombineFns.withTimestamps(collectFn)
+    val panes = Triggers.triggeredAggregateComposite(withTs, fn,
+      RepeatedlyT(AfterWatermarkT), windowSizeMs = 10000L, allowedLatenessMs = 1000000L)
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("ts_combiner_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("data", new Timestamp(1000), 1L), ("data", new Timestamp(2000), 2L),
+                    ("data", new Timestamp(3000), 3L), ("data", new Timestamp(11000), 11L))
+      q.processAllAvailable()
+      input.addData(("__wm", new Timestamp(100000), 0L))
+      q.processAllAvailable()
+      val got = spark.table("ts_combiner_test").collect().filter(_.getString(0) == "data")
+        .map { r =>
+          val v = r.getStruct(3)
+          (r.getAs[Long]("wstart") / 1000, r.getAs[Long]("wend") / 1000,
+            v.getLong(0) / 1000, v.getLong(1) / 1000, v.getSeq[Long](2).toSeq)
+        }.sortBy(_._1).toSeq
+      // window [0,10): earliest=1 latest=3 EOW=10; window [10,20): 11/11/20
+      assert(got == Seq(
+        (0L, 10L, 1L, 3L, Seq(1L, 2L, 3L)),
+        (10L, 20L, 11L, 11L, Seq(11L))), got.toString)
+    } finally q.stop()
+  }
+
   test("transcript known_late_data_watermark") {
     runTranscript("t_known_late", RepeatedlyT(AfterWatermarkT), windowSec = 10,
       latenessSec = 1000, accumulating = true, Seq(
