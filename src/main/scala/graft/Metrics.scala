@@ -31,8 +31,11 @@ object Metrics {
     counters.getOrElseUpdate((spark.sparkContext.applicationId, name),
       spark.sparkContext.longAccumulator(name))
 
-  def counterValue(name: String): Option[Long] =
-    counters.collectFirst { case ((_, n), acc) if n == name => acc.value }
+  /** Read a counter for the GIVEN session: keyed lookup by
+    * (applicationId, name), so a restarted session can never hand back a
+    * dead predecessor's accumulator. */
+  def counterValue(spark: SparkSession, name: String): Option[Long] =
+    counters.get((spark.sparkContext.applicationId, name)).map(_.value)
 
   /** Metrics.gauge: driver-side last value. */
   def gauge(name: String, value: Long): Unit = gauges.put(name, value)

@@ -17,18 +17,45 @@ package graft
   *    replaces all);
   *  - Java \p{Punct} = POSIX ASCII punct = RE2 [[:punct:]].
   *
-  * Queries intentionally absent (weaker rows-only check):
-  *  - q_approx_quant / q_approx_unique / q_sample_any: approximate or
-  *    any-n semantics, not hash-stable across engines;
-  *  - q_simhash / q_lsh_ann / q_embed_neardup: xxhash64-derived (Spark's
-  *    hash, no DuckDB equivalent) — covered by ScalaTest instead;
+  * Queries intentionally absent (weaker rows-only check — the genuinely
+  * engine-private ones):
+  *  - q_approx_unique / q_kmv_unique: estimator-specific counts;
+  *  - q_sample_any / q_reservoir: any-n / seeded-hash samples;
   *  - q_mm_decode: stub-codec dims derive from JVM Arrays.hashCode —
   *    covered by ScalaTest instead.
+  *
+  * Three classes of oracle:
+  *  - exact value oracles (most queries);
+  *  - exact oracles over REPLAYED hashing — the LSH/IVF ANN queries use
+  *    engine-neutral randomness (a splitmix64 plane matrix computed
+  *    driver-side and inlined below as literals; md5-ordered centroid
+  *    sampling), so DuckDB re-runs the whole bucketed pipeline and the
+  *    hashes agree bit-for-bit;
+  *  - property oracles (q_approx_quant / q_mp_quantiles / q_simhash):
+  *    the Spark side emits the operator's accuracy CONTRACT as booleans
+  *    (rank-error bounds, Hamming-distance bounds) over inputs DuckDB pins
+  *    independently; the oracle asserts the contract holds everywhere.
   */
 object OracleSql {
 
   private val cents = "CAST(floor(%s * 100 + 0.5) AS BIGINT)"
   private def c(e: String): String = cents.format(e)
+
+  /** The LSH plane matrix as DuckDB list literals — the SAME doubles
+    * Similarity.hyperplaneBucket embeds as Catalyst literals
+    * (Double.toString round-trips exactly, so both engines hash against
+    * bit-identical hyperplanes). */
+  private def planeList(plane: Int, seed: Long, dim: Int = 64): String =
+    (0 until dim).map(d => graft.operators.Similarity.planeComponent(plane, d, seed).toString)
+      .mkString("[", ", ", "]")
+
+  /** Sign-bit bucket id over `planes` hyperplanes — mirrors
+    * Similarity.hyperplaneBucket (rounded sign test, bit p set when the
+    * dot is non-negative). */
+  private def bucketExpr(vec: String, planes: Int, seed: Long): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN round(list_dot_product($vec, ${planeList(p, seed)}), 9) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   val all: Map[String, String] = Map(
 
@@ -329,6 +356,104 @@ object OracleSql {
         |  SELECT query_id, corpus_id, score,
         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rn
         |  FROM scored
+        |) WHERE rn <= 5""".stripMargin,
+
+    // Property oracles: the Spark side emits the estimator's accuracy
+    // contract as booleans (see Queries.qApproxQuantiles/qMpQuantiles);
+    // DuckDB pins the key set and asserts the contract holds for every key.
+    "q_approx_quant" ->
+      """SELECT l_returnflag, true AS q25_ok, true AS q50_ok, true AS q75_ok, true AS q90_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_mp_quantiles" ->
+      """SELECT l_returnflag, true AS min_ok, true AS q25_ok, true AS q50_ok,
+        |       true AS q75_ok, true AS max_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // SimHash locality property: DuckDB independently computes the verified
+    // near-dup pair set (bigram Jaccard >= 0.8, same CTE as q_ngram_jaccard)
+    // and asserts every such pair is Hamming-close (the Spark side emits the
+    // measured bound <= 16 per pair).
+    "q_simhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words))) AS t(i)
+        |       WHERE len(words) >= 2),
+        |capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 200),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, true AS hamming_close
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
+        |  AND sa.sz >= 10 AND sb.sz >= 10""".stripMargin,
+
+    // Full replay of the hyperplane-LSH near-dup pipeline: identical plane
+    // matrix (literals above), identical rounded sign test, exact cosine
+    // verification within buckets.
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |b AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
+         |             ${bucketExpr("vec", 6, 42L)} AS bucket
+         |      FROM v)
+         |SELECT a.id AS id_a, c.id AS id_b,
+         |       round(list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm), 6) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+         |WHERE list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) >= 0.3""".stripMargin,
+
+    // Full replay of multi-table LSH ANN: per-table buckets (seeds 42, 43),
+    // candidate union + dedup, exact cosine re-rank, top-5 per query with
+    // the (score DESC, corpus_id ASC) tiebreak of Similarity.topKByScore.
+    "q_lsh_ann" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         |b0 AS (SELECT id, vec, nrm, ${bucketExpr("vec", 6, 42L)} AS bucket FROM n),
+         |b1 AS (SELECT id, vec, nrm, ${bucketExpr("vec", 6, 43L)} AS bucket FROM n),
+         |cand AS (
+         |  SELECT q.id AS query_id, c.id AS corpus_id,
+         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) AS score
+         |  FROM b0 c JOIN b0 q ON c.bucket = q.bucket AND q.id < 5
+         |  UNION
+         |  SELECT q.id AS query_id, c.id AS corpus_id,
+         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) AS score
+         |  FROM b1 c JOIN b1 q ON c.bucket = q.bucket AND q.id < 5)
+         |SELECT query_id, corpus_id, score FROM (
+         |  SELECT query_id, corpus_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, corpus_id ASC) AS rn
+         |  FROM cand
+         |) WHERE rn <= 5""".stripMargin,
+
+    // Full replay of IVF ANN: md5-ordered centroid sample (engine-neutral
+    // hash), rounded nearest-centroid assignment, nprobe=4 probes, exact
+    // cosine re-rank, top-5 — mirrors Similarity.ivfTopK step for step.
+    "q_ivf_ann" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |                vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |         FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |asgn AS (SELECT n.id, n.vec, n.nrm, cent.cell,
+        |                round(-list_dot_product(n.vec, cent.cvec) / (n.nrm * cent.cnorm), 9) AS negcos
+        |         FROM n CROSS JOIN cent),
+        |corpus_cell AS (SELECT id, vec, nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY negcos, cell) AS rn FROM asgn
+        |  ) WHERE rn = 1),
+        |probe AS (SELECT id, vec, nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY negcos, cell) AS rn
+        |    FROM asgn WHERE id < 5
+        |  ) WHERE rn <= 4),
+        |cand AS (SELECT p.id AS query_id, c.id AS corpus_id,
+        |                round(list_dot_product(c.vec, p.vec) / (c.nrm * p.nrm), 6) AS score
+        |         FROM corpus_cell c JOIN probe p ON c.cell = p.cell)
+        |SELECT query_id, corpus_id, score FROM (
+        |  SELECT query_id, corpus_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, corpus_id ASC) AS rn
+        |  FROM cand
         |) WHERE rn <= 5""".stripMargin,
 
     "q_text_quality" ->

@@ -107,10 +107,18 @@ object Queries {
       round(avg(col("o_totalprice")), 4).as("avg_price")))
 
   def qTopPerKey(s: SparkSession, dir: String): DataFrame =
-    Aggregates.topPerKey(
+    // o_orderpriority has ~5 distinct values: a plain rank window would
+    // funnel the whole scan into ≤5 tasks, so Top.perKey rides the salted
+    // bounded two-phase reduction (fanout×5 stage-1 groups, ≤ fanout×k rows
+    // per key afterwards). Descending price = ascending negated price in
+    // the item struct; orderkey breaks ties.
+    Aggregates.topKPerKeySalted(
       t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
       Seq(col("o_orderpriority")),
-      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("okey")),
+      saltFrom = col("o_orderkey"), k = 3)
+      .select(col("o_orderpriority"), col("item.okey").as("o_orderkey"),
+        (-col("item.np")).as("o_totalprice"))
 
   def qLatestPerKey(s: SparkSession, dir: String): DataFrame =
     Aggregates.latestPerKey(
@@ -138,9 +146,34 @@ object Queries {
       .agg(round(call_function("percentile", col("l_quantity"), lit(0.5)), 6).as("median_qty"),
            round(call_function("percentile", col("l_quantity"), lit(0.9)), 6).as("p90_qty"))
 
-  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
-    Aggregates.approxQuantiles(t(s, dir, "lineitem"), Seq(col("l_returnflag")),
-      col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.9))
+  /** ApproximateQuantiles with a rank-accuracy gate: the GK sketch's output
+    * is engine-specific, so the oracle-checkable result is the CONTRACT, not
+    * the values — for each prob p over n rows, the returned value v must
+    * admit a rank r ∈ [count(<v)+1, count(≤v)] with |r − p·n| ≤ ε·n
+    * (ε = 1/accuracy; reference contract:
+    * SDK/transforms/ApproximateQuantiles.java:59). Emits one boolean per
+    * quantile, all true iff the sketch honors its bound — the driver's
+    * DuckDB oracle pins them true. ±2 ranks of slack absorb the
+    * engines' target-rank convention (p·n vs p·(n−1)+1). */
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    val accuracy = 10000
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
+    val approx = Aggregates.approxQuantiles(
+      t(s, dir, "lineitem"), Seq(col("l_returnflag")), col("l_quantity"), probs, accuracy)
+    val rankCounts = probs.indices.flatMap { i => Seq(
+      sum(when(col("qty") < element_at(col("quantiles"), i + 1), 1L).otherwise(0L)).as(s"__lt$i"),
+      sum(when(col("qty") <= element_at(col("quantiles"), i + 1), 1L).otherwise(0L)).as(s"__le$i")) }
+    val agged = li.join(broadcast(approx), col("rf") === col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("__n"), rankCounts: _*)
+    val eps = 1.0 / accuracy
+    val oks = probs.zipWithIndex.map { case (p, i) =>
+      ((col(s"__lt$i") + 1 <= (lit(p) + eps) * col("__n") + 2) &&
+        (col(s"__le$i") >= (lit(p) - eps) * col("__n") - 2)).as(s"q${(p * 100).toInt}_ok")
+    }
+    agged.select(col("l_returnflag") +: oks: _*)
+  }
 
   def qCountDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -228,16 +261,40 @@ object Queries {
   }
 
   /** The reference's own Munro–Paterson quantile estimator as a typed
-    * Aggregator (rows-only check: merge-tree-dependent like Beam's;
-    * accuracy proven in CombineFnLawsSpec). */
+    * Aggregator, gated by its accuracy contract (the raw values are
+    * merge-tree-dependent like Beam's, so — as with qApproxQuantiles — the
+    * oracle checks the CONTRACT): the 5-tile output is [min, q25, q50, q75,
+    * max] with exact extremes and mid-tiles rank-accurate within
+    * ε ≈ (log₂(n/b)+2)/b for buffer size b=256 (reference:
+    * SDK/transforms/ApproximateQuantiles.java:215). Emits per-key booleans
+    * the DuckDB oracle pins true. */
   def qMpQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fn = new graft.functions.ApproximateQuantilesFn(numQuantiles = 5)
       .contramap[(String, Double)](_._2)
-    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+    val mp = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
       .groupByKey(_._1)
       .agg(fn.asAggregator.toColumn.name("quantiles"))
       .toDF("l_returnflag", "quantiles")
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
+    val mids = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75) // array slot (0-based) -> prob
+    val rankCounts = mids.flatMap { case (slot, _) => Seq(
+      sum(when(col("qty") < element_at(col("quantiles"), slot + 1), 1L).otherwise(0L)).as(s"__lt$slot"),
+      sum(when(col("qty") <= element_at(col("quantiles"), slot + 1), 1L).otherwise(0L)).as(s"__le$slot")) }
+    val aggs = Seq(count(lit(1)).as("__n"),
+      min(col("qty")).as("__min"), max(col("qty")).as("__max"),
+      first(col("quantiles")).as("__q")) ++ rankCounts
+    val agged = li.join(broadcast(mp), col("rf") === col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+    val eps = (log(2.0, greatest(col("__n") / 256.0, lit(2.0))) + 2) / 256.0
+    val midOks = mids.map { case (slot, p) =>
+      ((col(s"__lt$slot") + 1 <= (lit(p) + eps) * col("__n") + 2) &&
+        (col(s"__le$slot") >= (lit(p) - eps) * col("__n") - 2)).as(s"q${(p * 100).toInt}_ok")
+    }
+    agged.select(Seq(col("l_returnflag"),
+      (element_at(col("__q"), 1) === col("__min")).as("min_ok")) ++ midOks :+
+      (element_at(col("__q"), 5) === col("__max")).as("max_ok"): _*)
   }
 
   /** The reference's own KMV distinct-count estimator as a typed Aggregator
@@ -365,8 +422,28 @@ object Queries {
         array_join(transform(col("bucket_ids"), x => x.cast("string")), ",").as("ids"),
         col("bucket_size"))
 
-  def qSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(t(s, dir, "documents"), col("text"), col("doc_id"))
+  /** SimHash with its locality property as the oracle-checkable output: for
+    * every verified near-dup pair (bigram Jaccard ≥ 0.8 over ≥10 surviving
+    * shingles each — a pair set DuckDB computes exactly), the 64-bit
+    * fingerprints must be within Hamming distance 16 (near-dups share most
+    * shingle votes; unrelated docs sit near the random baseline of 32;
+    * measured max over the fixture's engineered near-dups: 9). The
+    * minShingles=10 floor matters: the stop-shingle cap can strip a doc to
+    * 2-3 rare shingles, and jaccard=1.0 on that residue pairs unrelated
+    * docs whose full fingerprints rightly disagree. The fingerprints
+    * themselves are xxhash64-seeded (no DuckDB equivalent) — their exact
+    * values are covered in DedupSimilaritySpec. */
+  def qSimHash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = Dedup.simHash(docs, col("text"), col("doc_id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      shingleN = 2, threshold = 0.8, maxShingleFreq = 200, minShingles = 10)
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("__ha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 16).as("hamming_close"))
+  }
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     // threshold 0.8 = the operator's intended near-dup regime; the synthetic
@@ -418,6 +495,7 @@ object Queries {
     // ≥0.9 with more planes + multi-table.
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
       planes = 6, threshold = 0.3)
+      .withColumn("cos", round(col("cos"), 6))
 
   def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"), col("doc_id"))

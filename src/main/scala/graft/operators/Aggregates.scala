@@ -33,54 +33,74 @@ object Aggregates {
 
   /** Top.perKey (reference: SDK/transforms/Top.java:237): top-k rows per key
     * by `order`, deterministic via `tiebreak`. Catalyst plans a single
-    * shuffle + per-partition sort; with AQE skewed keys split automatically. */
+    * shuffle + per-partition sort; with AQE skewed keys split automatically.
+    * ONLY for high-cardinality keys: a window partitioned by a
+    * low-cardinality key funnels the full scan into ≤(distinct keys) tasks —
+    * use [[topKPerKeySalted]] (or the typed TopKCombineFn) there. */
   def topPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
-  /** Scale-safe bounded top-k per key: two-phase salted aggregation instead
-    * of a rank window. A window partitioned by a low-cardinality key funnels
-    * every scored row into ≤(distinct keys) tasks — a scale-killer; here
-    * stage 1 groups by (key, salt) so the heavy reduction fans out over
-    * `fanout`× more tasks and stage 2 only merges fanout×k candidates per
-    * key. The salt is derived from row content (deterministic under task
+  /** Scale-safe bounded top-k per key: two-phase salted reduction instead of
+    * a single rank window. A window partitioned by a low-cardinality key
+    * funnels every scored row into ≤(distinct keys) tasks — a scale-killer;
+    * here stage 1 ranks within (key, salt) so the heavy reduction fans out
+    * over `fanout`× more tasks and stage 2 merges only fanout×k candidates
+    * per key. The salt is derived from row content (deterministic under task
     * retry — SPARK-23207 class of bug with nondeterministic salts).
+    *
+    * Memory is bounded at every stage: stage 1 is a rank window whose
+    * per-group buffer is Spark's spillable ExternalAppendOnlyUnsafeRowArray
+    * (disk-backed, never a single in-memory array — unlike collect_list,
+    * whose whole-group array in ObjectHashAggregate cannot spill per group);
+    * stage 2's collect_list sees at most fanout×k rows per key by
+    * construction. Shuffle payload: full rows once (stage-1 exchange), then
+    * ≤ fanout×k rows per key.
     *
     * `item` must be a struct whose ASCENDING sort order is the desired rank
     * order (negate numeric fields for descending). Returns one row per kept
     * item with the struct exploded as column `item`.
     *
-    * For an even tighter shuffle (≤k rows per key per partition, map-side
-    * truncation), use the typed graft.functions.TopKCombineFn Aggregator —
-    * Similarity.cosineTopK does. */
+    * For an even tighter shuffle (≤k rows per key per PARTITION, map-side
+    * truncation before the exchange), use the typed
+    * graft.functions.TopKCombineFn Aggregator — Similarity.cosineTopK and
+    * the ANN re-rank paths do. */
   def topKPerKeySalted(df: DataFrame, keys: Seq[Column], item: Column,
                        saltFrom: Column, k: Int, fanout: Int = 32): DataFrame = {
-    val salted = df.groupBy(keys :+ pmod(xxhash64(saltFrom), lit(fanout)).as("__salt"): _*)
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__cand"))
-    salted.groupBy(keys: _*)
-      .agg(slice(array_sort(flatten(collect_list(col("__cand")))), 1, k).as("__top"))
+    val pruned = df.select(
+      keys :+ item.as("__item") :+ pmod(xxhash64(saltFrom), lit(fanout)).as("__salt"): _*)
+    val w = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(col("__item").asc)
+    pruned.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(keys: _*)
+      .agg(slice(array_sort(collect_list(col("__item"))), 1, k).as("__top"))
       .select(keys :+ explode(col("__top")).as("item"): _*)
   }
 
-  /** Latest.perKey (reference: SDK/transforms/Latest.java): max_by on the
-    * event-time column; `tiebreak` keeps it deterministic when timestamps
-    * collide (Beam leaves ties unspecified; we pin them). */
-  def latestPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(ts.desc, tiebreak.desc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Latest.perKey (reference: SDK/transforms/Latest.java): one
+    * max_by(row, (ts, tiebreak)) HashAggregate — partial aggregation keeps
+    * one candidate row per key per partition, so the shuffle carries ≤ 1 row
+    * per key per partition at any key cardinality (a rank window here would
+    * funnel the scan into ≤(distinct keys) tasks). `tiebreak` keeps it
+    * deterministic when timestamps collide (Beam leaves ties unspecified; we
+    * pin them to the larger tiebreak, lexicographic struct max). */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(df.columns.map(col): _*), struct(ts, tiebreak)).as("__row"))
+      .select(col("__row.*"))
 
   /** Distinct.create (reference: SDK/transforms/Distinct.java:76). */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
   /** Distinct.withRepresentativeValueFn (reference: Distinct.java:87): dedup
     * by an extracted id. Beam keeps an arbitrary element per id; we keep the
-    * minimum by `pick` so the result is deterministic and oracle-checkable. */
-  def distinctByRepresentative(df: DataFrame, id: Seq[Column], pick: Column): DataFrame = {
-    val w = Window.partitionBy(id: _*).orderBy(pick.asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+    * minimum by `pick` so the result is deterministic and oracle-checkable.
+    * Single min_by HashAggregate — same bounded-shuffle shape as
+    * [[latestPerKey]], safe for any id cardinality. */
+  def distinctByRepresentative(df: DataFrame, id: Seq[Column], pick: Column): DataFrame =
+    df.groupBy(id: _*)
+      .agg(min_by(struct(df.columns.map(col): _*), pick).as("__row"))
+      .select(col("__row.*"))
 
   /** ApproximateQuantiles (reference: SDK/transforms/ApproximateQuantiles.java:59
     * — Munro–Paterson). Spark's percentile_approx (GK sketch) honors the same

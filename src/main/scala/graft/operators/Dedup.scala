@@ -108,7 +108,7 @@ object Dedup {
     * `maxShingleFreq` drops shingles seen in more than that many docs. */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         shingleN: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+                        maxShingleFreq: Int = 1000, minShingles: Int = 0): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
     // The capped shingle table feeds FOUR consumers (sizes + both join
     // sides + the pair join); without persist Catalyst recomputes the
@@ -130,6 +130,11 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      // minShingles > 0 demands minimum EVIDENCE: when the stop-shingle cap
+      // strips a doc down to a couple of rare shingles, jaccard=1.0 on that
+      // residue is not near-duplication — require both docs to still carry
+      // at least minShingles capped shingles before trusting the score
+      .filter(col("sz_a") >= minShingles && col("sz_b") >= minShingles)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -167,11 +172,23 @@ object Dedup {
     val integralId = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
-    if (integralId && edges.count() <= localThreshold) {
+    // Single bounded materialization decides the path: collect at most
+    // threshold+1 edges (≤ ~16 MB at the default threshold); if everything
+    // fit we already hold the whole graph — no separate count() job that
+    // would compute the candidate pipeline a second time.
+    val smallGraph: Option[Array[(Long, Long)]] =
+      if (!integralId) None
+      else {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val limited = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].limit(localThreshold.toInt + 1).collect()
+        if (limited.length <= localThreshold) Some(limited) else None
+      }
+    if (smallGraph.isDefined) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
+      val es = smallGraph.get
       val parent = collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -209,8 +226,15 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Materialize the result off the persisted lineage (localCheckpoint
+    // truncates it), then release every cached frame — without this the
+    // final labels stay pinned MEMORY_AND_DISK for the rest of the session
+    // and repeated calls accumulate dead cached partitions.
+    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    out
   }
 
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane sign bits,

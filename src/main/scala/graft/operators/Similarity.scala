@@ -112,7 +112,7 @@ object Similarity {
     * literal matrix — hashing per (row × plane × dim) inside an interpreted
     * lambda was the dominant cost of every LSH pass (higher-order lambdas
     * don't codegen). No RNG state → reproducible across partitionings. */
-  private def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
     var z = seed + plane * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -140,9 +140,13 @@ object Similarity {
         zip_with(col("vec"), element_at(col("__planes"), p + 1),
           (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
+      // The sign test rounds to 9 dp so an independent engine (the DuckDB
+      // oracle) computing the same dot product lands on the same side of
+      // the hyperplane even when the last ulp differs; semantically this
+      // only nudges the hyperplane by 5e-10.
       // p is a lambda-bound Column; the SQL shiftleft accepts Column shift
       // amounts (the Scala overload only takes Int).
-      when(dotp >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
+      when(round(dotp, 9) >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
     })
     embs.select(id.as("id"), vec.as("vec"))
       .withColumn("__planes", matrix)
@@ -153,8 +157,9 @@ object Similarity {
   /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path:
     *
     *  1. `nlist` centroids are hash-sampled from the corpus
-    *     (deterministic: smallest xxhash64(id) win) and collected to the
-    *     driver — nlist × dim doubles, tiny;
+    *     (deterministic: smallest md5(id-as-string) win — an engine-neutral
+    *     hash, so the DuckDB oracle reproduces the exact centroid set) and
+    *     collected to the driver — nlist × dim doubles, tiny;
     *  2. every corpus vector is assigned to its nearest centroid (per-row
     *     argmax over the broadcast literal centroid matrix — no shuffle);
     *  3. each query probes its `nprobe` nearest centroids and exact-cosine
@@ -172,8 +177,9 @@ object Similarity {
     // cast to array<double> BEFORE collecting so float and double
     // embedding columns both work
     val centroids = corpus
-      .select(corpusVec.cast("array<double>").as("v"), xxhash64(corpusId).as("__h"))
-      .orderBy(col("__h")).limit(nlist)
+      .select(corpusVec.cast("array<double>").as("v"),
+        md5(corpusId.cast("string")).as("__h"), corpusId.cast("long").as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
     if (centroids.isEmpty)
       return corpus.select(corpusId.cast("long").as("query_id"),
@@ -182,12 +188,15 @@ object Similarity {
     val cnorms = array(centroids.map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
 
     // nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
-    // sort = best-first; vnorm is computed once per row
+    // sort = best-first; vnorm is computed once per row. negcos is rounded
+    // to 9 dp so the argmin is reproducible by an independent engine (the
+    // DuckDB oracle) — distinct centroids differ in cosine by far more
+    // than 1e-9, so the rounding never changes a real assignment.
     def cells(vec: Column, vnorm: Column): Column =
       array_sort(transform(sequence(lit(0), lit(centroids.length - 1)), c => {
         val dot = aggregate(zip_with(vec, element_at(col("__cmat"), c + 1),
           (x, m) => x.cast("double") * m), lit(0.0), (a, x) => a + x)
-        struct((-dot / (vnorm * element_at(col("__cnorm"), c + 1))).as("negcos"),
+        struct(round(-dot / (vnorm * element_at(col("__cnorm"), c + 1)), 9).as("negcos"),
           c.as("cell"))
       }))
 
@@ -207,18 +216,18 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(cosineFromNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")), 6)
           .as("score"))
-    Aggregates.topKPerKeySalted(scored, Seq(col("query_id")),
-        struct((-col("score")).as("negscore"), col("corpus_id").as("corpus_id")),
-        col("corpus_id"), k)
-      .select(col("query_id"), col("item.corpus_id").as("corpus_id"),
-        (-col("item.negscore")).as("score"))
+    // typed bounded-heap re-rank: accumulator ≤ k per (query, partition),
+    // map-side truncation before the exchange — no per-group array ever
+    // materializes (the round-2 salted collect_list path held the whole
+    // (key, salt) group in memory at once)
+    topKByScore(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any
     * of `tables` independent hash tables (multi-table union raises recall the
-    * standard way); exact cosine re-rank per query via the salted two-phase
-    * top-k (no rank-window funnel; dedup across tables rides the same
-    * aggregation). Raise `planes` with corpus size so buckets stay small. */
+    * standard way); exact cosine re-rank per query via the typed bounded-heap
+    * top-k (no rank-window funnel, no unbounded group arrays). Raise
+    * `planes` with corpus size so buckets stay small. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, planes: Int = 8, seed: Long = 42L, tables: Int = 2): DataFrame = {
@@ -239,10 +248,8 @@ object Similarity {
     // top-k holds k distinct neighbors. The distinct shuffles only the
     // narrow candidate triples (long, long, double), never vectors.
     val scored = scoredPerTable.reduce(_ unionByName _).distinct()
-    Aggregates.topKPerKeySalted(scored, Seq(col("query_id")),
-        struct((-col("score")).as("negscore"), col("corpus_id").as("corpus_id")),
-        col("corpus_id"), k)
-      .select(col("query_id"), col("item.corpus_id").as("corpus_id"),
-        (-col("item.negscore")).as("score"))
+    // typed bounded-heap re-rank (see ivfTopK): ≤ k rows per query per
+    // partition into the shuffle, no unbounded per-group array
+    topKByScore(scored, k)
   }
 }

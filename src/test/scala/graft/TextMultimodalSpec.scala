@@ -76,7 +76,7 @@ class TextMultimodalSpec extends SparkSpec {
     val c = Metrics.counter(spark, "rows_seen")
     c.reset()
     Create.of(spark, 1 to 100).map { x => c.add(1); x }.count()
-    assert(Metrics.counterValue("rows_seen").contains(100L))
+    assert(Metrics.counterValue(spark, "rows_seen").contains(100L))
   }
 
   test("Metrics observedDistribution returns min/max/count/sum") {
