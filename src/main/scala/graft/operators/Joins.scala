@@ -112,6 +112,44 @@ object Joins {
     spark.sparkContext.broadcast(value)
   }
 
+  // ------------------------------------------------------ windowed side inputs
+
+  /** Beam side inputs are WINDOWED: a main element reads the view of the
+    * side window its own window maps to, via a WindowMappingFn (reference:
+    * SDK/values/PCollectionViews.java;
+    * SDK/transforms/windowing/WindowMappingFn.java — the default maps a
+    * main window to the side window containing the main window's MAXIMUM
+    * timestamp). [[sideWindowFor]] is that default mapping for
+    * fixed-windowed sides; compose it with either the broadcast view
+    * ([[viewAsMapPerWindow]], small sides) or the join form
+    * ([[windowedSideInputJoin]], any side size — the scale path). */
+  def sideWindowFor(mainWindowEnd: Column, sideSizeMs: Long): Column =
+    // main window max timestamp = end - 1ms (Beam IntervalWindow
+    // maxTimestamp); its containing fixed side window start:
+    floor((mainWindowEnd.cast("long") - 1) / sideSizeMs).cast("long") * sideSizeMs
+
+  /** View.asMap per window: broadcast Map[(sideWindowStartMs, K), V].
+    * Same bounded-side contract as [[viewAsMap]] (views fit in worker
+    * memory — the collect IS the semantics); `f` extracts
+    * (windowStartMs, key, value) from each side row. */
+  def viewAsMapPerWindow[K, V](spark: SparkSession, side: DataFrame,
+                               f: org.apache.spark.sql.Row => (Long, K, V))
+      : org.apache.spark.broadcast.Broadcast[Map[(Long, K), V]] =
+    spark.sparkContext.broadcast(
+      side.collect().toSeq.map { r => val (w, k, v) = f(r); ((w, k), v) }.toMap)
+
+  /** Windowed side-input join — the unbounded-scale form of a windowed
+    * view: the main input (carrying its window end) joins the side keyed by
+    * (side window, key) after applying the default window mapping. The
+    * side is broadcast (dimension-sized per window); drop the hint for
+    * genuinely large sides and let AQE pick the strategy. */
+  def windowedSideInputJoin(main: DataFrame, mainWindowEnd: Column,
+                            side: DataFrame, sideWindowStart: String,
+                            sideSizeMs: Long, keys: Seq[String],
+                            how: String = "left_outer"): DataFrame =
+    main.withColumn(sideWindowStart, sideWindowFor(mainWindowEnd, sideSizeMs))
+      .join(broadcast(side), sideWindowStart +: keys, how)
+
   /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
     * union, no dedup; unionByName tolerates column order drift. */
   def flatten(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)

@@ -35,11 +35,24 @@ object Stateful {
     * starts (StreamingQueryManager.stateStoreCoordinator). Touch that lazy
     * val so pure-batch stateful ops (Beam's unified batch/stream model) work
     * without a dummy stream. Idempotent. */
-  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val m = spark.streams.getClass.getDeclaredMethod("stateStoreCoordinator")
-    m.setAccessible(true)
-    m.invoke(spark.streams)
-  }
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val m = spark.streams.getClass.getDeclaredMethod("stateStoreCoordinator")
+      m.setAccessible(true)
+      m.invoke(spark.streams)
+    } catch {
+      case e @ (_: NoSuchMethodException | _: IllegalArgumentException) =>
+        // fail LOUDLY with the contract, not a bare reflection error: this
+        // hook is pinned to Spark 4.1.x's private
+        // StreamingQueryManager.stateStoreCoordinator lazy val
+        throw new IllegalStateException(
+          "Batch-mode stateful operators need the driver's StateStoreCoordinator, " +
+            "which graft reaches by reflection on StreamingQueryManager." +
+            "stateStoreCoordinator (a private lazy val in Spark 4.1.x). This Spark " +
+            s"version (${spark.version}) no longer exposes it - either start any " +
+            "streaming query first (which creates the coordinator), or update " +
+            "Stateful.ensureStateStoreCoordinator's reflection target.", e)
+    }
 
   /** Beam CombiningState (reference: SDK/state/CombiningState.java:36):
     * a ValueState accumulator folded with a CombineFn. */

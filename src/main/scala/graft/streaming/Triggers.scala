@@ -157,9 +157,13 @@ object Triggers {
         // input after the watermark passed end-of-window. The FIRST
         // post-watermark pane is the ON_TIME pane even when input and the
         // end-of-window timer land in the same micro-batch (PaneInfo's
-        // ordering contract: ON_TIME precedes every LATE pane).
+        // ordering contract: ON_TIME precedes every LATE pane). With zero
+        // allowed lateness that pane is also the LAST the window can emit
+        // (the same-batch end-of-window timer will find nothing pending and
+        // GC silently) — mark it final, as Beam marks that pane isLast.
         if (cfg.lateFirings && count > 0)
-          fire(key, if (onTimeFired) LATE else ON_TIME, isFinal = false)
+          fire(key, if (onTimeFired) LATE else ON_TIME,
+            isFinal = cfg.allowedLatenessMs == 0 && !onTimeFired)
         else Iterator.empty
       } else cfg.early match {
         case EveryBatch if count > 0          => fire(key, EARLY, isFinal = false)
@@ -258,13 +262,33 @@ object Triggers {
   /** Composite trigger AST (reference: SDK/transforms/windowing/Trigger.java:72;
     * state machines RCORE/triggers/AfterFirstStateMachine.java,
     * AfterAllStateMachine.java, AfterEachStateMachine.java,
-    * RepeatedlyStateMachine.java, OrFinallyStateMachine.java). Each node
-    * keeps (elementCount, finished) per (key, window); semantics follow the
-    * reference:
+    * RepeatedlyStateMachine.java, OrFinallyStateMachine.java,
+    * AfterProcessingTimeStateMachine.java,
+    * AfterWatermarkStateMachine.java:60 AfterWatermarkEarlyAndLate). Each
+    * node keeps (elementCount, finished, procDeadline) per (key, window);
+    * semantics follow the reference:
     *  - AfterWatermarkT fires once the watermark passes end-of-window, then
     *    finishes;
     *  - AfterCountT(n) fires when ≥ n elements arrived since its last
     *    reset, then finishes;
+    *  - AfterProcessingTimeT(d) — AfterProcessingTime
+    *    .pastFirstElementInPane().plusDelayOf(d) (reference:
+    *    SDK/transforms/windowing/AfterProcessingTime.java:37): arms a
+    *    processing-time deadline at the pane's first element and fires once
+    *    the deadline passes, then finishes. Spark's transformWithState
+    *    allows one TimeMode, and the pane engine runs in EventTime — so the
+    *    deadline is checked at each evaluation opportunity (every input
+    *    micro-batch and event-time timer): firing happens at micro-batch
+    *    granularity after the deadline, the same cadence Beam's
+    *    processing-time firings exhibit under a micro-batch runner;
+    *  - AfterWatermarkEL(early, late) — AfterWatermark.pastEndOfWindow()
+    *    .withEarlyFirings(early).withLateFirings(late): early fires
+    *    repeatedly before the watermark passes end-of-window, exactly one
+    *    ON_TIME firing at/after it, then late fires repeatedly; the node
+    *    never finishes (the window closes at the GC horizon).
+    *    late=None means per-batch late refinements (Beam's default-trigger
+    *    behavior, modeled as AfterCount(1)); early=None means no early
+    *    panes;
     *  - AfterFirstT fires when ANY child would fire, then finishes;
     *  - AfterAllT fires when ALL children would fire, then finishes;
     *  - AfterEachT runs children in sequence, advancing as each finishes;
@@ -273,97 +297,174 @@ object Triggers {
     *    finishes;
     *  - OrFinallyT(main, until): main's firings repeat until `until` would
     *    fire, which produces the FINAL pane and finishes the window.
-    * A finished root closes the window (state GC'd, later data dropped) —
-    * ReduceFnRunner's trigger-finished contract.
+    * A finished root closes the window (accumulator state dropped, a closed
+    * marker retained until the GC horizon so later data for the window is
+    * dropped, not re-aggregated) — ReduceFnRunner's trigger-finished +
+    * droppedDueToClosedWindow contract.
     */
   sealed trait TriggerAst extends Serializable
   case object AfterWatermarkT extends TriggerAst
   final case class AfterCountT(n: Long) extends TriggerAst
+  final case class AfterProcessingTimeT(delayMs: Long) extends TriggerAst
+  final case class AfterWatermarkEL(early: Option[TriggerAst],
+                                    late: Option[TriggerAst]) extends TriggerAst
   final case class AfterFirstT(children: Seq[TriggerAst]) extends TriggerAst
   final case class AfterAllT(children: Seq[TriggerAst]) extends TriggerAst
   final case class AfterEachT(children: Seq[TriggerAst]) extends TriggerAst
   final case class RepeatedlyT(child: TriggerAst) extends TriggerAst
   final case class OrFinallyT(main: TriggerAst, until: TriggerAst) extends TriggerAst
 
-  /** Mutable per-window trigger state: node path → (count, finished). */
-  private type TrigState = collection.mutable.Map[String, (Long, Boolean)]
+  /** Mutable per-window trigger state: node path →
+    * (count, finished, procDeadlineMs; Long.MaxValue = unarmed). */
+  private type TrigState = collection.mutable.Map[String, (Long, Boolean, Long)]
+
+  /** Evaluation context: where the watermark stands relative to
+    * end-of-window, and the processing-time clock for AfterProcessingTimeT. */
+  private final case class TrigCtx(wmPastEnd: Boolean, nowProcMs: Long)
 
   private object TriggerEval {
     def childPath(p: String, i: Int): String = s"$p.$i"
+    private val NONE = (0L, false, Long.MaxValue)
+    private def entry(path: String, st: TrigState) = st.getOrElse(path, NONE)
 
-    def addElements(t: TriggerAst, path: String, st: TrigState, n: Long): Unit = {
-      val (c, f) = st.getOrElse(path, (0L, false))
-      st(path) = (c + n, f)
+    /** AfterWatermarkEL child slots: 0 = early, 1 = late,
+      * 2 = the "watermark fired" marker pseudo-child. */
+    private def effLate(l: Option[TriggerAst]): TriggerAst = l.getOrElse(AfterCountT(1))
+
+    def addElements(t: TriggerAst, path: String, st: TrigState, n: Long,
+                    nowProcMs: Long): Unit = {
+      val (c, f, d) = entry(path, st)
+      val armed = t match {
+        // pastFirstElementInPane: the deadline arms at the pane's first
+        // element and survives until the node fires or resets
+        case AfterProcessingTimeT(delay) if d == Long.MaxValue && n > 0 => nowProcMs + delay
+        case _ => d
+      }
+      st(path) = (c + n, f, armed)
       t match {
-        case AfterFirstT(cs) => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
-        case AfterAllT(cs)   => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
-        case AfterEachT(cs)  => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n) }
-        case RepeatedlyT(ch) => addElements(ch, childPath(path, 0), st, n)
+        case AfterFirstT(cs) => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n, nowProcMs) }
+        case AfterAllT(cs)   => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n, nowProcMs) }
+        case AfterEachT(cs)  => cs.zipWithIndex.foreach { case (ch, i) => addElements(ch, childPath(path, i), st, n, nowProcMs) }
+        case RepeatedlyT(ch) => addElements(ch, childPath(path, 0), st, n, nowProcMs)
         case OrFinallyT(m, u) =>
-          addElements(m, childPath(path, 0), st, n); addElements(u, childPath(path, 1), st, n)
+          addElements(m, childPath(path, 0), st, n, nowProcMs)
+          addElements(u, childPath(path, 1), st, n, nowProcMs)
+        case AfterWatermarkEL(e, l) =>
+          e.foreach(ch => addElements(ch, childPath(path, 0), st, n, nowProcMs))
+          addElements(effLate(l), childPath(path, 1), st, n, nowProcMs)
         case _ => ()
       }
     }
 
-    def finished(path: String, st: TrigState): Boolean = st.getOrElse(path, (0L, false))._2
+    def finished(path: String, st: TrigState): Boolean = entry(path, st)._2
 
     def shouldFire(t: TriggerAst, path: String, st: TrigState,
-                   wmPastEnd: Boolean): Boolean =
+                   ctx: TrigCtx): Boolean =
       !finished(path, st) && (t match {
-        case AfterWatermarkT  => wmPastEnd
-        case AfterCountT(n)   => st.getOrElse(path, (0L, false))._1 >= n
+        case AfterWatermarkT  => ctx.wmPastEnd
+        case AfterCountT(n)   => entry(path, st)._1 >= n
+        case AfterProcessingTimeT(_) =>
+          val d = entry(path, st)._3
+          d != Long.MaxValue && ctx.nowProcMs >= d
+        case AfterWatermarkEL(e, l) =>
+          if (!ctx.wmPastEnd)
+            e.exists(ch => shouldFire(ch, childPath(path, 0), st, ctx))
+          else if (!finished(childPath(path, 2), st)) true // the ON_TIME firing
+          else shouldFire(effLate(l), childPath(path, 1), st, ctx)
         case AfterFirstT(cs)  => cs.zipWithIndex.exists { case (ch, i) =>
-          shouldFire(ch, childPath(path, i), st, wmPastEnd) }
+          shouldFire(ch, childPath(path, i), st, ctx) }
         case AfterAllT(cs)    => cs.zipWithIndex.forall { case (ch, i) =>
-          finished(childPath(path, i), st) || shouldFire(ch, childPath(path, i), st, wmPastEnd) }
+          finished(childPath(path, i), st) || shouldFire(ch, childPath(path, i), st, ctx) }
         case AfterEachT(cs)   => cs.zipWithIndex.find { case (_, i) =>
           !finished(childPath(path, i), st) }.exists { case (ch, i) =>
-          shouldFire(ch, childPath(path, i), st, wmPastEnd) }
-        case RepeatedlyT(ch)  => shouldFire(ch, childPath(path, 0), st, wmPastEnd)
+          shouldFire(ch, childPath(path, i), st, ctx) }
+        case RepeatedlyT(ch)  => shouldFire(ch, childPath(path, 0), st, ctx)
         case OrFinallyT(m, u) =>
-          shouldFire(u, childPath(path, 1), st, wmPastEnd) ||
-          shouldFire(m, childPath(path, 0), st, wmPastEnd)
+          shouldFire(u, childPath(path, 1), st, ctx) ||
+          shouldFire(m, childPath(path, 0), st, ctx)
       })
 
     /** Post-firing transition (the reference's onFire/onElement reset
       * logic). Returns nothing; mutates finished flags / resets counts. */
-    def onFire(t: TriggerAst, path: String, st: TrigState, wmPastEnd: Boolean): Unit = t match {
-      case AfterWatermarkT | AfterCountT(_) =>
-        st(path) = (0L, true)
+    def onFire(t: TriggerAst, path: String, st: TrigState, ctx: TrigCtx): Unit = t match {
+      case AfterWatermarkT | AfterCountT(_) | AfterProcessingTimeT(_) =>
+        st(path) = (0L, true, Long.MaxValue)
+      case AfterWatermarkEL(e, l) =>
+        if (!ctx.wmPastEnd) {
+          // early firings repeat: fire + reset the early child
+          e.foreach { ch =>
+            onFire(ch, childPath(path, 0), st, ctx)
+            reset(ch, childPath(path, 0), st)
+          }
+        } else if (!finished(childPath(path, 2), st)) {
+          // the ON_TIME firing: mark the watermark sub-trigger done and
+          // start the late child fresh (pre-watermark elements don't count
+          // toward late firings — AfterWatermarkStateMachine.onFire)
+          st(childPath(path, 2)) = (0L, true, Long.MaxValue)
+          reset(effLate(l), childPath(path, 1), st)
+        } else {
+          val lt = effLate(l)
+          onFire(lt, childPath(path, 1), st, ctx)
+          reset(lt, childPath(path, 1), st) // late firings repeat
+        }
+      // the node itself never finishes: the window stays open to the GC
+      // horizon
       case AfterFirstT(cs) =>
         cs.zipWithIndex.foreach { case (ch, i) =>
-          if (shouldFire(ch, childPath(path, i), st, wmPastEnd)) onFire(ch, childPath(path, i), st, wmPastEnd) }
-        st(path) = (0L, true)
+          if (shouldFire(ch, childPath(path, i), st, ctx)) onFire(ch, childPath(path, i), st, ctx) }
+        st(path) = (0L, true, Long.MaxValue)
       case AfterAllT(cs) =>
         cs.zipWithIndex.foreach { case (ch, i) =>
-          if (!finished(childPath(path, i), st)) onFire(ch, childPath(path, i), st, wmPastEnd) }
-        st(path) = (0L, true)
+          if (!finished(childPath(path, i), st)) onFire(ch, childPath(path, i), st, ctx) }
+        st(path) = (0L, true, Long.MaxValue)
       case AfterEachT(cs) =>
         cs.zipWithIndex.find { case (_, i) => !finished(childPath(path, i), st) }
-          .foreach { case (ch, i) => onFire(ch, childPath(path, i), st, wmPastEnd) }
+          .foreach { case (ch, i) => onFire(ch, childPath(path, i), st, ctx) }
         if (cs.indices.forall(i => finished(childPath(path, i), st)))
-          st(path) = (0L, true)
+          st(path) = (0L, true, Long.MaxValue)
       case RepeatedlyT(ch) =>
-        onFire(ch, childPath(path, 0), st, wmPastEnd)
+        onFire(ch, childPath(path, 0), st, ctx)
         reset(ch, childPath(path, 0), st) // forever: child restarts
       case OrFinallyT(m, u) =>
-        if (shouldFire(u, childPath(path, 1), st, wmPastEnd)) st(path) = (0L, true)
+        if (shouldFire(u, childPath(path, 1), st, ctx)) st(path) = (0L, true, Long.MaxValue)
         else {
-          onFire(m, childPath(path, 0), st, wmPastEnd)
+          onFire(m, childPath(path, 0), st, ctx)
           if (finished(childPath(path, 0), st)) reset(m, childPath(path, 0), st)
         }
     }
 
     def reset(t: TriggerAst, path: String, st: TrigState): Unit = {
-      st(path) = (0L, false)
+      st(path) = NONE
       t match {
         case AfterFirstT(cs) => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
         case AfterAllT(cs)   => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
         case AfterEachT(cs)  => cs.zipWithIndex.foreach { case (ch, i) => reset(ch, childPath(path, i), st) }
         case RepeatedlyT(ch) => reset(ch, childPath(path, 0), st)
         case OrFinallyT(m, u) => reset(m, childPath(path, 0), st); reset(u, childPath(path, 1), st)
+        case AfterWatermarkEL(e, l) =>
+          e.foreach(ch => reset(ch, childPath(path, 0), st))
+          reset(effLate(l), childPath(path, 1), st)
+          st(childPath(path, 2)) = NONE
         case _ => ()
       }
+    }
+
+    /** Merge trigger state across merging windows (the reference's
+      * TriggerStateMachine.onMerge in the RCORE/triggers state machines):
+      * element counts add (the merged window saw the union of elements),
+      * finished flags OR (a satisfied sub-trigger stays satisfied — in
+      * particular a fired watermark marker keeps the merged window in
+      * late-firing mode, matching MergingActiveWindowSet's
+      * EOW-already-fired handling), processing-time deadlines take the
+      * earliest armed value. */
+    def merge(a: List[(String, Long, Boolean, Long)],
+              b: List[(String, Long, Boolean, Long)]): List[(String, Long, Boolean, Long)] = {
+      val m = collection.mutable.Map.empty[String, (Long, Boolean, Long)]
+      (a ++ b).foreach { case (p, c, f, d) =>
+        val (c0, f0, d0) = m.getOrElse(p, NONE)
+        m(p) = (c0 + c, f0 || f, math.min(d0, d))
+      }
+      m.toList.map { case (p, (c, f, d)) => (p, c, f, d) }
     }
   }
 
@@ -379,32 +480,37 @@ object Triggers {
 
     @transient private var acc: ValueState[ACC] = _
     @transient private var paneIndex: ValueState[Int] = _
-    @transient private var trigState: ValueState[List[(String, Long, Boolean)]] = _
+    @transient private var trigState: ValueState[List[(String, Long, Boolean, Long)]] = _
     @transient private var onTimeDone: ValueState[Boolean] = _
     @transient private var timersSet: ValueState[Boolean] = _
     @transient private var sinceFire: ValueState[Long] = _
+    /** Set when the root trigger finished before the GC horizon: the window
+      * is CLOSED — later data is dropped (droppedDueToClosedWindow), never
+      * re-aggregated into a fresh accumulator. Cleared by the GC timer. */
+    @transient private var closed: ValueState[Boolean] = _
 
     override def init(om: OutputMode, tm: TimeMode): Unit = {
       acc = getHandle.getValueState[ACC]("acc", accEnc, TTLConfig.NONE)
       paneIndex = getHandle.getValueState[Int]("paneIndex", Encoders.scalaInt, TTLConfig.NONE)
-      trigState = getHandle.getValueState[List[(String, Long, Boolean)]]("trig",
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long, Boolean)]](),
+      trigState = getHandle.getValueState[List[(String, Long, Boolean, Long)]]("trig",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long, Boolean, Long)]](),
         TTLConfig.NONE)
       onTimeDone = getHandle.getValueState[Boolean]("onTimeDone", Encoders.scalaBoolean, TTLConfig.NONE)
       timersSet = getHandle.getValueState[Boolean]("timersSet", Encoders.scalaBoolean, TTLConfig.NONE)
       sinceFire = getHandle.getValueState[Long]("sinceFire", Encoders.scalaLong, TTLConfig.NONE)
+      closed = getHandle.getValueState[Boolean]("closed", Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     private def windowEnd(ws: Long) = ws + windowSizeMs
     private def gcTime(ws: Long) = windowEnd(ws) + allowedLatenessMs
 
     private def loadTrig(): TrigState = {
-      val m = collection.mutable.Map.empty[String, (Long, Boolean)]
-      if (trigState.exists()) trigState.get().foreach { case (p, c, f) => m(p) = (c, f) }
+      val m = collection.mutable.Map.empty[String, (Long, Boolean, Long)]
+      if (trigState.exists()) trigState.get().foreach { case (p, c, f, d) => m(p) = (c, f, d) }
       m
     }
     private def saveTrig(st: TrigState): Unit =
-      trigState.update(st.toList.map { case (p, (c, f)) => (p, c, f) })
+      trigState.update(st.toList.map { case (p, (c, f, d)) => (p, c, f, d) })
 
     private def fire(key: (K, Long), wmPastEnd: Boolean, isFinal: Boolean): Pane[K, OUT] = {
       val idx = if (paneIndex.exists()) paneIndex.get() else 0
@@ -419,15 +525,24 @@ object Triggers {
       (key._1, key._2, windowEnd(key._2), fn.extractOutput(a), idx, timing, isFinal)
     }
 
-    private def evalAndFire(key: (K, Long), wm: Long): Iterator[Pane[K, OUT]] = {
+    private def evalAndFire(key: (K, Long), wm: Long, nowProcMs: Long): Iterator[Pane[K, OUT]] = {
       val st = loadTrig()
       val wmPastEnd = wm >= windowEnd(key._2)
+      val ctx = TrigCtx(wmPastEnd, nowProcMs)
       var out = List.empty[Pane[K, OUT]]
-      if (TriggerEval.shouldFire(trigger, "r", st, wmPastEnd)) {
-        TriggerEval.onFire(trigger, "r", st, wmPastEnd)
+      if (TriggerEval.shouldFire(trigger, "r", st, ctx)) {
+        TriggerEval.onFire(trigger, "r", st, ctx)
         val rootDone = TriggerEval.finished("r", st)
         out = fire(key, wmPastEnd, isFinal = rootDone) :: out
-        if (rootDone) { clearAll(); return out.reverseIterator }
+        if (rootDone) {
+          // early closure: drop the aggregate state but leave a closed
+          // marker until the GC horizon, so later same-window data is
+          // DROPPED — without it the data would reopen the window with a
+          // fresh accumulator and emit a second "final" pane
+          clearAll()
+          closed.update(true)
+          return out.reverseIterator
+        }
       }
       saveTrig(st)
       out.reverseIterator
@@ -437,25 +552,31 @@ object Triggers {
                                  tv: TimerValues): Iterator[Pane[K, OUT]] = {
       val wm = tv.getCurrentWatermarkInMs()
       if (wm >= gcTime(key._2)) return Iterator.empty // too late
+      if (closed.exists() && closed.get()) return Iterator.empty // closed window
       var a = if (acc.exists()) acc.get() else fn.createAccumulator()
       var n = 0L
       rows.foreach { r => a = fn.addInput(a, r._3); n += 1 }
       acc.update(a)
       sinceFire.update((if (sinceFire.exists()) sinceFire.get() else 0L) + n)
       val st = loadTrig()
-      TriggerEval.addElements(trigger, "r", st, n)
+      TriggerEval.addElements(trigger, "r", st, n, tv.getCurrentProcessingTimeInMs())
       saveTrig(st)
       if (!(if (timersSet.exists()) timersSet.get() else false)) {
         getHandle.registerTimer(windowEnd(key._2))
         getHandle.registerTimer(gcTime(key._2))
         timersSet.update(true)
       }
-      evalAndFire(key, wm)
+      evalAndFire(key, wm, tv.getCurrentProcessingTimeInMs())
     }
 
     override def handleExpiredTimer(key: (K, Long), tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Pane[K, OUT]] = {
-      if (!acc.exists() && !trigState.exists()) return Iterator.empty // already closed
+      if (closed.exists() && closed.get()) {
+        // closed window tombstone: drop it for good at the GC horizon
+        if (info.getExpiryTimeInMs() >= gcTime(key._2)) closed.clear()
+        return Iterator.empty
+      }
+      if (!acc.exists() && !trigState.exists()) return Iterator.empty // already gone
       // GC first: with allowedLateness=0 the end-of-window timer IS the GC
       // timer (same timestamp, Spark dedups) — window expiry wins
       if (info.getExpiryTimeInMs() >= gcTime(key._2)) {
@@ -468,7 +589,8 @@ object Triggers {
         //  - no pane ever fired (every window produces at least one pane).
         val st = loadTrig()
         val onTime = onTimeDone.exists() && onTimeDone.get()
-        val trigWants = !onTime && TriggerEval.shouldFire(trigger, "r", st, wmPastEnd = true)
+        val trigWants = !onTime && TriggerEval.shouldFire(trigger, "r", st,
+          TrigCtx(wmPastEnd = true, tv.getCurrentProcessingTimeInMs()))
         val pending = if (sinceFire.exists()) sinceFire.get() else 0L
         val everFired = paneIndex.exists() && paneIndex.get() > 0
         val out =
@@ -478,7 +600,7 @@ object Triggers {
         clearAll()
         out
       } else {
-        evalAndFire(key, wm = windowEnd(key._2))
+        evalAndFire(key, wm = windowEnd(key._2), tv.getCurrentProcessingTimeInMs())
       }
     }
 
@@ -490,31 +612,39 @@ object Triggers {
 
   // --------------------------------------------------------- merging sessions
 
+  /** Per-window session state: (end, acc, paneIndex, onTimeFired,
+    * pendingSinceFire, closed, triggerState). */
+  type SessionW[ACC] = (Long, ACC, Int, Boolean, Long, Boolean, List[(String, Long, Boolean, Long)])
+
   /** Session-window pane processor: the reference's merging-window path
     * (reference: Sessions.java:40, WindowFn.mergeWindows WindowFn.java:82,
-    * RCORE/MergingActiveWindowSet.java; ReduceFnRunner merge handling).
-    * Spark's built-in `session_window` covers untriggered sessions; this
-    * operator adds what it cannot express: pane metadata, late-data panes
-    * within allowedLateness, and merge of PARTIAL AGGREGATES — each element
-    * opens [ts, ts+gap) and any overlapping active windows merge via
-    * CombineFn.mergeAccumulators (the contract that makes merging windows
-    * possible without re-buffering raw elements).
+    * RCORE/MergingActiveWindowSet.java; ReduceFnRunner merge handling,
+    * ReduceFnRunner.java:89 onMerge). Spark's built-in `session_window`
+    * covers untriggered sessions; this operator adds what it cannot
+    * express: pane metadata, late-data panes within allowedLateness, merge
+    * of PARTIAL AGGREGATES — each element opens [ts, ts+gap) and any
+    * overlapping active windows merge via CombineFn.mergeAccumulators (the
+    * contract that makes merging windows possible without re-buffering raw
+    * elements) — and the FULL composite-trigger AST: each active window
+    * carries its own trigger state machine, and window merges merge the
+    * trigger state too (TriggerEval.merge — counts add, finished flags OR,
+    * proc-time deadlines take the earliest).
     *
-    * Per key: MapState windowStart → (end, acc, paneIndex, onTimeFired).
-    * Timers fire per window end (ON_TIME) and end+lateness (final + GC);
-    * timers orphaned by merges are ignored (no active window matches).
-    * Default-trigger semantics (AfterWatermark with per-batch late panes);
-    * composite triggers over merging windows are deferred. */
+    * Per key: MapState windowStart → [[SessionW]]. Timers fire per window
+    * end (ON_TIME) and end+lateness (final + GC); timers orphaned by merges
+    * are ignored (no active window matches). A window whose ROOT trigger
+    * finishes closes early: its aggregate state drops but a closed
+    * tombstone survives to the GC horizon so later data in its span is
+    * dropped (droppedDueToClosedWindow), not merged into a reopened
+    * window. */
   private class SessionProcessor[K, V, ACC, OUT](
       fn: CombineFn[V, ACC, OUT], gapMs: Long, allowedLatenessMs: Long,
-      accumulating: Boolean,
-      earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
-      implicit accEnc: Encoder[(Long, ACC, Int, Boolean, Long)],
+      accumulating: Boolean, trigger: TriggerAst)(
+      implicit accEnc: Encoder[SessionW[ACC]],
       outEnc: Encoder[Pane[K, OUT]])
       extends StatefulProcessor[K, (K, Long, V), Pane[K, OUT]] {
 
-    // windowStart -> (end, acc, paneIndex, onTimeFired, pendingSinceFire)
-    private type W = (Long, ACC, Int, Boolean, Long)
+    private type W = SessionW[ACC]
     @transient private var windows: MapState[Long, W] = _
 
     override def init(om: OutputMode, tm: TimeMode): Unit =
@@ -525,63 +655,85 @@ object Triggers {
                          isFinal: Boolean): (Pane[K, OUT], W) = {
       val out = (key, start, w._1, fn.extractOutput(w._2), w._3, timing, isFinal)
       val nextAcc = if (accumulating) w._2 else fn.createAccumulator()
-      (out, (w._1, nextAcc, w._3 + 1, timing != "EARLY" || w._4, 0L))
+      (out, (w._1, nextAcc, w._3 + 1, timing != EARLY || w._4, 0L, w._6, w._7))
     }
+
+    private def loadTrig(w: W): TrigState = {
+      val m = collection.mutable.Map.empty[String, (Long, Boolean, Long)]
+      w._7.foreach { case (p, c, f, d) => m(p) = (c, f, d) }
+      m
+    }
+    private def withTrig(w: W, st: TrigState): W =
+      (w._1, w._2, w._3, w._4, w._5, w._6,
+        st.toList.map { case (p, (c, f, d)) => (p, c, f, d) })
 
     override def handleInputRows(key: K, rows: Iterator[(K, Long, V)],
                                  tv: TimerValues): Iterator[Pane[K, OUT]] = {
       val wm = tv.getCurrentWatermarkInMs()
+      val nowProc = tv.getCurrentProcessingTimeInMs()
       val active = collection.mutable.Map.empty[Long, W]
       windows.iterator().foreach { p => active(p._1) = p._2 }
       val touched = collection.mutable.Set.empty[Long]
       rows.foreach { case (_, ts, v) =>
         val end = ts + gapMs
         if (wm < end + allowedLatenessMs) { // not too late
-          var start = ts
-          var acc = fn.addInput(fn.createAccumulator(), v)
-          var newEnd = end
-          var paneIdx = 0
-          var fired = false
-          var pending = 1L
           // merge every INTERSECTING active window - abutting half-open
           // intervals stay separate (Beam IntervalWindow.intersects;
           // MergingActiveWindowSet.mergeIfAppropriate)
-          val overlapping = active.filter { case (s, (e, _, _, _, _)) => s < newEnd && start < e }
-          overlapping.foreach { case (s, (e, a, pi, f, pd)) =>
-            start = math.min(start, s); newEnd = math.max(newEnd, e)
-            acc = fn.mergeAccumulators(a, acc)
-            paneIdx = math.max(paneIdx, pi); fired = fired || f; pending += pd
-            active.remove(s); touched -= s
+          val overlapping = active.filter { case (s, w) => s < end && ts < w._1 }
+          if (overlapping.exists(_._2._6)) {
+            // the element's span touches a CLOSED window (root trigger
+            // finished): Beam drops such elements
+            // (droppedDueToClosedWindow) rather than reopening or
+            // extending the window
+          } else {
+            var start = ts
+            var acc = fn.addInput(fn.createAccumulator(), v)
+            var newEnd = end
+            var paneIdx = 0
+            var fired = false
+            var pending = 1L
+            var trig = List.empty[(String, Long, Boolean, Long)]
+            overlapping.foreach { case (s, (e, a, pi, f, pd, _, tg)) =>
+              start = math.min(start, s); newEnd = math.max(newEnd, e)
+              acc = fn.mergeAccumulators(a, acc)
+              paneIdx = math.max(paneIdx, pi); fired = fired || f; pending += pd
+              trig = TriggerEval.merge(trig, tg)
+              active.remove(s); touched -= s
+            }
+            val merged: W = (newEnd, acc, paneIdx, fired, pending, false, trig)
+            val st = loadTrig(merged)
+            TriggerEval.addElements(trigger, "r", st, 1L, nowProc)
+            active(start) = withTrig(merged, st)
+            touched += start
           }
-          active(start) = (newEnd, acc, paneIdx, fired, pending)
-          touched += start
         }
       }
       var out = List.empty[Pane[K, OUT]]
       windows.clear()
       touched.foreach { s =>
         val w = active(s)
-        if (wm >= w._1) {
-          // the (possibly merged) session's end is already behind the
-          // watermark. First post-watermark pane is ON_TIME; afterwards,
-          // LATE panes fire per batch (Default) or once the late count
-          // threshold is met (AfterWatermark.withLateFirings(AfterCount)).
-          val closing = allowedLatenessMs == 0 || wm >= w._1 + allowedLatenessMs
-          if (!w._4) {
-            val (pane, next) = fireFrom(key, s, w, "ON_TIME", isFinal = closing)
-            out = pane :: out
-            if (closing) active.remove(s) else active(s) = next
-          } else if (lateCount.forall(w._5 >= _)) {
-            val (pane, next) = fireFrom(key, s, w, "LATE", isFinal = closing)
-            out = pane :: out
-            if (closing) active.remove(s) else active(s) = next
-          }
-        } else if (earlyCount.exists(w._5 >= _)) {
-          // AfterWatermark.withEarlyFirings(AfterCount(n)), repeated
-          val (pane, next) = fireFrom(key, s, w, "EARLY", isFinal = false)
+        // the element-acceptance gate guarantees wm < end + lateness for
+        // every touched window, so a touched window is never AT its GC
+        // horizon here — the GC timer owns final flushing
+        val wmPastEnd = wm >= w._1
+        val st = loadTrig(w)
+        val ctx = TrigCtx(wmPastEnd, nowProc)
+        if (TriggerEval.shouldFire(trigger, "r", st, ctx)) {
+          TriggerEval.onFire(trigger, "r", st, ctx)
+          val rootDone = TriggerEval.finished("r", st)
+          // with zero allowed lateness a post-watermark pane is also the
+          // window's last (the same-batch/next timer GCs silently)
+          val isFinal = rootDone || (wmPastEnd && allowedLatenessMs == 0)
+          val timing = if (!wmPastEnd) EARLY else if (!w._4) ON_TIME else LATE
+          val (pane, next) = fireFrom(key, s, withTrig(w, st), timing, isFinal)
           out = pane :: out
-          active(s) = next
-        }
+          if (rootDone) {
+            // early closure: tombstone until GC (see class doc)
+            active(s) = (next._1, fn.createAccumulator(), next._3, next._4,
+              0L, true, Nil)
+          } else active(s) = next
+        } else active(s) = withTrig(w, st)
         active.get(s).foreach { w2 =>
           getHandle.registerTimer(w2._1)
           if (allowedLatenessMs > 0) getHandle.registerTimer(w2._1 + allowedLatenessMs)
@@ -594,20 +746,51 @@ object Triggers {
     override def handleExpiredTimer(key: K, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Pane[K, OUT]] = {
       val expiry = info.getExpiryTimeInMs()
+      val nowProc = tv.getCurrentProcessingTimeInMs()
       var out = List.empty[Pane[K, OUT]]
       windows.iterator().toList.foreach { case (s, w) =>
         if (w._1 + allowedLatenessMs == expiry || (allowedLatenessMs == 0 && w._1 == expiry)) {
-          // GC horizon: FIRE_IF_NON_EMPTY - final pane only when data is
-          // pending since the last firing, or no pane ever fired
-          if (w._5 > 0 || w._3 == 0) {
-            val (pane, _) = fireFrom(key, s, w, if (w._4) "LATE" else "ON_TIME", isFinal = true)
-            out = pane :: out
+          // GC horizon. Closed tombstones just evaporate; open windows
+          // flush a final pane when the trigger still wants to fire
+          // (on-time never happened), data is pending since the last
+          // firing (ClosingBehavior.FIRE_IF_NON_EMPTY), or no pane ever
+          // fired
+          if (!w._6) {
+            val st = loadTrig(w)
+            val trigWants = !w._4 && TriggerEval.shouldFire(trigger, "r", st,
+              TrigCtx(wmPastEnd = true, nowProc))
+            if (trigWants || w._5 > 0 || w._3 == 0) {
+              val (pane, _) = fireFrom(key, s, w, if (w._4) LATE else ON_TIME, isFinal = true)
+              out = pane :: out
+            }
           }
           windows.removeKey(s)
-        } else if (w._1 == expiry && !w._4) {
-          val (pane, next) = fireFrom(key, s, w, "ON_TIME", isFinal = false)
-          out = pane :: out
-          windows.updateValue(s, next)
+        } else if (w._1 == expiry && !w._6) {
+          // end-of-window: evaluate the trigger with the watermark past the
+          // end (the ON_TIME opportunity; composite roots may also finish
+          // here)
+          val st = loadTrig(w)
+          val ctx = TrigCtx(wmPastEnd = true, nowProc)
+          if (TriggerEval.shouldFire(trigger, "r", st, ctx)) {
+            TriggerEval.onFire(trigger, "r", st, ctx)
+            val rootDone = TriggerEval.finished("r", st)
+            val isFinal = rootDone || allowedLatenessMs == 0
+            val (pane, next) = fireFrom(key, s, withTrig(w, st),
+              if (w._4) LATE else ON_TIME, isFinal)
+            out = pane :: out
+            if (allowedLatenessMs == 0) windows.removeKey(s)
+            else if (rootDone)
+              windows.updateValue(s, (next._1, fn.createAccumulator(), next._3,
+                next._4, 0L, true, Nil))
+            else windows.updateValue(s, next)
+          } else if (allowedLatenessMs == 0) {
+            // end-of-window IS the GC horizon: FIRE_IF_NON_EMPTY flush
+            if (w._5 > 0 || w._3 == 0) {
+              val (pane, _) = fireFrom(key, s, w, if (w._4) LATE else ON_TIME, isFinal = true)
+              out = pane :: out
+            }
+            windows.removeKey(s)
+          }
         }
         // stale timers from merged-away windows match nothing: ignored
       }
@@ -615,20 +798,35 @@ object Triggers {
     }
   }
 
-  /** Session-windowed triggered aggregation: panes carry the real merged
+  /** Session-windowed triggered aggregation with the DEFAULT trigger shape
+    * (AfterWatermark, optional early/late element-count firings — the
+    * `early_late_sessions` transcript shape). Panes carry the real merged
     * session bounds. `events` must be (key, eventTimeMs, value) with a
     * watermark declared upstream. */
   def sessionAggregate[K, V, ACC, OUT](
       events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
       gapMs: Long, allowedLatenessMs: Long = 0L, accumulating: Boolean = true,
       earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
-      implicit kEnc: Encoder[K], accEnc: Encoder[(Long, ACC, Int, Boolean, Long)],
+      implicit kEnc: Encoder[K], accEnc: Encoder[SessionW[ACC]],
+      outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] =
+    sessionAggregateTriggered(events, fn, gapMs,
+      AfterWatermarkEL(earlyCount.map(AfterCountT(_)), lateCount.map(AfterCountT(_))),
+      allowedLatenessMs, accumulating)
+
+  /** Session-windowed aggregation under an ARBITRARY composite trigger AST —
+    * the reference's ReduceFnRunner-over-merging-windows path (any trigger
+    * state machine composed with Sessions). */
+  def sessionAggregateTriggered[K, V, ACC, OUT](
+      events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
+      gapMs: Long, trigger: TriggerAst, allowedLatenessMs: Long = 0L,
+      accumulating: Boolean = true)(
+      implicit kEnc: Encoder[K], accEnc: Encoder[SessionW[ACC]],
       outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] = {
     Stateful.requireRocksDBStateStore(events.sparkSession)
     events.groupByKey(_._1)
       .transformWithState(
         new SessionProcessor[K, V, ACC, OUT](fn, gapMs, allowedLatenessMs, accumulating,
-          earlyCount, lateCount),
+          trigger),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -108,6 +108,56 @@ class CompositeTriggerSpec extends SparkSpec {
     assert(panes.length == 3, s"no firings after finish: $panes")
   }
 
+  test("AfterProcessingTime delay 0: early pane fires in the arming batch") {
+    // AfterProcessingTime.pastFirstElementInPane().plusDelayOf(0) as the
+    // early clause (reference: AfterProcessingTime.java:37,
+    // RCORE/triggers/AfterProcessingTimeStateMachine.java): the deadline
+    // arms at the pane's first element, a zero delay is already due at the
+    // same evaluation, so every batch with data yields an EARLY pane;
+    // after the fire the clause resets and re-arms on the next element.
+    val panes = run(AfterWatermarkEL(Some(AfterProcessingTimeT(0L)), None),
+      "ct_proctime0", lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // arm + due -> EARLY (2)
+      input.addData(("a", ts("2024-01-01 10:00:03"), 1L))
+      q.processAllAvailable() // re-arm + due -> EARLY (3)
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark past end -> ON_TIME
+    }
+    assert(panes == Seq((2L, 0, "EARLY", false), (3L, 1, "EARLY", false),
+      (3L, 2, "ON_TIME", false)), panes.toString)
+  }
+
+  test("AfterProcessingTime with an unreachable delay never fires early") {
+    val panes = run(AfterWatermarkEL(Some(AfterProcessingTimeT(java.util.concurrent.TimeUnit.DAYS.toMillis(365))), None),
+      "ct_proctime_far", lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // armed, deadline a year out: no early pane
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark -> ON_TIME only
+    }
+    assert(panes == Seq((2L, 0, "ON_TIME", false)), panes.toString)
+  }
+
+  test("a finished root CLOSES the window: in-lateness data is dropped, no second final pane") {
+    // regression for the closed-window hazard: AfterCount(2) fires and
+    // finishes before the watermark; data for the same window arriving
+    // before the GC horizon must be dropped (droppedDueToClosedWindow) —
+    // round 2 reopened the window with a fresh accumulator and emitted a
+    // second isFinal pane
+    val panes = run(AfterCountT(2), "ct_closed", lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // count met: fire + root finished -> closed
+      input.addData(("a", ts("2024-01-01 10:00:03"), 1L))
+      q.processAllAvailable() // same window, before GC: dropped
+      input.addData(("z", ts("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable() // past GC horizon: tombstone clears silently
+      input.addData(("a", ts("2024-01-01 10:00:04"), 1L))
+      q.processAllAvailable() // beyond lateness: still dropped
+    }
+    assert(panes == Seq((2L, 0, "EARLY", true)), panes.toString)
+  }
+
   test("AfterAll(AfterCount(2), AfterWatermark) waits for both conditions") {
     val panes = run(AfterAllT(Seq(AfterCountT(2), AfterWatermarkT)), "ct_all",
       lateness = 600000L) { (input, q) =>

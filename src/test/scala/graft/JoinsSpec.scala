@@ -77,4 +77,45 @@ class JoinsSpec extends SparkSpec {
       r => (r.getInt(0), r.getString(1))).value
     assert(mm(1).toSet == Set("a", "b") && mm(2) == Seq("c"))
   }
+
+  test("windowed side input: a windowed aggregation joins the side view of " +
+      "the window containing its max timestamp") {
+    import spark.implicits._
+    val H = 3600 * 1000L
+    // main: per-user counts in 1h fixed windows (wstart/wend in epoch ms)
+    val main = Seq(
+      ("u1", 0L * H + 100),  ("u1", 0L * H + 200),  // [0h,1h)
+      ("u1", 1L * H + 100),                          // [1h,2h)
+      ("u2", 2L * H + 100)                           // [2h,3h)
+    ).toDF("k", "ts")
+      .groupBy(col("k"), (floor(col("ts") / H) * H).cast("long").as("wstart"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wend", col("wstart") + H)
+    // side: per-user thresholds in 2h fixed windows
+    val side = Seq(
+      (0L * H, "u1", 10),  // [0h,2h)
+      (2L * H, "u1", 20),  // [2h,4h)
+      (2L * H, "u2", 30)
+    ).toDF("swstart", "k", "threshold")
+    // default WindowMappingFn: main [0h,1h) and [1h,2h) both map to side
+    // [0h,2h); main [2h,3h) maps to side [2h,4h)
+    val joined = Joins.windowedSideInputJoin(main, col("wend"), side,
+      "swstart", 2 * H, Seq("k"))
+      .select(col("k"), col("wstart"), col("n"), col("threshold"))
+    assertRows(joined, Seq(
+      Seq("u1", 0L * H, 2L, 10),
+      Seq("u1", 1L * H, 1L, 10),
+      Seq("u2", 2L * H, 1L, 30)))
+    // broadcast-map form of the same view, looked up per main window
+    val view = Joins.viewAsMapPerWindow[String, Int](spark, side,
+      r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val mapped = main.as[(String, Long, Long, Long)].map { case (k, ws, n, we) =>
+      val sideW = math.floorDiv(we - 1, 2 * H) * 2 * H
+      (k, ws, n, view.value((sideW, k)))
+    }.toDF("k", "wstart", "n", "threshold")
+    assertRows(mapped, Seq(
+      Seq("u1", 0L * H, 2L, 10),
+      Seq("u1", 1L * H, 1L, 10),
+      Seq("u2", 2L * H, 1L, 30)))
+  }
 }

@@ -27,15 +27,26 @@ class SessionTriggerSpec extends SparkSpec {
   private def run(name: String, gapSec: Long, latenessSec: Long,
                   earlyCount: Option[Long] = None, lateCount: Option[Long] = None)(
       script: (MemoryStream[(String, Timestamp, Long)],
+               org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(Long, Long, Seq[Long], String, Boolean)] =
+    runTriggered(name, gapSec, latenessSec,
+      Triggers.AfterWatermarkEL(earlyCount.map(Triggers.AfterCountT(_)),
+        lateCount.map(Triggers.AfterCountT(_))))(script)
+
+  /** Same harness over an explicit composite-trigger AST
+    * (sessionAggregateTriggered — the ReduceFnRunner-over-merging-windows
+    * path). */
+  private def runTriggered(name: String, gapSec: Long, latenessSec: Long,
+                           trigger: Triggers.TriggerAst)(
+      script: (MemoryStream[(String, Timestamp, Long)],
                org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[(Long, Long, Seq[Long], String, Boolean)] = {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
     val events = input.toDF().toDF("k", "t", "v")
       .withWatermark("t", "0 seconds")
       .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
       .as[(String, Long, Long)]
-    val panes = Triggers.sessionAggregate(events, collectFn,
-      gapMs = gapSec * 1000, allowedLatenessMs = latenessSec * 1000,
-      earlyCount = earlyCount, lateCount = lateCount)
+    val panes = Triggers.sessionAggregateTriggered(events, collectFn,
+      gapMs = gapSec * 1000, trigger = trigger,
+      allowedLatenessMs = latenessSec * 1000)
     val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", ckpt()).start()
@@ -124,6 +135,62 @@ class SessionTriggerSpec extends SparkSpec {
       (1L, 15L, Seq(1L, 2L, 3L, 4L, 5L), "EARLY", false),
       (1L, 16L, Seq(1L, 2L, 3L, 4L, 5L, 6L), "ON_TIME", false),
       (1L, 16L, Seq(1L, 1L, 2L, 3L, 3L, 4L, 4L, 5L, 6L), "LATE", false)), panes.toString)
+  }
+
+  test("transcript early_late_sessions VERBATIM through the composite AST " +
+      "(AfterWatermarkEL over merging windows)") {
+    // reference: trigger_transcripts.yaml `early_late_sessions` run through
+    // the actual AfterWatermark(early=..., late=...) trigger state machine
+    // — not the counts shortcut — exercising TriggerEval.merge on every
+    // session merge
+    val panes = runTriggered("sess_ast_transcript", gapSec = 10, latenessSec = 1000,
+      Triggers.AfterWatermarkEL(Some(Triggers.AfterCountT(2)),
+        Some(Triggers.AfterCountT(3)))) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(2), 2L), ("a", ts(3), 3L))
+      q.processAllAvailable()
+      input.addData(("a", ts(4), 4L))
+      q.processAllAvailable()
+      input.addData(("a", ts(5), 5L))
+      q.processAllAvailable()
+      input.addData(("a", ts(6), 6L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable()
+      input.addData(("a", ts(1), 1L))
+      q.processAllAvailable()
+      input.addData(("a", ts(3), 3L), ("a", ts(4), 4L))
+      q.processAllAvailable()
+    }
+    assert(panes == Seq(
+      (1L, 13L, Seq(1L, 2L, 3L), "EARLY", false),
+      (1L, 15L, Seq(1L, 2L, 3L, 4L, 5L), "EARLY", false),
+      (1L, 16L, Seq(1L, 2L, 3L, 4L, 5L, 6L), "ON_TIME", false),
+      (1L, 16L, Seq(1L, 1L, 2L, 3L, 3L, 4L, 4L, 5L, 6L), "LATE", false)), panes.toString)
+  }
+
+  test("composite root over sessions: orFinally closes the session and later data is dropped") {
+    // OrFinally(Repeatedly(AfterCount(2)), AfterWatermark) composed with
+    // Sessions — the combination the round-2 engine could not express.
+    // The until-clause fires at the watermark, finishing the ROOT: the
+    // session closes early and leaves a tombstone, so in-lateness data for
+    // its span is dropped (droppedDueToClosedWindow), not re-aggregated.
+    val panes = runTriggered("sess_ast_orfinally", gapSec = 10, latenessSec = 1000,
+      Triggers.OrFinallyT(Triggers.RepeatedlyT(Triggers.AfterCountT(2)),
+        Triggers.AfterWatermarkT)) { (input, q) =>
+      input.addData(("a", ts(1), 1L), ("a", ts(2), 2L), ("a", ts(3), 3L))
+      q.processAllAvailable() // 3 >= 2 -> EARLY [1,2,3]
+      input.addData(("a", ts(4), 4L))
+      q.processAllAvailable() // 1 since reset: nothing
+      input.addData(("__wm", ts(100), 0L))
+      q.processAllAvailable() // until fires: FINAL pane, root finished
+      input.addData(("a", ts(3), 3L))
+      q.processAllAvailable() // closed window: dropped
+      input.addData(("__wm", ts(2000), 0L))
+      q.processAllAvailable() // GC horizon: tombstone evaporates silently
+    }
+    assert(panes == Seq(
+      (1L, 13L, Seq(1L, 2L, 3L), "EARLY", false),
+      (1L, 14L, Seq(1L, 2L, 3L, 4L), "ON_TIME", true)), panes.toString)
   }
 
   test("late element into a fired session emits a LATE refinement pane") {

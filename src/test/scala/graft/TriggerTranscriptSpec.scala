@@ -169,4 +169,22 @@ class TriggerTranscriptSpec extends SparkSpec {
         Expect(Seq(
           (0L, Seq(2L, 3L, 7L, 8L), Some("ON_TIME"), None)))))
   }
+
+  test("transcript known_late_data_no_watermark_hold_possible") {
+    // reference row: watermark at 8, then input [2, 3, 7] — EVERY element
+    // is behind the watermark, so no output-timestamp hold below 8 is
+    // possible and the pane's timestamp falls to end-of-window (10). The
+    // window itself still aggregates all three (they beat the GC horizon)
+    // and fires one ON_TIME pane at watermark 11. Our panes always carry
+    // the window end; the earliest/latest element times ride
+    // CombineFns.withTimestamps (see the timestamp_combiner test), and the
+    // EOW fallback this row pins is the window-end column itself.
+    runTranscript("t_known_late_nohold", RepeatedlyT(AfterWatermarkT), windowSec = 10,
+      latenessSec = 1000, accumulating = true, Seq(
+        Watermark(8),
+        Input(Seq(2, 3, 7)),
+        Watermark(11),
+        Expect(Seq(
+          (0L, Seq(2L, 3L, 7L), Some("ON_TIME"), None)))))
+  }
 }
