@@ -1,0 +1,103 @@
+package graft.coders
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+/** Beam's standard wire coders (reference: SDK/coders/VarLongCoder.java,
+  * InstantCoder.java, KvCoder.java, IterableCoder.java,
+  * SDK/transforms/windowing/IntervalWindow.java getCoder; golden vectors
+  * sdks/common/fn-api/.../standard_coders.yaml). Inside the engine Spark's
+  * Tungsten encoders own the data plane (SURVEY §3.1 — the coder machinery
+  * is subsumed), so these exist for the INTEROP boundary: writing/reading
+  * byte streams a Beam pipeline (any SDK) produces or consumes. Validated
+  * byte-for-byte against the reference's cross-SDK golden vectors in
+  * CoderGoldenVectorSpec.
+  *
+  * Context matters, as in Beam: `nested = true` adds the element-boundary
+  * framing (length prefix for bytes) that outer coders need.
+  */
+object BeamCoders {
+
+  // ------------------------------------------------------------- varint
+  /** Beam VarInt (VarLongCoder): little-endian base-128, 7 bits per byte,
+    * high bit = continuation; negatives take the full 10 bytes. */
+  def encodeVarLong(v: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var x = v
+    while ((x & ~0x7FL) != 0) {
+      out.write(((x & 0x7F) | 0x80).toInt)
+      x >>>= 7
+    }
+    out.write(x.toInt & 0x7F)
+    out.toByteArray
+  }
+
+  /** Decode a VarInt starting at `off`; returns (value, bytesRead). */
+  def decodeVarLong(bytes: Array[Byte], off: Int = 0): (Long, Int) = {
+    var shift = 0; var i = off; var acc = 0L
+    while ({
+      val b = bytes(i) & 0xFF
+      acc |= (b & 0x7FL) << shift
+      shift += 7; i += 1
+      (b & 0x80) != 0
+    }) ()
+    (acc, i - off)
+  }
+
+  // ------------------------------------------------------------- bytes
+  /** ByteArrayCoder: raw in the outer context, varint-length-prefixed when
+    * nested (the element boundary an outer coder needs). */
+  def encodeBytes(b: Array[Byte], nested: Boolean): Array[Byte] =
+    if (!nested) b else encodeVarLong(b.length.toLong) ++ b
+
+  def decodeBytes(bytes: Array[Byte], off: Int, nested: Boolean): (Array[Byte], Int) =
+    if (!nested) (bytes.drop(off), bytes.length - off)
+    else {
+      val (len, ln) = decodeVarLong(bytes, off)
+      (bytes.slice(off + ln, off + ln + len.toInt), ln + len.toInt)
+    }
+
+  // ------------------------------------------------------------- instant
+  /** InstantCoder: epoch millis shifted by Long.MinValue and written
+    * big-endian, so byte-wise lexicographic order equals chronological
+    * order (the property shuffle-grouping relies on). */
+  def encodeInstant(millis: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    new DataOutputStream(out).writeLong(millis - Long.MinValue)
+    out.toByteArray
+  }
+
+  def decodeInstant(bytes: Array[Byte], off: Int = 0): Long = {
+    var acc = 0L
+    (0 until 8).foreach(i => acc = (acc << 8) | (bytes(off + i) & 0xFFL))
+    acc + Long.MinValue
+  }
+
+  // ------------------------------------------------------------- windows
+  /** IntervalWindow coder: big-endian shifted END instant, then the span
+    * (end − start) as a varint — the YAML's {end, span} shape. */
+  def encodeIntervalWindow(endMillis: Long, spanMillis: Long): Array[Byte] =
+    encodeInstant(endMillis) ++ encodeVarLong(spanMillis)
+
+  def decodeIntervalWindow(bytes: Array[Byte], off: Int = 0): (Long, Long) = {
+    val end = decodeInstant(bytes, off)
+    val (span, _) = decodeVarLong(bytes, off + 8)
+    (end, span)
+  }
+
+  // ------------------------------------------------------------- kv
+  /** KvCoder: key encoded NESTED (it needs a boundary), value in the
+    * caller's context. */
+  def encodeKv(key: Array[Byte], valueEnc: Array[Byte]): Array[Byte] =
+    encodeBytes(key, nested = true) ++ valueEnc
+
+  // ------------------------------------------------------------- stream
+  /** IterableCoder, known-size form: 4-byte big-endian count, then each
+    * element encoded nested. */
+  def encodeStream(elements: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeInt(elements.size)
+    elements.foreach(out.write)
+    out.toByteArray
+  }
+}

@@ -142,15 +142,66 @@ object Aggregates {
     df.groupBy(keys: _*).agg(sort_array(collect_list(value)).as("values"))
 
   /** GroupIntoBatches.ofSize (reference: SDK/transforms/GroupIntoBatches.java:79),
-    * batch form: per-key batches of at most n, batch index attached.
-    * At scale this is one shuffle; each batch is built inside the aggregate. */
+    * batch form: per-key batches of at most n in ascending `value` order,
+    * batch index attached.
+    *
+    * Scale shape — deliberately NOT a rank window partitioned by the key (a
+    * low-cardinality key would funnel the whole scan into ≤(distinct keys)
+    * tasks): rows are RANGE-partitioned by (key, value), so one key spreads
+    * across many ordered partitions; per-partition per-key counts (tiny —
+    * range partitioning puts only a handful of distinct keys in each
+    * partition) are prefix-summed on the driver into per-partition starting
+    * offsets; a narrow second pass assigns each row its global per-key rank
+    * and batch id (the classic distributed zipWithIndex); the final
+    * assembly groups ≤ n rows per (key, batch). `value` must totally order
+    * rows within a key — the same determinism contract the rank-window
+    * formulation had. */
   def groupIntoBatches(df: DataFrame, keys: Seq[Column], value: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(value.asc)
-    df.withColumn("__idx", row_number().over(w) - 1)
-      .withColumn("batch_id", floor(col("__idx") / n))
-      .groupBy(keys :+ col("batch_id"): _*)
-      .agg(sort_array(collect_list(value)).as("batch"), count(lit(1)).as("batch_size"))
-      .drop("__idx")
+    val spark = df.sparkSession
+    val keyNames = df.select(keys: _*).columns.toSeq
+    require(!keyNames.contains("__v") && keyNames.distinct == keyNames,
+      s"groupIntoBatches keys must have distinct names (got $keyNames)")
+    val nk = keyNames.size
+    val keyed = df.select(keys.zip(keyNames).map { case (c, nm) => c.as(nm) } :+ value.as("__v"): _*)
+    val ordCols = keyNames.map(col) :+ col("__v")
+    // persisted so the counts pass and the rank pass see the SAME range
+    // partitions; the narrow (keys, value) projection is auto-unpersisted
+    // by the ContextCleaner with the frame's lineage
+    val sorted = keyed.repartitionByRange(ordCols: _*).sortWithinPartitions(ordCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, key) counts -> per-(partition, key) global
+    // starting offset, by prefix sum over partition id on the driver
+    val counts = sorted
+      .groupBy(spark_partition_id().as("__pid") +: keyNames.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getInt(0), (1 to nk).map(r.get).toVector, r.getLong(nk + 1)))
+    val offsets: Map[(Int, Vector[Any]), Long] = counts
+      .groupBy(_._2)
+      .flatMap { case (k, per) =>
+        var cum = 0L
+        per.sortBy(_._1).map { case (pid, _, c) =>
+          val off = cum; cum += c; ((pid, k), off)
+        }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: narrow rank assignment within the SAME partitions
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val running = collection.mutable.Map.empty[Vector[Any], Long]
+      it.map { r =>
+        val k = (0 until nk).map(r.get).toVector
+        val i = running.getOrElse(k, bOff.value.getOrElse((pid, k), 0L))
+        running(k) = i + 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / n)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    indexed
+      .groupBy(keyNames.map(col) :+ col("batch_id"): _*)
+      .agg(sort_array(collect_list(col("__v"))).as("batch"), count(lit(1)).as("batch_size"))
   }
 
   /** Combine.groupedValues (reference: Combine.java:2073): combine AFTER an

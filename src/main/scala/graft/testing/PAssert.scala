@@ -52,6 +52,17 @@ object PAssert {
       throw new AssertionError(s"satisfies() failed $hint; rows: ${rows.take(20)}")
   }
 
+  /** Window-scoped assertion (PAssert.inWindow, PAssert.java:215 analogue):
+    * restrict to the panes of ONE window before comparing. Columns must
+    * include `wstart`/`wend` (the Pane shape from graft.streaming.Triggers). */
+  def inWindow(panes: DataFrame, windowStartMs: Long, windowEndMs: Long)(
+      expected: Seq[Seq[Any]]): Unit = {
+    import org.apache.spark.sql.functions.col
+    containsInAnyOrder(
+      panes.filter(col("wstart") === windowStartMs && col("wend") === windowEndMs),
+      expected)
+  }
+
   /** Pane-scoped assertion over a trigger-engine output
     * (PAssert.inOnTimePane :239 / inFinalPane :230 analogue): filter by
     * timing and/or finality, then compare. Columns must include

@@ -188,4 +188,22 @@ class TriggersSpec extends SparkSpec {
     assert(a.exists(p => p._2 == 1 && p._3 == "ON_TIME" && p._1 == 7L && p._4),
       s"accumulating on-time pane repeats the total: $panes")
   }
+
+  test("PAssert.inWindow scopes assertions to one window's panes") {
+    import spark.implicits._
+    // Pane-shaped frame: two windows, two panes in the first
+    val panes = Seq(
+      ("a", 0L, 10000L, 3L, 0, "EARLY", false),
+      ("a", 0L, 10000L, 5L, 1, "ON_TIME", true),
+      ("a", 10000L, 20000L, 2L, 0, "ON_TIME", true)
+    ).toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+    graft.testing.PAssert.inWindow(panes, 0L, 10000L)(Seq(
+      Seq("a", 0L, 10000L, 3L, 0, "EARLY", false),
+      Seq("a", 0L, 10000L, 5L, 1, "ON_TIME", true)))
+    graft.testing.PAssert.inWindow(panes, 10000L, 20000L)(Seq(
+      Seq("a", 10000L, 20000L, 2L, 0, "ON_TIME", true)))
+    intercept[AssertionError] {
+      graft.testing.PAssert.inWindow(panes, 10000L, 20000L)(Seq.empty)
+    }
+  }
 }
