@@ -1,0 +1,81 @@
+package graft
+
+/** Physical-plan regression suite: the 100 TB story is a set of PLAN
+  * properties (pushdown, broadcast, bounded aggregation, no low-cardinality
+  * window funnels), so they are asserted here — a query can stay
+  * value-correct while silently regressing to a plan that dies at scale,
+  * and this suite is what catches it. Plans are built (not executed)
+  * against the sf0.001 fixtures. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_filter: predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    // the PushedFilters list is width-truncated in toString, so assert on
+    // an early entry
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q_map_project: column pruning — the scan reads only the projected columns") {
+    val p = plan("q_map_project")
+    assert(p.contains("l_extendedprice"), p.take(2000))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      s"scan must not read unused wide columns:\n${p.take(2000)}")
+  }
+
+  test("q_broadcast_join: the dimension side is a BroadcastHashJoin") {
+    assert(plan("q_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg: partial (map-side) + final HashAggregate pair") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregation expected")
+  }
+
+  test("q_latest_per_key / q_argmax / q_distinct_rep: single aggregate, NO window funnel") {
+    Seq("q_latest_per_key", "q_argmax", "q_distinct_rep").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window "), s"$q must not plan a rank window:\n${p.take(1500)}")
+      assert(p.contains("Aggregate"), s"$q should reduce via max_by/min_by aggregation")
+    }
+  }
+
+  test("q_top_per_key: the only window is salted (key × __salt partitions, no 5-way funnel)") {
+    val p = plan("q_top_per_key")
+    assert(p.contains("__salt"), s"salted two-phase expected:\n${p.take(1500)}")
+    // every Window operator in the plan must carry the salt in its
+    // partition spec
+    p.linesIterator.filter(_.contains("Window ")).foreach { line =>
+      assert(line.contains("__salt"), s"unsalted window in q_top_per_key: $line")
+    }
+  }
+
+  test("q_group_batches: no per-key rank window (range-partitioned zipWithIndex instead)") {
+    val p = plan("q_group_batches")
+    assert(!p.contains("Window "), s"q_group_batches must not plan a rank window:\n${p.take(1500)}")
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      s"range partitioning expected:\n${p.take(1500)}")
+  }
+
+  test("ANN re-rank paths carry no unbounded collect_list") {
+    Seq("q_ivf_ann", "q_lsh_ann", "q_embed_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"$q must use the bounded-heap typed aggregator, not collect_list:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_dedup_minhash: codegen'd min-aggregation, no per-band explode join") {
+    val p = plan("q_dedup_minhash")
+    // one explode for shingles is expected; the per-band work must be the
+    // min() columns inside a HashAggregate, not a second join
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), s"minhash should not join:\n${p.take(1500)}")
+  }
+}
