@@ -283,4 +283,46 @@ class StreamingSpec extends SparkSpec {
       assert(sizes.contains(5), s"straggler batch flushed by event-time timer: $sizes")
     } finally q.stop()
   }
+
+  test("windowed side input on a STREAMING main: each windowed aggregate joins " +
+      "the side view of its mapped window (stream-static)") {
+    // Beam windowed side inputs inside a streaming pipeline: the main input
+    // is a windowed streaming aggregation; the side is a per-window static
+    // table; the default WindowMappingFn picks the side window containing
+    // each main window's max timestamp (Joins.sideWindowFor).
+    val H = 3600 * 1000L
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val main = StreamingOps.windowedAggregate(
+      input.toDF().toDF("k", "t"),
+      WindowingStrategy(FixedWindows("1 hour")),
+      col("t"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select(col("k"), unix_millis(col("window.end")).as("wend"),
+        unix_millis(col("window.start")).as("wstart"), col("n"))
+    // side: per-2h-window thresholds, static/bounded
+    val side = Seq(
+      (("2024-01-01 00:00:00"), "u1", 10),
+      (("2024-01-01 02:00:00"), "u1", 20)
+    ).toDF("sw", "k", "threshold")
+      .select(unix_millis(to_timestamp(col("sw"))).as("swstart"), col("k"), col("threshold"))
+    val joined = graft.operators.Joins.windowedSideInputJoin(
+      main, col("wend"), side, "swstart", 2 * H, Seq("k"))
+      .select(col("k"), col("wstart"), col("n"), col("threshold"))
+    val q = joined.writeStream.format("memory").queryName("win_side_input")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("u1", ts("2024-01-01 00:10:00")), ("u1", ts("2024-01-01 00:20:00")),
+        ("u1", ts("2024-01-01 01:10:00")), ("u1", ts("2024-01-01 02:10:00")))
+      q.processAllAvailable()
+      input.addData(("zz", ts("2024-01-01 09:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("win_side_input").collect()
+        .filter(_.getString(0) == "u1")
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // windows [0h,1h) and [1h,2h) read the [0h,2h) view (threshold 10);
+      // [2h,3h) reads [2h,4h) (threshold 20)
+      assert(got == Seq((base, 2L, 10), (base + H, 1L, 10), (base + 2 * H, 1L, 20)),
+        got.toString)
+    } finally q.stop()
+  }
 }
