@@ -31,10 +31,15 @@ object BeamCoders {
     out.toByteArray
   }
 
-  /** Decode a VarInt starting at `off`; returns (value, bytesRead). */
+  /** Decode a VarInt starting at `off`; returns (value, bytesRead).
+    * Rejects overlong encodings (> 10 bytes) like the reference's
+    * VarInt.decodeLong — a silent wrap of the shift amount would OR garbage
+    * into the value AND desynchronize every later field in the buffer. */
   def decodeVarLong(bytes: Array[Byte], off: Int = 0): (Long, Int) = {
     var shift = 0; var i = off; var acc = 0L
     while ({
+      if (shift >= 70)
+        throw new IllegalArgumentException("malformed varint: more than 10 bytes")
       val b = bytes(i) & 0xFF
       acc |= (b & 0x7FL) << shift
       shift += 7; i += 1

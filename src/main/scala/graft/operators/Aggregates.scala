@@ -155,18 +155,28 @@ object Aggregates {
     * and batch id (the classic distributed zipWithIndex); the final
     * assembly groups ≤ n rows per (key, batch). `value` must totally order
     * rows within a key — the same determinism contract the rank-window
-    * formulation had. */
-  def groupIntoBatches(df: DataFrame, keys: Seq[Column], value: Column, n: Int): DataFrame = {
+    * formulation had.
+    *
+    * Construction is EAGER (pass 1 collects the offset table).
+    * `materialize = true` (default) localCheckpoints the batched result and
+    * releases the internal cache — the safe library behavior; pass false to
+    * keep the lazy plan for inspection/composition, accepting that the
+    * internal range-partitioned cache stays pinned until the session drops
+    * the returned frame's lineage. */
+  def groupIntoBatches(df: DataFrame, keys: Seq[Column], value: Column, n: Int,
+                       materialize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val keyNames = df.select(keys: _*).columns.toSeq
-    require(!keyNames.contains("__v") && keyNames.distinct == keyNames,
-      s"groupIntoBatches keys must have distinct names (got $keyNames)")
+    val reserved = Set("__v", "batch_id", "batch", "batch_size")
+    require(keyNames.forall(!reserved(_)) && keyNames.distinct == keyNames,
+      s"groupIntoBatches keys must have distinct names outside $reserved (got $keyNames)")
     val nk = keyNames.size
     val keyed = df.select(keys.zip(keyNames).map { case (c, nm) => c.as(nm) } :+ value.as("__v"): _*)
     val ordCols = keyNames.map(col) :+ col("__v")
     // persisted so the counts pass and the rank pass see the SAME range
-    // partitions; the narrow (keys, value) projection is auto-unpersisted
-    // by the ContextCleaner with the frame's lineage
+    // partitions (recomputation would re-sample the range bounds);
+    // explicitly released below once the result is checkpointed —
+    // CacheManager entries are NOT reclaimed by the ContextCleaner
     val sorted = keyed.repartitionByRange(ordCols: _*).sortWithinPartitions(ordCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-(partition, key) counts -> per-(partition, key) global
@@ -199,9 +209,19 @@ object Aggregates {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / n)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    indexed
+    val batched = indexed
       .groupBy(keyNames.map(col) :+ col("batch_id"): _*)
       .agg(sort_array(collect_list(col("__v"))).as("batch"), count(lit(1)).as("batch_size"))
+    if (!materialize) batched
+    else {
+      // materialize the (much smaller) batched result off the cached
+      // lineage, then release the cached projection; the checkpoint blocks
+      // are ContextCleaner-managed (freed when the returned frame is
+      // garbage-collected), unlike the persist above
+      val out = batched.localCheckpoint(true)
+      sorted.unpersist()
+      out
+    }
   }
 
   /** Combine.groupedValues (reference: Combine.java:2073): combine AFTER an

@@ -231,6 +231,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, planes: Int = 8, seed: Long = 42L, tables: Int = 2): DataFrame = {
+    requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
     val scoredPerTable = (0 until tables).map { t =>
       val c = hyperplaneBucket(corpus, corpusId, corpusVec, planes, seed + t)
         .withColumn("cnorm", l2Norm(col("vec")))

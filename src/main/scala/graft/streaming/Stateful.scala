@@ -36,8 +36,14 @@ object Stateful {
     * val so pure-batch stateful ops (Beam's unified batch/stream model) work
     * without a dummy stream. Idempotent. */
   def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    ensureStateStoreCoordinator(spark, "stateStoreCoordinator")
+
+  /** Test seam: the method name is injectable so StatefulPinSpec can drive
+    * the REAL missing-member path without depending on a Spark upgrade. */
+  private[graft] def ensureStateStoreCoordinator(
+      spark: org.apache.spark.sql.SparkSession, memberName: String): Unit =
     try {
-      val m = spark.streams.getClass.getDeclaredMethod("stateStoreCoordinator")
+      val m = spark.streams.getClass.getDeclaredMethod(memberName)
       m.setAccessible(true)
       m.invoke(spark.streams)
     } catch {

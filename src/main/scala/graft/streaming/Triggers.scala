@@ -157,13 +157,13 @@ object Triggers {
         // input after the watermark passed end-of-window. The FIRST
         // post-watermark pane is the ON_TIME pane even when input and the
         // end-of-window timer land in the same micro-batch (PaneInfo's
-        // ordering contract: ON_TIME precedes every LATE pane). With zero
-        // allowed lateness that pane is also the LAST the window can emit
-        // (the same-batch end-of-window timer will find nothing pending and
-        // GC silently) — mark it final, as Beam marks that pane isLast.
+        // ordering contract: ON_TIME precedes every LATE pane). This branch
+        // implies allowedLateness > 0 — with zero lateness gcTime ==
+        // windowEnd and the gate above already dropped the input — so a
+        // non-final pane is always correct here (the GC timer emits the
+        // final one).
         if (cfg.lateFirings && count > 0)
-          fire(key, if (onTimeFired) LATE else ON_TIME,
-            isFinal = cfg.allowedLatenessMs == 0 && !onTimeFired)
+          fire(key, if (onTimeFired) LATE else ON_TIME, isFinal = false)
         else Iterator.empty
       } else cfg.early match {
         case EveryBatch if count > 0          => fire(key, EARLY, isFinal = false)
@@ -766,30 +766,22 @@ object Triggers {
           }
           windows.removeKey(s)
         } else if (w._1 == expiry && !w._6) {
-          // end-of-window: evaluate the trigger with the watermark past the
-          // end (the ON_TIME opportunity; composite roots may also finish
-          // here)
+          // end-of-window with allowedLateness > 0 (when lateness == 0 the
+          // GC branch above matched this same expiry): evaluate the trigger
+          // with the watermark past the end — the ON_TIME opportunity;
+          // composite roots may also finish here
           val st = loadTrig(w)
           val ctx = TrigCtx(wmPastEnd = true, nowProc)
           if (TriggerEval.shouldFire(trigger, "r", st, ctx)) {
             TriggerEval.onFire(trigger, "r", st, ctx)
             val rootDone = TriggerEval.finished("r", st)
-            val isFinal = rootDone || allowedLatenessMs == 0
             val (pane, next) = fireFrom(key, s, withTrig(w, st),
-              if (w._4) LATE else ON_TIME, isFinal)
+              if (w._4) LATE else ON_TIME, isFinal = rootDone)
             out = pane :: out
-            if (allowedLatenessMs == 0) windows.removeKey(s)
-            else if (rootDone)
+            if (rootDone)
               windows.updateValue(s, (next._1, fn.createAccumulator(), next._3,
                 next._4, 0L, true, Nil))
             else windows.updateValue(s, next)
-          } else if (allowedLatenessMs == 0) {
-            // end-of-window IS the GC horizon: FIRE_IF_NON_EMPTY flush
-            if (w._5 > 0 || w._3 == 0) {
-              val (pane, _) = fireFrom(key, s, w, if (w._4) LATE else ON_TIME, isFinal = true)
-              out = pane :: out
-            }
-            windows.removeKey(s)
           }
         }
         // stale timers from merged-away windows match nothing: ignored

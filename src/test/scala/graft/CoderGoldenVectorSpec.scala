@@ -86,4 +86,9 @@ class CoderGoldenVectorSpec extends AnyFunSuite {
     }
     assert(lex.map(decodeInstant(_)) == ts.sorted)
   }
+
+  test("overlong varints are rejected, not silently wrapped") {
+    val overlong = Array.fill(11)(0x80.toByte) :+ 0x01.toByte
+    intercept[IllegalArgumentException] { decodeVarLong(overlong) }
+  }
 }

@@ -56,10 +56,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_group_batches: no per-key rank window (range-partitioned zipWithIndex instead)") {
-    val p = plan("q_group_batches")
-    assert(!p.contains("Window "), s"q_group_batches must not plan a rank window:\n${p.take(1500)}")
-    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+  test("groupIntoBatches: no per-key rank window (range-partitioned zipWithIndex instead)") {
+    import org.apache.spark.sql.functions.col
+    // materialize=false keeps the lazy plan inspectable (the default
+    // checkpoints the result, hiding the pipeline behind an RDD scan)
+    val events = GraftSession.table(spark, dir, "events")
+    val p = graft.operators.Aggregates.groupIntoBatches(
+      events.select(col("event_type"), col("event_id")),
+      Seq(col("event_type")), col("event_id"), 100, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window "), s"groupIntoBatches must not plan a rank window:\n${p.take(1500)}")
+    assert(p.toLowerCase.contains("rangepartitioning"),
       s"range partitioning expected:\n${p.take(1500)}")
   }
 

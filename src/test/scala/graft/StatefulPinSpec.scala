@@ -22,23 +22,14 @@ class StatefulPinSpec extends SparkSpec {
 
   test("ensureStateStoreCoordinator fails with an ACTIONABLE message when the " +
       "reflection target is missing") {
-    // simulate the upgrade hazard by asking for a name that cannot exist;
-    // the production catch block must translate NoSuchMethodException into
-    // the contract-naming IllegalStateException (verified here against the
-    // same classes the helper uses)
+    // drive the PRODUCTION catch block through its test seam: a member name
+    // that cannot exist simulates the Spark-upgrade hazard, and the real
+    // translation must name the contract
     val ex = intercept[IllegalStateException] {
-      try {
-        spark.streams.getClass.getDeclaredMethod("stateStoreCoordinator_gone")
-      } catch {
-        case e: NoSuchMethodException =>
-          // mirror of Stateful.ensureStateStoreCoordinator's translation
-          throw new IllegalStateException(
-            "Batch-mode stateful operators need the driver's StateStoreCoordinator, " +
-              "which graft reaches by reflection on StreamingQueryManager." +
-              "stateStoreCoordinator (a private lazy val in Spark 4.1.x).", e)
-      }
+      Stateful.ensureStateStoreCoordinator(spark, "stateStoreCoordinator_gone")
     }
     assert(ex.getMessage.contains("stateStoreCoordinator"))
+    assert(ex.getMessage.contains("streaming query"))
     assert(ex.getCause.isInstanceOf[NoSuchMethodException])
   }
 }
