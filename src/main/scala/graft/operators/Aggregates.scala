@@ -143,33 +143,55 @@ object Aggregates {
 
   /** GroupIntoBatches.ofSize (reference: SDK/transforms/GroupIntoBatches.java:79),
     * batch form: per-key batches of at most n in ascending `value` order,
-    * batch index attached.
+    * batch index attached. `value` must totally order rows within a key.
     *
-    * Scale shape — deliberately NOT a rank window partitioned by the key (a
-    * low-cardinality key would funnel the whole scan into ≤(distinct keys)
-    * tasks): rows are RANGE-partitioned by (key, value), so one key spreads
-    * across many ordered partitions; per-partition per-key counts (tiny —
-    * range partitioning puts only a handful of distinct keys in each
-    * partition) are prefix-summed on the driver into per-partition starting
-    * offsets; a narrow second pass assigns each row its global per-key rank
-    * and batch id (the classic distributed zipWithIndex); the final
-    * assembly groups ≤ n rows per (key, batch). `value` must totally order
-    * rows within a key — the same determinism contract the rank-window
-    * formulation had.
-    *
-    * Construction is EAGER (pass 1 collects the offset table).
-    * `materialize = true` (default) localCheckpoints the batched result and
-    * releases the internal cache — the safe library behavior; pass false to
-    * keep the lazy plan for inspection/composition, accepting that the
-    * internal range-partitioned cache stays pinned until the session drops
-    * the returned frame's lineage. */
+    * Scale shape is CARDINALITY-AWARE, because the two failure modes are
+    * opposite:
+    *  - LOW-cardinality keys would funnel a rank window into ≤(distinct
+    *    keys) tasks → use the distributed zipWithIndex: range-partition by
+    *    (key, value) so one key spreads across many ordered partitions,
+    *    prefix-sum the (partition, key) counts on the driver into starting
+    *    offsets, assign global ranks in a narrow second pass;
+    *  - HIGH-cardinality keys parallelize a rank window naturally, but
+    *    would blow the zipWithIndex's driver offset table (one entry per
+    *    distinct key) → use the window (WindowExec's per-group buffer is
+    *    spillable, and millions of keys spread over all tasks).
+    * A cheap approx_count_distinct probe picks the path; force it with
+    * `lowCardinality` when the caller already knows. */
   def groupIntoBatches(df: DataFrame, keys: Seq[Column], value: Column, n: Int,
-                       materialize: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
+                       materialize: Boolean = true,
+                       lowCardinality: Option[Boolean] = None,
+                       lowCardThreshold: Long = 100000L): DataFrame = {
     val keyNames = df.select(keys: _*).columns.toSeq
     val reserved = Set("__v", "batch_id", "batch", "batch_size")
     require(keyNames.forall(!reserved(_)) && keyNames.distinct == keyNames,
       s"groupIntoBatches keys must have distinct names outside $reserved (got $keyNames)")
+    val fewKeys = lowCardinality.getOrElse {
+      df.select(approx_count_distinct(struct(keys: _*)).as("c"))
+        .head().getLong(0) <= lowCardThreshold
+    }
+    if (fewKeys) groupIntoBatchesRanged(df, keyNames, keys, value, n, materialize)
+    else {
+      // high-cardinality path: the rank window parallelizes across the many
+      // keys; per-group buffers spill, the driver holds nothing
+      val w = Window.partitionBy(keys: _*).orderBy(value.asc)
+      df.withColumn("batch_id", floor((row_number().over(w) - 1) / n))
+        .groupBy(keys :+ col("batch_id"): _*)
+        .agg(sort_array(collect_list(value)).as("batch"), count(lit(1)).as("batch_size"))
+    }
+  }
+
+  /** The low-cardinality (distributed zipWithIndex) path of
+    * [[groupIntoBatches]]. Construction is EAGER (pass 1 collects the
+    * offset table). `materialize = true` localCheckpoints the batched
+    * result and releases the internal cache — the safe library behavior;
+    * false keeps the lazy plan for inspection/composition, accepting that
+    * the internal range-partitioned cache stays pinned until the session
+    * drops the returned frame's lineage. */
+  private def groupIntoBatchesRanged(df: DataFrame, keyNames: Seq[String],
+                                     keys: Seq[Column], value: Column, n: Int,
+                                     materialize: Boolean): DataFrame = {
+    val spark = df.sparkSession
     val nk = keyNames.size
     val keyed = df.select(keys.zip(keyNames).map { case (c, nm) => c.as(nm) } :+ value.as("__v"): _*)
     val ordCols = keyNames.map(col) :+ col("__v")

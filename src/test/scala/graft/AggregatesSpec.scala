@@ -104,4 +104,20 @@ class AggregatesSpec extends SparkSpec {
     val out = Aggregates.reshuffle(kv, 7)
     assert(out.rdd.getNumPartitions == 7 && out.count() == 5)
   }
+
+  test("groupIntoBatches: both cardinality paths produce identical batches") {
+    import spark.implicits._
+    val rows = (1 to 137).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("batch_id"),
+          array_join(transform(col("batch"), x => x.cast("string")), ",").as("b"),
+          col("batch_size"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val ranged = canon(Aggregates.groupIntoBatches(rows, Seq(col("k")), col("v"), 10,
+      lowCardinality = Some(true)))
+    val windowed = canon(Aggregates.groupIntoBatches(rows, Seq(col("k")), col("v"), 10,
+      lowCardinality = Some(false)))
+    assert(ranged.nonEmpty && ranged == windowed, s"$ranged\nvs\n$windowed")
+  }
 }
