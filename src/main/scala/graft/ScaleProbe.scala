@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Aggregates
+
+/** Scale-stress probe (dev tool, not part of the library): materializes an
+  * N× re-keyed self-union of the sf0.1 tables (~sf0.8 at the default 8) and
+  * times the queries whose round-2 plans were flagged scale-weak, next to a
+  * control group. The interesting number is the time ratio vs sf0.1: a plan
+  * with a low-cardinality funnel or an unbounded per-group array degrades
+  * super-linearly (or dies); the fixed plans should track the data growth
+  * ~linearly. Results are recorded in BASELINE.md.
+  *
+  * Ids are re-keyed per copy so semantics survive the union (no synthetic
+  * duplicate keys); the ANN query set stays the original 5 vectors (only
+  * copy 0 keeps vec_id < 5), so ANN work scales with the corpus only —
+  * exactly the 100 TB shape (fixed query batch, growing corpus).
+  */
+object ScaleProbe {
+  private val probes = Seq(
+    "q1_agg",            // control: partial+final agg
+    "q_top_per_key",     // salted bounded top-k (was: 5-task rank window)
+    "q_latest_per_key",  // max_by aggregate (was: rank window)
+    "q_argmax",          // max_by aggregate over ~5 keys
+    "q_distinct_rep",    // min_by aggregate (was: rank window)
+    "q_group_batches",   // ranged zipWithIndex (was: 5-task rank window)
+    "q_embed_topk",      // typed bounded-heap re-rank
+    "q_ivf_ann",         // bounded re-rank (was: unbounded collect_list)
+    "q_lsh_ann")         // bounded re-rank (was: unbounded collect_list)
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled"
+    val spark = GraftSession.getOrCreate()
+
+    def rekey(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 1000000000L)))
+
+    val rekeyCols = Map(
+      "lineitem"   -> Seq("l_orderkey"),
+      "orders"     -> Seq("o_orderkey"),
+      "customer"   -> Seq.empty[String], // dimension: duplicate rows are fine for probes
+      "events"     -> Seq("event_id"),
+      "embeddings" -> Seq("vec_id"),
+      "documents"  -> Seq("doc_id"),
+      "part"       -> Seq.empty[String])
+
+    rekeyCols.foreach { case (name, ids) =>
+      val t = GraftSession.table(spark, base, name)
+      val scaled = (0 until factor).map { i =>
+        if (i == 0) t
+        else if (name == "customer" || name == "part") t // keep dimensions fixed
+        else rekey(t, i, ids)
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // small dims copied as-is
+    Seq("region", "nation", "supplier").foreach { name =>
+      GraftSession.table(spark, base, name).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both shapes once, then measure
+    probes.foreach { n => time(n, base); time(n, out) }
+    val rows = probes.map { n =>
+      val t1 = time(n, base)
+      val tN = time(n, out)
+      f"""{"query":"$n","sf01_sec":$t1%.3f,"x${factor}_sec":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    }
+    println(rows.mkString("[", ",\n", "]"))
+
+    // ---- shape duel: the round-2 plan vs the round-3 plan on the SAME
+    // scaled input — the funnel cost the ratios above can't show while
+    // per-query overhead dominates. Old shape: rank window partitioned by
+    // the ~5-value priority (every row sorts in ≤5 tasks). New shape: the
+    // salted bounded two-phase reduction.
+    val orders = GraftSession.table(spark, out, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+    }
+    def runOld(): Unit = Aggregates.topPerKey(orders, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .write.format("noop").mode("overwrite").save()
+    def runNew(): Unit = Aggregates.topKPerKeySalted(orders, Seq(col("o_orderpriority")),
+      struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("okey")),
+      saltFrom = col("o_orderkey"), k = 3)
+      .write.format("noop").mode("overwrite").save()
+    runOld(); runNew() // warm
+    val oldT = timed("top_per_key_rank_window")(runOld())
+    val newT = timed("top_per_key_salted")(runNew())
+    println(f"""{"duel_ratio_old_over_new":${oldT / newT}%.2f}""")
+    spark.stop()
+  }
+}
