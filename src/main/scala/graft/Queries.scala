@@ -195,9 +195,10 @@ object Queries {
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
 
   def qGroupIntoBatches(s: SparkSession, dir: String): DataFrame =
+    // event_type is known-low-cardinality: declare it and skip the probe
     Aggregates.groupIntoBatches(
       t(s, dir, "events").select(col("event_type"), col("event_id")),
-      Seq(col("event_type")), col("event_id"), 100)
+      Seq(col("event_type")), col("event_id"), 100, lowCardinality = Some(true))
       .select(col("event_type"), col("batch_id"), col("batch_size"))
 
   def qSortValues(s: SparkSession, dir: String): DataFrame =

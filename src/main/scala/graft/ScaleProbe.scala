@@ -42,23 +42,19 @@ object ScaleProbe {
     val rekeyCols = Map(
       "lineitem"   -> Seq("l_orderkey"),
       "orders"     -> Seq("o_orderkey"),
-      "customer"   -> Seq.empty[String], // dimension: duplicate rows are fine for probes
       "events"     -> Seq("event_id"),
       "embeddings" -> Seq("vec_id"),
-      "documents"  -> Seq("doc_id"),
-      "part"       -> Seq.empty[String])
+      "documents"  -> Seq("doc_id"))
 
     rekeyCols.foreach { case (name, ids) =>
       val t = GraftSession.table(spark, base, name)
-      val scaled = (0 until factor).map { i =>
-        if (i == 0) t
-        else if (name == "customer" || name == "part") t // keep dimensions fixed
-        else rekey(t, i, ids)
-      }.reduce(_ unionByName _)
+      val scaled = (0 until factor).map(i => if (i == 0) t else rekey(t, i, ids))
+        .reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    // small dims copied as-is
-    Seq("region", "nation", "supplier").foreach { name =>
+    // dimension tables stay FIXED (written once, no union) — scaling them
+    // would fan out every dimension join by `factor` and over-count
+    Seq("region", "nation", "supplier", "customer", "part").foreach { name =>
       GraftSession.table(spark, base, name).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
     }

@@ -166,6 +166,8 @@ object Aggregates {
     val reserved = Set("__v", "batch_id", "batch", "batch_size")
     require(keyNames.forall(!reserved(_)) && keyNames.distinct == keyNames,
       s"groupIntoBatches keys must have distinct names outside $reserved (got $keyNames)")
+    // the probe scans only the (pruned) key columns; callers that know the
+    // cardinality should pass `lowCardinality` and skip the pass entirely
     val fewKeys = lowCardinality.getOrElse {
       df.select(approx_count_distinct(struct(keys: _*)).as("c"))
         .head().getLong(0) <= lowCardThreshold
@@ -173,21 +175,30 @@ object Aggregates {
     if (fewKeys) groupIntoBatchesRanged(df, keyNames, keys, value, n, materialize)
     else {
       // high-cardinality path: the rank window parallelizes across the many
-      // keys; per-group buffers spill, the driver holds nothing
-      val w = Window.partitionBy(keys: _*).orderBy(value.asc)
-      df.withColumn("batch_id", floor((row_number().over(w) - 1) / n))
-        .groupBy(keys :+ col("batch_id"): _*)
-        .agg(sort_array(collect_list(value)).as("batch"), count(lit(1)).as("batch_size"))
+      // keys; per-group buffers spill, the driver holds nothing. The value
+      // is aliased to __v exactly like the ranged path so a value column
+      // named batch_id can't be clobbered by the generated column.
+      val keyed = df.select(
+        keys.zip(keyNames).map { case (c, nm) => c.as(nm) } :+ value.as("__v"): _*)
+      val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("__v").asc)
+      keyed.withColumn("batch_id", floor((row_number().over(w) - 1) / n))
+        .groupBy(keyNames.map(col) :+ col("batch_id"): _*)
+        .agg(sort_array(collect_list(col("__v"))).as("batch"), count(lit(1)).as("batch_size"))
     }
   }
 
   /** The low-cardinality (distributed zipWithIndex) path of
     * [[groupIntoBatches]]. Construction is EAGER (pass 1 collects the
     * offset table). `materialize = true` localCheckpoints the batched
-    * result and releases the internal cache — the safe library behavior;
-    * false keeps the lazy plan for inspection/composition, accepting that
-    * the internal range-partitioned cache stays pinned until the session
-    * drops the returned frame's lineage. */
+    * result and releases the internal cache — the right default for
+    * bounded/interactive use, at the cost of a transient period where both
+    * the cache and the checkpoint blocks exist and of losing
+    * recomputability (localCheckpoint truncates lineage; an executor loss
+    * loses blocks). Long-lived cluster jobs that need fault-tolerant
+    * recomputation should pass false and manage the returned frame's
+    * persistence (the internal range-partitioned cache then stays pinned
+    * until the session drops the frame's lineage — the offsets are only
+    * valid against those exact cached partitions). */
   private def groupIntoBatchesRanged(df: DataFrame, keyNames: Seq[String],
                                      keys: Seq[Column], value: Column, n: Int,
                                      materialize: Boolean): DataFrame = {
