@@ -205,4 +205,45 @@ class SessionTriggerSpec extends SparkSpec {
     assert(panes.exists(p => p._3 == Seq(1L, 2L) && p._4 == "ON_TIME"), panes.toString)
     assert(panes.exists(p => p._3 == Seq(1L, 2L, 3L) && p._4 == "LATE"), panes.toString)
   }
+
+  test("volume: 6000 events / 50 keys / 20 sessions each reconcile through the AST path") {
+    // guards the merging-window + trigger-state-merge machinery under
+    // volume: per key, 20 bursts of 6 events (10s spacing) separated by 1h
+    // (>> the 5min gap) => exactly 1000 sessions; early count firings ride
+    // along, and every session must flush exactly one final ON_TIME pane
+    // whose accumulated count is the full burst
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val events = input.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "0 seconds")
+      .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
+      .as[(String, Long, Long)]
+    val panes = Triggers.sessionAggregateTriggered(events, collectFn,
+      gapMs = 300000L,
+      trigger = Triggers.AfterWatermarkEL(Some(Triggers.AfterCountT(4)), None),
+      allowedLatenessMs = 0L)
+    val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("sess_volume")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val all = for {
+        k <- 0 until 50; s <- 0 until 20; e <- 0 until 6
+      } yield (s"k$k", new Timestamp(base + s * 3600000L + e * 10000L), 1L)
+      all.sortBy(_._2.getTime).grouped(2000).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      input.addData(("__wm", new Timestamp(base + 48L * 3600000L), 0L))
+      q.processAllAvailable()
+      val got = spark.table("sess_volume").collect().filter(_.getString(0) != "__wm")
+      val finals = got.filter(_.getAs[Boolean]("is_final"))
+      assert(finals.length == 1000, s"${finals.length} final panes")
+      assert(finals.forall(_.getAs[String]("timing") == "ON_TIME"))
+      assert(finals.forall(_.getSeq[Long](3).size == 6), "every session flushes all 6 events")
+      val keyWindow = finals.map(r => (r.getString(0), r.getAs[Long]("wstart"))).toSeq
+      assert(keyWindow.distinct.size == 1000, "exactly one final pane per (key, session)")
+      // early firings happened (count >= 4 pre-watermark) and never final
+      assert(got.exists(r => r.getAs[String]("timing") == "EARLY"))
+      assert(got.filter(_.getAs[String]("timing") == "EARLY").forall(!_.getAs[Boolean]("is_final")))
+    } finally q.stop()
+  }
 }
