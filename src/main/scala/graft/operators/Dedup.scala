@@ -19,15 +19,21 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("copies"))
 
-  /** Word n-gram shingles, normalized (lowercase, whitespace-split).
-    *
-    * The word array is bound ONCE per document as a lambda variable (the
-    * transform-over-singleton-array let-binding idiom): higher-order
-    * lambdas evaluate interpreted with no common-subexpression
-    * elimination, so inlining `split(lower(text))` into the per-shingle
-    * slice would re-split the text once per shingle — O(words²) regex
-    * work per document, measured ~7s of a 9s pass at sf0.1. */
+  /** Word n-gram shingles, normalized (lowercase, whitespace-split):
+    * the codegen'd native kernel (graft.expressions.WordShingles — one
+    * imperative pass per document inside WholeStageCodegen). */
   def shingles(text: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(text, n)
+
+  /** The round-2 Catalyst-lambda formulation of [[shingles]], kept as the
+    * semantic specification the native kernel is equivalence-tested
+    * against (DedupSimilaritySpec). Higher-order lambdas evaluate
+    * interpreted; the word array is bound ONCE per document (the
+    * transform-over-singleton-array let-binding idiom) because inlining
+    * `split(lower(text))` into the per-shingle slice would re-split the
+    * text once per shingle — O(words²) regex work per document, measured
+    * ~7s of a 9s pass at sf0.1. */
+  private[graft] def shinglesLambda(text: Column, n: Int): Column =
     flatten(transform(array(split(lower(text), "\\s+")), words =>
       array_distinct(filter(
         transform(sequence(lit(0), greatest(size(words) - n, lit(0))),

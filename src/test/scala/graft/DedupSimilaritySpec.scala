@@ -144,4 +144,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((0L, 1L)))
   }
+
+  test("WordShingles native kernel is bit-identical to the lambda specification " +
+      "on the real corpus and on edge cases") {
+    import org.apache.spark.sql.functions._
+    // edge cases: leading/trailing whitespace (empty tokens), repeats
+    // (distinct first-occurrence order), fewer words than n, mixed case
+    val edge = Seq(" a b", "a  B c a b", "one", "", "X y X y X y", "tab\there now")
+      .toDF("text")
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("text")).union(edge)
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+          graft.operators.Dedup.shingles(col("text"), n).as("native"),
+          graft.operators.Dedup.shinglesLambda(col("text"), n).as("lambda"))
+        .filter(not(col("native") <=> col("lambda")))
+      assert(diff.isEmpty, s"n=$n first diff: ${diff.take(1).mkString}")
+    }
+  }
 }
