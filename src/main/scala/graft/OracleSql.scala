@@ -19,10 +19,11 @@ package graft
   *
   * Queries intentionally absent (weaker rows-only check — the genuinely
   * engine-private ones):
-  *  - q_approx_unique / q_kmv_unique: estimator-specific counts;
-  *  - q_sample_any / q_reservoir: any-n / seeded-hash samples;
-  *  - q_mm_decode: stub-codec dims derive from JVM Arrays.hashCode —
-  *    covered by ScalaTest instead.
+  *  - q_approx_unique / q_kmv_unique: estimator-specific counts (the KMV
+  *    priorities are 64-bit multiply hashes DuckDB's checked arithmetic
+  *    cannot replay);
+  *  - q_sample_any / q_reservoir: any-n / seeded-hash samples (same
+  *    multiply-hash limitation).
   *
   * Three classes of oracle:
   *  - exact value oracles (most queries);
@@ -501,6 +502,22 @@ object OracleSql {
       """SELECT doc_id,
         |       md5(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // full replay of the decode stub: width/height derive from the first
+    // two bytes of md5(payload) — engine-neutral by design (see
+    // Multimodal.StubCodec.imageDims)
+    "q_mm_decode" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS x,
+        |                  octet_length(encode(text)) AS nb FROM documents),
+        |d AS (SELECT doc_id, nb,
+        |             (strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) AS b0,
+        |             (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) AS b1
+        |      FROM h)
+        |SELECT doc_id AS media_id, CAST(64 + b0 % 193 AS INT) AS width,
+        |       CAST(64 + b1 % 193 AS INT) AS height, CAST(nb AS BIGINT) AS n_bytes
+        |FROM d""".stripMargin,
 
     "q_mm_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

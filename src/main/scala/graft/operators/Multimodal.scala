@@ -31,10 +31,15 @@ object Multimodal {
     * in this container). Features derive only from payload bytes, so results
     * are reproducible across partitionings. */
   object StubCodec {
-    /** "Decode" → (width, height) pretend-parsed from the payload header. */
+    /** "Decode" → (width, height) pretend-parsed from the payload header.
+      * Derivation is ENGINE-NEUTRAL (first two bytes of the payload's md5):
+      * a stub's fake values are arbitrary, so they may as well be
+      * reproducible by the DuckDB oracle — which turns the whole decode
+      * plumbing (schema, batching, row fan-out) into a hash-checked path
+      * instead of a rows-only one. */
     def imageDims(payload: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (64 + math.abs(h % 193), 64 + math.abs((h / 193) % 193))
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      (64 + (d(0) & 0xFF) % 193, 64 + (d(1) & 0xFF) % 193)
     }
     /** "Feature-extract" → fixed-width float vector (byte histogram, L1-normalized). */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
