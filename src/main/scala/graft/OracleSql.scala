@@ -17,13 +17,11 @@ package graft
   *    replaces all);
   *  - Java \p{Punct} = POSIX ASCII punct = RE2 [[:punct:]].
   *
-  * Queries intentionally absent (weaker rows-only check — the genuinely
-  * engine-private ones):
-  *  - q_approx_unique / q_kmv_unique: estimator-specific counts (the KMV
-  *    priorities are 64-bit multiply hashes DuckDB's checked arithmetic
-  *    cannot replay);
-  *  - q_sample_any / q_reservoir: any-n / seeded-hash samples (same
-  *    multiply-hash limitation).
+  * EVERY query carries an oracle — none are rows-only. Engine-private
+  * values (HLL/KMV estimates, reservoir/any-n samples: 64-bit multiply
+  * hashing DuckDB's checked arithmetic cannot replay) are gated by their
+  * CONTRACTS instead: error bounds vs exact counts, sample
+  * size/distinctness/membership.
   *
   * Three classes of oracle:
   *  - exact value oracles (most queries);
@@ -155,6 +153,21 @@ object OracleSql {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // estimator / sample CONTRACT oracles (see Queries scaladoc): DuckDB
+    // pins the key set / sample size and asserts the property everywhere
+    "q_approx_unique" ->
+      "SELECT l_returnflag, true AS within_rsd FROM lineitem GROUP BY 1",
+
+    "q_kmv_unique" ->
+      "SELECT l_returnflag, true AS within_bound FROM lineitem GROUP BY 1",
+
+    "q_sample_any" ->
+      "SELECT CAST(10 AS BIGINT) AS n_sampled, true AS members_ok",
+
+    "q_reservoir" ->
+      """SELECT CAST(15 AS BIGINT) AS n_sampled, true AS distinct_ok,
+        |       true AS members_ok""".stripMargin,
 
     "q_sample_residue" ->
       "SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 0",
