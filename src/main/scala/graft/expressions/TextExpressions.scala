@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,6 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // NULL text yields an EMPTY shingle set, exactly like the lambda
+  // specification (size(null) = -1 short-circuits it to []), so the
+  // expression itself never returns null
+  override def nullable: Boolean = false
   override def prettyName: String = "word_shingles"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -65,14 +70,29 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     new GenericArrayData(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    computeShingles(input.asInstanceOf[UTF8String])
+  /** Shared empty result (GenericArrayData is immutable). Public for the
+    * generated code path. */
+  val emptyShingles: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) emptyShingles else computeShingles(v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // one static call into the compiled pass — keeps the operator inside
-    // WholeStageCodegen (no interpreted lambda tree per element)
+    // one call into the compiled pass — keeps the operator inside
+    // WholeStageCodegen (no interpreted lambda tree per element); null
+    // input short-circuits to the shared empty array
     val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.computeShingles($c)")
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$arrayCls ${ev.value} = ${childGen.isNull}
+        |  ? $ref.emptyShingles() : $ref.computeShingles(${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -150,7 +150,8 @@ class DedupSimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // edge cases: leading/trailing whitespace (empty tokens), repeats
     // (distinct first-occurrence order), fewer words than n, mixed case
-    val edge = Seq(" a b", "a  B c a b", "one", "", "X y X y X y", "tab\there now")
+    val edge = Seq(Some(" a b"), Some("a  B c a b"), Some("one"), Some(""),
+      Some("X y X y X y"), Some("tab\there now"), None)
       .toDF("text")
     val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
       .select(col("text")).union(edge)
