@@ -26,6 +26,27 @@ object Queries {
   /** Exact integer cents from a cents-aligned (or computed) double. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** Estimator-error contract: per key, |estimate − exact| ≤ tol · exact,
+    * emitted as one boolean column the DuckDB oracle pins true. */
+  private def errorBoundContract(est: DataFrame, key: String, estCol: String,
+                                 exact: DataFrame, tol: Double, as: String): DataFrame =
+    est.join(exact, key)
+      .select(col(key),
+        (abs(col(estCol) - col("__exact")) <= col("__exact") * tol).as(as))
+
+  /** Sample-validity contract: size, membership in the universe (by id),
+    * optional distinctness — one row of checks the oracle pins. */
+  private def sampleContract(sample: DataFrame, universe: DataFrame, id: String,
+                             checkDistinct: Boolean): DataFrame = {
+    val joined = sample.select(col(id))
+      .join(universe.select(col(id), lit(1).as("__m")), Seq(id), "left")
+    val aggs = Seq(count(lit(1)).as("n_sampled")) ++
+      (if (checkDistinct) Seq((countDistinct(col(id)) === count(lit(1))).as("distinct_ok"))
+       else Seq.empty) ++
+      Seq((sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
+    joined.agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------------------------- element-wise
 
   def qMapProject(s: SparkSession, dir: String): DataFrame = {
@@ -186,11 +207,11 @@ object Queries {
     * the keys and asserts the contract everywhere. */
   def qApproxUnique(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val est = Aggregates.approxUniquePerKey(li, Seq(col("l_returnflag")), col("l_partkey"))
-    val exact = li.groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("__exact"))
-    est.join(exact, "l_returnflag")
-      .select(col("l_returnflag"),
-        (abs(col("approx_distinct") - col("__exact")) <= col("__exact") * 0.15).as("within_rsd"))
+    errorBoundContract(
+      Aggregates.approxUniquePerKey(li, Seq(col("l_returnflag")), col("l_partkey")),
+      "l_returnflag", "approx_distinct",
+      li.groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("__exact")),
+      tol = 0.15, as = "within_rsd")
   }
 
   def qSampleResidue(s: SparkSession, dir: String): DataFrame =
@@ -203,10 +224,8 @@ object Queries {
     * membership check the oracle pins. */
   def qSampleAny(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
-    Aggregates.sampleAny(events, 10).select(col("event_id"))
-      .join(events.select(col("event_id"), lit(1).as("__m")), Seq("event_id"), "left")
-      .agg(count(lit(1)).as("n_sampled"),
-        (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
+    sampleContract(Aggregates.sampleAny(events, 10), events, "event_id",
+      checkDistinct = false)
   }
 
   def qGbkList(s: SparkSession, dir: String): DataFrame =
@@ -266,12 +285,7 @@ object Queries {
       .select(fn.asAggregator.toColumn.name("sample"))
       .flatMap(identity)
       .toDF("event_id")
-    sample
-      .join(t(s, dir, "events").select(col("event_id"), lit(1).as("__m")),
-        Seq("event_id"), "left")
-      .agg(count(lit(1)).as("n_sampled"),
-        (countDistinct(col("event_id")) === count(lit(1))).as("distinct_ok"),
-        (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
+    sampleContract(sample, t(s, dir, "events"), "event_id", checkDistinct = true)
   }
 
   /** GroupIntoBatches via the stateful-ParDo path (transformWithState works
@@ -337,11 +351,10 @@ object Queries {
       .groupByKey(_._1)
       .agg(fn.asAggregator.toColumn.name("__kmv"))
       .toDF("l_returnflag", "__kmv")
-    val exact = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("__exact"))
-    est.join(exact, "l_returnflag")
-      .select(col("l_returnflag"),
-        (abs(col("__kmv") - col("__exact")) <= col("__exact") * 0.30).as("within_bound"))
+    errorBoundContract(est, "l_returnflag", "__kmv",
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("__exact")),
+      tol = 0.30, as = "within_bound")
   }
 
   // ---------------------------------------------------------------- joins

@@ -37,9 +37,18 @@ object Multimodal {
       * reproducible by the DuckDB oracle — which turns the whole decode
       * plumbing (schema, batching, row fan-out) into a hash-checked path
       * instead of a rows-only one. */
+    // one digest instance per thread: getInstance pays a synchronized
+    // provider lookup + allocation, too heavy for a per-row call
+    private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
     def imageDims(payload: Array[Byte]): (Int, Int) = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      (64 + (d(0) & 0xFF) % 193, 64 + (d(1) & 0xFF) % 193)
+      // null payload ≡ empty payload (a stub of a real codec fails
+      // explicitly downstream, not via NPE from its hash helper)
+      val bytes = if (payload == null) Array.empty[Byte] else payload
+      val d = md5.get()
+      d.reset()
+      val h = d.digest(bytes)
+      (64 + (h(0) & 0xFF) % 193, 64 + (h(1) & 0xFF) % 193)
     }
     /** "Feature-extract" → fixed-width float vector (byte histogram, L1-normalized). */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
