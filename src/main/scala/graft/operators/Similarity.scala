@@ -121,37 +121,30 @@ object Similarity {
   }
 
   /** Random-hyperplane sign-bit bucket id (planes ≤ 30). The per-row work
-    * is planes × dim multiply-adds against the literal matrix; norms and
-    * hashes stay out of the inner lambda. */
+    * is planes × dim multiply-adds — each plane's projection is one
+    * codegen'd VecDotProduct against a literal plane array (the round-2
+    * zip_with/aggregate lambda chain evaluated interpreted; the native
+    * kernel computes the IDENTICAL left-to-right double sum, which the
+    * oracle hash-replays verify). */
   def hyperplaneBucket(embs: DataFrame, id: Column, vec: Column,
                        planes: Int, seed: Long = 42L): DataFrame = {
     // one-row eager read for the dimension (plan-construction job; the
-    // alternative — per-row hashing inside the lambda — dominated every
-    // LSH pass). Empty input → empty bucketed frame, same schema.
+    // plane literals need it). Empty input → empty bucketed frame, same
+    // schema.
     val firstDim = embs.select(size(vec).as("d")).limit(1).collect()
     if (firstDim.isEmpty)
       return embs.select(id.as("id"), vec.as("vec"), lit(0L).as("bucket")).limit(0)
     val dim = firstDim(0).getInt(0)
-    val matrix = array((0 until planes).map { p =>
-      array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
-    }: _*)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dotp = aggregate(
-        zip_with(col("vec"), element_at(col("__planes"), p + 1),
-          (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
       // The sign test rounds to 9 dp so an independent engine (the DuckDB
       // oracle) computing the same dot product lands on the same side of
       // the hyperplane even when the last ulp differs; semantically this
       // only nudges the hyperplane by 5e-10.
-      // p is a lambda-bound Column; the SQL shiftleft accepts Column shift
-      // amounts (the Scala overload only takes Int).
-      when(round(dotp, 9) >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
-    })
+      when(round(dotProduct(col("vec"), plane), 9) >= 0, lit(1L << p)).otherwise(0L)
+    }
     embs.select(id.as("id"), vec.as("vec"))
-      .withColumn("__planes", matrix)
-      .withColumn("bucket", aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
-      .drop("__planes")
+      .withColumn("bucket", bits.reduce(_ bitwiseOR _))
   }
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path:
@@ -184,33 +177,28 @@ object Similarity {
     if (centroids.isEmpty)
       return corpus.select(corpusId.cast("long").as("query_id"),
         corpusId.cast("long").as("corpus_id"), lit(0.0).as("score")).limit(0)
-    val matrix = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val cnorms = array(centroids.map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
-
     // nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
-    // sort = best-first; vnorm is computed once per row. negcos is rounded
-    // to 9 dp so the argmin is reproducible by an independent engine (the
-    // DuckDB oracle) — distinct centroids differ in cosine by far more
-    // than 1e-9, so the rounding never changes a real assignment.
+    // sort = best-first; vnorm is computed once per row, each centroid
+    // projection is a codegen'd VecDotProduct against the literal centroid
+    // array (the lambda formulation evaluated interpreted). negcos is
+    // rounded to 9 dp so the argmin is reproducible by an independent
+    // engine (the DuckDB oracle) — distinct centroids differ in cosine by
+    // far more than 1e-9, so the rounding never changes a real assignment.
     def cells(vec: Column, vnorm: Column): Column =
-      array_sort(transform(sequence(lit(0), lit(centroids.length - 1)), c => {
-        val dot = aggregate(zip_with(vec, element_at(col("__cmat"), c + 1),
-          (x, m) => x.cast("double") * m), lit(0.0), (a, x) => a + x)
-        struct(round(-dot / (vnorm * element_at(col("__cnorm"), c + 1)), 9).as("negcos"),
-          c.as("cell"))
-      }))
+      array_sort(array(centroids.zipWithIndex.map { case (cent, idx) =>
+        val centArr = array(cent.map(lit): _*)
+        val cnorm = lit(math.sqrt(cent.map(x => x * x).sum))
+        struct(round(-dotProduct(vec, centArr) / (vnorm * cnorm), 9).as("negcos"),
+          lit(idx).as("cell"))
+      }: _*))
 
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
-      .withColumn("__cmat", matrix).withColumn("__cnorm", cnorms)
       .withColumn("cell", element_at(cells(col("cvec"), col("cnorm")), 1).getField("cell"))
-      .drop("__cmat", "__cnorm")
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
-      .withColumn("__cmat", matrix).withColumn("__cnorm", cnorms)
       .withColumn("cell", explode(transform(
         slice(cells(col("qvec"), col("qnorm")), 1, nprobe), s => s.getField("cell"))))
-      .drop("__cmat", "__cnorm")
 
     val scored = c.join(q, "cell")
       .select(col("query_id"), col("corpus_id"),
