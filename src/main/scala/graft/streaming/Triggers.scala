@@ -295,6 +295,9 @@ object Triggers {
     *    it finishes with its last child;
     *  - RepeatedlyT(t) fires whenever t would fire and resets t — never
     *    finishes;
+    *  - NeverT (reference: SDK/transforms/windowing/Never.java:36) never
+    *    fires on its own: the window emits exactly one pane, the final
+    *    flush at its GC horizon;
     *  - OrFinallyT(main, until): main's firings repeat until `until` would
     *    fire, which produces the FINAL pane and finishes the window.
     * A finished root closes the window (accumulator state dropped, a closed
@@ -312,6 +315,7 @@ object Triggers {
   final case class AfterAllT(children: Seq[TriggerAst]) extends TriggerAst
   final case class AfterEachT(children: Seq[TriggerAst]) extends TriggerAst
   final case class RepeatedlyT(child: TriggerAst) extends TriggerAst
+  case object NeverT extends TriggerAst
   final case class OrFinallyT(main: TriggerAst, until: TriggerAst) extends TriggerAst
 
   /** Mutable per-window trigger state: node path →
@@ -361,6 +365,7 @@ object Triggers {
     def shouldFire(t: TriggerAst, path: String, st: TrigState,
                    ctx: TrigCtx): Boolean =
       !finished(path, st) && (t match {
+        case NeverT           => false // only the GC-horizon flush fires
         case AfterWatermarkT  => ctx.wmPastEnd
         case AfterCountT(n)   => entry(path, st)._1 >= n
         case AfterProcessingTimeT(_) =>
@@ -387,6 +392,7 @@ object Triggers {
     /** Post-firing transition (the reference's onFire/onElement reset
       * logic). Returns nothing; mutates finished flags / resets counts. */
     def onFire(t: TriggerAst, path: String, st: TrigState, ctx: TrigCtx): Unit = t match {
+      case NeverT => () // unreachable: NeverT never reports shouldFire
       case AfterWatermarkT | AfterCountT(_) | AfterProcessingTimeT(_) =>
         st(path) = (0L, true, Long.MaxValue)
       case AfterWatermarkEL(e, l) =>

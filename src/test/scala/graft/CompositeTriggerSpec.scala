@@ -172,4 +172,21 @@ class CompositeTriggerSpec extends SparkSpec {
       panes.toString)
     assert(panes.head._1 == 2L && panes.head._3 == "ON_TIME", panes.toString)
   }
+
+  test("Never: exactly one pane per window, the final flush at the GC horizon") {
+    // reference: SDK/transforms/windowing/Never.java:36 - the trigger never
+    // fires; ReduceFnRunner still emits the window's contents once when it
+    // expires
+    val panes = run(NeverT, "ct_never", lateness = 60000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // no firing
+      input.addData(("z", ts("2024-01-01 10:01:30"), 1L))
+      q.processAllAvailable() // watermark past end, before GC: still nothing
+      input.addData(("a", ts("2024-01-01 10:00:59"), 1L))
+      q.processAllAvailable() // late within lateness: absorbed, no firing
+      input.addData(("z", ts("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable() // GC horizon: the single final pane
+    }
+    assert(panes == Seq((3L, 0, "ON_TIME", true)), panes.toString)
+  }
 }
