@@ -312,12 +312,14 @@ object Queries {
     * the DuckDB oracle pins true. */
   def qMpQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fn = new graft.functions.ApproximateQuantilesFn(numQuantiles = 5)
-      .contramap[(String, Double)](_._2)
-    val mp = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
-      .groupByKey(_._1)
-      .agg(fn.asAggregator.toColumn.name("quantiles"))
-      .toDF("l_returnflag", "quantiles")
+    // the UDAF route of the CombineFn⇄Aggregator bridge (the typed
+    // groupByKey route is exercised by qTypedMeanMax): a plain DataFrame
+    // groupBy aggregates through the same accumulator with no per-row
+    // tuple encoding
+    val mpUdaf = udaf(new graft.functions.ApproximateQuantilesFn(numQuantiles = 5).asAggregator,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val mp = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(mpUdaf(col("l_quantity")).as("quantiles"))
     val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
     val mids = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75) // array slot (0-based) -> prob
     val rankCounts = mids.flatMap { case (slot, _) => Seq(
