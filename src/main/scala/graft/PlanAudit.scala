@@ -4,7 +4,11 @@ object PlanAudit {
     val spark = GraftSession.getOrCreate()
     val dir = "/root/testdata/sf0.01"
     Seq("q1_agg", "q_broadcast_join", "q_filter", "q_map_project",
-        "q_embed_topk", "q_join_inner", "q_window_fixed").foreach { name =>
+        "q_embed_topk", "q_join_inner", "q_window_fixed",
+        // the round-3 reworked scale paths: salted top-k, max_by/min_by
+        // aggregates, bounded ANN re-ranks, native shingle kernel
+        "q_top_per_key", "q_latest_per_key", "q_distinct_rep",
+        "q_ivf_ann", "q_lsh_ann", "q_dedup_minhash").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }
