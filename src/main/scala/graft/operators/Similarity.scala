@@ -128,6 +128,8 @@ object Similarity {
     * oracle hash-replays verify). */
   def hyperplaneBucket(embs: DataFrame, id: Column, vec: Column,
                        planes: Int, seed: Long = 42L): DataFrame = {
+    require(planes >= 1 && planes <= 62,
+      s"hyperplaneBucket needs 1..62 planes (got $planes): bucket bits live in one Long")
     // one-row eager read for the dimension (plan-construction job; the
     // plane literals need it). Empty input → empty bucketed frame, same
     // schema.

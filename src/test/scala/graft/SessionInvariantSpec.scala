@@ -1,11 +1,9 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.functions.CombineFn
 import graft.streaming.Triggers
 
 /** Randomized invariant testing of the merging-session pane engine: seeded
@@ -34,16 +32,6 @@ import graft.streaming.Triggers
 class SessionInvariantSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ckpt() = Files.createTempDirectory("graft-sessinv").toString
-
-  private val collectFn: CombineFn[Long, List[Long], List[Long]] =
-    new CombineFn[Long, List[Long], List[Long]] {
-      def createAccumulator(): List[Long] = Nil
-      def addInput(acc: List[Long], in: Long): List[Long] = in :: acc
-      def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] = a ++ b
-      def extractOutput(acc: List[Long]): List[Long] = acc.sorted
-    }
-
   private case class Pane(k: String, wstart: Long, wend: Long, values: Seq[Long],
                           idx: Int, timing: String, isFinal: Boolean)
 
@@ -63,7 +51,7 @@ class SessionInvariantSpec extends SparkSpec {
         .withWatermark("t", "0 seconds")
         .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
         .as[(String, Long, Long)]
-      val panes = Triggers.sessionAggregateTriggered(ds, collectFn,
+      val panes = Triggers.sessionAggregateTriggered(ds, collectLongsFn,
         gapMs = gapSec * 1000,
         trigger = Triggers.AfterWatermarkEL(Some(Triggers.AfterCountT(1 + rng.nextInt(4))), None),
         allowedLatenessMs = 3600L * 1000)
@@ -92,7 +80,12 @@ class SessionInvariantSpec extends SparkSpec {
             r.getAs[String]("timing"), r.getAs[Boolean]("is_final")))
 
         val byKey = events.groupBy(_._1)
-        got.groupBy(_.k).foreach { case (k, ps) =>
+        val gotByKey = got.groupBy(_.k)
+        // iterate the INPUT keys, not the output's — a regression that
+        // drops every pane of a key must fail loudly, not vacuously
+        byKey.keys.foreach { k =>
+          assert(gotByKey.contains(k), s"[$trial/$k] key produced no panes at all")
+          val ps = gotByKey(k)
           val spans = ps.groupBy(p => (p.wstart, p.wend))
           val maximal = spans.keySet.filter { case (s, e) =>
             !spans.keySet.exists { case (s2, e2) =>

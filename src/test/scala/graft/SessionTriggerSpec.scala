@@ -1,27 +1,15 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.functions.CombineFn
 import graft.streaming.Triggers
 
 /** Merging session windows with pane metadata (reference: Sessions.java:40,
   * MergingActiveWindowSet.java; early_late_sessions transcript shape). */
 class SessionTriggerSpec extends SparkSpec {
   import spark.implicits._
-
-  private def ckpt() = Files.createTempDirectory("graft-sess").toString
-
-  private val collectFn: CombineFn[Long, List[Long], List[Long]] =
-    new CombineFn[Long, List[Long], List[Long]] {
-      def createAccumulator(): List[Long] = Nil
-      def addInput(acc: List[Long], in: Long): List[Long] = in :: acc
-      def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] = a ++ b
-      def extractOutput(acc: List[Long]): List[Long] = acc.sorted
-    }
 
   /** (wstartSec, wendSec, values, timing, isFinal) for key "a". */
   private def run(name: String, gapSec: Long, latenessSec: Long,
@@ -44,7 +32,7 @@ class SessionTriggerSpec extends SparkSpec {
       .withWatermark("t", "0 seconds")
       .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
       .as[(String, Long, Long)]
-    val panes = Triggers.sessionAggregateTriggered(events, collectFn,
+    val panes = Triggers.sessionAggregateTriggered(events, collectLongsFn,
       gapMs = gapSec * 1000, trigger = trigger,
       allowedLatenessMs = latenessSec * 1000)
     val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
@@ -217,7 +205,7 @@ class SessionTriggerSpec extends SparkSpec {
       .withWatermark("t", "0 seconds")
       .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
       .as[(String, Long, Long)]
-    val panes = Triggers.sessionAggregateTriggered(events, collectFn,
+    val panes = Triggers.sessionAggregateTriggered(events, collectLongsFn,
       gapMs = 300000L,
       trigger = Triggers.AfterWatermarkEL(Some(Triggers.AfterCountT(4)), None),
       allowedLatenessMs = 0L)

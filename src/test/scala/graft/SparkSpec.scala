@@ -13,6 +13,20 @@ trait SparkSpec extends AnyFunSuite {
     * delegates to the library's PAssert (graft.testing.PAssert). */
   def assertRows(df: org.apache.spark.sql.DataFrame, expected: Seq[Seq[Any]]): Unit =
     graft.testing.PAssert.containsInAnyOrder(df, expected)
+
+  /** Fresh streaming-checkpoint dir (shared by every streaming suite). */
+  def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  /** The list-collecting CombineFn the trigger/session suites aggregate
+    * with (sorted output so bags compare deterministically). */
+  val collectLongsFn: graft.functions.CombineFn[Long, List[Long], List[Long]] =
+    new graft.functions.CombineFn[Long, List[Long], List[Long]] {
+      def createAccumulator(): List[Long] = Nil
+      def addInput(acc: List[Long], in: Long): List[Long] = in :: acc
+      def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] = a ++ b
+      def extractOutput(acc: List[Long]): List[Long] = acc.sorted
+    }
 }
 
 object SparkSpec {

@@ -27,8 +27,6 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
-  private def ckpt() = Files.createTempDirectory("graft-ckpt").toString
-
   test("append mode = AfterWatermark.pastEndOfWindow: emits once watermark passes; drops too-late") {
     val input = MemoryStream[(String, Timestamp)](spark)
     val agg = StreamingOps.windowedAggregate(

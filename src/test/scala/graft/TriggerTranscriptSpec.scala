@@ -1,11 +1,9 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.functions.CombineFn
 import graft.streaming.Triggers
 import graft.streaming.Triggers._
 
@@ -28,16 +26,6 @@ class TriggerTranscriptSpec extends SparkSpec {
     * partial matching like the YAML's attribute subsets. */
   case class Expect(panes: Seq[(Long, Seq[Long], Option[String], Option[Boolean])]) extends Event
 
-  private val collectFn: CombineFn[Long, List[Long], List[Long]] =
-    new CombineFn[Long, List[Long], List[Long]] {
-      def createAccumulator(): List[Long] = Nil
-      def addInput(acc: List[Long], in: Long): List[Long] = in :: acc
-      def mergeAccumulators(a: List[Long], b: List[Long]): List[Long] = a ++ b
-      def extractOutput(acc: List[Long]): List[Long] = acc.sorted
-    }
-
-  private def ckpt() = Files.createTempDirectory("graft-transcript").toString
-
   private def runTranscript(name: String, trigger: TriggerAst, windowSec: Long,
                             latenessSec: Long, accumulating: Boolean,
                             transcript: Seq[Event]): Unit = {
@@ -45,7 +33,7 @@ class TriggerTranscriptSpec extends SparkSpec {
     val assigned = Triggers.assignFixedWindows(
       input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
         .as[(String, Timestamp, Long)], windowSec * 1000)
-    val panes = Triggers.triggeredAggregateComposite(assigned, collectFn, trigger,
+    val panes = Triggers.triggeredAggregateComposite(assigned, collectLongsFn, trigger,
       windowSizeMs = windowSec * 1000, allowedLatenessMs = latenessSec * 1000,
       accumulating = accumulating)
     val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
@@ -135,7 +123,7 @@ class TriggerTranscriptSpec extends SparkSpec {
         val ts = t.getTime
         (k, math.floorDiv(ts, 10000L) * 10000L, (ts, v))
       }
-    val fn = graft.functions.CombineFns.withTimestamps(collectFn)
+    val fn = graft.functions.CombineFns.withTimestamps(collectLongsFn)
     val panes = Triggers.triggeredAggregateComposite(withTs, fn,
       RepeatedlyT(AfterWatermarkT), windowSizeMs = 10000L, allowedLatenessMs = 1000000L)
     val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")

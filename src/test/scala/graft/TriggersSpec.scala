@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -17,8 +16,6 @@ class TriggersSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
-  private def ckpt() = Files.createTempDirectory("graft-trig").toString
-
   private val countFn: CombineFn[Long, Long, Long] = new CombineFn[Long, Long, Long] {
     def createAccumulator(): Long = 0L
     def addInput(acc: Long, in: Long): Long = acc + 1
