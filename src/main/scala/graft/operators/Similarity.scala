@@ -163,22 +163,31 @@ object Similarity {
     * At 100 TB the corpus shuffles ONCE on the cell id (or is written
     * cell-partitioned and never reshuffles); probe cost is
     * corpus/nlist × nprobe per query. Recall tunes with nprobe.
-    * A production variant would Lloyd-iterate the centroids; hash-sampling
-    * keeps this fully deterministic, which the correctness gate needs. */
+    *
+    * `lloydIters = 0` (the default, and what the correctness gate replays)
+    * keeps hash-sampled centroids — fully deterministic cross-engine.
+    * `lloydIters > 0` runs that many spherical k-means refinement rounds
+    * (assign → renormalized mean per cell; one corpus pass + an
+    * nlist×dim collect per round), the production path for real recall —
+    * deterministic within Spark up to floating-point partial-sum order. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
     requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
     // cast to array<double> BEFORE collecting so float and double
     // embedding columns both work
-    val centroids = corpus
+    val seeds = corpus
       .select(corpusVec.cast("array<double>").as("v"),
         md5(corpusId.cast("string")).as("__h"), corpusId.cast("long").as("__id"))
       .orderBy(col("__h"), col("__id")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
-    if (centroids.isEmpty)
+    if (seeds.isEmpty)
       return corpus.select(corpusId.cast("long").as("query_id"),
         corpusId.cast("long").as("corpus_id"), lit(0.0).as("score")).limit(0)
+    val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      lloydRound(corpus, corpusVec, cents)
+    }
     // nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
     // sort = best-first; vnorm is computed once per row, each centroid
     // projection is a codegen'd VecDotProduct against the literal centroid
@@ -211,6 +220,44 @@ object Similarity {
     // materializes (the round-2 salted collect_list path held the whole
     // (key, salt) group in memory at once)
     topKByScore(scored, k)
+  }
+
+  /** One spherical k-means round (the Lloyd step of [[ivfTopK]]): assign
+    * every corpus vector to its nearest current centroid by cosine, then
+    * replace each centroid with its cell's renormalized mean direction —
+    * the spherical k-means update, which monotonically improves the mean
+    * cosine-to-centroid objective. One narrow corpus pass (codegen'd
+    * per-centroid projections), a posexplode HashAggregate, and an
+    * nlist×dim collect. Empty cells keep their previous centroid. */
+  private[graft] def lloydRound(corpus: DataFrame, corpusVec: Column,
+                                cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val assigned = corpus
+      .select(corpusVec.cast("array<double>").as("v"))
+      .withColumn("__n", l2Norm(col("v")))
+      .withColumn("cell", element_at(array_sort(array(
+        cents.zipWithIndex.map { case (cent, idx) =>
+          val centArr = array(cent.map(lit): _*)
+          val cnorm = lit(math.sqrt(cent.map(x => x * x).sum))
+          struct(round(-dotProduct(col("v"), centArr) / (col("__n") * cnorm), 9).as("negcos"),
+            lit(idx).as("cell"))
+        }: _*)), 1).getField("cell"))
+    val sums = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    cents.zipWithIndex.map { case (old, idx) =>
+      sums.get(idx) match {
+        case Some(mean) =>
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0.0) old else mean.map(_ / norm)
+        case None => old // empty cell: keep the previous centroid
+      }
+    }
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any

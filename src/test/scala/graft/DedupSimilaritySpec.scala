@@ -163,4 +163,33 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(diff.isEmpty, s"n=$n first diff: ${diff.take(1).mkString}")
     }
   }
+
+  test("IVF Lloyd refinement: spherical k-means rounds improve the quantization objective") {
+    import org.apache.spark.sql.functions._
+    val embs = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val vecs = embs.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // mean best-centroid cosine: the spherical k-means objective
+    def objective(cents: Array[Array[Double]]): Double =
+      vecs.map(v => cents.map(c => cos(v, c)).max).sum / vecs.length
+    val seeds = vecs.take(16)
+    val r1 = Similarity.lloydRound(embs, col("embedding"), seeds)
+    val r2 = Similarity.lloydRound(embs, col("embedding"), r1)
+    assert(r1.zip(seeds).exists { case (a, b) => !a.sameElements(b) }, "centroids never moved")
+    assert(objective(r1) >= objective(seeds) - 1e-9,
+      s"round 1 worsened the objective: ${objective(seeds)} -> ${objective(r1)}")
+    assert(objective(r2) >= objective(r1) - 1e-9,
+      s"round 2 worsened the objective: ${objective(r1)} -> ${objective(r2)}")
+    // the refined index still serves k results per query
+    val out = Similarity.ivfTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+      k = 5, nlist = 16, nprobe = 4, lloydIters = 2)
+    val perQuery = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 3 && perQuery.forall(_ == 5L), perQuery.mkString(","))
+  }
 }
