@@ -54,10 +54,20 @@ object BeamCoders {
   def encodeBytes(b: Array[Byte], nested: Boolean): Array[Byte] =
     if (!nested) b else encodeVarLong(b.length.toLong) ++ b
 
+  /** Like the varint guard above, a malformed length must throw, not
+    * corrupt: `len.toInt` would wrap past Int.MaxValue and `slice` would
+    * silently clamp on a truncated buffer, yielding bad data AND a
+    * desynced offset for every later field. */
   def decodeBytes(bytes: Array[Byte], off: Int, nested: Boolean): (Array[Byte], Int) =
     if (!nested) (bytes.drop(off), bytes.length - off)
     else {
       val (len, ln) = decodeVarLong(bytes, off)
+      if (len < 0 || len > Int.MaxValue)
+        throw new IllegalArgumentException(s"malformed byte-array length: $len")
+      if (off + ln + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated byte-array: declared $len bytes, " +
+            s"${bytes.length - off - ln} available")
       (bytes.slice(off + ln, off + ln + len.toInt), ln + len.toInt)
     }
 

@@ -245,14 +245,18 @@ object Aggregates {
     val batched = indexed
       .groupBy(keyNames.map(col) :+ col("batch_id"): _*)
       .agg(sort_array(collect_list(col("__v"))).as("batch"), count(lit(1)).as("batch_size"))
+    // materialize=false: the offset broadcast must stay alive — the
+    // returned frame's lineage recomputes mapPartitions against bOff
     if (!materialize) batched
     else {
       // materialize the (much smaller) batched result off the cached
-      // lineage, then release the cached projection; the checkpoint blocks
-      // are ContextCleaner-managed (freed when the returned frame is
-      // garbage-collected), unlike the persist above
+      // lineage, then release the cached projection AND the offset
+      // broadcast (the checkpoint truncates lineage, so nothing can
+      // recompute through bOff); the checkpoint blocks themselves are
+      // ContextCleaner-managed, unlike the persist above
       val out = batched.localCheckpoint(true)
       sorted.unpersist()
+      bOff.destroy()
       out
     }
   }

@@ -224,11 +224,14 @@ object Similarity {
 
   /** One spherical k-means round (the Lloyd step of [[ivfTopK]]): assign
     * every corpus vector to its nearest current centroid by cosine, then
-    * replace each centroid with its cell's renormalized mean direction —
-    * the spherical k-means update, which monotonically improves the mean
-    * cosine-to-centroid objective. One narrow corpus pass (codegen'd
-    * per-centroid projections), a posexplode HashAggregate, and an
-    * nlist×dim collect. Empty cells keep their previous centroid. */
+    * replace each centroid with the renormalized mean of its cell's UNIT
+    * vectors — the spherical k-means update (summing raw vectors instead
+    * would let high-magnitude rows dominate the direction and voids the
+    * monotone mean-cosine guarantee on mixed-norm corpora). Zero-norm
+    * vectors carry no direction and are excluded from the update. One
+    * narrow corpus pass (codegen'd per-centroid projections), a posexplode
+    * HashAggregate, and an nlist×dim collect. Empty cells keep their
+    * previous centroid. */
   private[graft] def lloydRound(corpus: DataFrame, corpusVec: Column,
                                 cents: Array[Array[Double]]): Array[Array[Double]] = {
     val assigned = corpus
@@ -242,9 +245,10 @@ object Similarity {
             lit(idx).as("cell"))
         }: _*)), 1).getField("cell"))
     val sums = assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .where(col("__n") > 0)
+      .select(col("cell"), col("__n"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
-      .agg(sum(col("x")).as("s"))
+      .agg(sum(col("x") / col("__n")).as("s"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cell, rows) =>

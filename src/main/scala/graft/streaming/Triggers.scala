@@ -280,7 +280,14 @@ object Triggers {
     *    deadline is checked at each evaluation opportunity (every input
     *    micro-batch and event-time timer): firing happens at micro-batch
     *    granularity after the deadline, the same cadence Beam's
-    *    processing-time firings exhibit under a micro-batch runner;
+    *    processing-time firings exhibit under a micro-batch runner.
+    *    Quiescent-key caveat: a key that receives NO further input has no
+    *    micro-batch opportunities, so its armed deadline is next evaluated
+    *    at the key's event-time timer — i.e. no earlier than the
+    *    end-of-window/GC flush. Beam's runner-scheduled processing-time
+    *    timers would wake the key sooner; registering such a wakeup here
+    *    would need a second processing-time transformWithState stage,
+    *    which the single-TimeMode engine deliberately avoids;
     *  - AfterWatermarkEL(early, late) — AfterWatermark.pastEndOfWindow()
     *    .withEarlyFirings(early).withLateFirings(late): early fires
     *    repeatedly before the watermark passes end-of-window, exactly one

@@ -91,4 +91,16 @@ class CoderGoldenVectorSpec extends AnyFunSuite {
     val overlong = Array.fill(11)(0x80.toByte) :+ 0x01.toByte
     intercept[IllegalArgumentException] { decodeVarLong(overlong) }
   }
+
+  test("truncated / oversized nested byte-arrays are rejected, not clamped") {
+    // declares 10 bytes, provides 3: slice would silently clamp
+    val truncated = bytes(0x0A) ++ ascii("abc")
+    intercept[IllegalArgumentException] { decodeBytes(truncated, 0, nested = true) }
+    // length > Int.MaxValue: .toInt would wrap negative
+    val huge = encodeVarLong(Int.MaxValue.toLong + 1) ++ ascii("abc")
+    intercept[IllegalArgumentException] { decodeBytes(huge, 0, nested = true) }
+    // a valid prefix still decodes when trailing bytes follow
+    val (dec, used) = decodeBytes(bytes(0x03) ++ ascii("abcXYZ"), 0, nested = true)
+    assert(dec.sameElements(ascii("abc")) && used == 4)
+  }
 }

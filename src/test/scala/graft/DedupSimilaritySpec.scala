@@ -191,5 +191,22 @@ class DedupSimilaritySpec extends SparkSpec {
       k = 5, nlist = 16, nprobe = 4, lloydIters = 2)
     val perQuery = out.groupBy("query_id").count().collect().map(_.getLong(1))
     assert(perQuery.length == 3 && perQuery.forall(_ == 5L), perQuery.mkString(","))
+
+    // mixed-norm corpus: the update averages UNIT vectors, so inflating a
+    // subset's magnitude 1000x must not break monotone improvement (a
+    // raw-vector sum would let the inflated rows steer every centroid)
+    val mixed = embs.select(when(col("vec_id") % 7 === 0,
+        transform(col("embedding").cast("array<double>"), x => x * 1000.0))
+      .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+    val mvecs = mixed.collect().map(_.getSeq[Double](0).toArray)
+    def mObjective(cents: Array[Array[Double]]): Double =
+      mvecs.map(v => cents.map(c => cos(v, c)).max).sum / mvecs.length
+    val mSeeds = mvecs.take(16)
+    val m1 = Similarity.lloydRound(mixed, col("embedding"), mSeeds)
+    val m2 = Similarity.lloydRound(mixed, col("embedding"), m1)
+    assert(mObjective(m1) >= mObjective(mSeeds) - 1e-9,
+      s"mixed-norm round 1 worsened: ${mObjective(mSeeds)} -> ${mObjective(m1)}")
+    assert(mObjective(m2) >= mObjective(m1) - 1e-9,
+      s"mixed-norm round 2 worsened: ${mObjective(m1)} -> ${mObjective(m2)}")
   }
 }
