@@ -13,6 +13,58 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** FileBasedSink's commit protocol (reference: SDK/io/FileBasedSink.java —
+  * WriteOperation temp directory + finalize; WriteFiles.java): every task
+  * attempt writes a uniquely-named file under `_temporary-<token>/`; the
+  * driver promotes exactly one attempt per shard to
+  * `part-SSSSS-of-NNNNN<suffix>` (Beam's default shard template) and
+  * deletes the temp directory, so retried or speculative attempts can
+  * never double-commit. Format-agnostic: the writer callback owns the
+  * bytes, this owns atomicity. */
+private[sources] object ShardedCommit {
+
+  /** Run `writeShard(records, stream)` once per non-empty partition and
+    * commit the results. Returns committed paths in shard order (empty
+    * partitions produce no shard; NNNNN counts committed shards). */
+  def write[X](ds: org.apache.spark.sql.Dataset[X], dir: String, suffix: String)(
+               writeShard: (Iterator[X], java.io.OutputStream) => Unit): Seq[String] = {
+    val spark = ds.sparkSession
+    // ship the Hadoop conf as properties: executors must resolve `dir`
+    // against the SAME filesystem config the driver sees
+    val confProps = spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val bConf = spark.sparkContext.broadcast(confProps)
+    val fnShard = writeShard // avoid capturing an outer `this`
+    val token = java.util.UUID.randomUUID().toString
+    val tmpDir = s"$dir/_temporary-$token"
+    val attempts = ds.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val conf = new Configuration(false)
+        bConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val pid = TaskContext.getPartitionId()
+        val attempt = java.util.UUID.randomUUID().toString
+        val tmp = new Path(s"$tmpDir/part-$pid-$attempt")
+        val out = tmp.getFileSystem(conf).create(tmp, true)
+        try fnShard(it, out) finally out.close()
+        Iterator.single((pid, tmp.toString))
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING)).collect()
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // one attempt per shard (first wins); stable shard order by partition id
+    val chosen = attempts.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head)
+    val total = chosen.size
+    val committed = chosen.zipWithIndex.map { case ((_, tmp), i) =>
+      val dst = new Path(f"$dir/part-$i%05d-of-$total%05d$suffix")
+      fs.rename(new Path(tmp), dst)
+      dst.toString
+    }
+    fs.delete(new Path(tmpDir), true) // uncommitted attempts die with it
+    bConf.destroy()
+    committed
+  }
+}
+
 /** TFRecordIO (reference: SDK/io/TFRecordIO.java): TensorFlow's byte-record
   * container. The wire format (TFRecordIO.java:619-635) per record is
   *
@@ -121,52 +173,15 @@ object TFRecordIO {
   }
 
   /** TFRecordIO.write(): `value` (binary) → `numShards` files named
-    * `part-SSSSS-of-NNNNN<suffix>` under `dir`. Returns the committed
-    * paths in shard order. Empty partitions produce no shard (the renamed
-    * NNNNN is the count of non-empty shards). */
+    * `part-SSSSS-of-NNNNN<suffix>` under `dir` via [[ShardedCommit]].
+    * Returns the committed paths in shard order. */
   def write(df: DataFrame, value: Column, dir: String, numShards: Int = 0,
             suffix: String = ".tfrecord"): Seq[String] = {
-    val spark = df.sparkSession
-    // ship the Hadoop conf as properties: executors must resolve `dir`
-    // against the SAME filesystem config the driver sees
-    val confProps = spark.sessionState.newHadoopConf().iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    val bConf = spark.sparkContext.broadcast(confProps)
     val data0 = df.select(value.cast("binary").as("r"))
     val data = if (numShards > 0) data0.repartition(numShards) else data0
-    val token = java.util.UUID.randomUUID().toString
-    val tmpDir = s"$dir/_temporary-$token"
-    // each attempt writes its own uniquely-named temp file; the driver
-    // commits exactly one attempt per partition id below
-    val attempts = data.as(Encoders.BINARY).mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val conf = new Configuration(false)
-        bConf.value.foreach { case (k, v) => conf.set(k, v) }
-        val pid = TaskContext.getPartitionId()
-        val attempt = java.util.UUID.randomUUID().toString
-        val tmp = new Path(s"$tmpDir/part-$pid-$attempt")
-        val fs = tmp.getFileSystem(conf)
-        val out = fs.create(tmp, true)
-        var n = 0L
-        try it.foreach { rec => out.write(encodeRecord(rec)); n += 1 }
-        finally out.close()
-        Iterator.single((pid, tmp.toString, n))
-      }
-    }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaLong))
-      .collect()
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // one attempt per shard (first wins); stable shard order by partition id
-    val chosen = attempts.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head)
-    val total = chosen.size
-    val committed = chosen.zipWithIndex.map { case ((_, tmp, _), i) =>
-      val dst = new Path(f"$dir/part-$i%05d-of-$total%05d$suffix")
-      fs.rename(new Path(tmp), dst)
-      dst.toString
+    ShardedCommit.write(data.as(Encoders.BINARY), dir, suffix) {
+      (it, out) => it.foreach(rec => out.write(encodeRecord(rec)))
     }
-    fs.delete(new Path(tmpDir), true) // uncommitted attempts die with it
-    bConf.destroy()
-    committed
   }
 }
 

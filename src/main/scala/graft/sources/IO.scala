@@ -47,11 +47,11 @@ object IO {
     (if (numShards > 0) df.repartition(numShards) else df)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** AvroIO.read/write (reference: AvroIO.java): container files with
-    * schema evolution via the standard spark-avro module. NOTE: this
-    * container ships no spark-avro connector jar, so these wrappers are
-    * exercised only where the module is on the classpath (any standard
-    * Spark distribution); schema mapping per SURVEY.md §1.2 AvroCoder row. */
+  /** AvroIO.read/write (reference: AvroIO.java) via the spark-avro module
+    * where its jar is on the classpath (any standard Spark distribution).
+    * [[AvroFiles]] is the self-contained, container-tested implementation
+    * on the bundled Avro library — prefer it when the connector module is
+    * absent; schema mapping per SURVEY.md §1.2 AvroCoder row. */
   def readAvro(spark: SparkSession, path: String): DataFrame =
     spark.read.format("avro").load(path)
 

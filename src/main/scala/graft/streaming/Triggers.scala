@@ -635,7 +635,8 @@ object Triggers {
     * ReduceFnRunner.java:89 onMerge). Spark's built-in `session_window`
     * covers untriggered sessions; this operator adds what it cannot
     * express: pane metadata, late-data panes within allowedLateness, merge
-    * of PARTIAL AGGREGATES — each element opens [ts, ts+gap) and any
+    * of PARTIAL AGGREGATES — each element opens the proto-window its
+    * WindowFn assigns (`assign(ts, value)`; Sessions = [ts, ts+gap)) and any
     * overlapping active windows merge via CombineFn.mergeAccumulators (the
     * contract that makes merging windows possible without re-buffering raw
     * elements) — and the FULL composite-trigger AST: each active window
@@ -651,7 +652,8 @@ object Triggers {
     * dropped (droppedDueToClosedWindow), not merged into a reopened
     * window. */
   private class SessionProcessor[K, V, ACC, OUT](
-      fn: CombineFn[V, ACC, OUT], gapMs: Long, allowedLatenessMs: Long,
+      fn: CombineFn[V, ACC, OUT], assign: (Long, V) => (Long, Long),
+      allowedLatenessMs: Long,
       accumulating: Boolean, trigger: TriggerAst)(
       implicit accEnc: Encoder[SessionW[ACC]],
       outEnc: Encoder[Pane[K, OUT]])
@@ -688,19 +690,24 @@ object Triggers {
       windows.iterator().foreach { p => active(p._1) = p._2 }
       val touched = collection.mutable.Set.empty[Long]
       rows.foreach { case (_, ts, v) =>
-        val end = ts + gapMs
+        // WindowFn.assignWindows: the proto-window is element-driven (value
+        // AND timestamp — Beam's AssignContext exposes both); Sessions is
+        // (ts, ts + gap), a dynamic-gap WindowFn reads the gap off `v`
+        val (wStart0, end) = assign(ts, v)
+        require(wStart0 < end, s"assign produced empty window [$wStart0, $end)")
         if (wm < end + allowedLatenessMs) { // not too late
           // merge every INTERSECTING active window - abutting half-open
           // intervals stay separate (Beam IntervalWindow.intersects;
+          // MergeOverlappingIntervalWindows.java:37;
           // MergingActiveWindowSet.mergeIfAppropriate)
-          val overlapping = active.filter { case (s, w) => s < end && ts < w._1 }
+          val overlapping = active.filter { case (s, w) => s < end && wStart0 < w._1 }
           if (overlapping.exists(_._2._6)) {
             // the element's span touches a CLOSED window (root trigger
             // finished): Beam drops such elements
             // (droppedDueToClosedWindow) rather than reopening or
             // extending the window
           } else {
-            var start = ts
+            var start = wStart0
             var acc = fn.addInput(fn.createAccumulator(), v)
             var newEnd = end
             var paneIdx = 0
@@ -820,18 +827,38 @@ object Triggers {
 
   /** Session-windowed aggregation under an ARBITRARY composite trigger AST —
     * the reference's ReduceFnRunner-over-merging-windows path (any trigger
-    * state machine composed with Sessions). */
+    * state machine composed with Sessions). Sessions.java:61 assigns
+    * [ts, ts + gap). */
   def sessionAggregateTriggered[K, V, ACC, OUT](
       events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
       gapMs: Long, trigger: TriggerAst, allowedLatenessMs: Long = 0L,
+      accumulating: Boolean = true)(
+      implicit kEnc: Encoder[K], accEnc: Encoder[SessionW[ACC]],
+      outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] =
+    mergingWindowAggregate(events, fn, (ts: Long, _: V) => (ts, ts + gapMs),
+      trigger, allowedLatenessMs, accumulating)
+
+  /** CUSTOM merging WindowFn (reference: SDK/transforms/windowing/
+    * WindowFn.java — assignWindows gets the element's value and timestamp
+    * via AssignContext; mergeWindows for interval WindowFns is
+    * MergeOverlappingIntervalWindows.java:37, the rule every practical
+    * merging WindowFn uses): `assign(ts, value)` produces the element's
+    * proto-window [start, end) and intersecting active windows merge —
+    * accumulators, pane metadata and trigger state included. Sessions is
+    * `(ts, _) => (ts, ts + gapMs)`; a data-driven dynamic-gap session fn
+    * reads its gap off the value. Runs the full composite-trigger AST. */
+  def mergingWindowAggregate[K, V, ACC, OUT](
+      events: Dataset[(K, Long, V)], fn: CombineFn[V, ACC, OUT],
+      assign: (Long, V) => (Long, Long), trigger: TriggerAst,
+      allowedLatenessMs: Long = 0L,
       accumulating: Boolean = true)(
       implicit kEnc: Encoder[K], accEnc: Encoder[SessionW[ACC]],
       outEnc: Encoder[Pane[K, OUT]]): Dataset[Pane[K, OUT]] = {
     Stateful.requireRocksDBStateStore(events.sparkSession)
     events.groupByKey(_._1)
       .transformWithState(
-        new SessionProcessor[K, V, ACC, OUT](fn, gapMs, allowedLatenessMs, accumulating,
-          trigger),
+        new SessionProcessor[K, V, ACC, OUT](fn, assign, allowedLatenessMs,
+          accumulating, trigger),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

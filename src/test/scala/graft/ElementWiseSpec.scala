@@ -97,4 +97,36 @@ class ElementWiseSpec extends SparkSpec {
     val empty = Create.emptyDs[String](spark)
     assert(empty.count() == 0)
   }
+
+  test("splittableParDo: skewed restrictions split into chunks and redistribute") {
+    import graft.operators.Splittable
+    // one elephant element (10000-wide restriction) next to two mice: the
+    // SDF expansion must chunk the elephant so no single task owns it
+    val ds = Seq(("big", 0L, 10000L), ("s1", 0L, 7L), ("s2", 100L, 103L))
+      .toDS()
+    val out = Splittable.splittableParDo(
+      ds, (e: (String, Long, Long)) => (e._2, e._3), chunkSize = 1000L)(
+      (e, from, to) => Iterator.range(from, to).map(i => (e._1, i)))
+    // every claimed offset produced exactly once
+    assert(out.count() == 10000 + 7 + 3)
+    assert(out.filter(_._1 == "s1").collect().map(_._2).sorted.sameElements(0L until 7L))
+    assert(out.filter(_._1 == "big").distinct().count() == 10000)
+    // the elephant's 10 chunks landed on more than one partition — the
+    // redistribution that makes the expansion worth a shuffle
+    // explicit numPartitions: AQE coalesces a no-arg repartition() of 13
+    // tiny rows to one partition (correct at real scale, where chunk rows
+    // fill size targets), which would make this assertion vacuous
+    val spreadCheck = Splittable.splittableParDo(
+      ds, (e: (String, Long, Long)) => (e._2, e._3), chunkSize = 1000L,
+      numPartitions = 8)(
+      (e, from, _) => Iterator.single(
+        (e._1 + ":" + from, org.apache.spark.TaskContext.getPartitionId().toLong)))
+    val bigParts = spreadCheck.filter(_._1.startsWith("big")).collect().map(_._2).distinct
+    assert(bigParts.length > 1, s"elephant chunks all on one partition: ${bigParts.mkString(",")}")
+    // an empty restriction yields nothing (from >= to)
+    val none = Splittable.splittableParDo(
+      Seq(("z", 5L, 5L)).toDS(), (e: (String, Long, Long)) => (e._2, e._3), 10L)(
+      (e, f, t) => Iterator.single(e._1))
+    assert(none.count() == 0)
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import java.util.zip.{CRC32C, GZIPOutputStream}
 
 import org.apache.spark.sql.functions._
-import graft.sources.{TFRecordIO, XmlIO}
+import graft.sources.{AvroFiles, TFRecordIO, XmlIO}
 
 /** TFRecord framing + commit-protocol tests (reference: TFRecordIOTest
   * shapes) and XmlIO round-trips over Spark 4's built-in XML source. */
@@ -96,6 +96,63 @@ class FormatIOSpec extends SparkSpec {
       .filter(_.getName.startsWith("part-"))
       .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
     assert(text.contains("<people>") && text.contains("<person>"))
+  }
+
+  test("avro container round-trip: rich schema incl. nulls, nesting, logical types") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("tags", ArrayType(IntegerType, containsNull = false), nullable = true),
+      StructField("attrs", MapType(StringType, LongType, valueContainsNull = false), nullable = true),
+      StructField("blob", BinaryType, nullable = true),
+      StructField("born", DateType, nullable = true),
+      StructField("seen", TimestampType, nullable = true),
+      StructField("nested", StructType(Seq(
+        StructField("lang", StringType, nullable = true),
+        StructField("pages", IntegerType, nullable = false))), nullable = true)))
+    val rows = Seq(
+      Row(1L, "ada", 3.5, Seq(1, 2, 3), Map("a" -> 10L), Array[Byte](1, 2),
+        java.sql.Date.valueOf("1815-12-10"),
+        java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456"),
+        Row("en", 240)),
+      Row(2L, null, 0.25, null, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp() + "/avro"
+    // 2 rows may round-robin into one partition; empty shards are skipped
+    val paths = AvroFiles.write(df, dir, numShards = 2)
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".avro")))
+    val back = AvroFiles.read(spark, dir)
+    assert(back.schema == schema,
+      s"schema mismatch:\n${back.schema}\n$schema")
+    val gotSorted = back.collect().sortBy(_.getLong(0)).toSeq
+    val expSorted = rows.sortBy(_.getLong(0))
+    // binary needs element-wise comparison; compare field by field
+    gotSorted.zip(expSorted).foreach { case (g, e) =>
+      (0 until schema.size).foreach { i =>
+        (g.get(i), e.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b))
+          case (a, b) => assert(a == b, s"field ${schema(i).name}: $a != $b")
+        }
+      }
+    }
+  }
+
+  test("avro schema mapping is an involution on the supported subset") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("l", LongType, nullable = true),
+      StructField("arr", ArrayType(StringType, containsNull = true), nullable = false),
+      StructField("m", MapType(StringType, DoubleType, valueContainsNull = true), nullable = true),
+      StructField("rec", StructType(Seq(StructField("x", BooleanType, nullable = false))), nullable = false)))
+    val (roundTrip, _) = AvroFiles.toCatalyst(AvroFiles.structToAvro(st, "t"))
+    assert(roundTrip == st)
+    // decimals are a documented unsupported type
+    intercept[UnsupportedOperationException] {
+      AvroFiles.toAvroSchema(DecimalType(10, 2), "d", nullable = false)
+    }
   }
 
   test("xml read with explicit schema and nested records") {

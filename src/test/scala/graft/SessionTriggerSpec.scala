@@ -194,6 +194,39 @@ class SessionTriggerSpec extends SparkSpec {
     assert(panes.exists(p => p._3 == Seq(1L, 2L, 3L) && p._4 == "LATE"), panes.toString)
   }
 
+  test("custom merging WindowFn: data-driven dynamic gap (value carries its own gap)") {
+    // reference: WindowFn.java assignWindows (AssignContext exposes the
+    // element), MergeOverlappingIntervalWindows.java:37 — each element
+    // opens [ts, ts + v seconds): a per-element gap no fixed-gap Sessions
+    // can express. Events at 1 (gap 2s -> [1,3)), 10 (gap 20s -> [10,30))
+    // and 25 (gap 1s -> [25,26), inside the second window) must yield TWO
+    // sessions: [1,3) alone, [10,30) with the absorbed short-gap element.
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val events = input.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "0 seconds")
+      .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
+      .as[(String, Long, Long)]
+    val panes = Triggers.mergingWindowAggregate(events, collectLongsFn,
+      assign = (ts: Long, v: Long) => (ts, ts + v * 1000L),
+      trigger = Triggers.AfterWatermarkEL(None, None))
+    val q = panes.toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("dyn_gap")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(("a", ts(1), 2L), ("a", ts(10), 20L), ("a", ts(25), 1L))
+      q.processAllAvailable()
+      input.addData(("__wm", ts(100), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dyn_gap").collect().filter(_.getString(0) == "a")
+      .map(r => (r.getAs[Long]("wstart") / 1000, r.getAs[Long]("wend") / 1000,
+        r.getSeq[Long](3).sorted, r.getAs[String]("timing"), r.getAs[Boolean]("is_final")))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, Seq(2L), "ON_TIME", true),
+      (10L, 30L, Seq(1L, 20L), "ON_TIME", true)), got.toString)
+  }
+
   test("volume: 6000 events / 50 keys / 20 sessions each reconcile through the AST path") {
     // guards the merging-window + trigger-state-merge machinery under
     // volume: per key, 20 bursts of 6 events (10s spacing) separated by 1h
