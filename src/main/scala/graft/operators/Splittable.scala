@@ -38,9 +38,13 @@ object Splittable {
       (from until to by chunkSize).iterator
         .map(c => (e, c, math.min(c + chunkSize, to)))
     }(chunkEnc)
-    val spread =
-      if (numPartitions > 0) chunks.repartition(numPartitions)
-      else chunks.repartition()
+    // explicit partition count: chunk rows are tiny tuples regardless of
+    // the work they stand for, so a no-arg repartition() would let AQE
+    // coalesce them by byte size back onto one task — exactly the elephant
+    // this API exists to split
+    val spread = chunks.repartition(
+      if (numPartitions > 0) numPartitions
+      else ds.sparkSession.sparkContext.defaultParallelism)
     spread.flatMap { case (e, from, to) => process(e, from, to) }(oEnc)
   }
 }

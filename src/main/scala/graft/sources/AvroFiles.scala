@@ -60,7 +60,10 @@ object AvroFiles {
   def structToAvro(st: StructType, name: String): Schema = {
     val rec = Schema.createRecord(name, null, "graft.avro", false)
     rec.setFields(st.fields.map { f =>
-      new Schema.Field(f.name, toAvroSchema(f.dataType, f.name, f.nullable),
+      // nested record names are PATH-qualified (name_field): Avro names
+      // are global per namespace, so two different structs both under a
+      // field called e.g. `meta` must not collide ("Can't redefine")
+      new Schema.Field(f.name, toAvroSchema(f.dataType, name + "_" + f.name, f.nullable),
         null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }.toList.asJava)
     rec
@@ -136,7 +139,7 @@ object AvroFiles {
     rec
   }
 
-  private def toCatalystValue(v: Any, dt: DataType): Any =
+  private def toCatalystValue(v: Any, dt: DataType, s: Schema): Any =
     if (v == null) null
     else dt match {
       case StringType => v.toString // Utf8 / enum symbol
@@ -150,21 +153,31 @@ object AvroFiles {
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
           v.asInstanceOf[Number].longValue()))
       case TimestampType =>
-        val micros = v.asInstanceOf[Number].longValue()
+        // the Avro schema carries the unit: timestamp-millis needs x1000
+        // (both logical types map to Catalyst TimestampType, micros)
+        val n = v.asInstanceOf[Number].longValue()
+        val micros =
+          if (nonNullBranch(s).getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis])
+            Math.multiplyExact(n, 1000L)
+          else n
         val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
         t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt); t
       case ArrayType(e, _) =>
+        val es = nonNullBranch(s).getElementType
         v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
-          .map(toCatalystValue(_, e))
+          .map(toCatalystValue(_, e, es))
       case MapType(StringType, vt, _) =>
+        val vs = nonNullBranch(s).getValueType
         v.asInstanceOf[java.util.Map[_, _]].asScala
-          .map { case (k, x) => k.toString -> toCatalystValue(x, vt) }.toMap
-      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st)
+          .map { case (k, x) => k.toString -> toCatalystValue(x, vt, vs) }.toMap
+      case st: StructType =>
+        recordToRow(v.asInstanceOf[GenericRecord], st, nonNullBranch(s))
       case _ => v
     }
 
-  def recordToRow(rec: GenericRecord, st: StructType): Row =
-    Row.fromSeq(st.fields.toSeq.map(f => toCatalystValue(rec.get(f.name), f.dataType)))
+  def recordToRow(rec: GenericRecord, st: StructType, avro: Schema): Row =
+    Row.fromSeq(st.fields.toSeq.map(f =>
+      toCatalystValue(rec.get(f.name), f.dataType, avro.getField(f.name).schema())))
 
   // ------------------------------------------------------------------- read
   /** AvroIO.read(): schema = the first matched file's embedded writer
@@ -197,7 +210,10 @@ object AvroFiles {
         files.flatMap { bytes =>
           val stream = new DataFileStream(new ByteArrayInputStream(bytes),
             new GenericDatumReader[GenericRecord]())
-          stream.iterator().asScala.map(recordToRow(_, structType))
+          // decode against the FILE's own embedded schema (logical-type
+          // units may differ per file even when the Catalyst shape agrees)
+          val fileSchema = stream.getSchema
+          stream.iterator().asScala.map(recordToRow(_, structType, fileSchema))
         }
       }(Encoders.row(structType))
       .toDF()

@@ -51,12 +51,22 @@ private[sources] object ShardedCommit {
       }
     }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING)).collect()
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // overwrite semantics at the commit point (matching the repo's other
+    // writers): clear any prior generation's part files ONLY once every
+    // attempt has succeeded, so a failed job never destroys existing data.
+    // Without this, a rerun with fewer shards would leave stale
+    // part-*-of-NNNNN files that a later glob read silently unions in.
+    Option(fs.globStatus(new Path(s"$dir/part-*"))).getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
     // one attempt per shard (first wins); stable shard order by partition id
     val chosen = attempts.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head)
     val total = chosen.size
     val committed = chosen.zipWithIndex.map { case ((_, tmp), i) =>
       val dst = new Path(f"$dir/part-$i%05d-of-$total%05d$suffix")
-      fs.rename(new Path(tmp), dst)
+      // HDFS-style filesystems report rename failure via `false`, not an
+      // exception — swallowing it would delete the only copy below
+      if (!fs.rename(new Path(tmp), dst))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
       dst.toString
     }
     fs.delete(new Path(tmpDir), true) // uncommitted attempts die with it
@@ -180,7 +190,12 @@ object TFRecordIO {
     val data0 = df.select(value.cast("binary").as("r"))
     val data = if (numShards > 0) data0.repartition(numShards) else data0
     ShardedCommit.write(data.as(Encoders.BINARY), dir, suffix) {
-      (it, out) => it.foreach(rec => out.write(encodeRecord(rec)))
+      (it, out) => it.foreach { rec =>
+        // the reference's coder rejects null records (ByteArrayCoder);
+        // failing here names the cause instead of an executor NPE
+        require(rec != null, "TFRecordIO.write: null record value")
+        out.write(encodeRecord(rec))
+      }
     }
   }
 }

@@ -140,6 +140,72 @@ class FormatIOSpec extends SparkSpec {
     }
   }
 
+  test("avro read honors timestamp-millis from foreign writers (unit, not just type)") {
+    import org.apache.avro.{LogicalTypes, Schema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    // hand-write a container whose `seen` field is timestamp-MILLIS — our
+    // writer always emits micros, so this exercises the foreign-unit path
+    val rec = Schema.createRecord("ext", null, "ext.ns", false)
+    val millisType = LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    rec.setFields(java.util.List.of(
+      new Schema.Field("id", Schema.create(Schema.Type.LONG), null, null),
+      new Schema.Field("seen", millisType, null, null)))
+    val dir = new java.io.File(Files.createTempDirectory("graft-avms").toFile, "d")
+    dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](rec))
+    w.create(rec, new java.io.File(dir, "part-ext.avro"))
+    val millis = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123").getTime
+    val r = new GenericData.Record(rec)
+    r.put("id", 7L); r.put("seen", millis)
+    w.append(r); w.close()
+    val back = AvroFiles.read(spark, dir.getAbsolutePath).collect()
+    assert(back.length == 1)
+    assert(back.head.getAs[java.sql.Timestamp]("seen").getTime == millis,
+      s"timestamp-millis decoded wrong: ${back.head.getAs[java.sql.Timestamp]("seen")}")
+  }
+
+  test("avro write survives same-named sibling structs (path-qualified record names)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // two different structs both under a field named `meta` used to
+    // collide in Avro's global name table ("Can't redefine")
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("meta",
+        StructType(Seq(StructField("x", IntegerType, false))), false))), nullable = false),
+      StructField("b", StructType(Seq(StructField("meta",
+        StructType(Seq(StructField("y", LongType, false))), false))), nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(Row(1)), Row(Row(2L))))), schema)
+    val dir = tmp() + "/avdup"
+    AvroFiles.write(df, dir)
+    val back = AvroFiles.read(spark, dir).collect()
+    assert(back.head.getStruct(0).getStruct(0).getInt(0) == 1)
+    assert(back.head.getStruct(1).getStruct(0).getLong(0) == 2L)
+  }
+
+  test("sharded commit overwrites a prior generation (no stale part files on rerun)") {
+    val dir = tmp() + "/rewrite"
+    val big = (0 until 100).map(i => s"old-$i").toDF("s")
+    TFRecordIO.write(big, col("s"), dir, numShards = 4)
+    // rerun with FEWER shards: old part-0000{2,3}-of-00004 must not survive
+    val small = Seq("new-a", "new-b").toDF("s")
+    TFRecordIO.write(small, col("s"), dir, numShards = 1)
+    val back = TFRecordIO.read(spark, s"$dir/part-*")
+      .select(col("record").cast("string")).as[String].collect().toSet
+    assert(back == Set("new-a", "new-b"), s"stale shards leaked: ${back.size} records")
+  }
+
+  test("tfrecord write rejects null records with a named error") {
+    val dir = tmp() + "/tfnull"
+    val df = Seq(Some("x"), None).toDF("s")
+    val e = intercept[Exception] { TFRecordIO.write(df, col("s"), dir) }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("null record")), messages.mkString(" | "))
+  }
+
   test("avro schema mapping is an involution on the supported subset") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(
