@@ -115,4 +115,50 @@ object BeamCoders {
     elements.foreach(out.write)
     out.toByteArray
   }
+
+  /** IterableCoder, UNKNOWN-size form (IterableLikeCoder.java:105-112 via
+    * BufferedElementCountingOutputStream): int32 -1, then batches of
+    * (varint elementCount, elements…), terminated by varint 0. Any
+    * batching is legal on encode (the reference buffers ~64 KB per
+    * batch); decoders must accept all of them. */
+  def encodeStreamUnknown(elements: Seq[Array[Byte]],
+                          batchElements: Int = 100): Array[Byte] = {
+    require(batchElements > 0)
+    val out = new ByteArrayOutputStream()
+    new DataOutputStream(out).writeInt(-1)
+    elements.grouped(batchElements).foreach { g =>
+      out.write(encodeVarLong(g.size.toLong))
+      g.foreach(out.write)
+    }
+    out.write(encodeVarLong(0L))
+    out.toByteArray
+  }
+
+  /** Decode either stream form (IterableLikeCoder.java:126-141), given the
+    * element decoder `dec(bytes, off) => (value, bytesRead)`. Returns
+    * (elements, totalBytesRead). */
+  def decodeStream[A](bytes: Array[Byte], off: Int,
+                      dec: (Array[Byte], Int) => (A, Int)): (Seq[A], Int) = {
+    var i = off
+    val n = (0 until 4).foldLeft(0)((acc, k) => (acc << 8) | (bytes(i + k) & 0xFF))
+    i += 4
+    val acc = Seq.newBuilder[A]
+    if (n >= 0) {
+      (0 until n).foreach { _ =>
+        val (v, used) = dec(bytes, i); acc += v; i += used
+      }
+    } else {
+      // batched form: each varint is the element count of the next batch;
+      // a zero count terminates the stream
+      var count = { val (c, used) = decodeVarLong(bytes, i); i += used; c }
+      while (count > 0L) {
+        val (v, used) = dec(bytes, i); acc += v; i += used
+        count -= 1
+        if (count == 0L) {
+          val (c, used) = decodeVarLong(bytes, i); i += used; count = c
+        }
+      }
+    }
+    (acc.result(), i - off)
+  }
 }

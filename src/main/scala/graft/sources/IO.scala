@@ -83,6 +83,29 @@ object IO {
     numPartitions.fold(spark.range(from, to))(n => spark.range(from, to, 1, n))
       .toDF("value").selectExpr("value").as(org.apache.spark.sql.Encoders.LONG)
 
+  // ------------------------------------------------------------- bucketing
+
+  /** Bucketed co-located table write — the pay-the-shuffle-ONCE layout for
+    * fact tables that are joined/aggregated on the same keys repeatedly.
+    * The reference has no physical-layout control at all (every Beam GBK
+    * re-shuffles; its Spark runner calls groupByKey per transform —
+    * SPARKR/translation/GroupCombineFunctions.java); a bucketed table
+    * hash-partitions rows into `numBuckets` files per the bucket columns
+    * at WRITE time, and every later equi-join or groupBy on those columns
+    * (between same-bucketed tables) plans with NO Exchange — at 100 TB
+    * that removes the dominant cost of a join-heavy pipeline.
+    * `sortCols` additionally sorts within buckets (SMJ without a sort
+    * step). Registered in the session catalog; read back via
+    * `spark.table(table)`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   // ------------------------------------------------------------------ jdbc
 
   /** JdbcIO.read (reference: JdbcIO.java:145): query or table read;

@@ -92,6 +92,24 @@ class CoderGoldenVectorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { decodeVarLong(overlong) }
   }
 
+  test("unknown-size stream form: -1 marker + counted batches + zero terminator") {
+    val elems = Seq(1L, 10L, 200L, 1000L).map(encodeVarLong)
+    // exact bytes with batches of 2: -1, (2, 0x01 0x0A), (2, 0xC8 01 0xE8 07), 0
+    assert(encodeStreamUnknown(elems, batchElements = 2).sameElements(
+      bytes(0xFF, 0xFF, 0xFF, 0xFF, 0x02, 0x01, 0x0A,
+            0x02, 0xC8, 0x01, 0xE8, 0x07, 0x00)))
+    // any batching decodes identically; the empty stream is just -1, 0
+    for (b <- Seq(1, 2, 3, 100)) {
+      val (got, used) = decodeStream(encodeStreamUnknown(elems, b), 0, decodeVarLong)
+      assert(got == Seq(1L, 10L, 200L, 1000L) && used == encodeStreamUnknown(elems, b).length)
+    }
+    assert(encodeStreamUnknown(Seq.empty).sameElements(
+      bytes(0xFF, 0xFF, 0xFF, 0xFF, 0x00)))
+    // the known-size form decodes through the same entry point
+    val (known, _) = decodeStream(encodeStream(elems), 0, decodeVarLong)
+    assert(known == Seq(1L, 10L, 200L, 1000L))
+  }
+
   test("truncated / oversized nested byte-arrays are rejected, not clamped") {
     // declares 10 bytes, provides 3: slice would silently clamp
     val truncated = bytes(0x0A) ++ ascii("abc")

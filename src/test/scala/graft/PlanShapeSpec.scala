@@ -85,4 +85,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), s"minhash should not join:\n${p.take(1500)}")
   }
+
+  test("bucketed co-located tables: equi-join and groupBy plan with NO Exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = GraftSession.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val lineitem = GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    graft.sources.IO.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 8,
+      sortCols = Seq("o_orderkey"))
+    graft.sources.IO.writeBucketed(lineitem, "b_lineitem", Seq("l_orderkey"), 8,
+      sortCols = Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"),
+        s"same-bucketed join must be shuffle-free:\n${jp.take(2000)}")
+      // value sanity: bucketed join equals the plain join
+      val expect = lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+      // aggregation on the bucket key is exchange-free too
+      val ap = spark.table("b_lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity"))).queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        s"bucket-key aggregation must be shuffle-free:\n${ap.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
