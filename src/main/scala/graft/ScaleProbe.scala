@@ -96,6 +96,35 @@ object ScaleProbe {
     val oldT = timed("top_per_key_rank_window")(runOld())
     val newT = timed("top_per_key_salted")(runNew())
     println(f"""{"duel_ratio_old_over_new":${oldT / newT}%.2f}""")
+
+    // ---- bucketed co-location duel: the same scaled fact-fact join run
+    // (a) from plain parquet (both sides Exchange) and (b) from
+    // same-bucketed tables (no Exchange at all). The write is the
+    // pay-once cost; the join delta is what every LATER join/agg on the
+    // key saves — the 100 TB argument for IO.writeBucketed.
+    val jOrders = GraftSession.table(spark, out, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val jLine = GraftSession.table(spark, out, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val writeT = timed("bucketed_write_once") {
+      graft.sources.IO.writeBucketed(jOrders, "sp_orders_b", Seq("o_orderkey"), 32,
+        sortCols = Seq("o_orderkey"))
+      graft.sources.IO.writeBucketed(jLine, "sp_lineitem_b", Seq("l_orderkey"), 32,
+        sortCols = Seq("l_orderkey"))
+    }
+    def runShuffleJoin(): Unit = jLine
+      .join(jOrders, col("l_orderkey") === col("o_orderkey"))
+      .write.format("noop").mode("overwrite").save()
+    def runBucketedJoin(): Unit = spark.table("sp_lineitem_b")
+      .join(spark.table("sp_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .write.format("noop").mode("overwrite").save()
+    runShuffleJoin(); runBucketedJoin() // warm
+    val shufT = timed("join_shuffle_both_sides")(runShuffleJoin())
+    val buckT = timed("join_bucketed_no_exchange")(runBucketedJoin())
+    println(f"""{"bucketed_join_speedup":${shufT / buckT}%.2f,"write_once_sec":$writeT%.3f}""")
+    spark.sql("DROP TABLE IF EXISTS sp_orders_b")
+    spark.sql("DROP TABLE IF EXISTS sp_lineitem_b")
     spark.stop()
   }
 }

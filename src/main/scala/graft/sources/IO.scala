@@ -83,6 +83,25 @@ object IO {
     numPartitions.fold(spark.range(from, to))(n => spark.range(from, to, 1, n))
       .toDF("value").selectExpr("value").as(org.apache.spark.sql.Encoders.LONG)
 
+  // ----------------------------------------------------------------- match
+
+  /** Match.filepattern (reference: SDK/io/Match.java — filepattern →
+    * PCollection of matched-file metadata): glob expansion happens where
+    * the reference does it (the submitting process), directories expand
+    * one level like FileSystems.match. Returns (path, size_bytes,
+    * modified_ms). */
+  def matchFiles(spark: SparkSession, pattern: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+      .filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+    import spark.implicits._
+    matched.toSeq.toDF("path", "size_bytes", "modified_ms")
+  }
+
   // ------------------------------------------------------------- bucketing
 
   /** Bucketed co-located table write — the pay-the-shuffle-ONCE layout for

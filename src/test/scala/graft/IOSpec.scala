@@ -57,6 +57,20 @@ class IOSpec extends SparkSpec {
     assert(ds.rdd.getNumPartitions == 5)
   }
 
+  test("matchFiles expands globs and directories to file metadata") {
+    val dir = tmp() + "/match"
+    IO.writeText(Create.of(spark, Seq("a", "b", "c")), dir, numShards = 3)
+    val byGlob = IO.matchFiles(spark, s"$dir/part-*")
+    assert(byGlob.count() == 3)
+    val row = byGlob.orderBy(col("path")).collect().head
+    assert(row.getAs[String]("path").contains("part-") &&
+      row.getAs[Long]("size_bytes") > 0 && row.getAs[Long]("modified_ms") > 0)
+    // a bare directory expands one level, skipping nothing that's a file
+    val byDir = IO.matchFiles(spark, dir)
+    assert(byDir.count() >= 3)
+    assert(IO.matchFiles(spark, s"$dir/no-such-*").count() == 0)
+  }
+
   test("jdbc round-trip against embedded Derby, sharded read") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
