@@ -543,6 +543,17 @@ object OracleSql {
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN length(text) > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS feat_l1,
         |       16 AS dim
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // curation CONTRACT oracles (see Queries scaladoc): the per-stratum
+    // sample size is exact — min(n, |stratum|) — and the thinning rate
+    // check is a fixed property of the dataset the oracle pins true
+    "q_stratified_sample" ->
+      """SELECT lang, least(100, count(*)) AS n_sampled,
+        |       true AS distinct_ok, true AS members_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_stratified_thin" ->
+      "SELECT event_type, true AS rate_ok FROM events GROUP BY 1"
   )
 }

@@ -580,4 +580,50 @@ object Queries {
       .select(col("media_id"),
         round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_l1"),
         size(col("features")).as("dim"))
+
+  // ---------------------------------------------------------------- curation
+
+  /** Per-stratum exact-size sampling (Curation.stratifiedFixedSize) gated
+    * by its contract: every language stratum yields exactly
+    * min(n, |stratum|) distinct doc ids drawn from that stratum (the
+    * reservoir's hash priorities are engine-specific, so — as with
+    * qReservoir — the oracle pins the size/distinctness/membership
+    * contract; value-level determinism is proven in CurationSpec). */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sample = Curation.stratifiedFixedSize(
+      docs, Seq(col("lang")), col("doc_id"), n = 100, seed = 7L)
+    val joined = sample.join(
+      docs.select(col("lang"), col("doc_id").as("sample_id"), lit(1).as("__m")),
+      Seq("lang", "sample_id"), "left")
+    joined.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_sampled"),
+      (countDistinct(col("sample_id")) === count(lit(1))).as("distinct_ok"),
+      (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
+  }
+
+  /** Mixture-weight thinning (Curation.stratifiedFractions) gated by its
+    * contract: per event type the kept rate sits within a 5σ binomial band
+    * of its configured fraction (exact for the 0.0 / 1.0 strata — the
+    * hash filter is deterministic, not sampled, so the rate is a fixed
+    * property of the dataset; subset/monotonicity laws are in
+    * CurationSpec). */
+  def qStratifiedThin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+      "error" -> 0.0, "signup" -> 0.8)
+    val kept = Curation.stratifiedFractions(
+      ev, col("event_type"), col("event_id"), fractions, seed = 11L)
+    val keptCounts = kept.groupBy(col("event_type")).agg(count(lit(1)).as("__kept"))
+    val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("event_type") === lit(k), lit(v)).otherwise(acc)
+    }
+    val n = col("__n").cast("double")
+    val kc = coalesce(col("__kept"), lit(0L)).cast("double")
+    val tol = when(f === 0.0 || f === 1.0, lit(0.0))
+      .otherwise(lit(5.0) * sqrt(f * (lit(1.0) - f) / n) + lit(2.0) / n)
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+      .join(keptCounts, Seq("event_type"), "left")
+      .select(col("event_type"), (abs(kc / n - f) <= tol).as("rate_ok"))
+  }
 }

@@ -85,6 +85,9 @@ object SparkEntry {
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
     "q_mm_features"     -> Queries.qMultimodalFeatures _,
     "q_mm_frames"       -> Queries.qMultimodalFrames _,
+    // curation (training-mix composition)
+    "q_stratified_sample" -> Queries.qStratifiedSample _,
+    "q_stratified_thin"   -> Queries.qStratifiedThin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mix curation: the sampling ops a pretraining pipeline runs
+  * after dedup/quality-scoring to compose the final data mixture. The
+  * reference samples globally only (SDK/transforms/Sample.java:240
+  * FixedSizedSampleFn); these run the same reservoir machinery per
+  * stratum, plus a deterministic proportional thinning — both shapes a
+  * 100 TB mixture job needs (exact per-language quotas; weighted blends).
+  */
+object Curation {
+
+  /** Exact-size per-stratum sample: exactly min(n, |stratum|) ids per
+    * stratum, deterministic for a seed regardless of partitioning (the
+    * reservoir's stable 64-bit hash priorities, ReservoirSampleFn). One
+    * HashAggregate whose accumulator holds ≤ n ids per stratum per
+    * partition — at 100 TB the shuffle carries ≤ n·partitions rows per
+    * stratum, never the corpus. Output: the strata columns +
+    * `sample_id`. */
+  def stratifiedFixedSize(df: DataFrame, strata: Seq[Column], id: Column,
+                          n: Int, seed: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sampler = udaf(
+      new graft.functions.ReservoirSampleFn[Long](n, seed).asAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val grouped = df.groupBy(strata: _*)
+      .agg(sampler(id.cast("long")).as("__sample"))
+    val keep = grouped.columns.filter(_ != "__sample").map(col)
+    grouped.select(keep :+ explode(col("__sample")).as("sample_id"): _*)
+  }
+
+  /** Deterministic per-stratum Bernoulli thinning for mixture WEIGHTS:
+    * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
+    * of the hash space. Reproducible run-to-run and engine-neutral (no
+    * RNG state to schedule), pure codegen, zero shuffle. Strata missing
+    * from `fractions` get 0 (dropped) — pass 1.0 to keep a stratum
+    * whole. */
+  def stratifiedFractions(df: DataFrame, stratum: Column, id: Column,
+                          fractions: Map[String, Double],
+                          seed: Long): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val space = 1L << 40 // low 40 bits of the hash: uniform, exact at double precision
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(stratum === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(id, lit(seed)), lit(space)).cast("double") <
+      frac * lit(space.toDouble))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Laws for the training-mix curation ops: exact per-stratum sample sizes,
+  * partitioning-independent determinism, and the hash-thinning subset /
+  * monotonicity properties (reference sampling contract:
+  * SDK/transforms/Sample.java:240 FixedSizedSampleFn — here run per
+  * stratum rather than globally). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1L to 900L).map { i =>
+    val lang = i % 3 match { case 0 => "en"; case 1 => "fr"; case _ => "zh" }
+    (i, lang)
+  }.toDF("id", "lang")
+
+  test("stratifiedFixedSize: exactly min(n, |stratum|) distinct members per stratum") {
+    val tiny = corpus.filter(col("lang") =!= "zh" || col("id") <= 30) // zh stratum: 10 rows
+    val out = Curation.stratifiedFixedSize(tiny, Seq(col("lang")), col("id"), n = 50, seed = 1L)
+    val sizes = out.groupBy("lang").agg(
+      count(lit(1)).as("n"), countDistinct(col("sample_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sizes("en") == ((50L, 50L)) && sizes("fr") == ((50L, 50L)))
+    assert(sizes("zh") == ((10L, 10L)))
+    // membership: every sampled id carries its own stratum's label
+    val bad = out.join(tiny.withColumnRenamed("id", "sample_id"), Seq("lang", "sample_id"), "left_anti")
+    assert(bad.count() == 0)
+  }
+
+  test("stratifiedFixedSize: seed-deterministic regardless of partitioning") {
+    def run(parts: Int) =
+      Curation.stratifiedFixedSize(corpus.repartition(parts), Seq(col("lang")),
+          col("id"), n = 25, seed = 42L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(1) == run(13))
+    // and a different seed draws a different sample
+    val other = Curation.stratifiedFixedSize(corpus, Seq(col("lang")), col("id"),
+      n = 25, seed = 43L).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(1) != other)
+  }
+
+  test("stratifiedFractions: exact at 0 and 1, absent strata dropped, deterministic") {
+    val fr = Map("en" -> 1.0, "fr" -> 0.0) // zh absent -> dropped
+    val kept = Curation.stratifiedFractions(corpus, col("lang"), col("id"), fr, seed = 5L)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) == 300L)
+    assert(!byLang.contains("fr") && !byLang.contains("zh"))
+    // run-to-run determinism (no RNG state): identical kept set
+    val again = Curation.stratifiedFractions(corpus.repartition(7), col("lang"),
+      col("id"), fr, seed = 5L)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratifiedFractions: kept sets are monotone in the fraction") {
+    def keptIds(f: Double) = Curation.stratifiedFractions(corpus, col("lang"),
+        col("id"), Map("en" -> f, "fr" -> f, "zh" -> f), seed = 9L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val (a, b, c) = (keptIds(0.2), keptIds(0.5), keptIds(0.9))
+    assert(a.subsetOf(b) && b.subsetOf(c))
+    // rates land near the fractions (5σ band at n=300 per stratum)
+    assert(math.abs(b.size / 900.0 - 0.5) < 5 * math.sqrt(0.25 / 900) + 2 / 900.0)
+  }
+
+  test("stratifiedFractions: rejects fractions outside [0, 1]") {
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedFractions(corpus, col("lang"), col("id"), Map("en" -> 1.5), 1L)
+    }
+  }
+}
