@@ -554,6 +554,10 @@ object OracleSql {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_stratified_thin" ->
-      "SELECT event_type, true AS rate_ok FROM events GROUP BY 1"
+      "SELECT event_type, true AS rate_ok FROM events GROUP BY 1",
+
+    "q_pack_tokens" ->
+      """SELECT UNNEST(range(8)) AS grp, true AS all_docs_ok,
+        |       true AS cap_ok, true AS tight_ok""".stripMargin
   )
 }

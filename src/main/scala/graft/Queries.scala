@@ -602,6 +602,39 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** Sequence packing (Curation.packTokens) gated by its contract, which
+    * pins the GREEDY semantics, not just validity: (a) every document
+    * lands in exactly one bin; (b) no multi-doc bin exceeds the token
+    * capacity (oversize docs are singletons); (c) bins are tight — each
+    * bin plus the first document of the next bin in its group would
+    * overflow, and bin ids are dense from 0 — so a trivial
+    * one-doc-per-bin assignment fails the oracle. Group ids are hash
+    * values (engine-specific), so per-group doc counts are checked
+    * globally rather than replayed. */
+  def qPackTokens(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512L
+    val docs = t(s, dir, "documents")
+    val packed = Curation.packTokens(docs, col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")), capacity = cap, numGroups = 8,
+      seed = 3L)
+    val bins = packed.groupBy(col("group"), col("bin")).agg(
+      sum(col("tok")).as("bin_tok"), count(lit(1)).as("bin_docs"),
+      min_by(col("tok"), col("doc")).as("first_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("bin"))
+    val perGroup = bins.withColumn("next_first", lead(col("first_tok"), 1).over(w))
+      .groupBy(col("group")).agg(
+        (sum(when(col("bin_tok") > cap && col("bin_docs") > 1, 1).otherwise(0)) === 0).as("cap_ok"),
+        ((sum(when(col("next_first").isNotNull && col("bin_tok") + col("next_first") <= cap, 1)
+          .otherwise(0)) === 0) &&
+          (countDistinct(col("bin")) === max(col("bin")) + 1)).as("tight_ok"))
+    val coverage = packed.agg(count(lit(1)).as("__n"), countDistinct(col("doc")).as("__nd"))
+      .crossJoin(docs.agg(count(lit(1)).as("__total")))
+      .select((col("__n") === col("__total") && col("__nd") === col("__n")).as("all_docs_ok"))
+    perGroup.crossJoin(broadcast(coverage))
+      .select(col("group").as("grp"), col("all_docs_ok"), col("cap_ok"), col("tight_ok"))
+  }
+
   /** Mixture-weight thinning (Curation.stratifiedFractions) gated by its
     * contract: per event type the kept rate sits within a 5σ binomial band
     * of its configured fraction (exact for the 0.0 / 1.0 strata — the

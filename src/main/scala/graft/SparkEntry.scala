@@ -88,6 +88,7 @@ object SparkEntry {
     // curation (training-mix composition)
     "q_stratified_sample" -> Queries.qStratifiedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
+    "q_pack_tokens"       -> Queries.qPackTokens _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

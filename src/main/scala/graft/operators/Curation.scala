@@ -32,6 +32,45 @@ object Curation {
     grouped.select(keep :+ explode(col("__sample")).as("sample_id"): _*)
   }
 
+  /** Sequence packing: assign documents to training bins of at most
+    * `capacity` tokens (greedy next-fit in doc-id order). Packing is a
+    * sequential scan, so the corpus is hash-split into `numGroups`
+    * independent streams first — each group packs alone, bins never cross
+    * groups, and the result is deterministic for a seed regardless of
+    * partitioning (one shuffle on the group key; the per-partition scan
+    * is O(rows), no buffering). A document larger than `capacity` gets a
+    * singleton bin. At 100 TB, pick numGroups ≈ executor-core count ×
+    * a few: each group is an independent sequential pack, so parallelism
+    * = numGroups while every bin except a group's last stays
+    * greedily tight. Output: (doc, group, bin, tok). */
+  def packTokens(df: DataFrame, id: Column, tokens: Column, capacity: Long,
+                 numGroups: Int, seed: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(
+        pmod(xxhash64(id, lit(seed)), lit(numGroups.toLong)).as("group"),
+        id.cast("long").as("doc"), tokens.cast("long").as("tok"))
+      .as[(Long, Long, Long)]
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("doc"))
+      .mapPartitions { it =>
+        // several groups may share a partition; the accumulator resets on
+        // every group change, so each group's packing is self-contained
+        var curGroup = Long.MinValue
+        var bin = 0L
+        var used = 0L
+        it.map { case (g, d, t) =>
+          if (g != curGroup) { curGroup = g; bin = 0L; used = 0L }
+          if (used > 0 && used + t > capacity) { bin += 1; used = 0L }
+          used += t
+          (d, g, bin, t)
+        }
+      }
+      .toDF("doc", "group", "bin", "tok")
+  }
+
   /** Deterministic per-stratum Bernoulli thinning for mixture WEIGHTS:
     * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
     * of the hash space. Reproducible run-to-run and engine-neutral (no

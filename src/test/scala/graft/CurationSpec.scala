@@ -70,4 +70,54 @@ class CurationSpec extends SparkSpec {
       Curation.stratifiedFractions(corpus, col("lang"), col("id"), Map("en" -> 1.5), 1L)
     }
   }
+
+  // ------------------------------------------------------------- packTokens
+
+  private def tokenDocs = (1L to 400L).map(i => (i, 10L + (i * 37) % 90))
+    .toDF("id", "n_tok")
+
+  test("packTokens: every doc in exactly one bin, caps respected, bins dense") {
+    val packed = Curation.packTokens(tokenDocs, col("id"), col("n_tok"),
+      capacity = 200L, numGroups = 4, seed = 1L).cache()
+    assert(packed.count() == 400L)
+    assert(packed.select("doc").distinct().count() == 400L)
+    val bins = packed.groupBy("group", "bin")
+      .agg(sum("tok").as("t"), count(lit(1)).as("c"))
+    assert(bins.filter(col("t") > 200 && col("c") > 1).count() == 0)
+    // dense bin ids 0..max per group
+    val dense = bins.groupBy("group")
+      .agg((countDistinct(col("bin")) === max(col("bin")) + 1).as("ok"))
+    assert(dense.filter(!col("ok")).count() == 0)
+    packed.unpersist()
+  }
+
+  test("packTokens: greedy tightness — next bin's first doc would overflow") {
+    val packed = Curation.packTokens(tokenDocs, col("id"), col("n_tok"),
+      capacity = 200L, numGroups = 2, seed = 5L)
+    val bins = packed.groupBy(col("group"), col("bin")).agg(
+      sum(col("tok")).as("t"), min_by(col("tok"), col("doc")).as("first_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("bin"))
+    val loose = bins.withColumn("nf", lead(col("first_tok"), 1).over(w))
+      .filter(col("nf").isNotNull && col("t") + col("nf") <= 200)
+    assert(loose.count() == 0)
+  }
+
+  test("packTokens: deterministic regardless of input partitioning") {
+    def run(parts: Int) = Curation.packTokens(tokenDocs.repartition(parts),
+        col("id"), col("n_tok"), capacity = 150L, numGroups = 4, seed = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(11))
+  }
+
+  test("packTokens: an oversize doc gets a singleton bin without derailing the scan") {
+    val docs = Seq((1L, 50L), (2L, 900L), (3L, 60L), (4L, 70L))
+      .toDF("id", "n_tok")
+    val packed = Curation.packTokens(docs, col("id"), col("n_tok"),
+      capacity = 100L, numGroups = 1, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed(1L) == 0L)             // fits alone
+    assert(packed(2L) == 1L)             // oversize -> own bin
+    assert(packed(3L) == 2L && packed(4L) == 3L) // 60+70 > 100 -> split
+  }
 }
