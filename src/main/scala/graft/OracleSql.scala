@@ -545,6 +545,12 @@ object OracleSql {
         |       16 AS dim
         |FROM documents""".stripMargin,
 
+    "q_json_parse" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS distinct_payloads
+        |FROM events GROUP BY 1""".stripMargin,
+
     // curation CONTRACT oracles (see Queries scaladoc): the per-stratum
     // sample size is exact — min(n, |stratum|) — and the thinning rate
     // check is a fixed property of the dataset the oracle pins true

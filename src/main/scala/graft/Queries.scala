@@ -581,6 +581,19 @@ object Queries {
         round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_l1"),
         size(col("features")).as("dim"))
 
+  /** ParseJsons/AsJsons (jackson extension): parse the JSON `props`
+    * payload to a typed struct, aggregate a parsed field, and count
+    * distinct re-serialized payloads — both directions exercised in one
+    * fully DuckDB-replayable query. */
+  def qJsonParse(s: SparkSession, dir: String): DataFrame = {
+    import ElementWise.JsonOps
+    val parsed = t(s, dir, "events").select(col("event_type"),
+      JsonOps.parseJsons(col("props"), "k INT").as("p"))
+    parsed.groupBy(col("event_type")).agg(
+      sum(col("p.k")).as("sum_k"),
+      countDistinct(JsonOps.asJsons(col("p"))).as("distinct_payloads"))
+  }
+
   // ---------------------------------------------------------------- curation
 
   /** Per-stratum exact-size sampling (Curation.stratifiedFixedSize) gated

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_partition"       -> Queries.qPartition _,
     "q_regex_extract"   -> Queries.qRegexExtract _,
     "q_tostring_kv"     -> Queries.qToStringKv _,
+    "q_json_parse"      -> Queries.qJsonParse _,
     "q_with_keys"       -> Queries.qWithKeys _,
     // aggregations
     "q1_agg"            -> Queries.q1Agg _,

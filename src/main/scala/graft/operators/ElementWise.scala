@@ -115,4 +115,23 @@ object ElementWise {
       concat_ws(delim, k.cast("string"), v.cast("string"))
     def iterables(c: Column, delim: String = ","): Column = array_join(c, delim)
   }
+
+  /** The jackson extension: JSON string ⇄ typed values (reference:
+    * sdks/java/extensions/jackson/ParseJsons.java:48 `of(Class)`,
+    * AsJsons.java:49). Beam runs an ObjectMapper per element inside a
+    * MapElements; here both directions are codegen'd Catalyst expressions
+    * (`from_json` / `to_json`), so parsing stays inside the scan's
+    * WholeStageCodegen span. Malformed input follows Beam's strictness:
+    * `parseJsons` yields null structs silently (PERMISSIVE), while
+    * `parseJsonsOrDie` matches the extension's exception-on-parse-failure
+    * contract (FAILFAST). */
+  object JsonOps {
+    def parseJsons(c: Column, schemaDdl: String): Column =
+      from_json(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+        Map("mode" -> "PERMISSIVE"))
+    def parseJsonsOrDie(c: Column, schemaDdl: String): Column =
+      from_json(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+        Map("mode" -> "FAILFAST"))
+    def asJsons(c: Column): Column = to_json(c)
+  }
 }

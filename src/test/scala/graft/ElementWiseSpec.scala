@@ -129,4 +129,20 @@ class ElementWiseSpec extends SparkSpec {
       (e, f, t) => Iterator.single(e._1))
     assert(none.count() == 0)
   }
+
+  test("JsonOps: parse/serialize round trip, permissive nulls, FAILFAST throws") {
+    import graft.operators.ElementWise.JsonOps
+    val df = Seq("""{"a": 7, "b": "x"}""", """{"a": 9}""", "not json")
+      .toDF("js")
+    val parsed = df.select(JsonOps.parseJsons(col("js"), "a INT, b STRING").as("p"))
+    assertRows(parsed.select(col("p.a"), col("p.b")),
+      Seq(Seq(7, "x"), Seq(9, null), Seq(null, null)))
+    // AsJsons: canonical serialization drops null fields (Jackson default)
+    assertRows(parsed.filter(col("p.a").isNotNull).select(JsonOps.asJsons(col("p"))),
+      Seq(Seq("""{"a":7,"b":"x"}"""), Seq("""{"a":9}""")))
+    // FAILFAST matches ParseJsons' exception-on-malformed contract
+    intercept[org.apache.spark.SparkException] {
+      df.select(JsonOps.parseJsonsOrDie(col("js"), "a INT").as("p")).collect()
+    }
+  }
 }
