@@ -28,7 +28,9 @@ object ScaleProbe {
     "q_group_batches",   // ranged zipWithIndex (was: 5-task rank window)
     "q_embed_topk",      // typed bounded-heap re-rank
     "q_ivf_ann",         // bounded re-rank (was: unbounded collect_list)
-    "q_lsh_ann")         // bounded re-rank (was: unbounded collect_list)
+    "q_lsh_ann",         // bounded re-rank (was: unbounded collect_list)
+    "q_stratified_sample", // per-stratum reservoir: accumulator ≤ n per group
+    "q_pack_tokens")     // greedy packing: one shuffle + O(rows) scan
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt

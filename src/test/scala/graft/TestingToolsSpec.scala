@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Triggers
+import graft.streaming.Triggers._
+import graft.testing.{CombineFnTester, GatherAllPanes, TestStream}
+
+/** The user-facing testing surface: TestStream scripting, the CombineFn
+  * sharding-matrix tester, and per-window pane gathering — each replayed
+  * against behavior the conformance suites already pin, so these helpers
+  * are proven equivalent to the ad-hoc scripting they replace. */
+class TestingToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TestStream replays the fixed_default transcript through the trigger engine") {
+    val script = TestStream.create[(String, Long)]
+      .addElements((("data", 1L), 1000L), (("data", 2L), 2000L), (("data", 3L), 3000L),
+        (("data", 10L), 10000L), (("data", 11L), 11000L))
+      .advanceWatermarkTo(25000L)
+    val table = TestStream.play(spark, script, to => ("__wm", to / 1000)) { ds =>
+      val typed = ds.toDF("kv", "t")
+        .select(col("kv._1").as("k"), col("t"), col("kv._2").as("v"))
+        .withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)]
+      val assigned = Triggers.assignFixedWindows(typed, 10000)
+      Triggers.triggeredAggregateComposite(assigned, collectLongsFn,
+          RepeatedlyT(AfterWatermarkT), windowSizeMs = 10000,
+          allowedLatenessMs = 1000000L, accumulating = true)
+        .toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+    }
+    val panes = table.filter(col("k") === "data").collect()
+      .map(r => (r.getAs[Long]("wstart") / 1000, r.getSeq[Long](3).toList,
+        r.getAs[String]("timing"))).toSet
+    assert(panes == Set(
+      (0L, List(1L, 2L, 3L), "ON_TIME"),
+      (10L, List(10L, 11L), "ON_TIME")), s"got $panes")
+  }
+
+  test("TestStream.advanceProcessingTime and ToInfinity order events as scripted") {
+    // a pure element script through an identity pipeline: every batch lands,
+    // and the infinity watermark sentinel arrives last
+    val script = TestStream.create[(String, Long)]
+      .addElements((("a", 1L), 1000L))
+      .advanceProcessingTime(50L)
+      .addElements((("b", 2L), 2000L))
+      .advanceWatermarkToInfinity()
+    val table = TestStream.play(spark, script, to => ("__wm", to)) { ds =>
+      ds.toDF("kv", "t").select(col("kv._1").as("k"), col("kv._2").as("v"), col("t"))
+    }
+    val rows = table.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 1L), ("b", 2L), ("__wm", TestStream.EndOfTimeMs)))
+  }
+
+  test("CombineFnTester: order/sharding-insensitive fns pass the matrix") {
+    CombineFnTester.testCombineFn(new graft.functions.MeanFn(),
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), 3.5)
+    CombineFnTester.testCombineFn(new graft.functions.TopKCombineFn[Long](2),
+      Seq(5L, 1L, 4L, 2L, 3L), List(5L, 4L))
+    CombineFnTester.testCombineFn(collectLongsFn, Seq(3L, 1L, 2L), List(1L, 2L, 3L))
+  }
+
+  test("CombineFnTester: an order-sensitive fn is caught by the reversed-shard pass") {
+    val firstSeen = new graft.functions.CombineFn[Long, Option[Long], Long] {
+      def createAccumulator(): Option[Long] = None
+      def addInput(acc: Option[Long], in: Long): Option[Long] = acc.orElse(Some(in))
+      def mergeAccumulators(a: Option[Long], b: Option[Long]): Option[Long] = a.orElse(b)
+      def extractOutput(acc: Option[Long]): Long = acc.getOrElse(-1L)
+    }
+    intercept[AssertionError] {
+      CombineFnTester.testCombineFn(firstSeen, Seq(1L, 2L, 3L, 4L, 5L, 6L), 1L)
+    }
+  }
+
+  test("GatherAllPanes folds a pane stream into per-window pane sequences") {
+    val panes = Seq(
+      ("k1", 0L, 10L, Seq(1L), 0L, "EARLY", false),
+      ("k1", 0L, 10L, Seq(1L, 2L), 1L, "ON_TIME", true),
+      ("k1", 10L, 20L, Seq(9L), 0L, "ON_TIME", true),
+      ("k2", 0L, 10L, Seq(7L), 0L, "ON_TIME", true)
+    ).toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+    val gathered = GatherAllPanes.perWindow(panes)
+    assert(gathered.count() == 3)
+    val k1w0 = gathered.filter(col("k") === "k1" && col("wstart") === 0L)
+      .select(col("panes")).collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(k1w0.size == 2)
+    assert(k1w0.head.getAs[String]("timing") == "EARLY" &&
+      k1w0.last.getAs[String]("timing") == "ON_TIME")
+    assert(k1w0.last.getAs[Boolean]("is_final"))
+  }
+}
