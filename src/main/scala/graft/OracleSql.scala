@@ -546,10 +546,14 @@ object OracleSql {
         |FROM documents""".stripMargin,
 
     "q_json_parse" ->
-      """SELECT event_type,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS distinct_payloads
-        |FROM events GROUP BY 1""".stripMargin,
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CASE WHEN json_valid(props)
+        |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS distinct_payloads
+        |FROM p GROUP BY 1""".stripMargin,
 
     // curation CONTRACT oracles (see Queries scaladoc): the per-stratum
     // sample size is exact — min(n, |stratum|) — and the thinning rate

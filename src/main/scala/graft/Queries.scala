@@ -584,14 +584,20 @@ object Queries {
   /** ParseJsons/AsJsons (jackson extension): parse the JSON `props`
     * payload to a typed struct, aggregate a parsed field, and count
     * distinct re-serialized payloads — both directions exercised in one
-    * fully DuckDB-replayable query. */
+    * DuckDB-replayable query. Both sides are null-safe so the oracle
+    * equivalence survives fixture changes: malformed JSON / absent `k`
+    * parse to null (PERMISSIVE) and are excluded from both aggregates on
+    * both engines (the oracle guards with json_valid; replay is exact for
+    * integer-or-absent `k` — type-coercion edge cases differ by engine
+    * and are covered in ElementWiseSpec instead). */
   def qJsonParse(s: SparkSession, dir: String): DataFrame = {
     import ElementWise.JsonOps
     val parsed = t(s, dir, "events").select(col("event_type"),
       JsonOps.parseJsons(col("props"), "k INT").as("p"))
     parsed.groupBy(col("event_type")).agg(
       sum(col("p.k")).as("sum_k"),
-      countDistinct(JsonOps.asJsons(col("p"))).as("distinct_payloads"))
+      countDistinct(when(col("p.k").isNotNull, JsonOps.asJsons(col("p"))))
+        .as("distinct_payloads"))
   }
 
   // ---------------------------------------------------------------- curation
@@ -627,9 +633,13 @@ object Queries {
   def qPackTokens(s: SparkSession, dir: String): DataFrame = {
     val cap = 512L
     val docs = t(s, dir, "documents")
+    // the contract reads `packed` twice (per-group bins + global coverage);
+    // localCheckpoint materializes the pack once and lets the blocks be
+    // GC-reclaimed after the query (unlike a CacheManager persist). The
+    // operator itself stays single-pass — this is harness cost only.
     val packed = Curation.packTokens(docs, col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")), capacity = cap, numGroups = 8,
-      seed = 3L)
+      seed = 3L).localCheckpoint()
     val bins = packed.groupBy(col("group"), col("bin")).agg(
       sum(col("tok")).as("bin_tok"), count(lit(1)).as("bin_docs"),
       min_by(col("tok"), col("doc")).as("first_tok"))

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The sampling/packing paths encode ids as Long; a silent cast("long")
+    * of a string/UUID id would null every id out (phantom id 0 in the
+    * reservoir's primitive encoder, or a mid-job null-field crash in the
+    * packing scan). Fail loudly at call time instead — derive a surrogate
+    * (e.g. xxhash64) for non-numeric keys. Mirrors the ANN ops' guard
+    * (Similarity.requireIntegralId). */
+  private def requireIntegralId(df: DataFrame, id: Column): Unit = {
+    val dt = df.select(id).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.LongType
+        || dt == org.apache.spark.sql.types.IntegerType
+        || dt == org.apache.spark.sql.types.ShortType,
+      s"curation id column must be integral (got $dt); derive a surrogate " +
+        "id (e.g. xxhash64) for non-numeric keys")
+  }
+
   /** Exact-size per-stratum sample: exactly min(n, |stratum|) ids per
     * stratum, deterministic for a seed regardless of partitioning (the
     * reservoir's stable 64-bit hash priorities, ReservoirSampleFn). One
@@ -21,6 +36,7 @@ object Curation {
     * `sample_id`. */
   def stratifiedFixedSize(df: DataFrame, strata: Seq[Column], id: Column,
                           n: Int, seed: Long): DataFrame = {
+    requireIntegralId(df, id)
     val s = df.sparkSession
     import s.implicits._
     val sampler = udaf(
@@ -47,6 +63,7 @@ object Curation {
                  numGroups: Int, seed: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(numGroups > 0, "numGroups must be positive")
+    requireIntegralId(df, id)
     val s = df.sparkSession
     import s.implicits._
     df.select(

@@ -55,10 +55,10 @@ object TestStream {
       implicit enc: Encoder[(T, Timestamp)]): DataFrame = {
     val source = MemoryStream[(T, Timestamp)](spark)
     val name = s"teststream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-teststream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-teststream")
     val q = pipeline(source.toDS())
       .writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).option("checkpointLocation", ckpt).start()
+      .outputMode(outputMode).option("checkpointLocation", ckpt.toString).start()
     try {
       script.events.foreach {
         case ElementEvent(els) =>
@@ -72,7 +72,23 @@ object TestStream {
           q.processAllAvailable()
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the checkpoint (RocksDB state-store files for stateful pipelines)
+      // is dead once the query stops — reclaim it so repeated play() calls
+      // don't grow /tmp for the life of the suite
+      deleteRecursively(ckpt)
+    }
+    // NOTE: the memory-sink table `name` stays registered — it IS the
+    // returned result; drop it via spark.catalog.dropTempView when done
     spark.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 }

@@ -22,10 +22,19 @@ object CombineFnTester {
       // any tree; a fresh accumulator in the mix is Beam's own edge case
       fn.extractOutput(accs.foldLeft(fn.createAccumulator())(fn.mergeAccumulators))
     }
+    // NaN-aware canonicalization: a CombineFn may legitimately output NaN
+    // (variance/ratio over degenerate input) and NaN != NaN would turn
+    // every such case into a false conformance failure
+    def canon(v: Any): Any = PAssert.normalize(v) match {
+      case d: Double if d.isNaN => "__NaN"
+      case f: Float if f.isNaN  => "__NaN"
+      case l: List[_]           => l.map(canon)
+      case other                => other
+    }
     def check(shards: Seq[Seq[I]], what: String): Unit = {
       Seq(shards, shards.reverse).foreach { order =>
         val got = combineShards(order)
-        if (PAssert.normalize(got) != PAssert.normalize(expected))
+        if (canon(got) != canon(expected))
           throw new AssertionError(
             s"CombineFn mismatch ($what, ${order.size} shards): got $got, expected $expected")
       }

@@ -71,6 +71,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("non-integral id columns fail loudly instead of nulling out") {
+    val stringIds = Seq(("doc-1", "en", 10L)).toDF("id", "lang", "n_tok")
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedFixedSize(stringIds, Seq(col("lang")), col("id"), 5, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packTokens(stringIds, col("id"), col("n_tok"), 100L, 2, 1L)
+    }
+  }
+
   // ------------------------------------------------------------- packTokens
 
   private def tokenDocs = (1L to 400L).map(i => (i, 10L + (i * 37) % 90))

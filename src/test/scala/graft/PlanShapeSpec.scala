@@ -86,6 +86,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"minhash should not join:\n${p.take(1500)}")
   }
 
+  test("curation ops: bounded aggregation, single shuffle, no windows") {
+    import org.apache.spark.sql.functions._
+    val docs = GraftSession.table(spark, dir, "documents")
+    // stratified sampling: one bounded-accumulator aggregate per stratum —
+    // never a rank window or an unbounded collect_list
+    val sp = graft.operators.Curation.stratifiedFixedSize(
+      docs, Seq(col("lang")), col("doc_id"), n = 10, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Window ") && !sp.contains("collect_list"),
+      s"stratifiedFixedSize must aggregate, not window/collect:\n${sp.take(1500)}")
+    // hash thinning: a pure filter — zero Exchange, stays in the scan stage
+    val tp = graft.operators.Curation.stratifiedFractions(
+      docs, col("lang"), col("doc_id"), Map("en" -> 0.5), seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!tp.contains("Exchange"),
+      s"stratifiedFractions must be shuffle-free:\n${tp.take(1500)}")
+    // packing: exactly one shuffle — the hash split on the group key
+    val pp = graft.operators.Curation.packTokens(
+      docs, col("doc_id"), col("n_chars"), capacity = 4096, numGroups = 8,
+      seed = 1L).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(pp).size
+    assert(exchanges == 1 && pp.contains("hashpartitioning(group"),
+      s"packTokens must shuffle once on the group key:\n${pp.take(1500)}")
+    assert(!pp.contains("Window "), s"packTokens plans no window:\n${pp.take(1500)}")
+  }
+
   test("bucketed co-located tables: equi-join and groupBy plan with NO Exchange") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -62,6 +62,18 @@ class TestingToolsSpec extends SparkSpec {
     CombineFnTester.testCombineFn(collectLongsFn, Seq(3L, 1L, 2L), List(1L, 2L, 3L))
   }
 
+  test("CombineFnTester: a legitimate NaN output is not a false failure") {
+    val ratio = new graft.functions.CombineFn[Double, (Double, Double), Double] {
+      def createAccumulator(): (Double, Double) = (0.0, 0.0)
+      def addInput(acc: (Double, Double), in: Double): (Double, Double) =
+        (acc._1 + in, acc._2 + math.abs(in))
+      def mergeAccumulators(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+        (a._1 + b._1, a._2 + b._2)
+      def extractOutput(acc: (Double, Double)): Double = acc._1 / acc._2 // 0/0 = NaN
+    }
+    CombineFnTester.testCombineFn(ratio, Seq(0.0, 0.0, 0.0, 0.0, 0.0), Double.NaN)
+  }
+
   test("CombineFnTester: an order-sensitive fn is caught by the reversed-shard pass") {
     val firstSeen = new graft.functions.CombineFn[Long, Option[Long], Long] {
       def createAccumulator(): Option[Long] = None
