@@ -568,6 +568,24 @@ object OracleSql {
 
     "q_pack_tokens" ->
       """SELECT UNNEST(range(8)) AS grp, true AS all_docs_ok,
-        |       true AS cap_ok, true AS tight_ok""".stripMargin
+        |       true AS cap_ok, true AS tight_ok""".stripMargin,
+
+    // the deterministic pipeline stages (quality gate, md5 dedup) are
+    // replayed exactly; the hash-seeded stages are contract booleans
+    "q_curation_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+        |         round(len(regexp_extract_all(text, '[[:punct:]]'))
+        |               / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS pr
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, text FROM f WHERE nt >= 20 AND pr <= 0.1),
+        |r AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+        |s AS (SELECT k.lang FROM k JOIN r USING (doc_id))
+        |SELECT c.lang, c.n_candidates, d.n_dedup,
+        |       true AS rate_ok, true AS pack_ok
+        |FROM (SELECT lang, count(*) AS n_candidates FROM k GROUP BY 1) c
+        |JOIN (SELECT lang, count(*) AS n_dedup FROM s GROUP BY 1) d USING (lang)""".stripMargin
   )
 }

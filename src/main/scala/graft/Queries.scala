@@ -621,6 +621,64 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** The capstone training-data pipeline — quality gate → exact dedup →
+    * per-language mixture thinning → sequence packing — composed from the
+    * library's own ops, the workflow a user of the reference would run to
+    * prep a pretraining corpus. The deterministic stages are replayed
+    * EXACTLY by the DuckDB oracle (per-language candidate and
+    * post-dedup-survivor counts: same quality predicate, same
+    * min-doc-id-per-md5 dedup); the hash-seeded stages are gated by their
+    * contracts (thinning rate in a 5σ band, exact for fraction-1.0
+    * strata; packing coverage + caps + greedy tightness). */
+  def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0,
+      "zh" -> 1.0)
+    val cap = 512L
+    // 1. quality gate (deterministic, shared 6dp-rounded formulas)
+    val kept = docs
+      .withColumn("__nt", TextAnalysis.tokenCountWs(col("text")))
+      .withColumn("__pr", TextAnalysis.punctRatio(col("text")))
+      .filter(col("__nt") >= 20 && col("__pr") <= lit(0.1))
+    // 2. exact dedup: the min doc id represents each content hash
+    val reps = kept.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // localCheckpoint: survivors feed three consumers (counts, thinning,
+    // packing) — materialize once, blocks GC-reclaimed after the query
+    val survivors = kept.join(reps, Seq("doc_id"), "left_semi").localCheckpoint()
+    // 3. mixture thinning  4. packing
+    val mixed = Curation.stratifiedFractions(
+      survivors, col("lang"), col("doc_id"), fractions, seed = 13L)
+    val packed = Curation.packTokens(mixed, col("doc_id"), col("__nt"),
+      capacity = cap, numGroups = 4, seed = 13L).localCheckpoint()
+    // per-language exact counts (oracle replays these values)
+    val cand = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_candidates"))
+    val ded = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
+    // thinning contract per language (exact for the 1.0 strata)
+    val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("lang") === lit(k), lit(v)).otherwise(acc)
+    }
+    val mixedCounts = mixed.groupBy(col("lang")).agg(count(lit(1)).as("__kept"))
+    val n = col("n_dedup").cast("double")
+    val kc = coalesce(col("__kept"), lit(0L)).cast("double")
+    val tol = when(f === 0.0 || f === 1.0, lit(0.0))
+      .otherwise(lit(5.0) * sqrt(f * (lit(1.0) - f) / n) + lit(2.0) / n)
+    // packing contract, global (group ids are engine-specific)
+    val binStats = packed.groupBy(col("group"), col("bin")).agg(
+      sum(col("tok")).as("__bt"), count(lit(1)).as("__bd"))
+    val packOk = binStats
+      .agg((sum(when(col("__bt") > cap && col("__bd") > 1, 1).otherwise(0)) === 0).as("__capok"),
+        sum(col("__bd")).as("__packed"))
+      .crossJoin(mixed.agg(count(lit(1)).as("__mixed")))
+      .select((col("__capok") && col("__packed") === col("__mixed")).as("pack_ok"))
+    cand.join(ded, Seq("lang"))
+      .join(mixedCounts, Seq("lang"), "left")
+      .crossJoin(broadcast(packOk))
+      .select(col("lang"), col("n_candidates"), col("n_dedup"),
+        (abs(kc / n - f) <= tol).as("rate_ok"), col("pack_ok"))
+  }
+
   /** Sequence packing (Curation.packTokens) gated by its contract, which
     * pins the GREEDY semantics, not just validity: (a) every document
     * lands in exactly one bin; (b) no multi-doc bin exceeds the token

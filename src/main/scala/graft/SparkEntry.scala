@@ -90,6 +90,7 @@ object SparkEntry {
     "q_stratified_sample" -> Queries.qStratifiedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
+    "q_curation_pipeline" -> Queries.qCurationPipeline _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -20,6 +20,11 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Punctuation density, rounded to a cross-engine-stable 6dp. */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+      / greatest(length(text), lit(1)).cast("double"), 6)
+
   /** Quality features: length, punctuation ratio, stopword ratio, mean word
     * length — the fastText-style cheap quality signals. */
   def qualityFeatures(docs: DataFrame, text: Column, id: Column): DataFrame = {
@@ -30,8 +35,7 @@ object TextAnalysis {
       id.as("doc_id"),
       length(text).as("n_chars"),
       tokenCountWs(text).as("n_tokens"),
-      round(size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
-        / greatest(length(text), lit(1)).cast("double"), 6).as("punct_ratio"),
+      punctRatio(text).as("punct_ratio"),
       round(size(filter(words, w => array_contains(stop, w)))
         / greatest(size(words), lit(1)).cast("double"), 6).as("stopword_ratio"),
       round(length(regexp_replace(text, "\\s+", ""))
