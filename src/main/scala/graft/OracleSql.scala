@@ -529,8 +529,14 @@ object OracleSql {
         |               + (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) AS b1
         |      FROM h)
         |SELECT doc_id AS media_id, CAST(64 + b0 % 193 AS INT) AS width,
-        |       CAST(64 + b1 % 193 AS INT) AS height, CAST(nb AS BIGINT) AS n_bytes
+        |       CAST(64 + b1 % 193 AS INT) AS height, CAST(nb AS BIGINT) AS n_bytes,
+        |       FALSE AS decoded
         |FROM d""".stripMargin,
+        // decoded is FALSE for every fixture row because documents.text is
+        // UTF-8 prose, never a parseable image — ImageIO rejects it and the
+        // stub fallback (whose dims the md5 arithmetic above replays) runs.
+        // Real-PNG decode is covered by MultimodalSpec, which writes PNG
+        // bytes in-test and checks true dims.
 
     "q_mm_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

@@ -92,15 +92,20 @@ object Curation {
     * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
     * of the hash space. Reproducible run-to-run and engine-neutral (no
     * RNG state to schedule), pure codegen, zero shuffle. Strata missing
-    * from `fractions` get 0 (dropped) — pass 1.0 to keep a stratum
-    * whole. */
+    * from `fractions` — and rows whose stratum is NULL, which no string
+    * key can match — get `defaultFraction` (0 = dropped, the safe default
+    * for a mixture job; pass 1.0 to keep unknown strata whole). */
   def stratifiedFractions(df: DataFrame, stratum: Column, id: Column,
                           fractions: Map[String, Double],
-                          seed: Long): DataFrame = {
+                          seed: Long, defaultFraction: Double = 0.0): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
+    require(defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      "defaultFraction must be in [0, 1]")
     val space = 1L << 40 // low 40 bits of the hash: uniform, exact at double precision
-    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+    // fold base = defaultFraction: a null stratum nulls every `===` test, so
+    // the when-chain falls through to the base for both unknown and null keys
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
       when(stratum === lit(k), lit(f)).otherwise(acc)
     }
     df.filter(pmod(xxhash64(id, lit(seed)), lit(space)).cast("double") <

@@ -150,15 +150,19 @@ object Dedup {
     * real dedup pipeline runs after [[minHashCandidates]] +
     * [[ngramJaccardPairs]] verification: keep one doc per cluster.
     *
-    * Algorithm: iterative min-label propagation to fixpoint — each round a
-    * node takes the min label across itself and its neighbors; rounds
-    * needed = graph diameter (near-dup clusters are small and dense, so
-    * 3-5 rounds close almost all; `maxIter` bounds the worst case and the
-    * loop exits early when a round changes nothing). Each round is one
-    * join + one aggregation on (node, label) pairs only — at 100 TB the
-    * shuffle carries ids, never documents. For adversarial long-chain
-    * graphs switch to the large-star/small-star algorithm (same join
-    * primitive, O(log n) rounds).
+    * Distributed algorithm: alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — large-star hangs every strictly-larger neighbor off the
+    * local minimum, small-star re-parents all smaller neighbors onto it;
+    * the alternation contracts any graph to per-component stars in
+    * O(log n) rounds regardless of diameter (min-label propagation, the
+    * previous formulation here, needed diameter rounds and could run out
+    * on adversarial chains). Each round is two shuffles over (node, node)
+    * pairs only — at 100 TB the shuffle carries ids, never documents.
+    * If `maxIter` rounds pass without reaching the star fixpoint the call
+    * THROWS rather than returning mid-flight labels: silently-wrong
+    * cluster ids at scale are the one failure mode a dedup pipeline can
+    * never detect downstream.
     */
   def nearDupClusters(pairs: DataFrame, idA: Column, idB: Column,
                       maxIter: Int = 10, localThreshold: Long = 1000000L): DataFrame = {
@@ -213,33 +217,77 @@ object Dedup {
       return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
         .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
     }
-    var labels = edges.select(col("src").as("node"), col("src").as("label"))
-      .distinct()
+    // All nodes ever seen — the star fixpoint only carries non-root nodes,
+    // so roots (component minima) are recovered by a left join at the end.
+    val nodes = edges.select(col("src").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Large-star: at each node u with neighbor set N(u), attach every
+    // strictly larger neighbor to m = min(N(u) ∪ {u}). Input must be the
+    // symmetric edge view; output re-symmetrizes implicitly next round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // Small-star: orient every edge high→low, then re-parent each node's
+    // smaller neighbors (and the node itself) onto their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val grouped = directed.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      directed.join(grouped, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(grouped.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // localCheckpoint (not persist) per round: iterative plans nest the
+    // previous round's tree inside the next — after ~10 rounds the logical
+    // plan alone overflows the stack just being printed. Checkpointing
+    // truncates lineage to the materialized partitions each round, and
+    // ContextCleaner reclaims a round's blocks once its Dataset becomes
+    // unreferenced (unlike persist, which pins via CacheManager).
+    var cur = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborMin, "node")
-        .select(col("node"), least(col("label"), col("nmin")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).isEmpty
-      labels.unpersist()
-      labels = updated
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // Fixpoint = edge set unchanged. Two anti-joins on (id, id) pairs —
+      // cheap against the checkpointed frames, and the only sound test: edge
+      // counts can stay equal across a round that still rewires parents.
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
       i += 1
     }
-    // Materialize the result off the persisted lineage (localCheckpoint
-    // truncates it), then release every cached frame — without this the
-    // final labels stay pinned MEMORY_AND_DISK for the rest of the session
-    // and repeated calls accumulate dead cached partitions.
-    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      edges.unpersist(); nodes.unpersist()
+      throw new IllegalStateException(
+        s"nearDupClusters: connected-components did not reach the star fixpoint " +
+        s"after maxIter=$maxIter alternating large-star/small-star rounds. " +
+        s"The graph needs O(log n) rounds — raise maxIter (e.g. " +
+        s"${math.max(maxIter * 2, 20)}) and rerun; returning partial labels " +
+        s"would silently mis-cluster documents.")
+    }
+    // At fixpoint `cur` is a star forest: (node → component-min) for every
+    // non-root node. Roots label themselves via the left join. Materialize
+    // the small result eagerly, then release the cached inputs — without
+    // this their partitions stay pinned MEMORY_AND_DISK for the session.
+    val out = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("root")), Seq("node"), "left")
+      .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
+    nodes.unpersist()
     out
   }
 

@@ -9,12 +9,54 @@ import org.apache.spark.sql.types._
   * decode/feature-extract run per-partition in bounded batches so a 100 TB
   * corpus streams through fixed executor memory.
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked deterministic stub ([[StubCodec]]); everything around it —
-  * schema, batching, partition sizing, the operator signatures — is real and
-  * tested. Swap `StubCodec` for a JNI/FFI codec in production.
+  * Images decode for REAL via [[ImageCodec]] (`javax.imageio` ships in every
+  * JDK: PNG/JPEG/BMP/GIF/WBMP). Audio/video codecs are NOT in this container,
+  * so those modalities use the clearly-marked deterministic [[StubCodec]] —
+  * which also serves as the fallback for payloads ImageIO cannot parse, so
+  * a corrupt image never kills a 100 TB pass; the `decoded` flag routes
+  * undecodables to quarantine downstream. Swap `StubCodec` for a JNI/FFI
+  * codec (ffmpeg) in production for audio/video.
   */
 object Multimodal {
+
+  /** Real image codec on `javax.imageio` — decodes the formats every JDK
+    * bundles. One call per row inside `mapPartitions`; memory is bounded by
+    * one decoded image at a time per task. */
+  object ImageCodec {
+    // ImageIO defaults to spooling ImageInputStreams through temp FILES —
+    // pure overhead for in-memory byte arrays, and a per-row disk write on
+    // executors. Static init runs once per JVM at first task use.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode, or None when the payload is not a parseable image (wrong
+      * magic bytes, truncated file, or a non-image modality). */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.length == 0) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException | _: RuntimeException => None }
+
+    /** L1-normalized luminance histogram over `dim` bins — the real-pixel
+      * analogue of [[StubCodec.features]], comparable across image sizes. */
+    def lumaHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      // one bulk getRGB: per-pixel getRGB pays a colour-model dispatch per call
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        // integer Rec.601 luma in [0, 255]
+        val luma = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+        hist(luma * dim / 256) += 1f
+        i += 1
+      }
+      val total = math.max(rgb.length, 1).toFloat
+      var j = 0
+      while (j < dim) { hist(j) /= total; j += 1 }
+      hist
+    }
+  }
 
   /** Canonical media schema: payload + typed metadata travel together. */
   val mediaSchema: StructType = StructType(Seq(
@@ -27,8 +69,9 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** STUB codec — deterministic fake in place of libjpeg/ffmpeg (not present
-    * in this container). Features derive only from payload bytes, so results
+  /** STUB codec — deterministic fake in place of ffmpeg (audio/video codecs
+    * are not present in this container) and the fallback for undecodable
+    * image payloads. Features derive only from payload bytes, so results
     * are reproducible across partitionings. */
   object StubCodec {
     /** "Decode" → (width, height) pretend-parsed from the payload header.
@@ -52,9 +95,10 @@ object Multimodal {
     }
     /** "Feature-extract" → fixed-width float vector (byte histogram, L1-normalized). */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+      val bytes = if (payload == null) Array.empty[Byte] else payload
       val hist = new Array[Float](dim)
-      payload.foreach(b => hist((b & 0xFF) % dim) += 1f)
-      val total = math.max(payload.length, 1).toFloat
+      bytes.foreach(b => hist((b & 0xFF) % dim) += 1f)
+      val total = math.max(bytes.length, 1).toFloat
       hist.map(_ / total)
     }
     /** "Frame-sample" → every k-th 256-byte block as a pretend frame. */
@@ -72,25 +116,38 @@ object Multimodal {
       struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("n_frames")).as("meta"))
 
-  /** Decode pass: fills meta from the (stub) codec. Batched per partition —
-    * the real-codec version would reuse one decoder instance per partition
-    * (the DoFn @Setup pattern, reference: SDK/transforms/DoFn.java:492). */
+  /** Decode pass: real `javax.imageio` decode first; payloads ImageIO cannot
+    * parse fall back to the deterministic [[StubCodec]] dims with
+    * `decoded = false` so a corrupt file never fails the pass (quarantine on
+    * the flag downstream). Batched per partition — decoder state is
+    * per-partition, the DoFn @Setup pattern (reference:
+    * SDK/transforms/DoFn.java:492). */
   def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType), StructField("width", IntegerType),
-      StructField("height", IntegerType), StructField("n_bytes", LongType)))
+      StructField("height", IntegerType), StructField("n_bytes", LongType),
+      StructField("decoded", BooleanType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     media.select(col("media_id"), col("payload")).mapPartitions { it =>
-      // per-partition codec init would go here (@Setup)
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h) = StubCodec.imageDims(payload)
-        Row(r.getLong(0), w, h, payload.length.toLong)
+        ImageCodec.decode(payload) match {
+          case Some(img) =>
+            Row(r.getLong(0), img.getWidth, img.getHeight, payload.length.toLong, true)
+          case None =>
+            val (w, h) = StubCodec.imageDims(payload)
+            Row(r.getLong(0), w, h,
+              (if (payload == null) 0L else payload.length.toLong), false)
+        }
       }
     }(enc)
   }
 
-  /** Feature extraction → embedding column, ready for graft.operators.Similarity. */
+  /** Feature extraction → embedding column, ready for graft.operators
+    * .Similarity. Decodable images yield a REAL pixel-luminance histogram
+    * ([[ImageCodec.lumaHistogram]]); everything else the stub byte
+    * histogram — both L1-normalized float vectors of the same width, so the
+    * downstream ANN plumbing is identical either way. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType),
@@ -98,7 +155,12 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     media.select(col("media_id"), col("payload")).mapPartitions { it =>
       it.map { r =>
-        Row(r.getLong(0), StubCodec.features(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = ImageCodec.decode(payload) match {
+          case Some(img) => ImageCodec.lumaHistogram(img, dim)
+          case None      => StubCodec.features(payload, dim)
+        }
+        Row(r.getLong(0), feats.toSeq)
       }
     }(enc)
   }

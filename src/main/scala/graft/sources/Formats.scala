@@ -51,24 +51,33 @@ private[sources] object ShardedCommit {
       }
     }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING)).collect()
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // overwrite semantics at the commit point (matching the repo's other
-    // writers): clear any prior generation's part files ONLY once every
-    // attempt has succeeded, so a failed job never destroys existing data.
-    // Without this, a rerun with fewer shards would leave stale
-    // part-*-of-NNNNN files that a later glob read silently unions in.
-    Option(fs.globStatus(new Path(s"$dir/part-*"))).getOrElse(Array.empty)
-      .foreach(st => fs.delete(st.getPath, false))
     // one attempt per shard (first wins); stable shard order by partition id
     val chosen = attempts.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head)
     val total = chosen.size
+    val dests = chosen.indices.map(i => f"$dir/part-$i%05d-of-$total%05d$suffix")
+    // Overwrite semantics at the commit point, with the narrowest possible
+    // destruction window: before renaming, delete ONLY prior files whose
+    // names collide with this generation's destinations (each is replaced
+    // within the same loop instant); every OTHER stale part-* file — e.g. a
+    // prior run with more shards, whose leftovers a later glob read would
+    // silently union in — is removed only AFTER the full new set is in
+    // place, so a driver failure mid-commit never leaves the directory
+    // empty of data that nothing replaced.
+    dests.foreach(d => fs.delete(new Path(d), false))
     val committed = chosen.zipWithIndex.map { case ((_, tmp), i) =>
-      val dst = new Path(f"$dir/part-$i%05d-of-$total%05d$suffix")
+      val dst = new Path(dests(i))
       // HDFS-style filesystems report rename failure via `false`, not an
       // exception — swallowing it would delete the only copy below
       if (!fs.rename(new Path(tmp), dst))
         throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
       dst.toString
     }
+    // qualify both sides: globStatus returns scheme-qualified paths
+    // (file:/…) while the committed strings may be scheme-less
+    val keep = committed.map(s => fs.makeQualified(new Path(s)).toString).toSet
+    Option(fs.globStatus(new Path(s"$dir/part-*"))).getOrElse(Array.empty)
+      .map(_.getPath).filterNot(p => keep.contains(fs.makeQualified(p).toString))
+      .foreach(p => fs.delete(p, false))
     fs.delete(new Path(tmpDir), true) // uncommitted attempts die with it
     bConf.destroy()
     committed

@@ -79,9 +79,14 @@ object TestStream {
       // don't grow /tmp for the life of the suite
       deleteRecursively(ckpt)
     }
-    // NOTE: the memory-sink table `name` stays registered — it IS the
-    // returned result; drop it via spark.catalog.dropTempView when done
-    spark.table(name)
+    // Detach the result from the memory sink and drop its temp view before
+    // returning — otherwise every play() permanently leaks a uniquely-named
+    // view (and its buffered rows) for the life of the session.
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(sink.collect().toIndexedSeq, 1), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

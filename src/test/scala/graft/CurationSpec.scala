@@ -65,6 +65,21 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(b.size / 900.0 - 0.5) < 5 * math.sqrt(0.25 / 900) + 2 / 900.0)
   }
 
+  test("stratifiedFractions: null strata follow defaultFraction (dropped unless told otherwise)") {
+    val withNulls = Seq((1L, "en"), (2L, null), (3L, null), (4L, "fr"))
+      .toDF("id", "lang")
+    val fr = Map("en" -> 1.0, "fr" -> 1.0)
+    // default: null-stratum rows are dropped, like any unknown stratum
+    val dropped = Curation.stratifiedFractions(withNulls, col("lang"), col("id"), fr, 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L, 4L))
+    // defaultFraction=1.0 keeps null/unknown strata whole
+    val kept = Curation.stratifiedFractions(withNulls, col("lang"), col("id"), fr, 3L,
+        defaultFraction = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("stratifiedFractions: rejects fractions outside [0, 1]") {
     intercept[IllegalArgumentException] {
       Curation.stratifiedFractions(corpus, col("lang"), col("id"), Map("en" -> 1.5), 1L)

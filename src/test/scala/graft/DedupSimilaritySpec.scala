@@ -67,11 +67,35 @@ class DedupSimilaritySpec extends SparkSpec {
     val local = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == expected)
-    // force the distributed label-propagation loop (the 100 TB path)
+    // force the distributed large-star/small-star loop (the 100 TB path)
     val distributed = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
         localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == expected)
+  }
+
+  test("nearDupClusters: adversarial path graph with diameter >> maxIter converges") {
+    // A 64-node chain (diameter 63): the old min-label propagation needed 63
+    // rounds; alternating large-star/small-star closes it within the default
+    // maxIter=10 because rounds contract the graph in O(log n).
+    val chain = Create.of(spark, (0L until 63L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(chain, col("id_a"), col("id_b"),
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64 && out.values.forall(_ == 0L))
+  }
+
+  test("nearDupClusters: throws loudly instead of returning mid-flight labels") {
+    // maxIter=1 cannot reach the star fixpoint on a chain — the contract is
+    // an actionable IllegalStateException, never silently-wrong cluster ids.
+    val chain = Create.of(spark, (0L until 16L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, col("id_a"), col("id_b"),
+        maxIter = 1, localThreshold = 0L).collect()
+    }
+    assert(ex.getMessage.contains("maxIter") && ex.getMessage.contains("raise"))
   }
 
   test("vecDot: NULL on length mismatch or null element (lambda-equivalent)") {

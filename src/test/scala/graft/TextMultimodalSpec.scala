@@ -63,6 +63,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-6)
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: REAL PNG payloads decode to true dims; junk falls back with decoded=false") {
+    val rows = Seq(
+      (1L, pngBytes(37, 11, 0x336699)),
+      (2L, pngBytes(200, 150, 0xFFFFFF)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "bytes"), col("id"), col("bytes"), "image")
+    val got = Multimodal.decodeImages(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((37, 11, true)))
+    assert(got(2L) == ((200, 150, true)))
+    assert(got(3L)._3 == false) // stub fallback, flagged
+  }
+
+  test("extractFeatures: real PNG yields a pixel-luminance histogram") {
+    // all-white 8x8: every pixel luma=255 -> bin 15 of 16 holds all mass
+    val media = Multimodal.asMedia(
+      Seq((1L, pngBytes(8, 8, 0xFFFFFF))).toDF("id", "bytes"),
+      col("id"), col("bytes"), "image")
+    val feats = Multimodal.extractFeatures(spark, media).collect()(0).getSeq[Float](1)
+    assert(feats.size == 16)
+    assert(math.abs(feats(15) - 1.0f) < 1e-6)
+    assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-6)
+  }
+
   test("multimodal frame sampling takes every k-th block") {
     val big = "x" * 2048 // 8 blocks of 256
     val media = Multimodal.asMedia(
