@@ -508,7 +508,19 @@ object OracleSql {
       """SELECT doc_id,
         |       CASE WHEN length(trim(text)) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS approx_tokens
+        |FROM documents""".stripMargin,
+
+    // Real-BPE contract: DuckDB independently recomputes n_docs and the
+    // global pretoken-run / non-whitespace-char bounds; the sandwich and
+    // strictness booleans are Spark-checked (merge loop isn't SQL), with
+    // exact merge arithmetic law-tested in TextMultimodalSpec.
+    "q_bpe_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS sum_lower,
+        |       CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT) AS sum_upper,
+        |       TRUE AS bpe_within_bounds,
+        |       TRUE AS merges_fired
         |FROM documents""".stripMargin,
 
     "q_fingerprint" ->
@@ -569,12 +581,28 @@ object OracleSql {
         |       true AS distinct_ok, true AS members_ok
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // det_kept: DuckDB independently recomputes the kept count for the
+    // deterministic fraction-0.0/1.0 strata ('error' drops all, 'purchase'
+    // keeps all); mid fractions are the -1 sentinel + Spark-checked band
     "q_stratified_thin" ->
-      "SELECT event_type, true AS rate_ok FROM events GROUP BY 1",
+      """SELECT event_type, true AS rate_ok,
+        |       CAST(CASE event_type WHEN 'purchase' THEN count(*)
+        |                            WHEN 'error' THEN 0
+        |                            ELSE -1 END AS BIGINT) AS det_kept
+        |FROM events GROUP BY 1""".stripMargin,
 
+    // n_docs_total / sum_tok_total recomputed from the raw documents table
+    // (Spark derives them from the pack output — coverage + token
+    // accounting replay); per-group tightness stays Spark-checked (groups
+    // are xxhash64-assigned, not SQL-replayable)
     "q_pack_tokens" ->
-      """SELECT UNNEST(range(8)) AS grp, true AS all_docs_ok,
-        |       true AS cap_ok, true AS tight_ok""".stripMargin,
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |           FROM documents)
+        |SELECT UNNEST(range(8)) AS grp, true AS all_docs_ok,
+        |       true AS cap_ok, true AS tight_ok,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_docs_total,
+        |       (SELECT CAST(sum(nt) AS BIGINT) FROM t) AS sum_tok_total""".stripMargin,
 
     // the deterministic pipeline stages (quality gate, md5 dedup) are
     // replayed exactly; the hash-seeded stages are contract booleans

@@ -558,7 +558,32 @@ object Queries {
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
-      TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"))
+      TextAnalysis.tokenCountApprox(col("text")).as("approx_tokens"))
+
+  /** Real BPE token counting (Bpe.tokenCount, the greedy merge loop) as a
+    * CONTRACT query: the merge loop is not SQL-expressible, so the oracle
+    * replays what IS deterministic and engine-neutral — n_docs, and the
+    * global lower/upper token-count bounds (pretoken run count ≤ bpe ≤
+    * non-whitespace char count, since merges only ever shrink a pretoken
+    * and never cross one) — and pins the Spark-checked sandwich plus the
+    * "merges actually fired" strictness booleans. Exact merge arithmetic
+    * is law-tested in TextMultimodalSpec against hand-computed
+    * tokenizations. */
+  def qBpeCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val perDoc = Bpe.tokenCount(docs, col("text"), col("doc_id"))
+      .join(docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("lo"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("hi")), "doc_id")
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("lo")).as("sum_lower"),
+      sum(col("hi")).as("sum_upper"),
+      bool_and(col("bpe_tokens") >= col("lo") && col("bpe_tokens") <= col("hi"))
+        .as("bpe_within_bounds"),
+      (sum(col("bpe_tokens")) < sum(col("hi"))).as("merges_fired"))
+  }
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -709,11 +734,18 @@ object Queries {
         ((sum(when(col("next_first").isNotNull && col("bin_tok") + col("next_first") <= cap, 1)
           .otherwise(0)) === 0) &&
           (countDistinct(col("bin")) === max(col("bin")) + 1)).as("tight_ok"))
-    val coverage = packed.agg(count(lit(1)).as("__n"), countDistinct(col("doc")).as("__nd"))
+    // n_docs_total / sum_tok_total derive from the PACK OUTPUT and are
+    // independently recomputed by DuckDB from the raw table — dropped or
+    // duplicated docs (or corrupted token accounting) hash-mismatch, so
+    // the oracle is no longer a pure true-pin.
+    val coverage = packed.agg(count(lit(1)).as("__n"), countDistinct(col("doc")).as("__nd"),
+        sum(col("tok")).as("__st"))
       .crossJoin(docs.agg(count(lit(1)).as("__total")))
-      .select((col("__n") === col("__total") && col("__nd") === col("__n")).as("all_docs_ok"))
+      .select((col("__n") === col("__total") && col("__nd") === col("__n")).as("all_docs_ok"),
+        col("__n").as("n_docs_total"), col("__st").as("sum_tok_total"))
     perGroup.crossJoin(broadcast(coverage))
-      .select(col("group").as("grp"), col("all_docs_ok"), col("cap_ok"), col("tight_ok"))
+      .select(col("group").as("grp"), col("all_docs_ok"), col("cap_ok"), col("tight_ok"),
+        col("n_docs_total"), col("sum_tok_total"))
   }
 
   /** Mixture-weight thinning (Curation.stratifiedFractions) gated by its
@@ -736,8 +768,15 @@ object Queries {
     val kc = coalesce(col("__kept"), lit(0L)).cast("double")
     val tol = when(f === 0.0 || f === 1.0, lit(0.0))
       .otherwise(lit(5.0) * sqrt(f * (lit(1.0) - f) / n) + lit(2.0) / n)
+    // det_kept: for the deterministic strata (fraction 0.0 / 1.0 — the
+    // hash filter keeps none/all regardless of seed) the kept COUNT is
+    // emitted raw and DuckDB independently recomputes it from the events
+    // table (0, resp. count(*)); mid-fraction strata emit the -1 sentinel
+    // (hash-dependent, covered by rate_ok + CurationSpec laws).
     ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
       .join(keptCounts, Seq("event_type"), "left")
-      .select(col("event_type"), (abs(kc / n - f) <= tol).as("rate_ok"))
+      .select(col("event_type"), (abs(kc / n - f) <= tol).as("rate_ok"),
+        when(f === 0.0 || f === 1.0, coalesce(col("__kept"), lit(0L)))
+          .otherwise(lit(-1L)).as("det_kept"))
   }
 }

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_text_quality"    -> Queries.qTextQuality _,
     "q_lang_id"         -> Queries.qLangId _,
     "q_token_count"     -> Queries.qTokenCount _,
+    "q_bpe_count"       -> Queries.qBpeCount _,
     "q_fingerprint"     -> Queries.qFingerprint _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
     "q_mm_features"     -> Queries.qMultimodalFeatures _,

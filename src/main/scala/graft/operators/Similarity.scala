@@ -264,11 +264,35 @@ object Similarity {
     }
   }
 
+  /** Auto-tuned hyperplane count: 2^planes buckets sized so the EXPECTED
+    * bucket occupancy is `targetBucketSize` — planes = ceil(log2(n /
+    * target)), clamped to [1, 62]. Pairwise re-rank work per bucket grows
+    * with occupancy², so holding occupancy constant as the corpus grows is
+    * what keeps the LSH join linear at 100 TB (the fixed-planes ScaleProbe
+    * showed 4.0× time at ×32 data; with this knob the bucket count scales
+    * with n and the ratio flattens). */
+  def planesFor(corpusCount: Long, targetBucketSize: Long = 64L): Int = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    val ratio = math.max(1.0, corpusCount.toDouble / targetBucketSize.toDouble)
+    math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** [[lshTopK]] with [[planesFor]]-derived planes. Counts the corpus once
+    * (a column-pruned metadata-cheap pass); at 100 TB pass a known corpus
+    * count straight to `lshTopK(planes = planesFor(n))` instead. */
+  def lshTopKAuto(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                  queries: DataFrame, queryId: Column, queryVec: Column,
+                  k: Int, targetBucketSize: Long = 64L, seed: Long = 42L,
+                  tables: Int = 2): DataFrame =
+    lshTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
+      planes = planesFor(corpus.count(), targetBucketSize), seed = seed, tables = tables)
+
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in any
     * of `tables` independent hash tables (multi-table union raises recall the
     * standard way); exact cosine re-rank per query via the typed bounded-heap
     * top-k (no rank-window funnel, no unbounded group arrays). Raise
-    * `planes` with corpus size so buckets stay small. */
+    * `planes` with corpus size so buckets stay small — or let
+    * [[lshTopKAuto]] / [[planesFor]] derive it from the corpus count. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, planes: Int = 8, seed: Long = 42L, tables: Int = 2): DataFrame = {

@@ -281,13 +281,14 @@ object Triggers {
     *    micro-batch and event-time timer): firing happens at micro-batch
     *    granularity after the deadline, the same cadence Beam's
     *    processing-time firings exhibit under a micro-batch runner.
-    *    Quiescent-key caveat: a key that receives NO further input has no
-    *    micro-batch opportunities, so its armed deadline is next evaluated
-    *    at the key's event-time timer — i.e. no earlier than the
-    *    end-of-window/GC flush. Beam's runner-scheduled processing-time
-    *    timers would wake the key sooner; registering such a wakeup here
-    *    would need a second processing-time transformWithState stage,
-    *    which the single-TimeMode engine deliberately avoids;
+    *    Quiescent keys are covered by a CATCH-UP event-time timer: while a
+    *    deadline is armed, the processor keeps a timer registered just past
+    *    the current watermark, so any later batch — data for OTHER keys
+    *    included — wakes the armed key and re-checks the proc-time clock
+    *    (re-registering until the deadline passes). A key goes unwoken only
+    *    if the whole stream is silent, in which case no micro-batch runs at
+    *    all — the inherent micro-batch narrowing, same as Beam on a
+    *    micro-batch runner;
     *  - AfterWatermarkEL(early, late) — AfterWatermark.pastEndOfWindow()
     *    .withEarlyFirings(early).withLateFirings(late): early fires
     *    repeatedly before the watermark passes end-of-window, exactly one
@@ -525,6 +526,24 @@ object Triggers {
     private def saveTrig(st: TrigState): Unit =
       trigState.update(st.toList.map { case (p, (c, f, d)) => (p, c, f, d) })
 
+    /** Any unfinished node holding an armed processing-time deadline? */
+    private def armedDeadline(st: TrigState): Boolean =
+      st.valuesIterator.exists { case (_, f, d) => !f && d != Long.MaxValue }
+
+    /** Quiescent-key catch-up (Beam's runner-scheduled proc-time timers,
+      * RCORE/triggers/AfterProcessingTimeStateMachine.java: an idle key
+      * still wakes when its deadline passes): while a proc-time deadline is
+      * armed, keep an event-time timer registered just past the current
+      * watermark. ANY later batch — data for other keys included — advances
+      * the watermark, fires the timer, and re-evaluates this key against
+      * the proc-time clock; if the deadline still hasn't passed, the
+      * handler re-registers. Cost: one timer wake per armed key per
+      * watermark advance, the same cadence Beam's proc-time timers exhibit
+      * under a micro-batch runner. */
+    private def armCatchupTimer(key: (K, Long), wm: Long): Unit =
+      if (trigState.exists() && armedDeadline(loadTrig()) && wm + 1 < windowEnd(key._2))
+        getHandle.registerTimer(wm + 1)
+
     private def fire(key: (K, Long), wmPastEnd: Boolean, isFinal: Boolean): Pane[K, OUT] = {
       val idx = if (paneIndex.exists()) paneIndex.get() else 0
       val a = if (acc.exists()) acc.get() else fn.createAccumulator()
@@ -579,7 +598,9 @@ object Triggers {
         getHandle.registerTimer(gcTime(key._2))
         timersSet.update(true)
       }
-      evalAndFire(key, wm, tv.getCurrentProcessingTimeInMs())
+      val out = evalAndFire(key, wm, tv.getCurrentProcessingTimeInMs())
+      armCatchupTimer(key, wm)
+      out
     }
 
     override def handleExpiredTimer(key: (K, Long), tv: TimerValues,
@@ -613,7 +634,17 @@ object Triggers {
         clearAll()
         out
       } else {
-        evalAndFire(key, wm = windowEnd(key._2), tv.getCurrentProcessingTimeInMs())
+        // end-of-window timer vs proc-time catch-up timer: a catch-up fires
+        // BEFORE end-of-window and must not report wmPastEnd — passing
+        // windowEnd here would fire AfterWatermark children early
+        val expiry = info.getExpiryTimeInMs()
+        val wmNow = tv.getCurrentWatermarkInMs()
+        val wmEff =
+          if (expiry >= windowEnd(key._2)) windowEnd(key._2)
+          else math.min(wmNow, windowEnd(key._2) - 1)
+        val out = evalAndFire(key, wm = wmEff, tv.getCurrentProcessingTimeInMs())
+        if (expiry < windowEnd(key._2)) armCatchupTimer(key, wmNow)
+        out
       }
     }
 

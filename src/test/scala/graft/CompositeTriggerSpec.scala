@@ -125,6 +125,24 @@ class CompositeTriggerSpec extends SparkSpec {
       (3L, 2, "ON_TIME", false)), panes.toString)
   }
 
+  test("AfterProcessingTime fires for a QUIESCENT key: other keys' batches wake it") {
+    // the round-4 narrowing: key "a" arms a proc-time deadline and then
+    // receives no further input; only key "z" (same window span, watermark
+    // stays below end-of-window) is driven. The catch-up event-time timer
+    // must wake "a" once the deadline passes — before end-of-window.
+    val panes = run(AfterWatermarkEL(Some(AfterProcessingTimeT(250L)), None),
+      "ct_proctime_quiescent", lateness = 600000L) { (input, q) =>
+      input.addData(("a", ts("2024-01-01 10:00:01"), 1L), ("a", ts("2024-01-01 10:00:02"), 1L))
+      q.processAllAvailable() // arm deadline; not yet due -> no pane
+      Thread.sleep(400)       // let the proc-time deadline pass while "a" is idle
+      input.addData(("z", ts("2024-01-01 10:00:30"), 1L))
+      q.processAllAvailable() // z's batch advances the watermark -> catch-up wakes "a"
+      input.addData(("z", ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable() // watermark past end -> ON_TIME
+    }
+    assert(panes == Seq((2L, 0, "EARLY", false), (2L, 1, "ON_TIME", false)), panes.toString)
+  }
+
   test("AfterProcessingTime with an unreachable delay never fires early") {
     val panes = run(AfterWatermarkEL(Some(AfterProcessingTimeT(java.util.concurrent.TimeUnit.DAYS.toMillis(365))), None),
       "ct_proctime_far", lateness = 600000L) { (input, q) =>

@@ -121,6 +121,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1)._1 == 1L)
   }
 
+  test("planesFor: constant expected occupancy, clamped to [1, 62]") {
+    import Similarity.planesFor
+    assert(planesFor(0) == 1)
+    assert(planesFor(64) == 1)            // n == target -> 2^1 buckets min
+    assert(planesFor(128) == 1)           // log2(2) = 1
+    assert(planesFor(129) == 2)
+    assert(planesFor(64L << 20) == 20)    // 64M rows @ target 64 -> 2^20 buckets
+    assert(planesFor(Long.MaxValue) == 57)
+    assert(planesFor(1000, targetBucketSize = 1) == 10)
+    intercept[IllegalArgumentException](planesFor(10, targetBucketSize = 0))
+  }
+
+  test("lshTopKAuto derives planes from the corpus count and matches explicit lshTopK") {
+    val n = 64
+    val vecs = Create.of(spark, (0 until n).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat, 0.5f))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val auto = Similarity.lshTopKAuto(vecs, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, targetBucketSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicit = Similarity.lshTopK(vecs, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3,
+      planes = Similarity.planesFor(n, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // self-match survives any bucketing (identical vector, identical bucket)
+    assert(auto.exists { case (qid, cid, s) => qid == 0L && cid == 0L && s == 1.0 })
+  }
+
   test("lshTopK includes the self-match (same bucket by construction)") {
     val vecs = Create.of(spark,
       (0L to 20L).map(i => (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))

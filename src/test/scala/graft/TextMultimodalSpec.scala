@@ -12,10 +12,62 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Seq(0, 0, 3))
   }
 
-  test("tokenCountBpe counts subword-ish pieces") {
+  test("tokenCountApprox counts word-piece regex pieces") {
     val t = Create.of(spark, Seq("hello, world 42")).toDF("s")
     // hello | , | world | 4 | 2
-    assert(t.select(TextAnalysis.tokenCountBpe(col("s"))).collect()(0).getInt(0) == 5)
+    assert(t.select(TextAnalysis.tokenCountApprox(col("s"))).collect()(0).getInt(0) == 5)
+  }
+
+  test("Bpe.tokenizeWord: greedy lowest-rank merge loop, hand-computed law cases") {
+    import graft.operators.Bpe
+    val ranks = Bpe.defaultMerges.zipWithIndex.toMap
+    // (t,h) then (th,e)
+    assert(Bpe.tokenizeWord("the", ranks) == Vector("the"))
+    // (t,h) -> (a,t)? no: (th,at) wins only after (a,t)=7 loses to... trace:
+    // t h a t -> th a t (rank 0) -> th at (rank 7) -> that (rank 28)
+    assert(Bpe.tokenizeWord("that", ranks) == Vector("that"))
+    // t h i n -> th i n -> th in: no (th,in) merge
+    assert(Bpe.tokenizeWord("thin", ranks) == Vector("th", "in"))
+    // a n d -> an d -> and
+    assert(Bpe.tokenizeWord("and", ranks) == Vector("and"))
+    // no ranked pair anywhere: one symbol per char (OOV behavior)
+    assert(Bpe.tokenizeWord("zzz", ranks) == Vector("z", "z", "z"))
+    // case-sensitive: (t,h) does not match (T,h)
+    assert(Bpe.tokenizeWord("Thing", ranks) == Vector("T", "h", "ing"))
+    // one merge round rewrites ALL occurrences of the best pair
+    assert(Bpe.tokenizeWord("thth", ranks) == Vector("th", "th"))
+  }
+
+  test("Bpe.countString: pretoken split + per-word merges; null/empty safe") {
+    import graft.operators.Bpe
+    val ranks = Bpe.defaultMerges.zipWithIndex.toMap
+    // hello->4 (ll), ","->1, world->4 (or), 42->2 (digit run, no merges)
+    assert(Bpe.countString("hello, world 42", ranks) == 11)
+    assert(Bpe.countString(null, ranks) == 0)
+    assert(Bpe.countString("", ranks) == 0)
+    assert(Bpe.countString("   ", ranks) == 0)
+  }
+
+  test("Bpe.tokenCount distributes and matches countString per doc") {
+    import graft.operators.Bpe
+    val ranks = Bpe.defaultMerges.zipWithIndex.toMap
+    val docs = Create.of(spark, Seq(
+      (1L, "the cat and that thing"),
+      (2L, "zzz 42!!"),
+      (3L, ""))).toDF("doc_id", "text")
+    val got = Bpe.tokenCount(docs.repartition(3), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Map(
+      1L -> Bpe.countString("the cat and that thing", ranks),
+      2L -> Bpe.countString("zzz 42!!", ranks),
+      3L -> 0)
+    assert(got == want)
+  }
+
+  test("Bpe.parseMerges reads the merges.txt format") {
+    import graft.operators.Bpe
+    val lines = Iterator("#version: demo", "t h", "th e", "")
+    assert(Bpe.parseMerges(lines) == Seq(("t", "h"), ("th", "e")))
   }
 
   test("langId votes stopwords per language; und when no hits") {
