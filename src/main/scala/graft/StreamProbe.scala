@@ -1,0 +1,178 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.CombineFn
+import graft.streaming.Triggers
+import graft.streaming.Triggers._
+
+/** Streaming trigger-engine scale probe (dev tool, not part of the library):
+  * drives [[Triggers.triggeredAggregateComposite]] and
+  * [[Triggers.sessionAggregateTriggered]] — the two RocksDB-backed pane
+  * processors — with a ×N synthetic MemoryStream workload (N× the keys,
+  * same window/session script per key) and records:
+  *
+  *  - wall time and events/sec at base and ×N scale (the ratio shows
+  *    whether per-key state work scales linearly);
+  *  - max state-store rows across the run (bounded by keys × active
+  *    windows, NOT by total windows seen — the ReduceFnRunner GC contract,
+  *    reference: RCORE/ReduceFnRunner.java:89 state + GC
+  *    responsibilities);
+  *  - final state-store rows after the watermark passes every GC horizon —
+  *    asserted ZERO: leaked per-window state is the failure mode that
+  *    kills a long-running 100 TB/day streaming job, so the probe exits
+  *    non-zero if reclamation fails.
+  *
+  * Results are recorded in BASELINE.md (round 5).
+  */
+object StreamProbe {
+
+  private val sumFn: CombineFn[Long, Long, Long] = new CombineFn[Long, Long, Long] {
+    def createAccumulator(): Long = 0L
+    def addInput(acc: Long, in: Long): Long = acc + in
+    def mergeAccumulators(a: Long, b: Long): Long = a + b
+    def extractOutput(acc: Long): Long = acc
+  }
+
+  private final case class ProbeResult(events: Long, wallSec: Double,
+                                       maxStateRows: Long, finalStateRows: Long) {
+    def throughput: Double = events / wallSec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "32").toInt
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def report(tag: String, base: ProbeResult, big: ProbeResult): Unit = {
+      println(f"""{"probe":"$tag","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+        f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
+        f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
+        f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,"data_ratio":${big.events.toDouble / base.events}%.1f,""" +
+        f""""base_max_state":${base.maxStateRows},"x${factor}_max_state":${big.maxStateRows},""" +
+        f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
+      if (base.finalStateRows != 0 || big.finalStateRows != 0) {
+        System.err.println(s"FAIL[$tag]: state not reclaimed at the GC horizon " +
+          s"(base=${base.finalStateRows}, x$factor=${big.finalStateRows})")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
+    // -------- fixed windows through the composite-trigger pane processor:
+    // early firings (AfterCount), ON_TIME at the watermark, GC at
+    // end + lateness. Per key: `nWindows` 60s windows × `perWin` elements
+    // fed in two chunks (the first chunk trips the early count).
+    def probeTriggered(nKeys: Int): ProbeResult = {
+      val winMs = 60000L
+      val nWindows = 8
+      val perWin = 4
+      import spark.implicits._
+      val input = MemoryStream[(String, Timestamp, Long)](spark)
+      // sentinel rows advance the watermark (the watermark node sits above
+      // the filter) but never create per-window state — otherwise the last
+      // sentinel's own window could never be GC'd and would read as a leak
+      val assigned = Triggers.assignFixedWindows(
+        input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+          .as[(String, Timestamp, Long)].filter(_._1 != "__wm"), winMs)
+      val panes = Triggers.triggeredAggregateComposite(assigned, sumFn,
+        AfterWatermarkEL(Some(AfterCountT(2)), None),
+        windowSizeMs = winMs, allowedLatenessMs = winMs, accumulating = true)
+      val name = s"streamprobe_t_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var events = 0L
+      val t0 = System.nanoTime()
+      try {
+        (0 until nWindows).foreach { w =>
+          val base = w * winMs
+          // chunk 1: two elements per key -> trips AfterCount(2) EARLY pane
+          input.addData(keys.flatMap(k => Seq(
+            (k, new Timestamp(base + 1000), 1L), (k, new Timestamp(base + 2000), 2L))))
+          q.processAllAvailable()
+          // chunk 2: the rest; max ts base+59s keeps the watermark inside w
+          input.addData(keys.flatMap(k => (3 to perWin).map(j =>
+            (k, new Timestamp(base + j * 1000), j.toLong))))
+          q.processAllAvailable()
+          events += nKeys.toLong * perWin
+        }
+        // flush: watermark far past every GC horizon, then one more advance
+        // so every expired timer (final panes + state GC) has run
+        input.addData(("__wm", new Timestamp((nWindows + 4) * winMs), 0L))
+        q.processAllAvailable()
+        input.addData(("__wm", new Timestamp((nWindows + 8) * winMs), 0L))
+        q.processAllAvailable()
+      } finally {
+        // wall time covers feeding + draining; stop/cleanup excluded
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      ProbeResult(events, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    // -------- merging sessions through the full trigger AST: per key,
+    // `nSessions` disjoint 3-element bursts (each merges into one session),
+    // ON_TIME+final at gap expiry via the watermark.
+    def probeSessions(nKeys: Int): ProbeResult = {
+      val gapMs = 10000L
+      val nSessions = 4
+      import spark.implicits._
+      val input = MemoryStream[(String, Timestamp, Long)](spark)
+      val events = input.toDF().toDF("k", "t", "v")
+        .withWatermark("t", "0 seconds")
+        .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
+        .as[(String, Long, Long)]
+        .filter(_._1 != "__wm") // see probeTriggered: watermark-only rows
+      val panes = Triggers.sessionAggregateTriggered(events, sumFn,
+        gapMs = gapMs, trigger = AfterWatermarkEL(Some(AfterCountT(2)), None),
+        allowedLatenessMs = 0L)
+      val name = s"streamprobe_s_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var fed = 0L
+      val t0 = System.nanoTime()
+      (0 until nSessions).foreach { s =>
+        val base = s * 60000L // bursts 60s apart >> gap: disjoint sessions
+        input.addData(keys.flatMap(k => Seq(
+          (k, new Timestamp(base + 1000), 1L),
+          (k, new Timestamp(base + 2000), 2L),
+          (k, new Timestamp(base + 3000), 3L))))
+        q.processAllAvailable()
+        fed += nKeys.toLong * 3
+      }
+      input.addData(("__wm", new Timestamp(nSessions * 60000L + 120000L), 0L))
+      q.processAllAvailable()
+      input.addData(("__wm", new Timestamp(nSessions * 60000L + 240000L), 0L))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      ProbeResult(fed, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    val baseKeys = 50
+    // warm both paths once (RocksDB + codegen init dominate a cold run)
+    probeTriggered(baseKeys); probeSessions(baseKeys)
+    val tBase = probeTriggered(baseKeys)
+    val tBig = probeTriggered(baseKeys * factor)
+    report("triggered_fixed_windows", tBase, tBig)
+    val sBase = probeSessions(baseKeys)
+    val sBig = probeSessions(baseKeys * factor)
+    report("merging_sessions", sBase, sBig)
+    spark.stop()
+  }
+}
