@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
 import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
@@ -27,7 +26,9 @@ import org.apache.spark.sql.types._
   * date / timestamp-micros / timestamp-millis logical types. Decimals and
   * non-nullable multi-branch unions are out of scope and throw. Files are
   * block-splittable in principle (Avro sync markers); this reader
-  * parallelizes per file like the reference's one-bundle-per-block floor. */
+  * parallelizes per file like the reference's one-bundle-per-block floor,
+  * stream-decoding each file on its executor ([[DistributedRead]]) so
+  * per-file memory is O(one block) and file size is unbounded. */
 object AvroFiles {
 
   // ------------------------------------------------- Catalyst -> Avro schema
@@ -185,17 +186,10 @@ object AvroFiles {
     * reference's contract for a single read — AvroIO.java "all files must
     * have the same schema"). */
   def read(spark: SparkSession, pattern: String): DataFrame = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val p = new Path(pattern)
-    val fs = p.getFileSystem(hconf)
-    val matched = fs.globStatus(p) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case m => m.flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
-    }
-    val dataFiles = matched.filter(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.toString)
+    val dataFiles = DistributedRead.expand(spark, pattern)
     require(dataFiles.nonEmpty, s"no Avro files match $pattern")
+    val fs = dataFiles.head.getPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(dataFiles.head.getPath)
     val writerSchema = try {
       new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema
@@ -203,19 +197,14 @@ object AvroFiles {
     val (dt, _) = toCatalyst(writerSchema)
     val structType = dt.asInstanceOf[StructType]
     val filePaths = dataFiles.map(_.getPath.toString)
-    spark.read.format("binaryFile").load(filePaths: _*)
-      .select(col("content"))
-      .as(Encoders.BINARY)
-      .mapPartitions { files =>
-        files.flatMap { bytes =>
-          val stream = new DataFileStream(new ByteArrayInputStream(bytes),
-            new GenericDatumReader[GenericRecord]())
-          // decode against the FILE's own embedded schema (logical-type
-          // units may differ per file even when the Catalyst shape agrees)
-          val fileSchema = stream.getSchema
-          stream.iterator().asScala.map(recordToRow(_, structType, fileSchema))
-        }
-      }(Encoders.row(structType))
+    // stream-decode on executors: no whole-file byte[], no 2 GiB cap
+    DistributedRead.readPaths(spark, filePaths) { (_, in) =>
+      val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      // decode against the FILE's own embedded schema (logical-type
+      // units may differ per file even when the Catalyst shape agrees)
+      val fileSchema = stream.getSchema
+      stream.iterator().asScala.map(recordToRow(_, structType, fileSchema))
+    }(Encoders.row(structType))
       .toDF()
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.io.{EOFException, InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{CRC32C, GZIPInputStream}
 
@@ -97,9 +97,9 @@ private[sources] object ShardedCommit {
   * Records carry no sync marker, so files are NOT offset-splittable — the
   * reference's TFRecordSource declares isSplittable() = false
   * (TFRecordIO.java:465) and reads each file sequentially; parallelism is
-  * across files/shards. We read whole files (`binaryFile` source) and
-  * parse per file on executors: same per-file parallelism, and the shard
-  * sizes TFRecord writers produce (~100s of MB) fit executor memory.
+  * across files/shards. Paths (not bytes) are distributed and each file is
+  * stream-decoded on its executor ([[DistributedRead]]): per-file memory is
+  * O(one record) and file size is unbounded.
   * Compression follows the reference's CompressionType.AUTO: a `.gz`
   * suffix selects gzip decompression (TFRecordIO.java:408).
   *
@@ -179,15 +179,14 @@ object TFRecordIO {
     * patterns per the binaryFile source. */
   def read(spark: SparkSession, pattern: String,
            verifyCrc: Boolean = true): DataFrame = {
-    val files = spark.read.format("binaryFile").load(pattern)
-      .select(col("path"), col("content"))
-    files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val base = new ByteArrayInputStream(bytes)
-        val in: InputStream =
-          if (path.endsWith(".gz")) new GZIPInputStream(base) else base
-        readRecords(in, verifyCrc).map(r => (path, r))
-      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    val paths = DistributedRead.expand(spark, pattern).map(_.getPath.toString)
+    require(paths.nonEmpty, s"no TFRecord files match $pattern")
+    // stream-decode on executors: no whole-file byte[], no 2 GiB cap
+    DistributedRead.readPaths(spark, paths) { (path, raw) =>
+      val in: InputStream =
+        if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+      readRecords(in, verifyCrc).map(r => (path, r))
+    }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .toDF("file", "record")
   }
 
