@@ -6,7 +6,29 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.Triggers
 import graft.streaming.Triggers._
-import graft.testing.{CombineFnTester, GatherAllPanes, TestStream}
+import org.apache.spark.sql.Encoders
+
+import graft.testing.{CombineFnTester, DoFnTester, GatherAllPanes, TestStream}
+
+/** A DoFn exercising every lifecycle hook: records the call sequence,
+  * splits words to the main output, routes empties to a tag, and emits a
+  * per-bundle count from finishBundle. Top-level so the distributed test
+  * serializes the fn, not the enclosing suite. */
+class WordSplitFn(log: scala.collection.mutable.Buffer[String])
+    extends DoFnTester.DoFn[String, String] {
+  private var bundleCount = 0
+  override def setup(): Unit = log += "setup"
+  override def startBundle(): Unit = { bundleCount = 0; log += "startBundle" }
+  def processElement(input: String, out: DoFnTester.MultiOutputReceiver[String]): Unit = {
+    bundleCount += 1
+    if (input.trim.isEmpty) out.output("empty", input)
+    else input.split("\\s+").foreach(out.output)
+  }
+  override def finishBundle(out: DoFnTester.MultiOutputReceiver[String]): Unit = {
+    out.output("bundle_size", bundleCount.toString); log += "finishBundle"
+  }
+  override def teardown(): Unit = log += "teardown"
+}
 
 /** The user-facing testing surface: TestStream scripting, the CombineFn
   * sharding-matrix tester, and per-window pane gathering — each replayed
@@ -101,5 +123,44 @@ class TestingToolsSpec extends SparkSpec {
     assert(k1w0.head.getAs[String]("timing") == "EARLY" &&
       k1w0.last.getAs[String]("timing") == "ON_TIME")
     assert(k1w0.last.getAs[Boolean]("is_final"))
+  }
+
+  // ---------------------------------------------------------- DoFnTester
+
+  test("DoFnTester drives setup/startBundle/process/finishBundle/teardown and captures tags") {
+    val log = scala.collection.mutable.Buffer.empty[String]
+    val tester = DoFnTester.of(new WordSplitFn(log))
+    val main1 = tester.processBundle(Seq("a b", "", "c"))
+    assert(main1 == Seq("a", "b", "c"))
+    assert(tester.peekOutputElements("empty") == Seq(""))
+    assert(tester.peekOutputElements("bundle_size") == Seq("3"))
+    // second bundle: setup NOT repeated, bundle counter reset
+    val main2 = tester.processBundle(Seq("d e"))
+    assert(main2 == Seq("d", "e"))
+    assert(tester.peekOutputElements("bundle_size") == Seq("3", "1"))
+    // peek accumulates across bundles; take clears
+    assert(tester.peekOutputElements == Seq("a", "b", "c", "d", "e"))
+    assert(tester.takeOutputElements == Seq("a", "b", "c", "d", "e"))
+    assert(tester.peekOutputElements.isEmpty)
+    tester.close()
+    assert(log.toList == List("setup", "startBundle", "finishBundle",
+      "startBundle", "finishBundle", "teardown"))
+    intercept[IllegalArgumentException] { tester.processBundle(Seq("x")) }
+  }
+
+  test("DoFnTester.asPartitionFunction runs the same DoFn distributed, partition = bundle") {
+    val input = spark.createDataset(Seq("a b", "c", "", "d e f"))(Encoders.STRING)
+      .repartition(2)
+    val out = input.mapPartitions(
+        DoFnTester.asPartitionFunction(new WordSplitFn(
+          scala.collection.mutable.ArrayBuffer.empty[String])))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect()
+    val main = out.collect { case (DoFnTester.MainTag, v) => v }.toSet
+    assert(main == Set("a", "b", "c", "d", "e", "f"))
+    assert(out.collect { case ("empty", v) => v }.toSeq == Seq(""))
+    // one finishBundle emission per non-empty partition, sizes sum to 4
+    val bundleSizes = out.collect { case ("bundle_size", v) => v.toInt }
+    assert(bundleSizes.sum == 4 && bundleSizes.forall(_ >= 0))
   }
 }
