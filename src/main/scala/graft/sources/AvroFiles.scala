@@ -24,11 +24,13 @@ import org.apache.spark.sql.types._
   * string, nested records, arrays, string-keyed maps, nullable =
   * union(null, T), enum → string and fixed → binary on read, and the
   * date / timestamp-micros / timestamp-millis logical types. Decimals and
-  * non-nullable multi-branch unions are out of scope and throw. Files are
-  * block-splittable in principle (Avro sync markers); this reader
-  * parallelizes per file like the reference's one-bundle-per-block floor,
-  * stream-decoding each file on its executor ([[DistributedRead]]) so
-  * per-file memory is O(one block) and file size is unbounded. */
+  * non-nullable multi-branch unions are out of scope and throw. The read
+  * is block-splittable via Avro sync markers (DataFileReader.sync/pastSync,
+  * the container format's standard split contract): byte-range splits are
+  * distributed and each is stream-decoded on its executor
+  * ([[DistributedRead.readRanges]]), so per-task memory is O(one block),
+  * file size is unbounded, and a single huge shard fans out across the
+  * cluster instead of pinning one task. */
 object AvroFiles {
 
   // ------------------------------------------------- Catalyst -> Avro schema
@@ -185,7 +187,8 @@ object AvroFiles {
     * schema (files under one pattern are assumed schema-homogeneous, the
     * reference's contract for a single read — AvroIO.java "all files must
     * have the same schema"). */
-  def read(spark: SparkSession, pattern: String): DataFrame = {
+  def read(spark: SparkSession, pattern: String,
+           splitSizeBytes: Long = 0L): DataFrame = {
     val dataFiles = DistributedRead.expand(spark, pattern)
     require(dataFiles.nonEmpty, s"no Avro files match $pattern")
     val fs = dataFiles.head.getPath
@@ -196,14 +199,31 @@ object AvroFiles {
     } finally in.close()
     val (dt, _) = toCatalyst(writerSchema)
     val structType = dt.asInstanceOf[StructType]
-    val filePaths = dataFiles.map(_.getPath.toString)
-    // stream-decode on executors: no whole-file byte[], no 2 GiB cap
-    DistributedRead.readPaths(spark, filePaths) { (_, in) =>
-      val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    // sync-marker block splits (the container format's own split contract:
+    // a split owns the blocks whose sync point falls in [start, end)), so
+    // one huge shard fans out instead of pinning a single task; split size
+    // defaults to the session's scan granularity (files.maxPartitionBytes)
+    val splitBytes = if (splitSizeBytes > 0) splitSizeBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = dataFiles.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        (st.getPath.toString, i * splitBytes, math.min(len, (i + 1) * splitBytes)))
+    }
+    DistributedRead.readRanges(spark, splits) { (path, start, end, conf) =>
+      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new org.apache.avro.mapred.FsInput(new Path(path), conf),
+        new GenericDatumReader[GenericRecord]())
       // decode against the FILE's own embedded schema (logical-type
       // units may differ per file even when the Catalyst shape agrees)
-      val fileSchema = stream.getSchema
-      stream.iterator().asScala.map(recordToRow(_, structType, fileSchema))
+      val fileSchema = reader.getSchema
+      reader.sync(start) // first sync point at/after start
+      val records = new Iterator[Row] {
+        def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+        def next(): Row = recordToRow(reader.next(), structType, fileSchema)
+      }
+      (records, reader)
     }(Encoders.row(structType))
       .toDF()
   }

@@ -16,10 +16,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * on-heap. At 100 TB a reader that buffers whole files is wrong even when
   * it happens to fit. This helper instead distributes the PATHS and opens
   * each file on the executor via the Hadoop FileSystem, so decode is
-  * streaming and per-file memory is O(one record). Parallelism granularity
-  * stays one-file-per-task — the same floor the byte-shipping version had
-  * (neither splits inside a file; Avro sync-marker splitting is the
-  * documented future refinement).
+  * streaming and per-file memory is O(one record). [[readPaths]] keeps
+  * one-file-per-task granularity (for formats with no mid-file entry
+  * points, e.g. TFRecord — TFRecordIO.java:465 isSplittable=false);
+  * [[readRanges]] additionally splits inside files for formats with sync
+  * markers (Avro), so a single huge shard fans out across the cluster.
   */
 private[sources] object DistributedRead {
 
@@ -59,6 +60,34 @@ private[sources] object DistributedRead {
           val path = new Path(p)
           val in = path.getFileSystem(conf).open(path)
           closeOnExhaust(fnDecode(p, in), in)
+        }
+      }
+  }
+
+  /** Distribute byte-range splits `(path, start, end)` and decode each on
+    * an executor — the offset-range bundle model (reference:
+    * SDK/io/OffsetBasedSource.java) for formats that can enter mid-file
+    * (Avro sync markers). `open` returns the record iterator plus the
+    * resource to close when it is exhausted. Unlike [[readPaths]] the
+    * parallelism floor is per SPLIT, so one huge file fans out across the
+    * cluster. */
+  def readRanges[T](spark: SparkSession, splits: Seq[(String, Long, Long)])
+                   (open: (String, Long, Long, Configuration) => (Iterator[T], java.io.Closeable))
+                   (implicit enc: Encoder[T]): Dataset[T] = {
+    require(splits.nonEmpty, "DistributedRead: no splits to read")
+    val confProps = spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val bConf = spark.sparkContext.broadcast(confProps)
+    val fnOpen = open
+    val slots = math.max(1, math.min(splits.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(splits)(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .repartition(slots)
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        bConf.value.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { case (p, start, end) =>
+          val (records, resource) = fnOpen(p, start, end, conf)
+          closeOnExhaust(records, resource)
         }
       }
   }

@@ -221,6 +221,35 @@ class FormatIOSpec extends SparkSpec {
     }
   }
 
+  test("avro sync-marker split read: many tiny splits see each record exactly once") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val dir = Files.createTempDirectory("graft-avro-split").toFile
+    val schema: Schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("payload").endRecord()
+    val f = new java.io.File(dir, "big.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(64) // force MANY blocks so splits land mid-file
+    w.create(schema, f)
+    val n = 2000
+    (0 until n).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong); rec.put("payload", s"row-$i-payload")
+      w.append(rec)
+    }
+    w.close()
+    // split far smaller than the file: every split boundary falls inside
+    // blocks; the sync/pastSync contract must still assign each block to
+    // exactly one split (no loss at boundaries, no double-reads)
+    val back = AvroFiles.read(spark, f.getAbsolutePath, splitSizeBytes = 512)
+    val ids = back.select("id").as[Long].collect().sorted
+    assert(ids.length == n, s"got ${ids.length} rows")
+    assert(ids.toSeq == (0L until n.toLong), "each record exactly once")
+    // and the default (maxPartitionBytes) path still reads it whole
+    assert(AvroFiles.read(spark, f.getAbsolutePath).count() == n)
+  }
+
   test("xml read with explicit schema and nested records") {
     val dir = tmp() + "/xmlnest"
     val f = new java.io.File(dir); f.mkdirs()
