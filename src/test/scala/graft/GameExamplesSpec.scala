@@ -130,6 +130,28 @@ class GameExamplesSpec extends SparkSpec {
       ("BananaEmu", 25L), ("ApricotCaneToad", 14L)))
   }
 
+  // ----- GameStatsTest.java: abuse detection via a singleton side input
+
+  test("GameStats: CalculateSpammyUsers filters by 2.5x the global mean (testCalculateSpammyUsers)") {
+    val userScores = Seq(
+      ("Robot-2", 66L), ("Robot-1", 116L), ("user7_AndroidGreenKookaburra", 23L),
+      ("user7_AndroidGreenKookaburra", 1L), ("user19_BisqueBilby", 14L),
+      ("user13_ApricotQuokka", 15L), ("user18_BananaEmu", 25L),
+      ("user6_AmberEchidna", 8L), ("user2_AmberQuokka", 6L),
+      ("user0_MagentaKangaroo", 4L), ("user0_MagentaKangaroo", 3L),
+      ("user2_AmberCockatoo", 13L), ("user7_AlmondWallaby", 15L),
+      ("user6_AmberNumbat", 11L), ("user6_AmberQuokka", 4L)).toDF("user", "score")
+    // GameStats.CalculateSpammyUsers (GameStats.java:109): per-user sums,
+    // global mean of the sums as a singleton view, keep users above
+    // SCORE_WEIGHT(2.5) x mean. The view is the library's View.asSingleton;
+    // the filter stays a codegen'd predicate over the broadcast scalar.
+    val sums = userScores.groupBy("user").agg(sum("score").as("total"))
+    val globalMean = graft.operators.Joins.viewAsSingleton[Double](
+      spark, sums.agg(avg("total")), _.getDouble(0))
+    val spammers = sums.filter(col("total") > lit(globalMean.value) * 2.5)
+    assertRows(spammers, Seq(Seq("Robot-2", 66L), Seq("Robot-1", 116L)))
+  }
+
   // ----- LeaderBoardTest.java: CalculateTeamScores through the trigger engine
 
   private val sumFn: graft.functions.CombineFn[Long, Long, Long] =
