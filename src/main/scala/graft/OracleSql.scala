@@ -620,6 +620,19 @@ object OracleSql {
         |SELECT c.lang, c.n_candidates, d.n_dedup,
         |       true AS rate_ok, true AS pack_ok
         |FROM (SELECT lang, count(*) AS n_candidates FROM k GROUP BY 1) c
-        |JOIN (SELECT lang, count(*) AS n_dedup FROM s GROUP BY 1) d USING (lang)""".stripMargin
+        |JOIN (SELECT lang, count(*) AS n_dedup FROM s GROUP BY 1) d USING (lang)""".stripMargin,
+
+    // GameStats.CalculateSpammyUsers: exact-cent per-user sums plus the
+    // 2.5x-global-mean spam verdict in pure integer arithmetic
+    // (total*n*10 > 25*S) — every total and flag fully replayed by DuckDB.
+    "q_spammy_users" ->
+      """WITH sums AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT SUM(total_cents) AS s, COUNT(*) AS n FROM sums)
+        |SELECT user_id, total_cents,
+        |       total_cents * n * 10 > 25 * s AS is_spammy
+        |FROM sums, g""".stripMargin
   )
 }

@@ -779,4 +779,29 @@ object Queries {
         when(f === 0.0 || f === 1.0, coalesce(col("__kept"), lit(0L)))
           .otherwise(lit(-1L)).as("det_kept"))
   }
+
+  /** Abuse detection — GameStats.CalculateSpammyUsers (reference:
+    * examples/java8/.../game/GameStats.java:109-145): per-key sums, the
+    * global mean of those sums as a View.asSingleton side input, keep keys
+    * whose total exceeds SCORE_WEIGHT (2.5) × the mean. Values are
+    * cents-aligned per row before summing (exact longs, order-free), and
+    * the threshold compare is exact integer arithmetic
+    * (total·n·10 > 25·Σ ⟺ total > 2.5·Σ/n) so the boundary can't flip on
+    * float noise between engines. The per-user verdict is EMITTED rather
+    * than filtered — the synthetic totals cluster near the mean (no robots
+    * planted), and an all-but-empty filtered set would verify almost
+    * nothing, while this shape oracle-checks every total and every flag.
+    * The singleton view collects ONE row — Beam's own side-input contract,
+    * not a hot-path collect; at 100 TB the plan is two map-side-combined
+    * hash aggregates and a codegen'd projection, no join. */
+  def qSpammyUsers(s: SparkSession, dir: String): DataFrame = {
+    val sums = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).as("total_cents"))
+    val (sumAll, nUsers) = Joins.viewAsSingleton[(Long, Long)](s,
+      sums.agg(sum(col("total_cents")), count(lit(1))),
+      r => (r.getLong(0), r.getLong(1))).value
+    sums.select(col("user_id"), col("total_cents"),
+      (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
+  }
 }

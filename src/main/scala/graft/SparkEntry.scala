@@ -92,6 +92,8 @@ object SparkEntry {
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,
+    // composed examples
+    "q_spammy_users"      -> Queries.qSpammyUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
