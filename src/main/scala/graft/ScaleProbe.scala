@@ -36,6 +36,8 @@ object ScaleProbe {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
     // rerun only the LSH duel against already-materialized scaled tables
     val lshOnly = sys.env.get("SPARK_GRAFT_LSH_ONLY").contains("1")
+    // run only the Avro split-read duel (self-contained, no scaled tables)
+    if (sys.env.get("SPARK_GRAFT_AVRO_ONLY").contains("1")) { avroDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -174,6 +176,44 @@ object ScaleProbe {
     println(s"""{"lsh_fixed_cands_base":$cfB,"lsh_fixed_cands_x$factor":$cfN,""" +
       s""""lsh_auto_cands_base":$caB,"lsh_auto_cands_x$factor":$caN,""" +
       f""""lsh_fixed_cand_ratio":${cfN.toDouble / cfB}%.2f,"lsh_auto_cand_ratio":${caN.toDouble / caB}%.2f}""")
+    spark.stop()
+  }
+
+  /** Avro split-read duel: ONE large single-file shard, read (a) as one
+    * split — the per-file parallelism floor every non-splittable reader
+    * shares — vs (b) sync-marker byte-range splits (AvroFiles.read via
+    * DistributedRead.readRanges). At 100 TB the single-file case is the
+    * straggler pattern (one fat shard pins one task for the whole stage);
+    * the split read fans it across the cluster. */
+  private def avroDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/repo/target/sp_avro_duel"
+    val rep = sys.env.getOrElse("SPARK_GRAFT_AVRO_REP", "8").toInt
+    val one = GraftSession.table(spark, "/root/testdata/sf0.1", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+    // replicate to a shard big enough that decode, not job overhead,
+    // dominates — the regime where one fat file actually straggles
+    val src = (0 until rep).map(i =>
+      one.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+    val paths = graft.sources.AvroFiles.write(src.repartition(1), dir, numShards = 1)
+    val p = new org.apache.hadoop.fs.Path(paths.head)
+    val len = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).getLen
+    val nSplits = 32
+    def run(splitBytes: Long): Unit =
+      graft.sources.AvroFiles.read(spark, paths.head, splitBytes)
+        .write.format("noop").mode("overwrite").save()
+    run(Long.MaxValue); run(len / nSplits) // warm both shapes
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val single = timed(run(Long.MaxValue))
+    val split = timed(run(len / nSplits))
+    println(f"""{"avro_file_mb":${len / 1e6}%.1f,"rows":${src.count()},""" +
+      f""""single_split_sec":$single%.3f,"split_${nSplits}_sec":$split%.3f,""" +
+      f""""split_speedup":${single / split}%.2f}""")
     spark.stop()
   }
 }

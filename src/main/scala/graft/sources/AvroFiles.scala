@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * Schema mapping per SURVEY §1.2 (AvroCoder row): primitives, bytes,
   * string, nested records, arrays, string-keyed maps, nullable =
   * union(null, T), enum → string and fixed → binary on read, and the
-  * date / timestamp-micros / timestamp-millis logical types. Decimals and
+  * date / timestamp-micros / timestamp-millis / local-timestamp (NTZ)
+  * logical types. Decimals and
   * non-nullable multi-branch unions are out of scope and throw. The read
   * is block-splittable via Avro sync markers (DataFileReader.sync/pastSync,
   * the container format's standard split contract): byte-range splits are
@@ -47,6 +48,8 @@ object AvroFiles {
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case ArrayType(elem, containsNull) =>
         Schema.createArray(toAvroSchema(elem, name + "_item", containsNull))
       case MapType(StringType, v, valueContainsNull) =>
@@ -82,6 +85,8 @@ object AvroFiles {
     case Schema.Type.LONG => s.getLogicalType match {
       case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis =>
         (TimestampType, false)
+      case _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis =>
+        (TimestampNTZType, false)
       case _ => (LongType, false)
     }
     case Schema.Type.FLOAT => (FloatType, false)
@@ -121,6 +126,10 @@ object AvroFiles {
         Int.box(d.toLocalDate.toEpochDay.toInt)
       case (TimestampType, t: java.sql.Timestamp) =>
         Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        // local-timestamp-micros: micros since epoch in NO zone
+        Long.box(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L)
       case (ByteType, b: Byte) => Int.box(b.toInt)
       case (ShortType, x: Short) => Int.box(x.toInt)
       case (ArrayType(e, _), xs: scala.collection.Seq[_]) =>
@@ -165,6 +174,14 @@ object AvroFiles {
           else n
         val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
         t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt); t
+      case TimestampNTZType =>
+        val n = v.asInstanceOf[Number].longValue()
+        val micros =
+          if (nonNullBranch(s).getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMillis])
+            Math.multiplyExact(n, 1000L)
+          else n
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case ArrayType(e, _) =>
         val es = nonNullBranch(s).getElementType
         v.asInstanceOf[java.util.Collection[_]].asScala.toSeq

@@ -110,6 +110,7 @@ class FormatIOSpec extends SparkSpec {
       StructField("blob", BinaryType, nullable = true),
       StructField("born", DateType, nullable = true),
       StructField("seen", TimestampType, nullable = true),
+      StructField("local_ts", TimestampNTZType, nullable = true),
       StructField("nested", StructType(Seq(
         StructField("lang", StringType, nullable = true),
         StructField("pages", IntegerType, nullable = false))), nullable = true)))
@@ -117,8 +118,9 @@ class FormatIOSpec extends SparkSpec {
       Row(1L, "ada", 3.5, Seq(1, 2, 3), Map("a" -> 10L), Array[Byte](1, 2),
         java.sql.Date.valueOf("1815-12-10"),
         java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456"),
+        java.time.LocalDateTime.parse("2024-06-01T12:34:56.123456"),
         Row("en", 240)),
-      Row(2L, null, 0.25, null, null, null, null, null, null))
+      Row(2L, null, 0.25, null, null, null, null, null, null, null))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     val dir = tmp() + "/avro"
     // 2 rows may round-robin into one partition; empty shards are skipped
