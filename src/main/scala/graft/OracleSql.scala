@@ -633,6 +633,28 @@ object OracleSql {
         |g AS (SELECT SUM(total_cents) AS s, COUNT(*) AS n FROM sums)
         |SELECT user_id, total_cents,
         |       total_cents * n * 10 > 25 * s AS is_spammy
-        |FROM sums, g""".stripMargin
+        |FROM sums, g""".stripMargin,
+
+    // Corpus scrub: the same PII planting + the same Java∩RE2 regex chain,
+    // replayed verbatim (markup, URL, email, IPv4, phone, whitespace).
+    "q_text_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         text || ' Contact <b>admin</b> at user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR) ||
+        |         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |         '.7 tel +1555000' || CAST(doc_id AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '<[^>]*>', ' ', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls
+        |FROM raw""".stripMargin
   )
 }

@@ -780,6 +780,27 @@ object Queries {
           .otherwise(lit(-1L)).as("det_kept"))
   }
 
+  /** Corpus scrub — TextAnalysis.Clean over documents. The synthetic corpus
+    * carries no PII, so deterministic PII of every kind is planted from
+    * doc_id IN BOTH ENGINES and the oracle replays non-trivial redaction
+    * (markup strip, URL/email/IP/phone masking, whitespace collapse), not
+    * identity. Pure codegen'd regexp chain — zero shuffle. */
+  def qTextClean(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis.Clean
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact <b>admin</b> at user"), col("doc_id"),
+        lit("@example.com or https://ex.com/d/"), col("doc_id"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".7 tel +1555000"), col("doc_id")).as("raw"))
+    raw.select(col("doc_id"),
+      Clean.clean(col("raw")).as("clean_text"),
+      size(regexp_extract_all(col("raw"), lit(Clean.EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("raw"), lit(Clean.UrlRe), lit(0)))
+        .cast("long").as("n_urls"))
+  }
+
   /** Abuse detection — GameStats.CalculateSpammyUsers (reference:
     * examples/java8/.../game/GameStats.java:109-145): per-key sums, the
     * global mean of those sums as a View.asSingleton side input, keep keys

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_curation_pipeline" -> Queries.qCurationPipeline _,
     // composed examples
     "q_spammy_users"      -> Queries.qSpammyUsers _,
+    "q_text_clean"        -> Queries.qTextClean _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

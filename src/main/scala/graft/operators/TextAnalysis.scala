@@ -90,6 +90,40 @@ object TextAnalysis {
     * Dedup.shingles + md5.) */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  // ------------------------------------------------------------- cleaning
+
+  /** Training-corpus cleaning: boilerplate stripping and PII redaction as
+    * pure codegen'd regexp chains — at 100 TB these run inside the scan's
+    * WholeStageCodegen span with zero shuffle, the only shape that
+    * survives a full-corpus scrub pass. Patterns deliberately stay inside
+    * the Java-regex ∩ RE2 dialect (char classes, bounded quantifiers,
+    * non-capturing groups; no lookaround/backrefs) so the DuckDB oracle
+    * replays them verbatim. */
+  object Clean {
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val UrlRe   = "https?://[^\\s]+"
+    val Ipv4Re  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    /** International-form phone (+ then 7-15 digits): the unambiguous
+      * subset; free-form national formats are corpus-specific policy. */
+    val PhoneRe = "\\+\\d{7,15}"
+    val HtmlRe  = "<[^>]*>"
+
+    def stripHtml(text: Column): Column = regexp_replace(text, HtmlRe, " ")
+    def redactEmails(text: Column): Column = regexp_replace(text, EmailRe, "<EMAIL>")
+    def redactUrls(text: Column): Column = regexp_replace(text, UrlRe, "<URL>")
+    def redactIpv4(text: Column): Column = regexp_replace(text, Ipv4Re, "<IP>")
+    def redactPhones(text: Column): Column = regexp_replace(text, PhoneRe, "<PHONE>")
+    def normalizeWhitespace(text: Column): Column =
+      trim(regexp_replace(text, "\\s+", " "))
+
+    /** The full scrub: markup out first (so addresses inside attributes
+      * still redact from the surviving text), URLs before bare IPs (an IP
+      * inside a URL is already gone), whitespace last. */
+    def clean(text: Column): Column =
+      normalizeWhitespace(redactPhones(redactIpv4(redactEmails(redactUrls(
+        stripHtml(text))))))
+  }
 }
 
 /** Real byte-pair-encoding token counting: the classic greedy merge loop

@@ -169,4 +169,24 @@ class TextMultimodalSpec extends SparkSpec {
     val r = Metrics.observedDistribution(df, "dist_test", col("v"))
     assert(r.toSeq == Seq(1L, 3L, 3L, 6L))
   }
+
+  test("Clean: markup stripped, URL/email/IP/phone redacted, whitespace collapsed") {
+    import TextAnalysis.Clean
+    val cases = Seq(
+      ("<p>Hi  <b>there</b></p>\twrite to a.b+c@mail.example.org now",
+        "Hi there write to <EMAIL> now"),
+      ("see https://ex.com/a?b=1#c and http://10.1.2.3/x for details",
+        "see <URL> and <URL> for details"),
+      ("server at 192.168.0.1 port 80; version 1.2.3.4 too",
+        "server at <IP> port 80; version <IP> too"),
+      ("call +14155550123 or +4930123456 today", "call <PHONE> or <PHONE> today"),
+      // interactions: address inside markup attributes survives as text is
+      // stripped, the email itself still redacts; IP inside a URL is
+      // already consumed by <URL>
+      ("<a href=\"https://spam.example.com\">x</a> mail@example.com at 8.8.8.8",
+        "x mail@example.com at <IP>".replace("mail@example.com", "<EMAIL>")),
+      ("no pii here, just words", "no pii here, just words"))
+    val got = cases.map(_._1).toDF("t").select(Clean.clean(col("t"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e, s"got [$g]") }
+  }
 }
