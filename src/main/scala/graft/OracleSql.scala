@@ -655,6 +655,32 @@ object OracleSql {
         |    '\s+', ' ', 'g')) AS clean_text,
         |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls
-        |FROM raw""".stripMargin
+        |FROM raw""".stripMargin,
+
+    // Gopher/C4 repetition signals, replayed with DuckDB list lambdas.
+    "q_quality_rep" ->
+      """WITH w AS (SELECT doc_id,
+        |                  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_word_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(ws),
+        |          w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+        |        / greatest(len(ws), 1), 6) AS top_word_frac
+        |FROM w""".stripMargin,
+
+    // Decontamination: same 3-gram shingle definition as q_dedup_minhash's
+    // replay; benchmark = doc_id < 20, overlap count per flagged doc.
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.s) AS BIGINT) AS n_overlap
+        |FROM sh c JOIN bench b USING (s)
+        |WHERE c.doc_id >= 20
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -801,6 +801,48 @@ object Queries {
         .cast("long").as("n_urls"))
   }
 
+  /** Repetition quality signals (the Gopher/C4 filter family, public
+    * rules): duplicate-word fraction and top-word fraction per document.
+    * Both are ROW-LOCAL higher-order-function evaluations over the split
+    * array — no explode, no shuffle; a full-corpus quality pass stays one
+    * narrow scan. The per-distinct-word count is O(words²) per row, bounded
+    * by document length, not data size. */
+  def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // bind the split ONCE per row (transform-over-singleton let-binding
+    // idiom — same reason as Dedup.shinglesLambda)
+    val sig = transform(array(split(lower(trim(col("text"))), "\\s+")), ws => {
+      val n = size(ws)
+      val maxCnt = array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w))))
+      struct(n.cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(ws)).cast("double") / greatest(n, lit(1)), 6)
+          .as("dup_word_frac"),
+        round(maxCnt.cast("double") / greatest(n, lit(1)), 6).as("top_word_frac"))
+    })(0)
+    docs.select(col("doc_id"), sig.getField("n_words").as("n_words"),
+      sig.getField("dup_word_frac").as("dup_word_frac"),
+      sig.getField("top_word_frac").as("top_word_frac"))
+  }
+
+  /** Benchmark decontamination (public practice: strip training docs that
+    * share n-grams with an eval set): the eval set's distinct shingles
+    * broadcast, corpus shingles semi-joined against them, overlap count
+    * per contaminated doc. At 100 TB the eval side is tiny (benchmarks),
+    * so the plan is one narrow corpus scan + broadcast hash join — no
+    * corpus shuffle. Here the "benchmark" is doc_id < 20 of the same
+    * table, making the oracle replay exact. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("s"))
+    val bench = sh.filter(col("doc_id") < 20).select(col("s")).distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_overlap"))
+  }
+
   /** Abuse detection — GameStats.CalculateSpammyUsers (reference:
     * examples/java8/.../game/GameStats.java:109-145): per-key sums, the
     * global mean of those sums as a View.asSingleton side input, keep keys

@@ -95,6 +95,8 @@ object SparkEntry {
     // composed examples
     "q_spammy_users"      -> Queries.qSpammyUsers _,
     "q_text_clean"        -> Queries.qTextClean _,
+    "q_quality_rep"       -> Queries.qQualityRepetition _,
+    "q_decontaminate"     -> Queries.qDecontaminate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
