@@ -145,4 +145,21 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q_text_clean / q_quality_rep: single narrow scan, NO Exchange") {
+    // corpus-scrub and quality passes run per-row; any shuffle here would
+    // be a plan regression that dominates a 100 TB pass
+    Seq("q_text_clean", "q_quality_rep").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be shuffle-free:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_decontaminate: eval-set side broadcasts, corpus side never shuffles pre-join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only Exchanges allowed are the broadcast of the tiny eval side
+    // and the post-join per-doc aggregation shuffle
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n${p.take(2000)}")
+  }
 }
