@@ -259,6 +259,31 @@ object OracleSql {
     "q_flatten" ->
       "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
 
+    // Independent implementation: DuckDB's NATIVE ASOF LEFT JOIN replays the
+    // union+window formulation — a genuinely different algorithm agreeing on
+    // every row (incl. null rows for clicks before the user's first purchase).
+    "q_asof_join" ->
+      s"""WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |                FROM events WHERE event_type = 'click'),
+         |purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS asof_ts,
+         |                     max(${c("value")}) AS purchase_cents
+         |              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.click_ts, p.asof_ts, p.purchase_cents
+         |FROM clicks c ASOF LEFT JOIN purchases p
+         |  ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts""".stripMargin,
+
+    // The oracle runs the PLAIN inequality join (fine at sf0.01); the Spark
+    // side runs the bucketed equi-join plan — same result, scale-safe plan.
+    "q_range_join" ->
+      s"""WITH iv AS (SELECT event_id AS interval_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+         |                   epoch_us(CAST(ts AS TIMESTAMP)) + 14400000000 AS hi
+         |            FROM events WHERE event_type = 'signup' AND event_id % 7 = 0),
+         |pt AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p, ${c("value")} AS cents
+         |       FROM events WHERE event_type = 'click')
+         |SELECT interval_id, count(*) AS n_clicks, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p < iv.hi
+         |GROUP BY 1""".stripMargin,
+
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
@@ -331,6 +356,23 @@ object OracleSql {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8""".stripMargin,
+
+    // Same tokenization convention as the other shingle oracles (lower +
+    // \s+ split with empty leading token preserved, 1-based inclusive
+    // slices); DISTINCT per doc mirrors WordShingles' first-occurrence dedup.
+    "q_span_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)
+        |       WHERE len(words) >= 8),
+        |freq AS (SELECT s, count(*) AS ndocs FROM sh GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_spans,
+        |               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |        FROM sh JOIN freq USING (s) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+        |       coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |       round(coalesce(n_dup_spans, 0) / greatest(coalesce(n_spans, 0), 1), 6) AS dup_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

@@ -433,6 +433,41 @@ object Queries {
       t(s, dir, "region").select(col("r_name").as("name")),
       t(s, dir, "nation").select(col("n_name").as("name"))))
 
+  /** As-of join: each click matched to the same user's latest purchase
+    * at-or-before it (left-outer — clicks before any purchase keep nulls).
+    * The right side is pre-aggregated per (user, ts) so same-timestamp
+    * purchases collapse deterministically (max cents) before the
+    * tie-sensitive window pass — the documented asOf contract. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("asof_ts"))
+      .agg(max(cents(col("value"))).as("purchase_cents"))
+    Joins.asOf(clicks, purchases, Seq("user_id"), "click_ts", "asof_ts",
+      Seq("asof_ts", "purchase_cents"))
+  }
+
+  /** Keyless point-in-interval range join on the bucketed path (no
+    * BroadcastNestedLoop — PlanShapeSpec pins it): clicks attributed to
+    * 4-hour windows opened by every 7th signup; bucketWidth = the interval
+    * length, so each interval explodes to ≤2 bins. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val fourHoursUs = 4L * 3600 * 1000000
+    val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 7 === 0)
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("p"), cents(col("value")).as("click_cents"))
+    Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
+        bucketWidth = fourHoursUs)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
+  }
+
   // ---------------------------------------------------------------- windowing
 
   def qWindowFixed(s: SparkSession, dir: String): DataFrame =
@@ -522,6 +557,12 @@ object Queries {
       embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
       k = 5, planes = 6)
   }
+
+  /** Sub-document duplication (Lee et al. exact-substring style): per doc,
+    * the fraction of its distinct 8-token spans that also occur verbatim in
+    * another doc — a verdict column per doc, full DuckDB replay. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplication(t(s, dir, "documents"), col("text"), col("doc_id"), n = 8)
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     // candidate pairs from verified n-gram jaccard (same config as

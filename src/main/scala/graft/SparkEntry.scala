@@ -61,6 +61,8 @@ object SparkEntry {
     "q_join_semi"       -> Queries.qJoinSemi _,
     "q_join_anti"       -> Queries.qJoinAnti _,
     "q_broadcast_join"  -> Queries.qBroadcastJoin _,
+    "q_asof_join"       -> Queries.qAsofJoin _,
+    "q_range_join"      -> Queries.qRangeJoin _,
     "q_flatten"         -> Queries.qFlatten _,
     "q_intersect"       -> Queries.qIntersect _,
     "q_except"          -> Queries.qExcept _,
@@ -75,6 +77,7 @@ object SparkEntry {
     "q_simhash"         -> Queries.qSimHash _,
     "q_ngram_jaccard"   -> Queries.qNgramJaccard _,
     "q_dedup_clusters"  -> Queries.qDedupClusters _,
+    "q_span_dedup"      -> Queries.qSpanDedup _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_ivf_ann"         -> Queries.qIvfAnn _,

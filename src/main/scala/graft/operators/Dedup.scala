@@ -291,6 +291,42 @@ object Dedup {
     out
   }
 
+  /** Span-level (sub-document) duplication signal — the "exact substring
+    * dedup" of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed over word shingles: a doc can be globally
+    * unique yet consist largely of n-token runs copied verbatim from other
+    * docs (boilerplate, quotes, templates); whole-doc dedup never sees it.
+    *
+    * Per doc: distinct `n`-token spans (the codegen'd [[shingles]] kernel),
+    * how many of them also occur in ≥1 OTHER doc, and the duplicated
+    * fraction — emitted as verdict columns per doc (filterable downstream
+    * at any threshold). Docs with < n words get 0/0/0.0.
+    *
+    * Scale shape: spans leave the scan as 32-byte md5 keys, never text.
+    * (hash, doc_id) rows are unique by construction (per-doc distinct
+    * spans), so `count(*)` per hash IS the containing-doc count — two
+    * shuffles of ~40-byte rows (hash frequency, then per-doc rollup), both
+    * with map-side partial aggregation. A viral span ("click here to…") is
+    * a single hot count cell, not a pairwise blow-up — no frequency cap
+    * needed, unlike [[ngramJaccardPairs]]'s candidate join. */
+  def spanDuplication(docs: DataFrame, text: Column, id: Column,
+                      n: Int = 8): DataFrame = {
+    val spans = docs.select(id.as("doc_id"),
+        explode(shingles(text, n)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val perDoc = spans.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)) /
+          greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane sign bits,
     * verify cosine within buckets. See Similarity.cosine for the kernel. */
   def embeddingNearDup(embs: DataFrame, id: Column, vec: Column,

@@ -150,6 +150,94 @@ object Joins {
     main.withColumn(sideWindowStart, sideWindowFor(mainWindowEnd, sideSizeMs))
       .join(broadcast(side), sideWindowStart +: keys, how)
 
+  // ------------------------------------------------------------- as-of join
+
+  /** As-of (temporal) join: for each left row, the LATEST right row with
+    * `right.ts <= left.ts` on the same key — the kdb `aj` / Flink temporal
+    * join / pandas `merge_asof` operator. Absent from both the reference
+    * (key-equality joins only, Join.java) and Spark's built-ins; a naive
+    * formulation is a per-left-row inequality subquery (BroadcastNestedLoop
+    * at scale).
+    *
+    * Spark-first shape: tag both sides, UNION on (keys, ts), and run ONE
+    * window pass — `last(payload, ignoreNulls) OVER (PARTITION BY keys
+    * ORDER BY ts, side ROWS UNBOUNDED PRECEDING..CURRENT)` — then keep the
+    * left rows. Right rows sort with side=0 before left rows (side=1) at
+    * equal ts, giving exact `<=` semantics. Cost: one shuffle of
+    * (keys ++ ts ++ payload) plus a per-key sort — the same plan a
+    * sort-merge as-of would produce, with no join blow-up at any scale.
+    * A hot key serializes into one partition's sort (inherent to per-key
+    * ordering); pre-aggregate the right side per (keys, ts) for both
+    * determinism under ties and a smaller sort.
+    *
+    * `left` keeps ALL its columns; `rightPayload` columns (disjoint names
+    * from left's) are appended, null where no right row precedes
+    * (left-outer semantics). Right rows must be unique per (keys, ts) —
+    * otherwise which same-timestamp payload wins is tie-ambiguous. */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String,
+           rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
+    require(rightPayload.intersect(leftCols).isEmpty,
+      s"rightPayload must not collide with left columns: ${rightPayload.intersect(leftCols)}")
+
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        otherLeft.map(col) ++ rightPayload.map(c => lit(null).as(c)): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        otherLeft.map(c => lit(null).as(c)) ++ rightPayload.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) ++
+        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    filled.filter(col("__side") === 1)
+      .drop("__side").withColumnRenamed("__ts", leftTs)
+  }
+
+  // ------------------------------------------------------------ range join
+
+  /** Point-in-interval range join WITHOUT an equality key, executed as an
+    * equi-join: Spark plans a pure inequality join as
+    * BroadcastNestedLoopJoin (O(|points|·|intervals|) comparisons, driver
+    * OOM on a big build side) — unusable at 100 TB. The classic fix is
+    * range BUCKETING: quantize the domain into `bucketWidth`-sized bins,
+    * explode each interval to every bin it overlaps, map each point to its
+    * single bin, hash-join on the bin id, and re-check the exact predicate.
+    * Each point lands in EXACTLY one bin, so each matched (point, interval)
+    * pair surfaces exactly once — no post-join dedup.
+    *
+    * Cost: shuffle of points ×1 and intervals ×(avg len/bucketWidth + 1);
+    * pick bucketWidth ≈ the median interval length so the interval
+    * explosion stays ~2× while bins stay selective. Extra equality keys
+    * (when present) join alongside the bin id. Skew: a bin spanning a hot
+    * time range is an ordinary hash-join skew — AQE skew-join splits it.
+    *
+    * `pt`, `lo`, `hi` are LONG domain values ([lo, hi) half-open, e.g.
+    * `unix_micros`); `points`/`intervals` must have disjoint column names. */
+  def pointInIntervalJoin(points: DataFrame, pt: Column,
+                          intervals: DataFrame, lo: Column, hi: Column,
+                          bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__pt", pt.cast("long"))
+      .withColumn("__bin", floor(col("__pt") / bucketWidth).cast("long"))
+    // hi <= lo is an EMPTY interval: drop it before sequence(), which would
+    // otherwise count DOWN (implicit step -1) and fabricate bins.
+    val iv = intervals.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
+      .filter(col("__hi") > col("__lo"))
+      .withColumn("__bin", explode(sequence(
+        floor(col("__lo") / bucketWidth).cast("long"),
+        floor((col("__hi") - 1) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bin") ++ extraKeys)
+      .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
+      .drop("__bin", "__pt", "__lo", "__hi")
+  }
+
   /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
     * union, no dedup; unionByName tolerates column order drift. */
   def flatten(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
