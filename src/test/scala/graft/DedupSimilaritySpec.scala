@@ -263,4 +263,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mObjective(m2) >= mObjective(m1) - 1e-9,
       s"mixed-norm round 2 worsened: ${mObjective(m1)} -> ${mObjective(m2)}")
   }
+
+  test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
+    // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
+    // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
+    // short for any 3-token span.
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "q x y z r s"),
+      (3L, "m n o m n o m n o"),
+      (4L, "t u")).toDF("doc_id", "text")
+    val out = Dedup.spanDuplication(docs, col("text"), col("doc_id"), n = 3)
+    assertRows(out, Seq(
+      Seq[Any](1L, 4L, 1L, 0.25),  // spans: "a b x","b x y","x y z","y z c"
+      Seq[Any](2L, 4L, 1L, 0.25),
+      Seq[Any](3L, 3L, 0L, 0.0),   // distinct spans: "m n o","n o m","o m n"
+      Seq[Any](4L, 0L, 0L, 0.0)))
+  }
 }

@@ -118,4 +118,49 @@ class JoinsSpec extends SparkSpec {
       Seq("u1", 1L * H, 1L, 10),
       Seq("u2", 2L * H, 1L, 30)))
   }
+
+  test("asOf: latest right at-or-before each left row, null before the first right") {
+    val l = Seq(("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"), ("b", 7L, "l4"))
+      .toDF("k", "ts", "lv")
+    val r = Seq(("a", 10L, 100L), ("a", 15L, 150L), ("b", 9L, 900L))
+      .toDF("k", "rts", "price")
+    val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "price"))
+    assertRows(out.select(col("k"), col("ts"), col("lv"), col("rts"), col("price")), Seq(
+      Seq("a", 5L, "l1", null, null),         // no right row yet
+      Seq("a", 10L, "l2", 10L, 100L),         // EQUAL ts matches (<= semantics)
+      Seq("a", 20L, "l3", 15L, 150L),         // latest preceding, not first
+      Seq("b", 7L, "l4", null, null)))        // other key's rows invisible
+  }
+
+  test("asOf rejects payload names colliding with left columns") {
+    val l = Seq(("a", 1L)).toDF("k", "ts")
+    val r = Seq(("a", 1L)).toDF("k", "rts")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("ts"))
+    }
+  }
+
+  test("pointInIntervalJoin: half-open bounds, bin-crossing intervals, empty intervals") {
+    val points = Seq(5L, 10L, 19L, 20L, 25L).toDF("p")
+    val intervals = Seq(
+      (1L, 10L, 20L),   // [10,20): catches 10, 19; NOT 20 (half-open)
+      (2L, 18L, 26L),   // crosses bins at width 10: catches 19, 20, 25
+      (3L, 30L, 30L),   // empty: must produce nothing (not a descending sequence)
+      (4L, 0L, 6L))     // catches 5
+      .toDF("iv", "lo", "hi")
+    val out = Joins.pointInIntervalJoin(
+      points, col("p"), intervals, col("lo"), col("hi"), bucketWidth = 10L)
+    assertRows(out.select(col("iv"), col("p")), Seq(
+      Seq(1L, 10L), Seq(1L, 19L),
+      Seq(2L, 19L), Seq(2L, 20L), Seq(2L, 25L),
+      Seq(4L, 5L)))
+  }
+
+  test("pointInIntervalJoin with extra equality keys scopes matches per key") {
+    val points = Seq(("a", 5L), ("b", 5L)).toDF("k", "p")
+    val intervals = Seq(("a", 0L, 10L, 1L)).toDF("k", "lo", "hi", "iv")
+    val out = Joins.pointInIntervalJoin(points, col("p"), intervals,
+      col("lo"), col("hi"), bucketWidth = 10L, extraKeys = Seq("k"))
+    assertRows(out.select(col("k"), col("p"), col("iv")), Seq(Seq("a", 5L, 1L)))
+  }
 }

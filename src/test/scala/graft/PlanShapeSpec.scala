@@ -162,4 +162,22 @@ class PlanShapeSpec extends SparkSpec {
     // and the post-join per-doc aggregation shuffle
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n${p.take(2000)}")
   }
+
+  test("q_range_join: bucketed equi-join — NO nested-loop or cartesian plan") {
+    // a pure inequality join would plan as BroadcastNestedLoopJoin
+    // (O(points × intervals) — dead at 100 TB); the bin-bucket rewrite
+    // must keep it a hash/sort-merge EQUI join on the bin id
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not nested-loop:\n${p.take(3000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_asof_join: one window pass, no join operator at all") {
+    // the as-of rewrite is union + window — any Join node would mean the
+    // per-left-row inequality formulation snuck back in
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"asOf must be join-free:\n${p.take(3000)}")
+    assert(p.contains("Window"), p.take(3000))
+  }
 }
