@@ -592,6 +592,26 @@ object OracleSql {
         // Real-PNG decode is covered by MultimodalSpec, which writes PNG
         // bytes in-test and checks true dims.
 
+    // Full replay of the audio-decode FALLBACK header (fixture text is never
+    // parseable audio): md5-derived sample rate/channels, byte count as
+    // frames, integer-division duration, NULL pcm stats, decoded = FALSE.
+    "q_mm_audio" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS x,
+        |                  octet_length(encode(text)) AS nb FROM documents),
+        |d AS (SELECT doc_id, nb,
+        |             (strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) AS b0,
+        |             (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) AS b1
+        |      FROM h),
+        |s AS (SELECT doc_id, nb, 8000 * (1 + b0 % 6) AS sr, 1 + b1 % 2 AS ch FROM d)
+        |SELECT doc_id AS media_id, CAST(sr AS INT) AS sample_rate,
+        |       CAST(ch AS INT) AS channels, CAST(nb AS BIGINT) AS n_frames,
+        |       CAST(nb * 1000000 // sr AS BIGINT) AS duration_us,
+        |       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak,
+        |       CAST(nb AS BIGINT) AS n_bytes, FALSE AS decoded
+        |FROM s""".stripMargin,
+
     "q_mm_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |b AS (SELECT doc_id, n, UNNEST(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS blk FROM d)

@@ -634,6 +634,15 @@ object Queries {
     Multimodal.decodeImages(s,
       Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "image"))
 
+  /** Audio-decode plumbing over the fixture corpus: text payloads are never
+    * parseable audio, so every row exercises the deterministic fallback
+    * header — fully replayed by DuckDB (md5-derived rate/channels, NULL pcm
+    * stats). The REAL `javax.sound.sampled` path is pinned by
+    * TextMultimodalSpec's in-test WAV round-trip. */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(s,
+      Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "audio"))
+
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s,
       Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "video"),

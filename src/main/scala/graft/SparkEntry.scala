@@ -88,6 +88,7 @@ object SparkEntry {
     "q_bpe_count"       -> Queries.qBpeCount _,
     "q_fingerprint"     -> Queries.qFingerprint _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
+    "q_mm_audio"        -> Queries.qMultimodalAudio _,
     "q_mm_features"     -> Queries.qMultimodalFeatures _,
     "q_mm_frames"       -> Queries.qMultimodalFrames _,
     // curation (training-mix composition)

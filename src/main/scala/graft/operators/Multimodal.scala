@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * corpus streams through fixed executor memory.
   *
   * Images decode for REAL via [[ImageCodec]] (`javax.imageio` ships in every
-  * JDK: PNG/JPEG/BMP/GIF/WBMP). Audio/video codecs are NOT in this container,
-  * so those modalities use the clearly-marked deterministic [[StubCodec]] —
-  * which also serves as the fallback for payloads ImageIO cannot parse, so
-  * a corrupt image never kills a 100 TB pass; the `decoded` flag routes
-  * undecodables to quarantine downstream. Swap `StubCodec` for a JNI/FFI
-  * codec (ffmpeg) in production for audio/video.
+  * JDK: PNG/JPEG/BMP/GIF/WBMP) and audio via [[AudioCodec]]
+  * (`javax.sound.sampled`: WAV/AIFF/AU). Video is the one modality with no
+  * JDK codec, so it uses the clearly-marked deterministic [[StubCodec]] —
+  * which also serves as the fallback for payloads the real codecs cannot
+  * parse, so a corrupt file never kills a 100 TB pass; the `decoded` flag
+  * routes undecodables to quarantine downstream. Swap `StubCodec` for a
+  * JNI/FFI codec (ffmpeg) in production for video.
   */
 object Multimodal {
 
@@ -55,6 +56,60 @@ object Multimodal {
       var j = 0
       while (j < dim) { hist(j) /= total; j += 1 }
       hist
+    }
+  }
+
+  /** Real audio codec on `javax.sound.sampled` — WAV/AIFF/AU parse in every
+    * JDK (the same "the JDK already ships it" fact that made image decode
+    * real; only video genuinely has no JDK codec). Decoding converts to
+    * 16-bit signed PCM and STREAMS it in fixed 8 KiB chunks, so memory per
+    * task is bounded by the chunk, not the clip. */
+  object AudioCodec {
+    final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+                               durationUs: Long, rms: Double, peak: Double)
+
+    /** Parse + PCM stats, or None when the payload is not a parseable
+      * audio container (wrong magic, truncated, or another modality). */
+    def decode(payload: Array[Byte]): Option[AudioInfo] = {
+      if (payload == null || payload.length == 0) return None
+      try {
+        val base = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = base.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, base)
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0; var peakAbs = 0L; var samples = 0L
+          var n = pcm.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              // little-endian signed 16-bit, as requested in `target`
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toLong
+              sumSq += (s * s).toDouble
+              if (math.abs(s) > peakAbs) peakAbs = math.abs(s)
+              samples += 1
+              i += 2
+            }
+            n = pcm.read(buf)
+          }
+          if (samples == 0) None
+          else {
+            val frames = samples / fmt.getChannels
+            val sr = math.round(fmt.getSampleRate).toInt
+            Some(AudioInfo(sr, fmt.getChannels, frames,
+              frames * 1000000L / sr,
+              math.sqrt(sumSq / samples) / 32768.0, peakAbs / 32768.0))
+          }
+        } finally base.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: IllegalArgumentException => None
+      }
     }
   }
 
@@ -101,6 +156,20 @@ object Multimodal {
       val total = math.max(bytes.length, 1).toFloat
       hist.map(_ / total)
     }
+    /** "Decode" → fake audio header, engine-neutral like [[imageDims]]
+      * (md5-derived sample rate/channels, byte count as the frame count) so
+      * an oracle can replay the fallback path; rms/peak are honestly NULL —
+      * a stub has no samples to measure. */
+    def audioInfo(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      val bytes = if (payload == null) Array.empty[Byte] else payload
+      val d = md5.get()
+      d.reset()
+      val h = d.digest(bytes)
+      val sampleRate = 8000 * (1 + (h(0) & 0xFF) % 6)   // 8k..48k
+      val channels = 1 + (h(1) & 0xFF) % 2
+      val frames = bytes.length.toLong
+      (sampleRate, channels, frames, frames * 1000000L / sampleRate)
+    }
     /** "Frame-sample" → every k-th 256-byte block as a pretend frame. */
     def sampleFrames(payload: Array[Byte], everyK: Int): Seq[Array[Byte]] =
       payload.grouped(256).zipWithIndex.collect {
@@ -138,6 +207,34 @@ object Multimodal {
             val (w, h) = StubCodec.imageDims(payload)
             Row(r.getLong(0), w, h,
               (if (payload == null) 0L else payload.length.toLong), false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio decode pass: real `javax.sound.sampled` parse + streamed PCM
+    * stats first; unparseable payloads fall back to the deterministic
+    * [[StubCodec.audioInfo]] header with `decoded = false` and NULL pcm
+    * stats — same quarantine-on-flag contract as [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType), StructField("n_frames", LongType),
+      StructField("duration_us", LongType),
+      StructField("rms", DoubleType), StructField("peak", DoubleType),
+      StructField("n_bytes", LongType), StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    media.select(col("media_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        AudioCodec.decode(payload) match {
+          case Some(a) =>
+            Row(r.getLong(0), a.sampleRate, a.channels, a.frames, a.durationUs,
+              a.rms, a.peak, nBytes, true)
+          case None =>
+            val (sr, ch, frames, durUs) = StubCodec.audioInfo(payload)
+            Row(r.getLong(0), sr, ch, frames, durUs, null, null, nBytes, false)
         }
       }
     }(enc)

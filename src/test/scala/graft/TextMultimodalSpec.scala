@@ -148,6 +148,57 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-6)
   }
 
+  /** 16-bit PCM mono WAV of a sine at `freq` Hz, amplitude `amp` (of
+    * full-scale 32767), written through the JDK's own encoder. */
+  private def wavBytes(sampleRate: Int, nFrames: Int, freq: Double,
+                       amp: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = math.round(amp * 32767 *
+        math.sin(2 * math.Pi * freq * i / sampleRate)).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: REAL WAV payloads decode to true header + pcm stats; junk falls back") {
+    val rows = Seq(
+      (1L, wavBytes(8000, 8000, freq = 440, amp = 0.5)),   // 1s @ 8 kHz
+      (2L, wavBytes(16000, 4000, freq = 1000, amp = 1.0)), // 0.25s @ 16 kHz
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "bytes"), col("id"), col("bytes"), "audio")
+    val got = Multimodal.decodeAudio(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val a = got(1L)
+    assert(a.getInt(1) == 8000 && a.getInt(2) == 1 && a.getLong(3) == 8000)
+    assert(a.getLong(4) == 1000000L) // exactly 1s in µs
+    // full-period sine: rms = amp/√2, peak = amp (2% slack for quantization)
+    assert(math.abs(a.getDouble(5) - 0.5 / math.sqrt(2)) < 0.01, s"rms=${a.getDouble(5)}")
+    assert(math.abs(a.getDouble(6) - 0.5) < 0.01, s"peak=${a.getDouble(6)}")
+    assert(a.getBoolean(8))
+
+    val b = got(2L)
+    assert(b.getInt(1) == 16000 && b.getLong(3) == 4000 && b.getLong(4) == 250000L)
+    assert(math.abs(b.getDouble(5) - 1.0 / math.sqrt(2)) < 0.01)
+
+    val junk = got(3L)
+    assert(!junk.getBoolean(8) && junk.isNullAt(5) && junk.isNullAt(6))
+    // fallback header matches the engine-neutral stub derivation exactly
+    val (sr, ch, fr, durUs) = Multimodal.StubCodec.audioInfo(
+      "definitely not audio".getBytes("UTF-8"))
+    assert(junk.getInt(1) == sr && junk.getInt(2) == ch &&
+      junk.getLong(3) == fr && junk.getLong(4) == durUs)
+  }
+
   test("multimodal frame sampling takes every k-th block") {
     val big = "x" * 2048 // 8 blocks of 256
     val media = Multimodal.asMedia(
