@@ -450,6 +450,28 @@ object OracleSql {
     // Full replay of the hyperplane-LSH near-dup pipeline: identical plane
     // matrix (literals above), identical rounded sign test, exact cosine
     // verification within buckets.
+    // Full replay of SemDeDup's oracle path: md5-sampled seed centroids,
+    // 9-dp rounded nearest-centroid assignment (same CTEs as q_ivf_ann),
+    // within-cell pairs at rounded cosine >= 0.3, min-id dup_of verdict.
+    "q_semdedup" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |                vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |         FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |asgn AS (SELECT n.id, n.vec, n.nrm, cent.cell,
+        |                round(-list_dot_product(n.vec, cent.cvec) / (n.nrm * cent.cnorm), 9) AS negcos
+        |         FROM n CROSS JOIN cent),
+        |cellof AS (SELECT id, vec, nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY negcos, cell) AS rn FROM asgn
+        |  ) WHERE rn = 1),
+        |dup AS (SELECT a.id AS id, min(b.id) AS dup_of
+        |        FROM cellof a JOIN cellof b ON a.cell = b.cell AND b.id < a.id
+        |        WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.3
+        |        GROUP BY a.id)
+        |SELECT c.id, CAST(c.cell AS INT) AS cell, dup_of, dup_of IS NULL AS keep
+        |FROM cellof c LEFT JOIN dup ON dup.id = c.id""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          |b AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,

@@ -579,6 +579,15 @@ object Queries {
       k = 5, nlist = 16, nprobe = 4)
   }
 
+  /** SemDeDup over the embeddings table: md5-seeded clusters (lloydIters=0
+    * — the oracle-replayable path), within-cluster near-dup marking with
+    * the min-id-representative policy. Threshold 0.3 = this fixture's
+    * near-dup regime (near-orthogonal synthetic vectors, see
+    * [[qEmbedNearDup]]); 150 of 500 rows get a dup_of verdict. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      nlist = 16, threshold = 0.3)
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     // The synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cosine ≈ 0.51 at sf0.01), so the "near-dup" regime for this

@@ -170,38 +170,87 @@ object Similarity {
     * (assign → renormalized mean per cell; one corpus pass + an
     * nlist×dim collect per round), the production path for real recall —
     * deterministic within Spark up to floating-point partial-sum order. */
+  /** Deterministic engine-neutral centroid sampling: the `nlist` corpus
+    * vectors first in (md5(id), id) order — reproducible by any engine with
+    * md5, no RNG state. Cast to array<double> BEFORE collecting so float
+    * and double embedding columns both work. Driver memory = nlist×dim. */
+  private[graft] def md5Seeds(corpus: DataFrame, id: Column, vec: Column,
+                              nlist: Int): Array[Array[Double]] =
+    corpus.select(vec.cast("array<double>").as("v"),
+        md5(id.cast("string")).as("__h"), id.cast("long").as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
+    * sort = best-first; vnorm is computed once per row, each centroid
+    * projection is a codegen'd VecDotProduct against the literal centroid
+    * array (the lambda formulation evaluated interpreted). negcos is
+    * rounded to 9 dp so the argmin is reproducible by an independent
+    * engine (the DuckDB oracle) — distinct centroids differ in cosine by
+    * far more than 1e-9, so the rounding never changes a real assignment. */
+  private def cellsFor(centroids: Array[Array[Double]])
+                      (vec: Column, vnorm: Column): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (cent, idx) =>
+      val centArr = array(cent.map(lit): _*)
+      val cnorm = lit(math.sqrt(cent.map(x => x * x).sum))
+      struct(round(-dotProduct(vec, centArr) / (vnorm * cnorm), 9).as("negcos"),
+        lit(idx).as("cell"))
+    }: _*))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then mark near-duplicates WITHIN each cluster — pairwise work
+    * is bounded by cluster size instead of corpus size. Per row:
+    * its cluster, the smallest-id same-cluster neighbor with cosine ≥
+    * `threshold` (`dup_of`, NULL when none), and `keep = dup_of IS NULL` —
+    * the greedy min-id-representative policy, emitted as verdict columns.
+    *
+    * Determinism/oracle path: `lloydIters = 0` assigns against the
+    * md5-sampled seed centroids ([[md5Seeds]]) with 9-dp rounded argmin,
+    * so DuckDB replays cluster assignment AND the dup verdicts exactly;
+    * production raises `lloydIters` (each round monotonically improves the
+    * spherical-k-means objective) and `nlist ≈ corpus/targetClusterSize`
+    * so the within-cell self-join stays bounded — the same occupancy
+    * argument as [[planesFor]]. Shuffle cost: one narrow assignment pass
+    * (codegen'd projections), a self-join keyed on the cell id, and a
+    * per-id min — no all-pairs path anywhere. */
+  def semDedup(embs: DataFrame, id: Column, vec: Column,
+               nlist: Int = 16, threshold: Double = 0.95,
+               lloydIters: Int = 0): DataFrame = {
+    requireIntegralId(embs, id)
+    val seeds = md5Seeds(embs, id, vec, nlist)
+    if (seeds.isEmpty)
+      return embs.select(id.cast("long").as("id"), lit(0).as("cell"),
+        lit(null).cast("long").as("dup_of"), lit(true).as("keep")).limit(0)
+    val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      lloydRound(embs, vec, cents)
+    }
+    val assigned = embs.select(id.cast("long").as("id"), vec.as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .withColumn("cell",
+        element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1).getField("cell"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val dups = a.join(b, col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .filter(round(cosineFromNorms(col("a.vec"), col("b.vec"),
+        col("a.nrm"), col("b.nrm")), 6) >= threshold)
+      .groupBy(col("a.id").as("id")).agg(min(col("b.id")).as("dup_of"))
+    assigned.select(col("id"), col("cell")).join(dups, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               lloydIters: Int = 0): DataFrame = {
     requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
-    // cast to array<double> BEFORE collecting so float and double
-    // embedding columns both work
-    val seeds = corpus
-      .select(corpusVec.cast("array<double>").as("v"),
-        md5(corpusId.cast("string")).as("__h"), corpusId.cast("long").as("__id"))
-      .orderBy(col("__h"), col("__id")).limit(nlist)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val seeds = md5Seeds(corpus, corpusId, corpusVec, nlist)
     if (seeds.isEmpty)
       return corpus.select(corpusId.cast("long").as("query_id"),
         corpusId.cast("long").as("corpus_id"), lit(0.0).as("score")).limit(0)
     val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
       lloydRound(corpus, corpusVec, cents)
     }
-    // nearest-centroid cells: array of (negCos, cellIdx) structs, ascending
-    // sort = best-first; vnorm is computed once per row, each centroid
-    // projection is a codegen'd VecDotProduct against the literal centroid
-    // array (the lambda formulation evaluated interpreted). negcos is
-    // rounded to 9 dp so the argmin is reproducible by an independent
-    // engine (the DuckDB oracle) — distinct centroids differ in cosine by
-    // far more than 1e-9, so the rounding never changes a real assignment.
-    def cells(vec: Column, vnorm: Column): Column =
-      array_sort(array(centroids.zipWithIndex.map { case (cent, idx) =>
-        val centArr = array(cent.map(lit): _*)
-        val cnorm = lit(math.sqrt(cent.map(x => x * x).sum))
-        struct(round(-dotProduct(vec, centArr) / (vnorm * cnorm), 9).as("negcos"),
-          lit(idx).as("cell"))
-      }: _*))
+    val cells = cellsFor(centroids) _
 
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))

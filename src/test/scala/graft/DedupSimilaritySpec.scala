@@ -264,6 +264,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"mixed-norm round 2 worsened: ${mObjective(m1)} -> ${mObjective(m2)}")
   }
 
+  test("semDedup: identical vectors share a cell, min id kept, distinct directions survive") {
+    // ids 1/2/3 are the same direction (1,0,...) at different magnitudes —
+    // same cell, cosine 1.0 → only id 1 keeps; id 10 is orthogonal.
+    val dim = 8
+    def v(axis: Int, scale: Double) =
+      (0 until dim).map(d => if (d == axis) scale else 0.0)
+    val embs = Seq(
+      (1L, v(0, 1.0)), (2L, v(0, 0.5)), (3L, v(0, 2.0)),
+      (10L, v(1, 1.0)))
+      .toDF("id", "vec")
+    val out = Similarity.semDedup(embs, col("id"), col("vec"),
+      nlist = 4, threshold = 0.95)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3))).toMap
+    assert(byId(1L) == ((None, true)))
+    assert(byId(2L) == ((Some(1L), false)))
+    assert(byId(3L) == ((Some(1L), false)))
+    assert(byId(10L) == ((None, true)))
+    // cluster co-location of the duplicate direction
+    val cells = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == cells(2L) && cells(2L) == cells(3L))
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
