@@ -38,6 +38,9 @@ object ScaleProbe {
     val lshOnly = sys.env.get("SPARK_GRAFT_LSH_ONLY").contains("1")
     // run only the Avro split-read duel (self-contained, no scaled tables)
     if (sys.env.get("SPARK_GRAFT_AVRO_ONLY").contains("1")) { avroDuel(); return }
+    // run only the round-5 new-op probes (as-of / range join / span dedup /
+    // semdedup occupancy)
+    if (sys.env.get("SPARK_GRAFT_NEWOPS_ONLY").contains("1")) { newOpsProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -176,6 +179,109 @@ object ScaleProbe {
     println(s"""{"lsh_fixed_cands_base":$cfB,"lsh_fixed_cands_x$factor":$cfN,""" +
       s""""lsh_auto_cands_base":$caB,"lsh_auto_cands_x$factor":$caN,""" +
       f""""lsh_fixed_cand_ratio":${cfN.toDouble / cfB}%.2f,"lsh_auto_cand_ratio":${caN.toDouble / caB}%.2f}""")
+    spark.stop()
+  }
+
+  /** Round-5 new-op probes.
+    *  1. ×factor wall ratios for q_asof_join (per-key window sort) and
+    *     q_span_dedup (hash-shuffle pipeline) — both should track data
+    *     growth ~linearly.
+    *  2. Range-join shape duel on the SAME input: the bucketed equi-join
+    *     rewrite vs the naive inequality join Spark plans as
+    *     BroadcastNestedLoop — the comparison-count blowup the rewrite
+    *     removes. Intervals stay FIXED (copy 0) while points scale, the
+    *     100 TB shape (bounded window set, growing event stream).
+    *  3. SemDeDup occupancy: candidate-pair counts (Σ c·(c−1)/2 over
+    *     cells) under fixed nlist=16 vs nlistFor(n) at base and ×factor —
+    *     fixed nlist grows pairs ~quadratically with the corpus, the auto
+    *     knob holds per-cell work flat (the LSH-planes lesson applied to
+    *     clustering). Wall time runs the full operator where the pair
+    *     count is sane (auto both scales; fixed base only).
+    */
+  private def newOpsProbe(factor: Int): Unit = {
+    import graft.operators.{Joins, Similarity}
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_newops"
+    val spark = GraftSession.getOrCreate()
+
+    def rekey(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 1000000000L)))
+    Seq("events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+        "embeddings" -> Seq("vec_id")).foreach { case (name, ids) =>
+      val t = GraftSession.table(spark, base, name)
+      (0 until factor).map(i => if (i == 0) t else rekey(t, i, ids))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+    }
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // 1. wall ratios
+    val ratioProbes = Seq("q_asof_join", "q_span_dedup")
+    ratioProbes.foreach { n => time(n, base); time(n, out) } // warm
+    val rows = ratioProbes.map { n =>
+      val t1 = time(n, base)
+      val tN = time(n, out)
+      f"""{"query":"$n","sf01_sec":$t1%.3f,"x${factor}_sec":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    }
+    println(rows.mkString("[", ",\n", "]"))
+
+    // 2. range-join duel: bucketed rewrite vs naive BNL, fixed intervals
+    val fourHoursUs = 4L * 3600 * 1000000
+    val ev = GraftSession.table(spark, out, "events")
+    val intervals = ev.filter(col("event_type") === "signup" &&
+        col("event_id") % 7 === 0 && col("event_id") < 1000000000L)
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("p"))
+    def runBucketed(): Unit =
+      Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
+          bucketWidth = fourHoursUs)
+        .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    def runNaive(): Unit =
+      points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+        .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    runBucketed(); runNaive() // warm
+    val bT = timed(s"range_join_bucketed_x$factor")(runBucketed())
+    val nT = timed(s"range_join_nested_loop_x$factor")(runNaive())
+    println(f"""{"range_join_bnl_over_bucketed":${nT / bT}%.2f}""")
+
+    // 3. semdedup occupancy + wall
+    val embBase = GraftSession.table(spark, base, "embeddings")
+    val embBig = GraftSession.table(spark, out, "embeddings")
+    def candidatePairs(embs: DataFrame, nlist: Int): Long =
+      Similarity.assignCells(embs, col("vec_id"), col("embedding"), nlist, 0)
+        .map(_.groupBy(col("cell")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getDouble(0).toLong)
+        .getOrElse(0L)
+    val nB = embBase.count(); val nN = embBig.count()
+    val (autoB, autoN) = (Similarity.nlistFor(nB), Similarity.nlistFor(nN))
+    println(s"""{"semdedup_auto_nlist_base":$autoB,"semdedup_auto_nlist_x$factor":$autoN}""")
+    val (pfB, pfN) = (candidatePairs(embBase, 16), candidatePairs(embBig, 16))
+    val (paB, paN) = (candidatePairs(embBase, autoB), candidatePairs(embBig, autoN))
+    println(s"""{"semdedup_fixed16_pairs_base":$pfB,"semdedup_fixed16_pairs_x$factor":$pfN,""" +
+      s""""semdedup_auto_pairs_base":$paB,"semdedup_auto_pairs_x$factor":$paN,""" +
+      f""""semdedup_fixed_pair_ratio":${pfN.toDouble / math.max(pfB, 1)}%.2f,"semdedup_auto_pair_ratio":${paN.toDouble / math.max(paB, 1)}%.2f}""")
+    def semRun(embs: DataFrame, nlist: Int): Unit =
+      Similarity.semDedup(embs, col("vec_id"), col("embedding"), nlist, 0.3)
+        .write.format("noop").mode("overwrite").save()
+    semRun(embBase, 16); semRun(embBase, autoB); semRun(embBig, autoN) // warm
+    val fixedBaseT = timed("semdedup_fixed16_base")(semRun(embBase, 16))
+    val autoBaseT = timed("semdedup_auto_base")(semRun(embBase, autoB))
+    val autoBigT = timed(s"semdedup_auto_x$factor")(semRun(embBig, autoN))
+    println(f"""{"semdedup_auto_wall_ratio":${autoBigT / autoBaseT}%.2f,"semdedup_fixed_base_sec":$fixedBaseT%.3f}""")
     spark.stop()
   }
 

@@ -217,18 +217,11 @@ object Similarity {
   def semDedup(embs: DataFrame, id: Column, vec: Column,
                nlist: Int = 16, threshold: Double = 0.95,
                lloydIters: Int = 0): DataFrame = {
-    requireIntegralId(embs, id)
-    val seeds = md5Seeds(embs, id, vec, nlist)
-    if (seeds.isEmpty)
+    val assignedOpt = assignCells(embs, id, vec, nlist, lloydIters)
+    if (assignedOpt.isEmpty)
       return embs.select(id.cast("long").as("id"), lit(0).as("cell"),
         lit(null).cast("long").as("dup_of"), lit(true).as("keep")).limit(0)
-    val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
-      lloydRound(embs, vec, cents)
-    }
-    val assigned = embs.select(id.cast("long").as("id"), vec.as("vec"))
-      .withColumn("nrm", l2Norm(col("vec")))
-      .withColumn("cell",
-        element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1).getField("cell"))
+    val assigned = assignedOpt.get
     val a = assigned.as("a"); val b = assigned.as("b")
     val dups = a.join(b, col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
       .filter(round(cosineFromNorms(col("a.vec"), col("b.vec"),
@@ -237,6 +230,68 @@ object Similarity {
     assigned.select(col("id"), col("cell")).join(dups, Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup_of"), col("dup_of").isNull.as("keep"))
   }
+
+  /** [[semDedup]]'s clustering stage, exposed for occupancy diagnostics
+    * (ScaleProbe): (id, vec, nrm, cell), or None on an empty corpus. */
+  private[graft] def assignCells(embs: DataFrame, id: Column, vec: Column,
+                                 nlist: Int, lloydIters: Int): Option[DataFrame] = {
+    requireIntegralId(embs, id)
+    val seeds = md5Seeds(embs, id, vec, nlist)
+    if (seeds.isEmpty) return None
+    val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      lloydRound(embs, vec, cents)
+    }
+    val base = embs.select(id.cast("long").as("id"), vec.as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    // Two assignment paths with IDENTICAL semantics (9-dp rounded argmin,
+    // cell-index tiebreak): ≤64 centroids inline as literal expressions —
+    // one codegen'd narrow pass, no join; beyond that the literal tree
+    // would blow up codegen, so centroids become a BROADCAST table and the
+    // argmin is a map-side cross join + partial min per id (shuffle payload
+    // = one 16-byte struct per row) followed by a re-attach join.
+    val assigned =
+      if (centroids.length <= 64)
+        base.withColumn("cell",
+          element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1).getField("cell"))
+      else {
+        val spark = embs.sparkSession
+        import spark.implicits._
+        val centDf = centroids.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
+          .toDF("c_cell", "cvec", "c_nrm")
+        val best = base.crossJoin(broadcast(centDf))
+          .select(col("id"), struct(
+            round(-dotProduct(col("vec"), col("cvec")) / (col("nrm") * col("c_nrm")), 9)
+              .as("negcos"),
+            col("c_cell").as("cell")).as("nc"))
+          .groupBy(col("id")).agg(min(col("nc")).as("best"))
+          .select(col("id"), col("best.cell").as("cell"))
+        base.join(best, "id")
+      }
+    Some(assigned)
+  }
+
+  /** Auto cluster count for [[semDedup]]: clusters sized ~`targetClusterSize`
+    * keep the within-cell self-join bounded as the corpus grows — under a
+    * FIXED nlist, cell occupancy (and with it pairwise work) grows linearly
+    * with the corpus, the same failure mode [[planesFor]] closes for LSH.
+    * Granularity/recall trade-off mirrors LSH banding: more, smaller
+    * clusters miss dups that straddle a cluster boundary; the paper's
+    * regime (k-means cells of a few hundred) is the default. */
+  def nlistFor(corpusCount: Long, targetClusterSize: Long = 256L): Int = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    math.min(65536, math.max(1,
+      math.ceil(corpusCount.toDouble / targetClusterSize.toDouble).toInt))
+  }
+
+  /** [[semDedup]] with [[nlistFor]]-derived cluster count. Counts the
+    * corpus once; at 100 TB pass a known count to
+    * `semDedup(nlist = nlistFor(n))` instead. */
+  def semDedupAuto(embs: DataFrame, id: Column, vec: Column,
+                   threshold: Double = 0.95, targetClusterSize: Long = 256L,
+                   lloydIters: Int = 0): DataFrame =
+    semDedup(embs, id, vec, nlistFor(embs.count(), targetClusterSize),
+      threshold, lloydIters)
 
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,

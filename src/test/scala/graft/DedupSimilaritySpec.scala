@@ -287,6 +287,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cells(1L) == cells(2L) && cells(2L) == cells(3L))
   }
 
+  test("semDedup broadcast assignment path (nlist > 64) finds every exact-duplicate pair") {
+    // 65 orthogonal directions, two vectors each (ids 2k and 2k+1):
+    // nlist = 70 forces the broadcast-join argmin; identical vectors get
+    // identical rounded argmin, so every pair co-locates and the larger id
+    // must point at the smaller.
+    val dim = 65
+    val embs = (0 until 65).flatMap { axis =>
+      val v = (0 until dim).map(d => if (d == axis) 1.0 else 0.0)
+      Seq((2L * axis, v), (2L * axis + 1, v))
+    }.toDF("id", "vec")
+    val out = Similarity.semDedup(embs, col("id"), col("vec"),
+      nlist = 70, threshold = 0.95)
+    assert(out.count() == 130)
+    val dropped = out.filter(!col("keep"))
+      .select(col("id"), col("dup_of")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dropped == (0 until 65).map(a => (2L * a + 1) -> 2L * a).toMap)
+    // auto knob picks a >64 nlist here, exercising the same path
+    assert(Similarity.nlistFor(130, targetClusterSize = 2) == 65)
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
