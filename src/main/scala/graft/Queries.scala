@@ -468,6 +468,24 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
   }
 
+  /** Keyless interval-overlap join on the same bucketed path: 2-hour signup
+    * sessions × 1-hour error windows, exactly-once pair emission via the
+    * first-shared-bin guard, rolled up per session. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourUs = 3600L * 1000000
+    val a = ev.filter(col("event_type") === "signup" && col("event_id") % 11 === 0)
+      .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_lo"),
+        (unix_micros(col("ts")) + 2 * hourUs).as("a_hi"))
+    val b = ev.filter(col("event_type") === "error" && col("event_id") % 13 === 0)
+      .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_lo"),
+        (unix_micros(col("ts")) + hourUs).as("b_hi"))
+    Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), bucketWidth = 2 * hourUs)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_overlaps"), min(col("b_id")).as("first_b"))
+  }
+
   // ---------------------------------------------------------------- windowing
 
   def qWindowFixed(s: SparkSession, dir: String): DataFrame =

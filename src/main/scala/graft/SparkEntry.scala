@@ -63,6 +63,7 @@ object SparkEntry {
     "q_broadcast_join"  -> Queries.qBroadcastJoin _,
     "q_asof_join"       -> Queries.qAsofJoin _,
     "q_range_join"      -> Queries.qRangeJoin _,
+    "q_interval_join"   -> Queries.qIntervalJoin _,
     "q_flatten"         -> Queries.qFlatten _,
     "q_intersect"       -> Queries.qIntersect _,
     "q_except"          -> Queries.qExcept _,

@@ -304,18 +304,22 @@ object Dedup {
     *
     * Scale shape: spans leave the scan as 32-byte md5 keys, never text.
     * (hash, doc_id) rows are unique by construction (per-doc distinct
-    * spans), so `count(*)` per hash IS the containing-doc count — two
-    * shuffles of ~40-byte rows (hash frequency, then per-doc rollup), both
-    * with map-side partial aggregation. A viral span ("click here to…") is
-    * a single hot count cell, not a pairwise blow-up — no frequency cap
-    * needed, unlike [[ngramJaccardPairs]]'s candidate join. */
+    * spans), so the per-hash row count IS the containing-doc count —
+    * computed as `count(*) OVER (PARTITION BY hash)`: ONE shuffle on the
+    * hash (partitions are tiny — one row per containing doc), then the
+    * per-doc rollup shuffle. The groupBy+self-join formulation of the same
+    * count would shuffle the span set twice more and re-explode the text.
+    * A viral span ("click here to…") is a single hot window cell, not a
+    * pairwise blow-up — no frequency cap needed, unlike
+    * [[ngramJaccardPairs]]'s candidate join. */
   def spanDuplication(docs: DataFrame, text: Column, id: Column,
                       n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spans = docs.select(id.as("doc_id"),
         explode(shingles(text, n)).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
-    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-    val perDoc = spans.join(freq, "h")
+    val perDoc = spans
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -238,6 +238,35 @@ object Joins {
       .drop("__bin", "__pt", "__lo", "__hi")
   }
 
+  /** Interval-overlap join: pairs of intervals with
+    * `a.lo < b.hi && b.lo < a.hi` (half-open overlap), same bin-bucketing
+    * rewrite as [[pointInIntervalJoin]]. Unlike the point case, a pair can
+    * share SEVERAL bins; emitting it only from the FIRST shared bin —
+    * `max(floor(a.lo/W), floor(b.lo/W))`, the standard dedup-free trick —
+    * keeps each pair exactly once without a distinct pass. Both inputs must
+    * have disjoint column names; `bucketWidth` ≈ the median interval length
+    * bounds the explosion factor on both sides. */
+  def intervalOverlapJoin(left: DataFrame, leftLo: Column, leftHi: Column,
+                          right: DataFrame, rightLo: Column, rightHi: Column,
+                          bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
+      df.withColumn(s"__${p}lo", lo.cast("long")).withColumn(s"__${p}hi", hi.cast("long"))
+        .filter(col(s"__${p}hi") > col(s"__${p}lo"))
+        .withColumn("__bin", explode(sequence(
+          floor(col(s"__${p}lo") / bucketWidth).cast("long"),
+          floor((col(s"__${p}hi") - 1) / bucketWidth).cast("long"))))
+    val a = binned(left, leftLo, leftHi, "a")
+    val b = binned(right, rightLo, rightHi, "b")
+    a.join(b, Seq("__bin") ++ extraKeys)
+      .filter(col("__alo") < col("__bhi") && col("__blo") < col("__ahi"))
+      // first-shared-bin guard: exactly-once emission per overlapping pair
+      .filter(col("__bin") === greatest(
+        floor(col("__alo") / bucketWidth).cast("long"),
+        floor(col("__blo") / bucketWidth).cast("long")))
+      .drop("__bin", "__alo", "__ahi", "__blo", "__bhi")
+  }
+
   /** Flatten.pCollections (reference: SDK/transforms/Flatten.java:101): bag
     * union, no dedup; unionByName tolerates column order drift. */
   def flatten(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)

@@ -156,6 +156,23 @@ class JoinsSpec extends SparkSpec {
       Seq(4L, 5L)))
   }
 
+  test("intervalOverlapJoin: half-open overlap, exactly-once across shared bins, touch ≠ overlap") {
+    val a = Seq(
+      (1L, 0L, 50L),     // spans 5 bins at width 10 — overlaps b1 (shares bins 1..3) and b2
+      (2L, 60L, 70L),    // touches b3 at 70 exactly: NOT an overlap (half-open)
+      (3L, 80L, 80L))    // empty: never emitted
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 15L, 35L),   // inside a1, shares bins 1..3 with it → must appear ONCE
+      (11L, 45L, 65L),   // overlaps a1's tail AND a2's head
+      (12L, 70L, 75L))   // starts exactly at a2's end
+      .toDF("b_id", "b_lo", "b_hi")
+    val out = Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+      b, col("b_lo"), col("b_hi"), bucketWidth = 10L)
+    assertRows(out.select(col("a_id"), col("b_id")),
+      Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, 11L)))
+  }
+
   test("pointInIntervalJoin with extra equality keys scopes matches per key") {
     val points = Seq(("a", 5L), ("b", 5L)).toDF("k", "p")
     val intervals = Seq(("a", 0L, 10L, 1L)).toDF("k", "lo", "hi", "iv")
