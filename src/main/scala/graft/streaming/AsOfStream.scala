@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming event-time as-of join — the unbounded counterpart of
+  * `graft.operators.Joins.asOf` (kdb `aj` / Flink temporal join): for each
+  * left event, the LATEST right event with `right.ts <= left.ts` on the same
+  * key, emitted once the watermark guarantees the answer is final.
+  *
+  * Not expressible with Spark's built-in stream-stream joins: their interval
+  * join emits EVERY right row in a time range, not the latest-before, and a
+  * last-value aggregation over it would re-open the result per trigger.
+  * Implemented on `transformWithState` with the engine's own state+timer
+  * surface (Stateful.statefulParDo's machinery):
+  *
+  *  - left rows buffer per key until `watermark >= ts` (an event-time timer
+  *    at the earliest pending left ts wakes the key), then resolve against
+  *    the right history seen so far and emit exactly once;
+  *  - right rows land in a per-key map keyed by their ts;
+  *  - **state is bounded by the watermark-dominance GC**: once the
+  *    watermark passes, every right row except the LATEST one at-or-before
+  *    the watermark is unreachable (any still-unresolved left has
+  *    ts > watermark, and the dominant right shadows all older ones), so
+  *    the map holds only in-flight rights plus ONE dominant row per key —
+  *    the same retention argument as Flink's temporal-join state cleanup.
+  *
+  * Late data (ts <= watermark on arrival, within Spark's global-watermark
+  * admission): a late LEFT resolves immediately against the retained
+  * history — the dominant-right GC guarantees its answer is still present
+  * unless the matching right was itself late and already superseded; a late
+  * RIGHT inserts into history and serves later lefts, but never retracts an
+  * emitted result (no retraction channel in Append mode — Beam's
+  * accumulating-with-retractions is likewise out of scope there).
+  *
+  * Ties: several right rows at the same (key, ts) keep the LAST processed
+  * (map overwrite) — pre-aggregate the right stream per (key, ts) for full
+  * determinism, mirroring the batch asOf contract.
+  */
+object AsOfStream {
+
+  /** Joined output: right side null-equivalents via Options. */
+  final case class AsOfJoined[K, L, R](key: K, leftTs: Long, left: L,
+                                       rightTs: Option[Long], right: Option[R])
+
+  /** Tagged union element (side 0 = right, 1 = left). */
+  type Tagged[K, L, R] = (K, java.sql.Timestamp, Int, Option[L], Option[R])
+
+  private class AsOfProcessor[K, L, R](
+      implicit bufEnc: Encoder[(Long, L)], rEnc: Encoder[R])
+      extends StatefulProcessor[K, Tagged[K, L, R], AsOfJoined[K, L, R]] {
+
+    @transient private var pendingLeft: ListState[(Long, L)] = _
+    @transient private var rights: MapState[Long, R] = _
+
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      pendingLeft = getHandle.getListState[(Long, L)]("pending_left", bufEnc, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, R]("rights", Encoders.scalaLong, rEnc, TTLConfig.NONE)
+    }
+
+    /** Greatest right ts <= lts in the sorted history, as an AsOfJoined. */
+    private def resolve(key: K, lts: Long, l: L,
+                        hist: Array[(Long, R)]): AsOfJoined[K, L, R] = {
+      var lo = 0; var hi = hist.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (hist(mid)._1 <= lts) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) AsOfJoined(key, lts, l, None, None)
+      else AsOfJoined(key, lts, l, Some(hist(best)._1), Some(hist(best)._2))
+    }
+
+    private def sortedHistory(): Array[(Long, R)] =
+      rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+
+    override def handleInputRows(key: K, rows: Iterator[Tagged[K, L, R]],
+                                 tv: TimerValues): Iterator[AsOfJoined[K, L, R]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var lateLeft = List.empty[(Long, L)]
+      var minPending = Long.MaxValue
+      rows.foreach {
+        case (_, ts, 0, _, Some(r)) =>
+          rights.updateValue(ts.getTime, r)
+        case (_, ts, 1, Some(l), _) =>
+          val t = ts.getTime
+          if (t <= wm) lateLeft ::= (t, l) // late: final by definition, emit now
+          else { pendingLeft.appendValue((t, l)); minPending = math.min(minPending, t) }
+        case _ => () // malformed tag: drop
+      }
+      if (minPending != Long.MaxValue) getHandle.registerTimer(minPending)
+      if (lateLeft.isEmpty) Iterator.empty
+      else {
+        val hist = sortedHistory()
+        lateLeft.sortBy(_._1).iterator.map { case (t, l) => resolve(key, t, l, hist) }
+      }
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfJoined[K, L, R]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val (ripe, still) = pendingLeft.get().toList.partition(_._1 <= wm)
+      pendingLeft.clear()
+      still.foreach(pendingLeft.appendValue)
+      if (still.nonEmpty) getHandle.registerTimer(still.map(_._1).min)
+      val hist = sortedHistory()
+      // dominance GC: drop every right strictly older than the latest one
+      // at-or-before the watermark — unreachable by any future left
+      val dominantIdx = hist.lastIndexWhere(_._1 <= wm)
+      if (dominantIdx > 0)
+        hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
+      ripe.sortBy(_._1).iterator.map { case (t, l) => resolve(key, t, l, hist) }
+    }
+  }
+
+  /** Join two keyed, timestamped streams as-of. Each side gets
+    * `withWatermark(lateness)` before the union (Spark advances the global
+    * watermark to the union's minimum). Output rows are FINAL (append
+    * mode): a left emits when the watermark passes its ts, or immediately
+    * when it arrives late. */
+  def asOfJoin[K, L, R](left: Dataset[(K, java.sql.Timestamp, L)],
+                        right: Dataset[(K, java.sql.Timestamp, R)],
+                        lateness: String = "0 seconds")(
+      implicit tagEnc: Encoder[Tagged[K, L, R]],
+      kEnc: Encoder[K], bufEnc: Encoder[(Long, L)], rEnc: Encoder[R],
+      outEnc: Encoder[AsOfJoined[K, L, R]]): Dataset[AsOfJoined[K, L, R]] = {
+    Stateful.requireRocksDBStateStore(left.sparkSession)
+    val l = left.map { case (k, ts, v) =>
+      (k, ts, 1, Some(v): Option[L], None: Option[R]) }.withWatermark("_2", lateness)
+    val r = right.map { case (k, ts, v) =>
+      (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
+    l.union(r).groupByKey(_._1)
+      .transformWithState(new AsOfProcessor[K, L, R],
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -173,6 +173,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q_interval_join: bucketed equi-join — NO nested-loop or cartesian plan") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must not nested-loop:\n${p.take(3000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q_asof_join: one window pass, no join operator at all") {
     // the as-of rewrite is union + window — any Join node would mean the
     // per-left-row inequality formulation snuck back in

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
 
 import graft.operators.Windows._
 import graft.operators.Create
-import graft.streaming.{Stateful, StreamingOps}
+import graft.streaming.{AsOfStream, Stateful, StreamingOps}
 
 /** Shared mutable "external system" for the Watch.growthOf test (static so
   * executor closures in local mode see the same state). */
@@ -321,6 +321,49 @@ class StreamingSpec extends SparkSpec {
       // [2h,3h) reads [2h,4h) (threshold 20)
       assert(got == Seq((base, 2L, 10), (base + H, 1L, 10), (base + 2 * H, 1L, 20)),
         got.toString)
+    } finally q.stop()
+  }
+
+  test("AsOfStream.asOfJoin: watermark-final latest-right matching, dominance GC, late left") {
+    Stateful.requireRocksDBStateStore(spark)
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS())
+      .map(j => (j.key, j.leftTs / 1000, j.left, j.rightTs.map(_ / 1000), j.right))
+    val q = out.toDF("k", "lts", "label", "rts", "price")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // batch 1: rights a@10 (p=100), a@20 (p=200); left a@15. The data
+      // batch runs at watermark 0 (left buffers, timer set at 15s); the
+      // trailing no-data batch advances the watermark to 20s and fires the
+      // timer — a@15 matches the a@10 right (NOT a@20, which is later)
+      rightIn.addData(("a", ts(10), 100L), ("a", ts(20), 200L))
+      leftIn.addData(("a", ts(15), "L15"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("asof_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      assert(afterB1.toSet == Set(("a", 15L, "L15", Some(10L), Some(100L))), afterB1.mkString)
+
+      // batch 2: right b@60 rides the watermark up to 60s
+      rightIn.addData(("b", ts(60), 900L))
+      q.processAllAvailable()
+
+      // batch 3 (watermark now 60s): late left a@25 resolves IMMEDIATELY
+      // against the retained history — a@20 survives dominance GC as the
+      // dominant right; late left b@55 has no right at-or-before it
+      leftIn.addData(("a", ts(25), "L25"), ("b", ts(55), "L55"))
+      q.processAllAvailable()
+      val all = spark.table("asof_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(all == Set(
+        ("a", 15L, "L15", Some(10L), Some(100L)),
+        ("a", 25L, "L25", Some(20L), Some(200L)),
+        ("b", 55L, "L55", None, None)), all.mkString("\n"))
     } finally q.stop()
   }
 }
