@@ -284,6 +284,16 @@ object OracleSql {
          |FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p < iv.hi
          |GROUP BY 1""".stripMargin,
 
+    // Bit-exact replay of the Morton interleave (bits=20) with plain
+    // shift/mask SQL — Spark's codegen'd MortonCode vs DuckDB arithmetic.
+    "q_zorder_key" -> {
+      val terms = (0 until 20).flatMap { i =>
+        Seq(s"(((user_id >> $i) & 1) << ${2 * i})",
+            s"((((event_id % 1048576) >> $i) & 1) << ${2 * i + 1})")
+      }
+      s"SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM events"
+    },
+
     "q_interval_join" ->
       """WITH a AS (SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS a_lo,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS a_hi

@@ -486,6 +486,14 @@ object Queries {
       .agg(count(lit(1)).as("n_overlaps"), min(col("b_id")).as("first_b"))
   }
 
+  /** Z-order (Morton) clustering key over (user_id, event_id mod 2^20) —
+    * the sort key graft.sources.Layout.zorderWrite clusters files by; the
+    * oracle replays the bit interleave with plain shift/mask SQL. */
+  def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      graft.expressions.LayoutExpressions.mortonCode(
+        col("user_id"), col("event_id") % 1048576, bits = 20).as("zval"))
+
   // ---------------------------------------------------------------- windowing
 
   def qWindowFixed(s: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,8 @@ object ScaleProbe {
     // run only the round-5 new-op probes (as-of / range join / span dedup /
     // semdedup occupancy)
     if (sys.env.get("SPARK_GRAFT_NEWOPS_ONLY").contains("1")) { newOpsProbe(factor); return }
+    // run only the z-order layout pruning duel
+    if (sys.env.get("SPARK_GRAFT_ZORDER_ONLY").contains("1")) { zorderDuel(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -282,6 +284,62 @@ object ScaleProbe {
     val autoBaseT = timed("semdedup_auto_base")(semRun(embBase, autoB))
     val autoBigT = timed(s"semdedup_auto_x$factor")(semRun(embBig, autoN))
     println(f"""{"semdedup_auto_wall_ratio":${autoBigT / autoBaseT}%.2f,"semdedup_fixed_base_sec":$fixedBaseT%.3f}""")
+    spark.stop()
+  }
+
+  /** Z-order layout duel: the SAME ×factor event table written (a) hash-
+    * layout and (b) Layout.zorderWrite on (user_id, ts), same file count;
+    * then a conjunctive 2-D selective query (a 10-user band × 3 days)
+    * against
+    * each. Parquet row-group pruning works off per-file min/max stats, so
+    * the z layout — where every file covers a small user×time rectangle —
+    * should read a fraction of the files the hash layout reads. Reported:
+    * wall time warm AND the per-file stats-hit count (files whose min/max
+    * admit the predicate — the quantity pruning actually uses). */
+  private def zorderDuel(factor: Int): Unit = {
+    import graft.sources.Layout
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/repo/target/sp_zorder_duel"
+    val base = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+    // scale time by stacking shifted copies (keeps per-user × per-day
+    // density realistic instead of duplicating identical timestamps)
+    val dayUs = 86400L * 1000000
+    val big = (0 until factor).map(i =>
+        base.withColumn("tus", col("tus") + lit(i * 31 * dayUs))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+    val files = 64
+    big.repartition(files, col("event_id")).write.mode("overwrite").parquet(s"$dir/plain")
+    Layout.zorderWrite(big, col("user_id"), col("tus"), s"$dir/zorder", files)
+
+    val t0 = spark.read.parquet(s"$dir/plain")
+      .agg(min(col("tus"))).collect()(0).getLong(0)
+    def query(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("user_id").between(40, 49) && col("tus") >= t0 + 40 * dayUs &&
+          col("tus") < t0 + 43 * dayUs)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    def statsHit(path: String): Long =
+      spark.read.parquet(path).groupBy(input_file_name())
+        .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+             min(col("tus")).as("tlo"), max(col("tus")).as("thi"))
+        .filter(col("ulo") <= 49 && col("uhi") >= 40 &&
+          col("tlo") < t0 + 43 * dayUs && col("thi") >= t0 + 40 * dayUs)
+        .count()
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0n = System.nanoTime(); body
+      val s = (System.nanoTime() - t0n) / 1e9
+      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+    }
+    query(s"$dir/plain"); query(s"$dir/zorder") // warm
+    val rows = query(s"$dir/plain")
+    val pT = timed("zorder_duel_plain")(query(s"$dir/plain"))
+    val zT = timed("zorder_duel_zorder")(query(s"$dir/zorder"))
+    println(s"""{"zorder_rows":$rows,"plain_stats_hit_files":${statsHit(s"$dir/plain")},""" +
+      s""""zorder_stats_hit_files":${statsHit(s"$dir/zorder")},"total_files":$files,""" +
+      f""""zorder_speedup":${pT / zT}%.2f}""")
     spark.stop()
   }
 

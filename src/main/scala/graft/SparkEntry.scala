@@ -64,6 +64,7 @@ object SparkEntry {
     "q_asof_join"       -> Queries.qAsofJoin _,
     "q_range_join"      -> Queries.qRangeJoin _,
     "q_interval_join"   -> Queries.qIntervalJoin _,
+    "q_zorder_key"      -> Queries.qZorderKey _,
     "q_flatten"         -> Queries.qFlatten _,
     "q_intersect"       -> Queries.qIntersect _,
     "q_except"          -> Queries.qExcept _,
