@@ -164,15 +164,81 @@ object StreamProbe {
         if (states.isEmpty) -1 else states.last)
     }
 
+    // -------- streaming as-of join: per key, `nRounds` rounds of 4 rights
+    // + 4 interleaved lefts, watermark riding forward each round. The
+    // boundedness claim differs from the pane processors: quiescent state
+    // is ONE dominant right per key (not zero) — the dominance GC keeps
+    // history from accumulating across rounds even though 4·rounds rights
+    // were fed per key.
+    def probeAsOf(nKeys: Int): ProbeResult = {
+      import spark.implicits._
+      val nRounds = 6
+      val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+      val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+      val out = graft.streaming.AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS())
+        .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      val name = s"streamprobe_a_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = out.toDF("k", "lts", "rts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var fed = 0L
+      val t0 = System.nanoTime()
+      (0 until nRounds).foreach { r =>
+        val base = r * 60000L
+        rightIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000), j.toLong))))
+        leftIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000 + 500), "l"))))
+        q.processAllAvailable()
+        fed += nKeys.toLong * 8
+      }
+      // ride the watermark far forward on both inputs so every pending
+      // left resolves and the dominance GC has run on every key
+      val far = nRounds * 60000L + 300000L
+      rightIn.addData(("__wm", new Timestamp(far), 0L))
+      leftIn.addData(("__wm", new Timestamp(far + 1000), "l"))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      ProbeResult(fed, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    def reportAsOf(base: ProbeResult, big: ProbeResult,
+                   baseKeys: Int, bigKeys: Int): Unit = {
+      println(f"""{"probe":"asof_join","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+        f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
+        f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
+        f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,""" +
+        f""""base_max_state":${base.maxStateRows},"x${factor}_max_state":${big.maxStateRows},""" +
+        f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
+      // quiescent bound: ≤ one dominant right per key (+2 sentinel keys'
+      // rows). Growth beyond that means the dominance GC leaks history.
+      val (bBound, nBound) = (2 * baseKeys + 4, 2 * bigKeys + 4)
+      if (base.finalStateRows > bBound || big.finalStateRows > nBound) {
+        System.err.println(s"FAIL[asof_join]: state beyond the dominance bound " +
+          s"(base=${base.finalStateRows}>$bBound or x$factor=${big.finalStateRows}>$nBound)")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     val baseKeys = 50
-    // warm both paths once (RocksDB + codegen init dominate a cold run)
-    probeTriggered(baseKeys); probeSessions(baseKeys)
+    // warm all paths once (RocksDB + codegen init dominate a cold run)
+    probeTriggered(baseKeys); probeSessions(baseKeys); probeAsOf(baseKeys)
     val tBase = probeTriggered(baseKeys)
     val tBig = probeTriggered(baseKeys * factor)
     report("triggered_fixed_windows", tBase, tBig)
     val sBase = probeSessions(baseKeys)
     val sBig = probeSessions(baseKeys * factor)
     report("merging_sessions", sBase, sBig)
+    val aBase = probeAsOf(baseKeys)
+    val aBig = probeAsOf(baseKeys * factor)
+    reportAsOf(aBase, aBig, baseKeys, baseKeys * factor)
     spark.stop()
   }
 }
