@@ -186,6 +186,11 @@ object Dedup {
     // threshold+1 edges (≤ ~16 MB at the default threshold); if everything
     // fit we already hold the whole graph — no separate count() job that
     // would compute the candidate pipeline a second time.
+    // the gate collects threshold+1 rows on the driver, so the knob is
+    // hard-capped below Int.MaxValue — a larger Long would wrap negative
+    // in limit() and an Array can't hold it anyway
+    require(localThreshold < Int.MaxValue,
+      s"localThreshold must be < Int.MaxValue (driver-side gate), got $localThreshold")
     val smallGraph: Option[Array[(Long, Long)]] =
       if (!integralId) None
       else {

@@ -172,8 +172,12 @@ object Joins {
     *
     * `left` keeps ALL its columns; `rightPayload` columns (disjoint names
     * from left's) are appended, null where no right row precedes
-    * (left-outer semantics). Right rows must be unique per (keys, ts) —
-    * otherwise which same-timestamp payload wins is tie-ambiguous. */
+    * (left-outer semantics). The payload travels as ONE struct through the
+    * window fill — WHOLE-ROW semantics: a right row with some NULL payload
+    * values is matched as-is, never stitched column-wise with older rows
+    * (a per-column last(ignoreNulls) would do exactly that). Right rows
+    * must be unique per (keys, ts) — otherwise which same-timestamp
+    * payload wins is tie-ambiguous. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame = {
@@ -183,21 +187,26 @@ object Joins {
     require(rightPayload.intersect(leftCols).isEmpty,
       s"rightPayload must not collide with left columns: ${rightPayload.intersect(leftCols)}")
 
+    val payloadStructType = right.select(
+      struct(rightPayload.map(col): _*).as("__rp")).schema("__rp").dataType
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        otherLeft.map(col) ++ rightPayload.map(c => lit(null).as(c)): _*)
+        otherLeft.map(col) :+ lit(null).cast(payloadStructType).as("__rp"): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        otherLeft.map(c => lit(null).as(c)) ++ rightPayload.map(col): _*)
+        otherLeft.map(c => lit(null).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__rp"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r).select(
-      (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) ++
-        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) :+
+        last(col("__rp"), ignoreNulls = true).over(w).as("__rp")): _*)
     filled.filter(col("__side") === 1)
-      .drop("__side").withColumnRenamed("__ts", leftTs)
+      .select((keys.map(col) ++ Seq(col("__ts")) ++ otherLeft.map(col) ++
+        rightPayload.map(c => col(s"__rp.$c").as(c))): _*)
+      .withColumnRenamed("__ts", leftTs)
   }
 
   // ------------------------------------------------------------ range join

@@ -225,6 +225,15 @@ object Bpe {
     * shuffle; the merges table ships once per task in the closure. */
   def tokenCount(docs: DataFrame, text: Column, id: Column,
                  merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    // fail up front on a non-integral id (same contract as the ANN ops) —
+    // a silent cast('long') would surface as an opaque null-field encoder
+    // error mid-job instead
+    val idType = docs.select(id).schema.head.dataType
+    require(idType == org.apache.spark.sql.types.LongType
+        || idType == org.apache.spark.sql.types.IntegerType
+        || idType == org.apache.spark.sql.types.ShortType,
+      s"tokenCount id column must be integral (got $idType); derive a " +
+        "surrogate id (e.g. xxhash64) for non-numeric keys")
     val ranks = merges.zipWithIndex.toMap
     val s = docs.sparkSession
     import s.implicits._

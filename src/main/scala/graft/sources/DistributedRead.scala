@@ -93,15 +93,25 @@ private[sources] object DistributedRead {
   }
 
   /** Close `resource` the first time the iterator reports empty, so a
-    * flatMap over many files holds at most one stream open per task. */
-  private def closeOnExhaust[T](it: Iterator[T], resource: java.io.Closeable): Iterator[T] =
+    * flatMap over many files holds at most one stream open per task — PLUS
+    * a task-completion listener as the backstop for partial consumption:
+    * a limit/take or task failure abandons the iterator before exhaustion,
+    * and without the listener every abandoned split would leak its FS
+    * handle (fatal over a many-split object-store scan). close() is
+    * idempotent-guarded so the double-close on the happy path is a no-op. */
+  private def closeOnExhaust[T](it: Iterator[T], resource: java.io.Closeable): Iterator[T] = {
+    val guard = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit =
+      if (guard.compareAndSet(false, true)) resource.close()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[T] {
-      private var closed = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { resource.close(); closed = true }
+        if (!h) closeOnce()
         h
       }
       def next(): T = it.next()
     }
+  }
 }

@@ -26,12 +26,15 @@ import org.apache.spark.sql.streaming._
   *    the same retention argument as Flink's temporal-join state cleanup.
   *
   * Late data (ts <= watermark on arrival, within Spark's global-watermark
-  * admission): a late LEFT resolves immediately against the retained
-  * history — the dominant-right GC guarantees its answer is still present
-  * unless the matching right was itself late and already superseded; a late
-  * RIGHT inserts into history and serves later lefts, but never retracts an
-  * emitted result (no retraction channel in Append mode — Beam's
-  * accumulating-with-retractions is likewise out of scope there).
+  * admission): a late LEFT resolves immediately against the RETAINED
+  * history — correct whenever its ts is at-or-after the dominant retained
+  * right; a late left older than the dominant right may find a thinner
+  * history than an on-time arrival would have (the GC already dropped
+  * rights only on-time lefts could need) and resolve to the best retained
+  * row or None. A late RIGHT inserts into history and serves later lefts,
+  * but never retracts an emitted result (no retraction channel in Append
+  * mode — Beam's accumulating-with-retractions is likewise out of scope
+  * there).
   *
   * Ties: several right rows at the same (key, ts) keep the LAST processed
   * (map overwrite) — pre-aggregate the right stream per (key, ts) for full
@@ -78,9 +81,11 @@ object AsOfStream {
       val wm = tv.getCurrentWatermarkInMs()
       var lateLeft = List.empty[(Long, L)]
       var minPending = Long.MaxValue
+      var sawRight = false
       rows.foreach {
         case (_, ts, 0, _, Some(r)) =>
           rights.updateValue(ts.getTime, r)
+          sawRight = true
         case (_, ts, 1, Some(l), _) =>
           val t = ts.getTime
           if (t <= wm) lateLeft ::= (t, l) // late: final by definition, emit now
@@ -88,6 +93,11 @@ object AsOfStream {
         case _ => () // malformed tag: drop
       }
       if (minPending != Long.MaxValue) getHandle.registerTimer(minPending)
+      // a right-only key must still get its dominance GC: without this, a
+      // key that receives rights but never a left would accumulate history
+      // forever (no left ⇒ no timer ⇒ handleExpiredTimer never runs). The
+      // wm+1 timer fires on the next watermark advance and GC runs there.
+      else if (sawRight) getHandle.registerTimer(wm + 1)
       if (lateLeft.isEmpty) Iterator.empty
       else {
         val hist = sortedHistory()
@@ -104,10 +114,17 @@ object AsOfStream {
       if (still.nonEmpty) getHandle.registerTimer(still.map(_._1).min)
       val hist = sortedHistory()
       // dominance GC: drop every right strictly older than the latest one
-      // at-or-before the watermark — unreachable by any future left
+      // at-or-before the watermark — unreachable by any future ON-TIME
+      // left. A late left older than the dominant right may therefore
+      // resolve against a thinner history (see the class doc's late-data
+      // contract); widen retention with a processor-level lateness horizon
+      // if late lefts must see deeper history.
       val dominantIdx = hist.lastIndexWhere(_._1 <= wm)
       if (dominantIdx > 0)
         hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
+      // rights still in flight (> wm) need a future GC pass even if no
+      // left ever arrives for this key again
+      if (hist.length - math.max(dominantIdx, 0) > 1) getHandle.registerTimer(wm + 1)
       ripe.sortBy(_._1).iterator.map { case (t, l) => resolve(key, t, l, hist) }
     }
   }

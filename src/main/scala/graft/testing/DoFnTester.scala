@@ -95,10 +95,22 @@ object DoFnTester {
     * Lifecycle per task: setup → startBundle → process* → finishBundle →
     * teardown. Buffering is PER ELEMENT (bounded by one element's fan-out),
     * not per partition — the element stream flows lazily through the task,
-    * so an arbitrarily large partition never accumulates on-heap. */
+    * so an arbitrarily large partition never accumulates on-heap.
+    *
+    * Partial consumption (a limit/take that stops pulling, or a task
+    * failure): finishBundle's OUTPUT is necessarily lost — there is no
+    * channel to emit rows after the consumer stops — but teardown still
+    * runs via a task-completion listener, so resources opened in setup
+    * never leak. Beam's bundle contract likewise ties finishBundle output
+    * to a fully-processed bundle. */
   def asPartitionFunction[I, O](fn: DoFn[I, O]): Iterator[I] => Iterator[(String, O)] =
     (it: Iterator[I]) => {
       fn.setup()
+      val torndown = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def teardownOnce(): Unit =
+        if (torndown.compareAndSet(false, true)) fn.teardown()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => teardownOnce()))
       fn.startBundle()
       val perElement = it.flatMap { i =>
         val buf = mutable.ArrayBuffer.empty[(String, O)]
@@ -111,7 +123,7 @@ object DoFnTester {
         val buf = mutable.ArrayBuffer.empty[(String, O)]
         val r = new MultiOutputReceiver[O]((t, v) => buf += ((t, v)))
         fn.finishBundle(r)
-        fn.teardown()
+        teardownOnce()
         buf
       }
     }

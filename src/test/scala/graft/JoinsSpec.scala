@@ -132,6 +132,17 @@ class JoinsSpec extends SparkSpec {
       Seq("b", 7L, "l4", null, null)))        // other key's rows invisible
   }
 
+  test("asOf has WHOLE-ROW semantics: a null payload value is matched as-is, never stitched") {
+    val l = Seq(("a", 10L, "l")).toDF("k", "ts", "lv")
+    val r = Seq(("a", 1L, Some(5L), Some(7L)), ("a", 2L, None, Some(9L)))
+      .toDF("k", "rts", "price", "qty")
+    val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price", "qty"))
+    // latest right is (ts=2, price=NULL, qty=9): price must be NULL, not
+    // back-filled from the older (5, 7) row
+    assertRows(out.select(col("k"), col("ts"), col("price"), col("qty")),
+      Seq(Seq[Any]("a", 10L, null, 9L)))
+  }
+
   test("asOf rejects payload names colliding with left columns") {
     val l = Seq(("a", 1L)).toDF("k", "ts")
     val r = Seq(("a", 1L)).toDF("k", "rts")
