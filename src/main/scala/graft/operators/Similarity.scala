@@ -266,7 +266,12 @@ object Similarity {
             col("c_cell").as("cell")).as("nc"))
           .groupBy(col("id")).agg(min(col("nc")).as("best"))
           .select(col("id"), col("best.cell").as("cell"))
-        base.join(best, "id")
+        // semDedup consumes the assignment three times (both self-join
+        // sides + the final rollup); without truncation each consumer
+        // re-runs the argmin shuffle. localCheckpoint materializes it once
+        // on the executors. The ≤64 literal path stays lazy — recomputing
+        // a narrow codegen'd pass is cheaper than storing it.
+        base.join(best, "id").localCheckpoint()
       }
     Some(assigned)
   }

@@ -184,6 +184,17 @@ class JoinsSpec extends SparkSpec {
       Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, 11L)))
   }
 
+  test("pointInIntervalJoin handles NEGATIVE domain values (floor-div binning)") {
+    // bins must floor toward -inf: -5 at width 10 is bin -1, not bin 0 —
+    // integer truncation would misplace it and lose the match
+    val points = Seq(-15L, -5L, 0L, 5L).toDF("p")
+    val intervals = Seq((1L, -20L, -10L), (2L, -10L, 10L)).toDF("iv", "lo", "hi")
+    val out = Joins.pointInIntervalJoin(
+      points, col("p"), intervals, col("lo"), col("hi"), bucketWidth = 10L)
+    assertRows(out.select(col("iv"), col("p")),
+      Seq(Seq(1L, -15L), Seq(2L, -5L), Seq(2L, 0L), Seq(2L, 5L)))
+  }
+
   test("pointInIntervalJoin with extra equality keys scopes matches per key") {
     val points = Seq(("a", 5L), ("b", 5L)).toDF("k", "p")
     val intervals = Seq(("a", 0L, 10L, 1L)).toDF("k", "lo", "hi", "iv")
