@@ -25,14 +25,18 @@ import org.apache.spark.sql.streaming._
   *    the map holds only in-flight rights plus ONE dominant row per key —
   *    the same retention argument as Flink's temporal-join state cleanup.
   *
-  * Late data (ts <= watermark on arrival, within Spark's global-watermark
-  * admission): a late LEFT resolves immediately against the RETAINED
-  * history — correct whenever its ts is at-or-after the dominant retained
-  * right; a late left older than the dominant right may find a thinner
-  * history than an on-time arrival would have (the GC already dropped
-  * rights only on-time lefts could need) and resolve to the best retained
-  * row or None. A late RIGHT inserts into history and serves later lefts,
-  * but never retracts an emitted result (no retraction channel in Append
+  * Late data: Spark's stateful operators DROP input rows older than the
+  * global (min-across-sources) watermark before they reach the processor,
+  * so admission is governed entirely by the `lateness` watermark delay —
+  * and because the dominance GC is keyed to the SAME global watermark,
+  * every row that is admitted always finds its complete right history
+  * still retained (an admitted left has ts >= watermark; its answer is
+  * either a right > watermark, retained as in-flight, or the dominant
+  * right at-or-before the watermark, retained by definition). Results are
+  * therefore EXACT for every admitted row at any lateness setting; the
+  * processor's own ts <= watermark branch only sees boundary rows or
+  * nonstandard watermark policies and resolves them best-effort against
+  * the retained history. Emitted results are never retracted (append
   * mode — Beam's accumulating-with-retractions is likewise out of scope
   * there).
   *
@@ -88,7 +92,9 @@ object AsOfStream {
           sawRight = true
         case (_, ts, 1, Some(l), _) =>
           val t = ts.getTime
-          if (t <= wm) lateLeft ::= (t, l) // late: final by definition, emit now
+          // boundary/nonstandard-policy rows (Spark's late filtering
+          // normally drops ts < watermark upstream): final, emit now
+          if (t <= wm) lateLeft ::= (t, l)
           else { pendingLeft.appendValue((t, l)); minPending = math.min(minPending, t) }
         case _ => () // malformed tag: drop
       }
@@ -114,11 +120,10 @@ object AsOfStream {
       if (still.nonEmpty) getHandle.registerTimer(still.map(_._1).min)
       val hist = sortedHistory()
       // dominance GC: drop every right strictly older than the latest one
-      // at-or-before the watermark — unreachable by any future ON-TIME
-      // left. A late left older than the dominant right may therefore
-      // resolve against a thinner history (see the class doc's late-data
-      // contract); widen retention with a processor-level lateness horizon
-      // if late lefts must see deeper history.
+      // at-or-before the watermark. Complete for every admissible left:
+      // Spark's late-record filtering guarantees future lefts have
+      // ts >= watermark, and their answer is either an in-flight right
+      // (> watermark, retained) or the dominant right (retained).
       val dominantIdx = hist.lastIndexWhere(_._1 <= wm)
       if (dominantIdx > 0)
         hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
@@ -133,7 +138,13 @@ object AsOfStream {
     * `withWatermark(lateness)` before the union (Spark advances the global
     * watermark to the union's minimum). Output rows are FINAL (append
     * mode): a left emits when the watermark passes its ts, or immediately
-    * when it arrives late. */
+    * when it arrives late.
+    *
+    * `lateness` is BOTH the admission window and the retention window:
+    * delaying the watermark admits laggard rows (they buffer as pending)
+    * and, because the dominance GC runs against the same delayed
+    * watermark, automatically retains every right those laggards can
+    * need — no separate retention knob exists because none is needed. */
   def asOfJoin[K, L, R](left: Dataset[(K, java.sql.Timestamp, L)],
                         right: Dataset[(K, java.sql.Timestamp, R)],
                         lateness: String = "0 seconds")(

@@ -366,4 +366,40 @@ class StreamingSpec extends SparkSpec {
         ("b", 55L, "L55", None, None)), all.mkString("\n"))
     } finally q.stop()
   }
+
+  test("AsOfStream.asOfJoin lateness admits laggard lefts; pending rows resolve pre-GC") {
+    // the `lateness` watermark delay is BOTH the admission and the
+    // retention window: a left 105s behind the newest event still gets
+    // the CORRECT older right, because ripe pending lefts resolve in the
+    // same timer pass that runs the dominance GC, against the pre-GC
+    // history
+    Stateful.requireRocksDBStateStore(spark)
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS(),
+        lateness = "60 seconds")
+      .map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000)))
+    val q = out.toDF("k", "lts", "rts")
+      .writeStream.format("memory").queryName("asof_lateness")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      rightIn.addData(("a", ts(10), 100L), ("a", ts(20), 200L))
+      q.processAllAvailable()
+      leftIn.addData(("a", ts(15), "laggard")) // buffers: watermark still behind
+      q.processAllAvailable()
+      rightIn.addData(("c", ts(120), 900L))    // right source far ahead
+      q.processAllAvailable()
+      assert(spark.table("asof_lateness").isEmpty,
+        "global watermark (min of sources, each lagging 60s) must still gate emission")
+      leftIn.addData(("d", ts(90), "x"))       // left watermark to 30s -> timer fires
+      q.processAllAvailable()
+      val got = spark.table("asof_lateness").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+      // a@15 matched a@10 (not the newer a@20) even though by then the GC
+      // pass had every reason to collapse history — pre-GC resolve order
+      assert(got == Set(("a", 15L, Some(10L))), got.mkString)
+    } finally q.stop()
+  }
 }
