@@ -378,6 +378,28 @@ object OracleSql {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8""".stripMargin,
 
+    // Full BM25 replay: same tokenization, exact n/avgdl (dl is integer-
+    // valued so any summation order agrees bit-for-bit), 9-dp-rounded idf
+    // (ln differs across libms only in the last ulp), Lucene idf variant,
+    // k1=1.2 b=0.75, 6-dp score, (score DESC, doc_id ASC) top-10.
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM w),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM d, UNNEST(toks) AS u(t)
+        |       WHERE t IN ('join', 'filter', 'dup')
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |              round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)), 9)
+        |                * tf.tf * 2.2
+        |                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+        |       FROM tf JOIN df USING (term) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     // Same tokenization convention as the other shingle oracles (lower +
     // \s+ split with empty leading token preserved, 1-based inclusive
     // slices); DISTINCT per doc mirrors WordShingles' first-occurrence dedup.

@@ -584,6 +584,13 @@ object Queries {
       k = 5, planes = 6)
   }
 
+  /** BM25 lexical retrieval: top-10 docs for a mixed-selectivity query —
+    * two stopword-grade terms plus the discriminative "dup" (df 25 at
+    * sf0.01) — fully replayed by DuckDB (9-dp idf literals, exact avgdl). */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), col("text"), col("doc_id"),
+      queryTerms = Seq("join", "filter", "dup"), k = 10)
+
   /** Sub-document duplication (Lee et al. exact-substring style): per doc,
     * the fraction of its distinct 8-token spans that also occur verbatim in
     * another doc — a verdict column per doc, full DuckDB replay. */

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> Queries.qNgramJaccard _,
     "q_dedup_clusters"  -> Queries.qDedupClusters _,
     "q_span_dedup"      -> Queries.qSpanDedup _,
+    "q_bm25"            -> Queries.qBm25 _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_ivf_ann"         -> Queries.qIvfAnn _,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the missing sibling of the ANN
+  * family: BM25 (Robertson/Spärck Jones, the Lucene `(1 + (N-df+0.5)/
+  * (df+0.5))` idf variant) ranks documents against a bag-of-terms query.
+  * Training-data pipelines use exactly this for contamination checks,
+  * targeted corpus search, and hard-negative mining next to embedding ANN.
+  */
+object Retrieval {
+
+  /** BM25 top-k: (doc_id, score) for the `k` best-matching docs.
+    *
+    * Scale shape: ONE corpus tokenize pass (the same lower + `\s+` split
+    * convention as the dedup family) whose explode is immediately filtered
+    * to the query terms — the per-(doc, term) tf frame is bounded by
+    * |docs| × |query| and localCheckpointed once for its two consumers
+    * (df stats + scoring), so the corpus is scanned once. Document-
+    * frequency and corpus stats come back to the driver as |query| + 2
+    * scalars; idf values are inlined as literals rounded to 9 dp (the
+    * engine-neutral-rounding idiom — ln differs across libms in the last
+    * ulp, far below 1e-9). Final ranking is a bounded TakeOrdered with a
+    * doc_id tiebreak; scores round to 6 dp for cross-engine hashing.
+    *
+    * `dl` is integer-valued, so `avgdl` is EXACT in double on any
+    * summation order — the one corpus-wide statistic every score shares
+    * is bit-identical across engines by construction. */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    val withDl = docs.select(id.cast("long").as("doc_id"),
+        split(lower(text), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val stats = withDl.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint() // two consumers; the corpus explode runs once
+    val dfByTerm = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val idf = queryTerms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0.0)
+      t -> round9(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+    }.toMap
+    val idfCol = queryTerms.map(t => when(col("term") === t, lit(idf(t))))
+      .reduce(coalesce(_, _))
+    tf.withColumn("s", idfCol * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -264,6 +264,33 @@ class DedupSimilaritySpec extends SparkSpec {
       s"mixed-norm round 2 worsened: ${mObjective(m1)} -> ${mObjective(m2)}")
   }
 
+  test("bm25TopK: rare terms outrank common, tf saturates, dl normalizes, ties break by id") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "rare common common"),        // one rare hit, short
+      (2L, "rare common common common common common common common common"), // rare hit, long
+      (3L, "common common"),             // common only
+      (4L, "common common"),             // tie with 3
+      (5L, "nothing here at all"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("rare", "common"), k = 4).collect()
+    val order = out.map(_.getLong(0)).toSeq
+    // doc 1 and 2 both hit "rare" (idf >> "common"); doc 1 is shorter so
+    // its dl-normalization boosts it above doc 2; docs 3/4 are identical
+    // common-only docs — equal scores, id tiebreak
+    assert(order == Seq(1L, 2L, 3L, 4L), order.mkString(","))
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(3L) == scores(4L))
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+    // hand-check doc 3: tf(common)=2, dl=2, N=5, df(common)=4, avgdl=4.0
+    // idf = ln(1 + (5-4+0.5)/(4+0.5)) = ln(1.3333...); score =
+    // idf * 2*2.2 / (2 + 1.2*(0.25 + 0.75*2/4))
+    val idf = math.rint(math.log(1.0 + 1.5 / 4.5) * 1e9) / 1e9
+    val expected3 = math.rint(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 2 / 4.0)) * 1e6) / 1e6
+    assert(math.abs(scores(3L) - expected3) < 1e-9, s"${scores(3L)} vs $expected3")
+  }
+
   test("semDedup: identical vectors share a cell, min id kept, distinct directions survive") {
     // ids 1/2/3 are the same direction (1,0,...) at different magnitudes —
     // same cell, cosine 1.0 → only id 1 keeps; id 10 is orthogonal.
