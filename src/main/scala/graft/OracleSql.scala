@@ -400,6 +400,35 @@ object OracleSql {
         |FROM sc GROUP BY 1
         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
+    // Batch form: same statistics, idf from a per-term aggregate (9-dp in
+    // both engines), row_number top-5 per query with the (score DESC,
+    // doc_id ASC) tiebreak of Similarity.topKByScore.
+    "q_bm25_batch" ->
+      """WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+        |             (0, 'join'), (0, 'filter'), (0, 'dup'),
+        |             (1, 'hash'), (1, 'scan'),
+        |             (2, 'customer'), (2, 'slow'), (2, 'batch')) AS t(query_id, term)),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM w),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM d, UNNEST(toks) AS u(t)
+        |       WHERE t IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, round(ln(1 + (stats.n - df + 0.5) / (df + 0.5)), 9) AS idf
+        |        FROM (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |              FROM tf GROUP BY 1) CROSS JOIN stats),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |              round(CAST(sum(idf.idf * tf.tf * 2.2
+        |                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS DOUBLE), 6) AS score
+        |       FROM tf JOIN idf USING (term) JOIN q USING (term) CROSS JOIN stats
+        |       GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM sc
+        |) WHERE rn <= 5""".stripMargin,
+
     // Same tokenization convention as the other shingle oracles (lower +
     // \s+ split with empty leading token preserved, 1-based inclusive
     // slices); DISTINCT per doc mirrors WordShingles' first-occurrence dedup.

@@ -591,6 +591,19 @@ object Queries {
     Retrieval.bm25TopK(t(s, dir, "documents"), col("text"), col("doc_id"),
       queryTerms = Seq("join", "filter", "dup"), k = 10)
 
+  /** Batch BM25 (the production contamination-check shape): three queries
+    * of mixed selectivity scored against the corpus in one pass, top-5
+    * each, bounded-heap per-query reduction — full DuckDB replay. */
+  def qBm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join", "filter", "dup")),
+      (1L, Seq("hash", "scan")),
+      (2L, Seq("customer", "slow", "batch"))).toDF("query_id", "terms")
+    Retrieval.bm25TopKBatch(t(s, dir, "documents"), col("text"), col("doc_id"),
+      queries, col("query_id"), col("terms"), k = 5)
+  }
+
   /** Sub-document duplication (Lee et al. exact-substring style): per doc,
     * the fraction of its distinct 8-token spans that also occur verbatim in
     * another doc — a verdict column per doc, full DuckDB replay. */

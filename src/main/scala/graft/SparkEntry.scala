@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_clusters"  -> Queries.qDedupClusters _,
     "q_span_dedup"      -> Queries.qSpanDedup _,
     "q_bm25"            -> Queries.qBm25 _,
+    "q_bm25_batch"      -> Queries.qBm25Batch _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_ivf_ann"         -> Queries.qIvfAnn _,

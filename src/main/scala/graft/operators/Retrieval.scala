@@ -62,4 +62,54 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Batch BM25: top-k docs for EVERY query in a (query_id, terms array)
+    * frame — the production shape (contamination checks score a whole
+    * eval set against the corpus; one query per driver literal does not
+    * scale past a handful).
+    *
+    * Same statistics and rounding as [[bm25TopK]], computed fully inside
+    * the plan: the query-term vocabulary (exploded, deduped) BROADCASTS to
+    * the corpus tokenize pass, so the corpus explodes once and keeps only
+    * matching terms; df/idf come from a per-term aggregate joined back by
+    * broadcast (idf rounded to 9 dp in-plan — same engine-neutral idiom);
+    * per-(query, doc) partial sums flow into the typed bounded-heap top-k
+    * ([[Similarity.topKByScore]]: ≤ k rows per query per partition into
+    * the final shuffle, no unbounded group anywhere). Corpus-side cost is
+    * ONE scan + one (doc, term)-bounded shuffle regardless of |queries|. */
+  def bm25TopKBatch(docs: DataFrame, text: Column, id: Column,
+                    queries: DataFrame, queryId: Column, queryTerms: Column,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(queryId.cast("long").as("query_id"),
+        explode(queryTerms).as("term")).distinct()
+    val vocab = qterms.select(col("term")).distinct()
+    val withDl = docs.select(id.cast("long").as("doc_id"),
+        split(lower(text), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val stats = withDl.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint() // two consumers (df + scoring): corpus scans once
+    val idfByTerm = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .select(col("term"),
+        round(log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 9)
+          .as("idf"))
+    val scored = tf
+      .join(broadcast(idfByTerm), "term")
+      .join(broadcast(qterms), "term")
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("query_id"), col("doc_id").as("corpus_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .select(col("query_id"), col("corpus_id"), col("score"))
+    Similarity.topKByScore(scored, k)
+      .withColumnRenamed("corpus_id", "doc_id")
+  }
 }

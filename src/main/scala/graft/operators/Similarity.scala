@@ -93,7 +93,7 @@ object Similarity {
   }
 
   /** Shared typed top-k reduction over a (query_id, corpus_id, score) frame. */
-  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     implicit val ord: Ordering[(Double, Long)] = scoreOrdering

@@ -289,6 +289,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val idf = math.rint(math.log(1.0 + 1.5 / 4.5) * 1e9) / 1e9
     val expected3 = math.rint(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 2 / 4.0)) * 1e6) / 1e6
     assert(math.abs(scores(3L) - expected3) < 1e-9, s"${scores(3L)} vs $expected3")
+
+    // the batch form agrees with the single-query form query-by-query
+    val batch = graft.operators.Retrieval.bm25TopKBatch(docs, col("text"), col("doc_id"),
+      Seq((7L, Seq("rare", "common")), (8L, Seq("nothing"))).toDF("query_id", "terms"),
+      col("query_id"), col("terms"), k = 4).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq }
+    assert(batch(7L) == out.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(batch(8L).map(_._1) == Seq(5L)) // only doc 5 contains "nothing"
   }
 
   test("semDedup: identical vectors share a cell, min id kept, distinct directions survive") {
