@@ -211,6 +211,40 @@ object Joins {
 
   // ------------------------------------------------------------ range join
 
+  /** Exact floor-division bin id for a LONG domain value: pure integer
+    * arithmetic (`(x - pmod(x, W)) div W` — the subtraction makes the
+    * dividend an exact multiple of W, so SQL `div`'s truncation equals the
+    * mathematical floor for any sign). NEVER the double `/`: long÷long is
+    * double division in Spark, which rounds above 2^53 — epoch NANOS
+    * overflow that — and bin ids must be exact, aligned multiples of W for
+    * the documented bin layout and the first-shared-bin guard. */
+  private def binOf(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
+  /** Fail-loud per-row bin-count guard: replaces `loC` with itself, or
+    * raises when the interval spans more than `maxBins` bins — a caller
+    * passing width ≪ interval length would otherwise explode each interval
+    * by len/W+1 rows with no bound (at 100 TB that is an accidental
+    * self-join amplification, not a slow query). Attached to a column the
+    * plan already consumes so Catalyst cannot prune the check. */
+  private def binCapGuard(loC: Column, hiC: Column, w: Long, maxBins: Int): Column = {
+    val nb = binOf(hiC - 1, w) - binOf(loC, w) + lit(1L)
+    when(nb > lit(maxBins.toLong), raise_error(format_string(
+      s"range join: interval [%s, %s) spans %s bins > maxBinsPerRow=$maxBins " +
+        s"at bucketWidth=$w — raise bucketWidth (or the cap)", loC, hiC, nb)))
+      .otherwise(loC)
+  }
+
+  /** Median interval length — the stats-derived default `bucketWidth`
+    * (one bounded aggregate over the intervals side; the scalar comes back
+    * to the driver). Median ≈ the width at which the per-interval
+    * explosion stays ~2× while bins stay selective. */
+  private def medianLength(iv: DataFrame, lo: Column, hi: Column): Long = {
+    val r = iv.select(percentile_approx(
+      (hi.cast("long") - lo.cast("long")), lit(0.5), lit(10000)).as("m")).head()
+    if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
+  }
+
   /** Point-in-interval range join WITHOUT an equality key, executed as an
     * equi-join: Spark plans a pure inequality join as
     * BroadcastNestedLoopJoin (O(|points|·|intervals|) comparisons, driver
@@ -219,29 +253,34 @@ object Joins {
     * explode each interval to every bin it overlaps, map each point to its
     * single bin, hash-join on the bin id, and re-check the exact predicate.
     * Each point lands in EXACTLY one bin, so each matched (point, interval)
-    * pair surfaces exactly once — no post-join dedup.
+    * pair surfaces exactly once — no post-join dedup. Bin ids are computed
+    * in exact integer arithmetic ([[binOf]]) — safe for any long domain,
+    * including epoch nanos beyond 2^53.
     *
     * Cost: shuffle of points ×1 and intervals ×(avg len/bucketWidth + 1);
-    * pick bucketWidth ≈ the median interval length so the interval
-    * explosion stays ~2× while bins stay selective. Extra equality keys
-    * (when present) join alongside the bin id. Skew: a bin spanning a hot
-    * time range is an ordinary hash-join skew — AQE skew-join splits it.
+    * `bucketWidth <= 0` (the default) derives the width from the MEDIAN
+    * interval length, the ~2×-explosion sweet spot; `maxBinsPerRow` caps
+    * the per-interval explosion fail-loud ([[binCapGuard]]). Extra
+    * equality keys (when present) join alongside the bin id. Skew: a bin
+    * spanning a hot time range is an ordinary hash-join skew — AQE
+    * skew-join splits it.
     *
     * `pt`, `lo`, `hi` are LONG domain values ([lo, hi) half-open, e.g.
     * `unix_micros`); `points`/`intervals` must have disjoint column names. */
   def pointInIntervalJoin(points: DataFrame, pt: Column,
                           intervals: DataFrame, lo: Column, hi: Column,
-                          bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+                          bucketWidth: Long = 0L, extraKeys: Seq[String] = Nil,
+                          maxBinsPerRow: Int = 4096): DataFrame = {
+    val w = if (bucketWidth > 0) bucketWidth else medianLength(intervals, lo, hi)
     val p = points.withColumn("__pt", pt.cast("long"))
-      .withColumn("__bin", floor(col("__pt") / bucketWidth).cast("long"))
+      .withColumn("__bin", binOf(col("__pt"), w))
     // hi <= lo is an EMPTY interval: drop it before sequence(), which would
     // otherwise count DOWN (implicit step -1) and fabricate bins.
     val iv = intervals.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
       .filter(col("__hi") > col("__lo"))
+      .withColumn("__lo", binCapGuard(col("__lo"), col("__hi"), w, maxBinsPerRow))
       .withColumn("__bin", explode(sequence(
-        floor(col("__lo") / bucketWidth).cast("long"),
-        floor((col("__hi") - 1) / bucketWidth).cast("long"))))
+        binOf(col("__lo"), w), binOf(col("__hi") - 1, w))))
     p.join(iv, Seq("__bin") ++ extraKeys)
       .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
       .drop("__bin", "__pt", "__lo", "__hi")
@@ -249,30 +288,35 @@ object Joins {
 
   /** Interval-overlap join: pairs of intervals with
     * `a.lo < b.hi && b.lo < a.hi` (half-open overlap), same bin-bucketing
-    * rewrite as [[pointInIntervalJoin]]. Unlike the point case, a pair can
-    * share SEVERAL bins; emitting it only from the FIRST shared bin —
-    * `max(floor(a.lo/W), floor(b.lo/W))`, the standard dedup-free trick —
-    * keeps each pair exactly once without a distinct pass. Both inputs must
-    * have disjoint column names; `bucketWidth` ≈ the median interval length
-    * bounds the explosion factor on both sides. */
+    * rewrite as [[pointInIntervalJoin]] (exact integer bins, stats-derived
+    * default width over BOTH sides unioned, fail-loud bin cap). Unlike the
+    * point case, a pair can share SEVERAL bins; emitting it only from the
+    * FIRST shared bin — `max(binOf(a.lo), binOf(b.lo))`, the standard
+    * dedup-free trick — keeps each pair exactly once without a distinct
+    * pass. Both inputs must have disjoint column names. */
   def intervalOverlapJoin(left: DataFrame, leftLo: Column, leftHi: Column,
                           right: DataFrame, rightLo: Column, rightHi: Column,
-                          bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+                          bucketWidth: Long = 0L, extraKeys: Seq[String] = Nil,
+                          maxBinsPerRow: Int = 4096): DataFrame = {
+    val w =
+      if (bucketWidth > 0) bucketWidth
+      else medianLength(
+        left.select((leftHi.cast("long") - leftLo.cast("long")).as("len"))
+          .unionByName(right.select((rightHi.cast("long") - rightLo.cast("long")).as("len"))),
+        lit(0L), col("len"))
     def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
       df.withColumn(s"__${p}lo", lo.cast("long")).withColumn(s"__${p}hi", hi.cast("long"))
         .filter(col(s"__${p}hi") > col(s"__${p}lo"))
+        .withColumn(s"__${p}lo", binCapGuard(col(s"__${p}lo"), col(s"__${p}hi"), w, maxBinsPerRow))
         .withColumn("__bin", explode(sequence(
-          floor(col(s"__${p}lo") / bucketWidth).cast("long"),
-          floor((col(s"__${p}hi") - 1) / bucketWidth).cast("long"))))
+          binOf(col(s"__${p}lo"), w), binOf(col(s"__${p}hi") - 1, w))))
     val a = binned(left, leftLo, leftHi, "a")
     val b = binned(right, rightLo, rightHi, "b")
     a.join(b, Seq("__bin") ++ extraKeys)
       .filter(col("__alo") < col("__bhi") && col("__blo") < col("__ahi"))
       // first-shared-bin guard: exactly-once emission per overlapping pair
       .filter(col("__bin") === greatest(
-        floor(col("__alo") / bucketWidth).cast("long"),
-        floor(col("__blo") / bucketWidth).cast("long")))
+        binOf(col("__alo"), w), binOf(col("__blo"), w)))
       .drop("__bin", "__alo", "__ahi", "__blo", "__bhi")
   }
 

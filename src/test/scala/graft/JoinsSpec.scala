@@ -202,4 +202,56 @@ class JoinsSpec extends SparkSpec {
       col("lo"), col("hi"), bucketWidth = 10L, extraKeys = Seq("k"))
     assertRows(out.select(col("k"), col("p"), col("iv")), Seq(Seq("a", 5L, 1L)))
   }
+
+  test("range joins are exact beyond 2^53 (epoch-nanos domain, integer bins)") {
+    // doubles can't represent these values: double division would round the
+    // bin id (ulp at 2^62 is 1024 > bucketWidth). Integer floor-division
+    // must keep half-open semantics bit-exact at the far end of the domain.
+    val base = (1L << 62) + 12345L // not a multiple of the width
+    val w = 1000L
+    val points = Seq(base - 1, base, base + 999, base + 1000).toDF("p")
+    val intervals = Seq(
+      (1L, base, base + 1000),        // catches base, base+999; NOT base-1, base+1000
+      (2L, base - 500, base + 1500))  // catches all four
+      .toDF("iv", "lo", "hi")
+    val out = Joins.pointInIntervalJoin(
+      points, col("p"), intervals, col("lo"), col("hi"), bucketWidth = w)
+    assertRows(out.select(col("iv"), col("p")), Seq(
+      Seq(1L, base), Seq(1L, base + 999),
+      Seq(2L, base - 1), Seq(2L, base), Seq(2L, base + 999), Seq(2L, base + 1000)))
+    // overlap variant: exactly-once across shared bins at the same magnitude
+    val a = Seq((1L, base, base + 3000)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, base + 500, base + 2500), (11L, base + 3000, base + 4000))
+      .toDF("b_id", "b_lo", "b_hi")
+    val ov = Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+      b, col("b_lo"), col("b_hi"), bucketWidth = w)
+    assertRows(ov.select(col("a_id"), col("b_id")), Seq(Seq(1L, 10L)))
+  }
+
+  test("range joins derive bucketWidth from the median interval length by default") {
+    val points = Seq(5L, 150L, 1050L).toDF("p")
+    val intervals = Seq( // lengths 10, 100, 1000 → median 100
+      (1L, 0L, 10L), (2L, 100L, 200L), (3L, 1000L, 2000L)).toDF("iv", "lo", "hi")
+    val out = Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"))
+    assertRows(out.select(col("iv"), col("p")),
+      Seq(Seq(1L, 5L), Seq(2L, 150L), Seq(3L, 1050L)))
+  }
+
+  test("range joins fail loud when an interval would explode past maxBinsPerRow") {
+    val points = Seq(5L).toDF("p")
+    val intervals = Seq((1L, 0L, 1000000L)).toDF("iv", "lo", "hi")
+    val e = intercept[Exception] {
+      Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
+        bucketWidth = 1L, maxBinsPerRow = 100).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("maxBinsPerRow"), s"expected a bin-cap raise_error, got: ${chain(e)}")
+    // same guard on the overlap variant
+    val b = Seq((2L, 0L, 1000000L)).toDF("b_id", "b_lo", "b_hi")
+    intercept[Exception] {
+      Joins.intervalOverlapJoin(intervals, col("lo"), col("hi"),
+        b, col("b_lo"), col("b_hi"), bucketWidth = 1L, maxBinsPerRow = 100).collect()
+    }
+  }
 }
