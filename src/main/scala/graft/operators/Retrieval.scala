@@ -11,18 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** ONE corpus tokenize pass (the same lower + `\s+` split convention as
+    * the dedup family), reduced IMMEDIATELY to what BM25 needs per doc:
+    * the document length and the tokens that hit the query vocabulary
+    * (`filter` HOF with an InSet membership probe — O(1) per token). The
+    * localCheckpoint pins that bounded frame (|docs| rows × ≤|vocab|
+    * matched tokens — never the corpus text) so every downstream consumer
+    * (corpus stats, df stats, scoring) replays the CHECKPOINT, not the
+    * tokenize: the corpus is scanned exactly once. */
+  private def matchedPerDoc(docs: DataFrame, text: Column, id: Column,
+                            vocab: Seq[String]): DataFrame =
+    docs.select(id.cast("long").as("doc_id"),
+        split(lower(text), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(vocab: _*)).as("mtoks"))
+      .localCheckpoint()
+
   /** BM25 top-k: (doc_id, score) for the `k` best-matching docs.
     *
-    * Scale shape: ONE corpus tokenize pass (the same lower + `\s+` split
-    * convention as the dedup family) whose explode is immediately filtered
-    * to the query terms — the per-(doc, term) tf frame is bounded by
-    * |docs| × |query| and localCheckpointed once for its two consumers
-    * (df stats + scoring), so the corpus is scanned once. Document-
-    * frequency and corpus stats come back to the driver as |query| + 2
-    * scalars; idf values are inlined as literals rounded to 9 dp (the
-    * engine-neutral-rounding idiom — ln differs across libms in the last
-    * ulp, far below 1e-9). Final ranking is a bounded TakeOrdered with a
-    * doc_id tiebreak; scores round to 6 dp for cross-engine hashing.
+    * Scale shape: ONE corpus tokenize pass ([[matchedPerDoc]] — corpus
+    * stats, document frequencies, and scoring all read the checkpointed
+    * per-doc reduction, never the corpus again). Document-frequency and
+    * corpus stats come back to the driver as |query| + 2 scalars; idf
+    * values are inlined as literals rounded to 9 dp (the engine-neutral-
+    * rounding idiom — ln differs across libms in the last ulp, far below
+    * 1e-9). Final ranking is a bounded TakeOrdered with a doc_id
+    * tiebreak; scores round to 6 dp for cross-engine hashing.
     *
     * `dl` is integer-valued, so `avgdl` is EXACT in double on any
     * summation order — the one corpus-wide statistic every score shares
@@ -32,19 +46,14 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     require(queryTerms.distinct == queryTerms, "query terms must be distinct")
-    val withDl = docs.select(id.cast("long").as("doc_id"),
-        split(lower(text), "\\s+").as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
-    val stats = withDl.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
+    val perDoc = matchedPerDoc(docs, text, id, queryTerms)
+    val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     val n = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint() // two consumers; the corpus explode runs once
     val dfByTerm = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -68,34 +77,32 @@ object Retrieval {
     * eval set against the corpus; one query per driver literal does not
     * scale past a handful).
     *
-    * Same statistics and rounding as [[bm25TopK]], computed fully inside
-    * the plan: the query-term vocabulary (exploded, deduped) BROADCASTS to
-    * the corpus tokenize pass, so the corpus explodes once and keeps only
-    * matching terms; df/idf come from a per-term aggregate joined back by
-    * broadcast (idf rounded to 9 dp in-plan — same engine-neutral idiom);
-    * per-(query, doc) partial sums flow into the typed bounded-heap top-k
-    * ([[Similarity.topKByScore]]: ≤ k rows per query per partition into
-    * the final shuffle, no unbounded group anywhere). Corpus-side cost is
-    * ONE scan + one (doc, term)-bounded shuffle regardless of |queries|. */
+    * Same statistics and rounding as [[bm25TopK]]: the query-term
+    * vocabulary (exploded, deduped — bounded by the eval set, the same
+    * frame the per-query join later broadcasts) is collected once and
+    * compiled into the [[matchedPerDoc]] membership probe, so the corpus
+    * tokenizes once and keeps only matching terms; df/idf come from a
+    * per-term aggregate joined back by broadcast (idf rounded to 9 dp
+    * in-plan — same engine-neutral idiom); per-(query, doc) partial sums
+    * flow into the typed bounded-heap top-k ([[Similarity.topKByScore]]:
+    * ≤ k rows per query per partition into the final shuffle, no
+    * unbounded group anywhere). Corpus-side cost is ONE scan + one
+    * (doc, term)-bounded shuffle regardless of |queries|. */
   def bm25TopKBatch(docs: DataFrame, text: Column, id: Column,
                     queries: DataFrame, queryId: Column, queryTerms: Column,
                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries.select(queryId.cast("long").as("query_id"),
         explode(queryTerms).as("term")).distinct()
     val vocab = qterms.select(col("term")).distinct()
-    val withDl = docs.select(id.cast("long").as("doc_id"),
-        split(lower(text), "\\s+").as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
-    val stats = withDl.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
+      .collect().map(_.getString(0)).toSeq
+    val perDoc = matchedPerDoc(docs, text, id, vocab)
+    val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     val n = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(vocab), "term")
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint() // two consumers (df + scoring): corpus scans once
     val idfByTerm = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
       .select(col("term"),

@@ -300,6 +300,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(batch(8L).map(_._1) == Seq(5L)) // only doc 5 contains "nothing"
   }
 
+  test("bm25 tokenizes the corpus exactly once (scoring reads the checkpoint)") {
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, col("text"), col("doc_id"), Seq("b", "d"), k = 2)
+    // the stats/df passes already consumed the localCheckpoint; the final
+    // plan must read the checkpointed per-doc reduction, not re-tokenize
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("split("), s"scoring plan re-tokenizes the corpus:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"scoring plan does not read the checkpoint:\n$plan")
+  }
+
   test("semDedup: identical vectors share a cell, min id kept, distinct directions survive") {
     // ids 1/2/3 are the same direction (1,0,...) at different magnitudes —
     // same cell, cosine 1.0 → only id 1 keeps; id 10 is orthogonal.
