@@ -33,12 +33,20 @@ import org.apache.spark.sql.streaming._
   * still retained (an admitted left has ts >= watermark; its answer is
   * either a right > watermark, retained as in-flight, or the dominant
   * right at-or-before the watermark, retained by definition). Results are
-  * therefore EXACT for every admitted row at any lateness setting; the
-  * processor's own ts <= watermark branch only sees boundary rows or
-  * nonstandard watermark policies and resolves them best-effort against
-  * the retained history. Emitted results are never retracted (append
-  * mode — Beam's accumulating-with-retractions is likewise out of scope
-  * there).
+  * therefore EXACT for every admitted row at any lateness setting —
+  * INCLUDING the watermark-boundary row (left.ts == watermark), by
+  * Spark's own admission rule: the late-record filter admits a row only
+  * when ts > the PREVIOUS batch's watermark (`WatermarkSupport`'s
+  * less-than-or-equal drop predicate — StreamingSpec pins this with an
+  * equal-ts right in a later batch, observed dropped). So when the
+  * eviction watermark reaches a left's ts, every right at-or-before that
+  * ts has either already arrived or arrives in THIS batch — and
+  * same-batch rights are folded into the history before any left
+  * resolves (input rows are fully consumed, then lefts resolve, then
+  * timers run). An equal-ts right in a LATER batch would need
+  * ts > watermark >= left.ts — impossible. Emitted results are never
+  * retracted (append mode — Beam's accumulating-with-retractions is
+  * likewise out of scope there).
   *
   * Ties: several right rows at the same (key, ts) keep the LAST processed
   * (map overwrite) — pre-aggregate the right stream per (key, ts) for full
@@ -92,8 +100,11 @@ object AsOfStream {
           sawRight = true
         case (_, ts, 1, Some(l), _) =>
           val t = ts.getTime
-          // boundary/nonstandard-policy rows (Spark's late filtering
-          // normally drops ts < watermark upstream): final, emit now
+          // at-or-below the EVICTION watermark: final. Any later batch
+          // admits only ts > (this batch's) watermark >= t, and rights
+          // from THIS batch are already in the map by resolve time (rows
+          // are fully consumed before lateLeft resolves below) — so the
+          // right history at-or-before t is complete. Emit now.
           if (t <= wm) lateLeft ::= (t, l)
           else { pendingLeft.appendValue((t, l)); minPending = math.min(minPending, t) }
         case _ => () // malformed tag: drop
@@ -114,6 +125,10 @@ object AsOfStream {
     override def handleExpiredTimer(key: K, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[AsOfJoined[K, L, R]] = {
       val wm = tv.getCurrentWatermarkInMs()
+      // ripe at ts <= wm: later batches admit only ts > wm, and this
+      // batch's rights were folded into the map before timers run — the
+      // right history at-or-before every ripe left is complete (the same
+      // boundary argument as the arrival path).
       val (ripe, still) = pendingLeft.get().toList.partition(_._1 <= wm)
       pendingLeft.clear()
       still.foreach(pendingLeft.appendValue)

@@ -337,8 +337,9 @@ class StreamingSpec extends SparkSpec {
     try {
       // batch 1: rights a@10 (p=100), a@20 (p=200); left a@15. The data
       // batch runs at watermark 0 (left buffers, timer set at 15s); the
-      // trailing no-data batch advances the watermark to 20s and fires the
-      // timer — a@15 matches the a@10 right (NOT a@20, which is later)
+      // trailing no-data batch advances the global (min-of-sources)
+      // watermark to 15s and fires the timer — a@15 matches the a@10
+      // right (NOT a@20, which is later)
       rightIn.addData(("a", ts(10), 100L), ("a", ts(20), 200L))
       leftIn.addData(("a", ts(15), "L15"))
       q.processAllAvailable()
@@ -347,7 +348,7 @@ class StreamingSpec extends SparkSpec {
           Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long])))
       assert(afterB1.toSet == Set(("a", 15L, "L15", Some(10L), Some(100L))), afterB1.mkString)
 
-      // batch 2: right b@60 rides the watermark up to 60s
+      // batch 2: right b@60 rides the right-source watermark up to 60s
       rightIn.addData(("b", ts(60), 900L))
       q.processAllAvailable()
 
@@ -364,6 +365,52 @@ class StreamingSpec extends SparkSpec {
         ("a", 15L, "L15", Some(10L), Some(100L)),
         ("a", 25L, "L25", Some(20L), Some(200L)),
         ("b", 55L, "L55", None, None)), all.mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("AsOfStream.asOfJoin watermark boundary: resolving at ts == watermark is exact " +
+    "because Spark drops an equal-ts right arriving in a later batch") {
+    // the scaladoc's exactness claim rests on Spark's admission rule
+    // (late filter drops ts <= previous-batch watermark): once the
+    // watermark reaches a left's ts, an equal-ts right can no longer be
+    // admitted, so the boundary left's right-history is complete. Pin
+    // both halves: the boundary left emits with the history seen so far,
+    // and a later equal-ts right is observably dropped (no second match,
+    // no different match).
+    Stateful.requireRocksDBStateStore(spark)
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS())
+      .map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000), j.right))
+    val q = out.toDF("k", "lts", "rts", "price")
+      .writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      rightIn.addData(("a", ts(20), 200L))
+      q.processAllAvailable()
+      leftIn.addData(("a", ts(20), "L20")) // watermark reaches exactly 20s
+      q.processAllAvailable()
+      val afterBoundary = spark.table("asof_boundary").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(afterBoundary == Set(("a", 20L, Some(20L), Some(200L))),
+        s"boundary left must resolve once the watermark reaches its ts: $afterBoundary")
+      rightIn.addData(("a", ts(20), 201L)) // equal-ts right, later batch
+      q.processAllAvailable()
+      rightIn.addData(("c", ts(90), 900L)) // push the watermark well past 20s
+      leftIn.addData(("c", ts(90), "C90"))
+      q.processAllAvailable()
+      val aRows = spark.table("asof_boundary").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .filter(_._1 == "a").toSet
+      // the 201 right was dropped by Spark's late filter (ts <= watermark):
+      // the boundary match is final and unique — were equal-ts rights
+      // admissible, this would show a second or different row
+      assert(aRows == Set(("a", 20L, Some(20L), Some(200L))), aRows.mkString)
     } finally q.stop()
   }
 
