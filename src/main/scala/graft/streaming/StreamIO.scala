@@ -35,22 +35,52 @@ object StreamIO {
   def fileDir(spark: SparkSession, dir: String, format: String, schema: StructType): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
 
-  /** KafkaIO.read (reference: KafkaIO.java:241). Config-level wrapper: the
+  /** Beam KafkaIO.read config → Spark kafka-source option translation,
+    * exposed as a PURE map so the mapping is unit-testable without the
+    * connector jar or a broker (reference: KafkaIO.java:267 read(), :340
+    * withBootstrapServers, :352/:363 withTopic(s), :442
+    * updateConsumerProperties, :470 withStartReadTime). Spark expects raw
+    * consumer properties under its `kafka.` prefix; `withStartReadTime`
+    * maps to `startingTimestamp` (ms) and is mutually exclusive with
+    * `startingOffsets`, mirroring the reference's checkArgument. */
+  def kafkaReadOptions(bootstrapServers: String,
+                       topics: Seq[String],
+                       startingOffsets: String = "latest",
+                       startReadTimeMs: Option[Long] = None,
+                       consumerConfig: Map[String, String] = Map.empty): Map[String, String] = {
+    require(bootstrapServers.nonEmpty, "bootstrapServers is required")
+    require(topics.nonEmpty, "at least one topic is required")
+    val start = startReadTimeMs match {
+      case Some(ms) => Map("startingTimestamp" -> ms.toString)
+      case None     => Map("startingOffsets" -> startingOffsets)
+    }
+    Map("kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topics.mkString(",")) ++ start ++
+      consumerConfig.map { case (k, v) => s"kafka.$k" -> v }
+  }
+
+  /** KafkaIO.write config → Spark kafka-sink options (same pure-map
+    * pattern; producer properties under the `kafka.` prefix). */
+  def kafkaWriteOptions(bootstrapServers: String, topic: String,
+                        producerConfig: Map[String, String] = Map.empty): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers, "topic" -> topic) ++
+      producerConfig.map { case (k, v) => s"kafka.$k" -> v }
+
+  /** KafkaIO.read (reference: KafkaIO.java:267). Config-level wrapper: the
     * kafka connector jar is not in this container, so this constructs the
-    * standard reader; semantics are exercised where the connector exists. */
+    * standard reader from [[kafkaReadOptions]]; the translation itself is
+    * unit-tested, end-to-end semantics exercised where the connector
+    * exists. */
   def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
             startingOffsets: String = "latest"): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaReadOptions(bootstrapServers, topics.split(",").toSeq, startingOffsets))
       .load()
 
   /** KafkaIO.write: value (and optional key) to a topic. */
   def kafkaSink[T](ds: Dataset[T], bootstrapServers: String, topic: String): DataStreamWriter[T] =
     ds.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
+      .options(kafkaWriteOptions(bootstrapServers, topic))
 
   /** File sink with sharding via partition count (TextIO.write.withNumShards
     * ≈ repartition(n); dynamic destinations ≈ partitionBy columns —

@@ -58,8 +58,15 @@ object DoFnTester {
     }
 
     /** Process `inputs` as one bundle; returns the MAIN output produced by
-      * this bundle (reference: DoFnTester.processBundle returns the main
-      * output). Tagged outputs are retained for peek/take. */
+      * this bundle. DELIBERATE DIVERGENCE from the reference contract:
+      * DoFnTester.java:182-188 returns `takeOutputElements()`, which
+      * CLEARS the main-output buffer — after the reference's
+      * processBundle, peek sees nothing from that bundle. Here ALL
+      * outputs (main and tagged) are retained across bundles until
+      * `takeOutputElements`/`clearOutputElements`, so peek composes over
+      * a multi-bundle session; the per-bundle return value is sliced, not
+      * drained. Call takeOutputElements after each bundle to recover the
+      * reference's drain-on-process behavior exactly. */
     def processBundle(inputs: Seq[I]): Seq[O] = {
       ensureSetup()
       val before = outputs.size

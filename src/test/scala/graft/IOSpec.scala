@@ -83,4 +83,29 @@ class IOSpec extends SparkSpec {
     assert(back.count() == 50)
     assert(back.filter(col("id") === 7L).collect()(0).getString(1) == "name-7")
   }
+
+  test("KafkaIO option translation: Beam read/write config maps to Spark kafka options") {
+    import graft.streaming.StreamIO
+    // multi-topic subscribe, consumer properties under the kafka. prefix
+    val read = StreamIO.kafkaReadOptions("b1:9092,b2:9092", Seq("t1", "t2"),
+      startingOffsets = "earliest",
+      consumerConfig = Map("receive.buffer.bytes" -> "1048576", "group.id" -> "g"))
+    assert(read == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "t1,t2",
+      "startingOffsets" -> "earliest",
+      "kafka.receive.buffer.bytes" -> "1048576",
+      "kafka.group.id" -> "g"), read.toString)
+    // withStartReadTime displaces startingOffsets (reference KafkaIO.java:470)
+    val timed = StreamIO.kafkaReadOptions("b:9092", Seq("t"), startReadTimeMs = Some(123456789L))
+    assert(timed("startingTimestamp") == "123456789" && !timed.contains("startingOffsets"))
+    intercept[IllegalArgumentException] { StreamIO.kafkaReadOptions("b:9092", Nil) }
+    intercept[IllegalArgumentException] { StreamIO.kafkaReadOptions("", Seq("t")) }
+    val write = StreamIO.kafkaWriteOptions("b:9092", "out",
+      producerConfig = Map("compression.type" -> "lz4"))
+    assert(write == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "topic" -> "out",
+      "kafka.compression.type" -> "lz4"), write.toString)
+  }
 }
