@@ -345,6 +345,24 @@ object OracleSql {
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // WeeklyTeamScore: weeks(1, Thursday) = the raw 7-epoch-day grid
+    "q_weekly_team_score" ->
+      s"""SELECT make_timestamp((d - d % 7) * 86400000000) AS wstart, event_type,
+        |       CAST(sum(cents) AS BIGINT) AS score_cents, count(*) AS n
+        |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d, event_type,
+        |             ${c("value")} AS cents FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Thursday-anchored fortnights = the raw 14-epoch-day grid (1970-01-01
+    // is a Thursday): pure integer arithmetic, no calendar/TZ functions
+    "q_window_weekly" ->
+      """SELECT make_timestamp((d - d % 14) * 86400000000) AS wstart,
+        |       make_timestamp((d - d % 14 + 14) * 86400000000) AS wend,
+        |       event_type, count(*) AS n
+        |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d, event_type
+        |      FROM events)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // ------------------------------------------------------------ LLM-pipeline ops
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies

@@ -522,6 +522,30 @@ object Queries {
       Seq(col("event_type")), Seq(count(lit(1)).as("n")))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
 
+  /** WeeklyTeamScore: the HourlyTeamScore pipeline shape (reference:
+    * examples .../game/HourlyTeamScore.java — window + per-team score sum)
+    * on CalendarWindows.weeks(1, THURSDAY), over the events table
+    * (event_type = team, value = score). */
+  def qWeeklyTeamScore(s: SparkSession, dir: String): DataFrame =
+    Windows.aggregate(t(s, dir, "events"),
+      Windows.WindowingStrategy(Windows.CalendarWindows("week", 1, startDayOfWeek = 4)),
+      col("ts"), Seq(col("event_type")),
+      Seq(sum(cents(col("value"))).as("score_cents"), count(lit(1)).as("n")))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("score_cents"), col("n"))
+
+  /** Multi-unit anchored calendar windows (reference CalendarWindows.java:56
+    * weeks(n, startDayOfWeek)): Thursday-anchored fortnights. The epoch is
+    * a Thursday, so the grid is the raw 14-day epoch-day grid — which is
+    * exactly what the DuckDB oracle replays with integer arithmetic,
+    * independent of any calendar/TZ library. */
+  def qWindowWeekly(s: SparkSession, dir: String): DataFrame =
+    Windows.aggregate(t(s, dir, "events"),
+      Windows.WindowingStrategy(Windows.CalendarWindows("week", 2, startDayOfWeek = 4)),
+      col("ts"), Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"))
+
   // ---------------------------------------------------------------- LLM-pipeline ops
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

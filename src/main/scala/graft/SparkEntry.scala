@@ -73,6 +73,8 @@ object SparkEntry {
     "q_window_sliding"  -> Queries.qWindowSliding _,
     "q_window_session"  -> Queries.qWindowSession _,
     "q_window_calendar" -> Queries.qWindowCalendar _,
+    "q_window_weekly"   -> Queries.qWindowWeekly _,
+    "q_weekly_team_score" -> Queries.qWeeklyTeamScore _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,

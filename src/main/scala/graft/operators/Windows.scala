@@ -27,8 +27,44 @@ object Windows {
   final case class SlidingWindows(size: String, period: String) extends WindowFn
   /** Merging gap sessions per key (reference: Sessions.java:40). */
   final case class Sessions(gap: String) extends WindowFn
-  /** Calendar-aligned, variable-length (reference: CalendarWindows.java). */
-  final case class CalendarWindows(unit: String) extends WindowFn // "day"|"month"|"year"
+  /** Calendar-aligned, variable-length windows — full parity with the
+    * reference's CalendarWindows.java:
+    *  - days(n)                        → CalendarWindows("day", n)
+    *  - weeks(n, startDayOfWeek)       → CalendarWindows("week", n, startDayOfWeek = d)
+    *    (reference :56: DaysWindows(7n) anchored at epoch.withDayOfWeek —
+    *    the ISO week of 1970-01-01, i.e. Mon 1969-12-29 .. Sun 1970-01-04)
+    *  - months(n).withStartingMonth(y,m).beginningOnDay(d)
+    *                                   → CalendarWindows("month", n, dayOfMonth = d,
+    *                                       startYear = y, startMonth = m)
+    *  - years(n).beginningOnDay(m,d)   → CalendarWindows("year", n, monthOfYear = m,
+    *                                       dayOfMonth = d)
+    *  - .withTimeZone(tz)              → timeZone = tz (IANA id); boundaries at
+    *    LOCAL midnight, so window length varies across DST transitions,
+    *    matching the reference's Joda plusDays/plusMonths arithmetic.
+    * Anchor default = the reference's DEFAULT_START_DATE (epoch,
+    * CalendarWindows.java:38). One DELIBERATE divergence: offsets use
+    * floor division, so pre-anchor timestamps land in windows that CONTAIN
+    * them; the reference's Java integer division truncates toward zero and
+    * assigns pre-anchor elements a window starting after them.
+    * `startDayOfWeek` is ISO (1=Monday..7=Sunday); a `dayOfMonth` beyond a
+    * month's length clamps to its last day (Joda plusMonths behavior). */
+  final case class CalendarWindows(
+      unit: String,                // "day" | "week" | "month" | "year"
+      n: Int = 1,
+      timeZone: String = "UTC",
+      startDayOfWeek: Int = 1,
+      dayOfMonth: Int = 1,
+      monthOfYear: Int = 1,
+      startYear: Int = 1970,
+      startMonth: Int = 1) extends WindowFn {
+    require(Set("day", "week", "month", "year")(unit), s"calendar unit: $unit")
+    require(n >= 1, s"calendar window span must be >= 1, got $n")
+    require(startDayOfWeek >= 1 && startDayOfWeek <= 7, "startDayOfWeek is ISO 1..7")
+    require(dayOfMonth >= 1 && dayOfMonth <= 31, "dayOfMonth 1..31")
+    require(monthOfYear >= 1 && monthOfYear <= 12, "monthOfYear 1..12")
+    /** Default single-unit UTC shape — expressible as a plain date_trunc. */
+    def isDefault: Boolean = this == CalendarWindows(unit)
+  }
 
   /** Accumulation + lateness config (reference: WindowingStrategy.java:59-65;
     * defaults :100-106). Trigger semantics map to streaming output modes —
@@ -46,21 +82,146 @@ object Windows {
     case FixedWindows(size, off)    => Some(window(ts, size, size, off))
     case SlidingWindows(size, per)  => Some(window(ts, size, per))
     case Sessions(gap)              => Some(session_window(ts, gap))
-    case CalendarWindows(unit)      =>
+    case cw: CalendarWindows if cw.isDefault =>
       // Variable-length calendar windows can't be expressed by window();
-      // date_trunc gives the window start (the canonical Beam window id,
-      // reference: CalendarWindows.DaysWindows:96 aligns to local day) and
-      // end = start + 1 unit, so the column shape is the same
-      // struct<start,end> that window()/session_window() emit and
-      // TimestampCombiners.endOfWindow composes with any WindowFn.
-      val start = date_trunc(unit, ts)
-      val end = start + expr(s"INTERVAL 1 ${unit.toUpperCase}")
+      // for the default single-unit UTC shape, date_trunc gives the window
+      // start (the canonical Beam window id, reference:
+      // CalendarWindows.DaysWindows:96 aligns to local day) and end =
+      // start + 1 unit, so the column shape is the same struct<start,end>
+      // that window()/session_window() emit and TimestampCombiners
+      // .endOfWindow composes with any WindowFn.
+      val start = date_trunc(cw.unit, ts)
+      val end = start + expr(s"INTERVAL 1 ${cw.unit.toUpperCase}")
       Some(struct(start.as("start"), end.as("end")))
+    case cw: CalendarWindows => Some(calendarWindowExpr(cw, ts))
   }
+
+  /** General calendar-window assignment as pure built-in Column arithmetic
+    * (whole-stage-codegen'd — no UDF): local calendar fields via
+    * from_utc_timestamp (requires session time zone UTC — [[aggregate]]
+    * enforces it), window boundary dates via floor-division offsets from
+    * the anchor (exact for pre-anchor elements too), and local-midnight →
+    * instant via 7-arg make_timestamp with an explicit zone, which is
+    * DST-correct: a day window containing a spring-forward transition is
+    * 23 wall-clock hours, matching the reference's Joda arithmetic.
+    * Boundaries are re-derived from the ANCHOR for every window (a true
+    * grid): with a clamping dayOfMonth (e.g. 31 in February) the windows
+    * stay contiguous, where the reference's `begin.plusMonths(n)` end
+    * computation (CalendarWindows.java:236) leaves a gap after a clamped
+    * begin — a deliberate divergence in favor of total coverage. */
+  private[graft] def calendarWindowExpr(cw: CalendarWindows, ts: Column): Column = {
+    val local = to_date(from_utc_timestamp(ts, cw.timeZone))
+    def midnight(d: Column): Column = call_function("make_timestamp",
+      year(d), month(d), dayofmonth(d), lit(0), lit(0), lit(0), lit(cw.timeZone))
+    // LocalDate(y, m, d) with d clamped to the month's length
+    def clampedDay(y: Column, m: Column, d: Int): Column = {
+      val first = make_date(y.cast("int"), m.cast("int"), lit(1))
+      date_add(first, least(lit(d), dayofmonth(last_day(first))) - 1)
+    }
+    val (startD, endD): (Column, Column) = cw.unit match {
+      case "day" | "week" =>
+        val (anchor, span) =
+          if (cw.unit == "day") (java.time.LocalDate.of(1970, 1, 1), cw.n)
+          else (java.time.LocalDate.of(1969, 12, 29).plusDays(cw.startDayOfWeek - 1L), 7 * cw.n)
+        val anchorD = to_date(lit(anchor.toString))
+        val diff = datediff(local, anchorD)
+        val off = diff - pmod(diff, lit(span))
+        val s = date_add(anchorD, off)
+        (s, date_add(s, span))
+      case "month" =>
+        // whole months elapsed since the anchor, counting a month as
+        // complete once the (clamp-aware) dayOfMonth is reached — Joda
+        // monthsBetween(Jan 31, Feb 28) == 1 because plusMonths clamps
+        val anchorLinear = cw.startYear * 12 + (cw.startMonth - 1)
+        val effDay = least(lit(cw.dayOfMonth), dayofmonth(last_day(local)))
+        val whole = (year(local) * 12 + month(local) - 1 - anchorLinear) -
+          when(dayofmonth(local) < effDay, 1).otherwise(0)
+        val sLinear = lit(anchorLinear) + whole - pmod(whole, lit(cw.n))
+        def gridMonth(lin: Column): Column = clampedDay(
+          call_function("div", lin - pmod(lin, lit(12)), lit(12)),
+          pmod(lin, lit(12)) + 1, cw.dayOfMonth)
+        (gridMonth(sLinear), gridMonth(sLinear + cw.n))
+      case "year" =>
+        val effDay = least(lit(cw.dayOfMonth),
+          dayofmonth(last_day(make_date(year(local), lit(cw.monthOfYear), lit(1)))))
+        val before = (month(local) < cw.monthOfYear) ||
+          (month(local) === cw.monthOfYear && dayofmonth(local) < effDay)
+        val whole = year(local) - cw.startYear - when(before, 1).otherwise(0)
+        val sy = lit(cw.startYear) + whole - pmod(whole, lit(cw.n))
+        (clampedDay(sy, lit(cw.monthOfYear), cw.dayOfMonth),
+          clampedDay(sy + cw.n, lit(cw.monthOfYear), cw.dayOfMonth))
+    }
+    struct(midnight(startD).as("start"), midnight(endD).as("end"))
+  }
+
+  /** JVM-side mirror of [[calendarWindowExpr]] (java.time, same
+    * floor/clamp/grid semantics) — the streaming pane processor assigns
+    * windows element-wise and needs boundary math off the Column path;
+    * WindowsSpec cross-checks the two implementations over a timestamp
+    * sweep spanning DST transitions. */
+  def calendarWindowStartMs(cw: CalendarWindows, epochMs: Long): Long = {
+    val zone = java.time.ZoneId.of(cw.timeZone)
+    val ld = java.time.Instant.ofEpochMilli(epochMs).atZone(zone).toLocalDate
+    calendarStartDate(cw, ld).atStartOfDay(zone).toInstant.toEpochMilli
+  }
+
+  /** End of the window starting at `startMs`: the next grid boundary. */
+  def calendarWindowEndMs(cw: CalendarWindows, startMs: Long): Long = {
+    val zone = java.time.ZoneId.of(cw.timeZone)
+    val sd = java.time.Instant.ofEpochMilli(startMs).atZone(zone).toLocalDate
+    val ed = cw.unit match {
+      case "day"  => sd.plusDays(cw.n.toLong)
+      case "week" => sd.plusDays(7L * cw.n)
+      case "month" =>
+        val lin = sd.getYear * 12 + (sd.getMonthValue - 1) + cw.n
+        clampedDate(Math.floorDiv(lin, 12), Math.floorMod(lin, 12) + 1, cw.dayOfMonth)
+      case "year" => clampedDate(sd.getYear + cw.n, cw.monthOfYear, cw.dayOfMonth)
+    }
+    ed.atStartOfDay(zone).toInstant.toEpochMilli
+  }
+
+  private def clampedDate(y: Int, m: Int, d: Int): java.time.LocalDate = {
+    val first = java.time.LocalDate.of(y, m, 1)
+    first.plusDays(math.min(d, first.lengthOfMonth) - 1L)
+  }
+
+  private[graft] def calendarStartDate(cw: CalendarWindows,
+                                       ld: java.time.LocalDate): java.time.LocalDate =
+    cw.unit match {
+      case "day" | "week" =>
+        val (anchor, span) =
+          if (cw.unit == "day") (java.time.LocalDate.of(1970, 1, 1), cw.n)
+          else (java.time.LocalDate.of(1969, 12, 29).plusDays(cw.startDayOfWeek - 1L), 7 * cw.n)
+        val diff = java.time.temporal.ChronoUnit.DAYS.between(anchor, ld)
+        anchor.plusDays(Math.floorDiv(diff, span.toLong) * span)
+      case "month" =>
+        val anchorLinear = cw.startYear * 12 + (cw.startMonth - 1)
+        val effDay = math.min(cw.dayOfMonth, ld.lengthOfMonth)
+        val whole = ld.getYear * 12 + (ld.getMonthValue - 1) - anchorLinear -
+          (if (ld.getDayOfMonth < effDay) 1 else 0)
+        val sLinear = anchorLinear + Math.floorDiv(whole, cw.n) * cw.n
+        clampedDate(Math.floorDiv(sLinear, 12), Math.floorMod(sLinear, 12) + 1, cw.dayOfMonth)
+      case "year" =>
+        val effDay = math.min(cw.dayOfMonth,
+          java.time.LocalDate.of(ld.getYear, cw.monthOfYear, 1).lengthOfMonth)
+        val before = ld.getMonthValue < cw.monthOfYear ||
+          (ld.getMonthValue == cw.monthOfYear && ld.getDayOfMonth < effDay)
+        val whole = ld.getYear - cw.startYear - (if (before) 1 else 0)
+        clampedDate(cw.startYear + Math.floorDiv(whole, cw.n) * cw.n,
+          cw.monthOfYear, cw.dayOfMonth)
+    }
 
   /** Windowed aggregation: groupBy(window?, keys).agg(...). */
   def aggregate(df: DataFrame, strategy: WindowingStrategy, ts: Column,
                 keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    strategy.fn match {
+      case cw: CalendarWindows if !cw.isDefault =>
+        // local calendar fields are derived via from_utc_timestamp, which
+        // only reads local wall time when field extraction runs in UTC
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "non-default calendar windows require spark.sql.session.timeZone=UTC")
+      case _ => ()
+    }
     val groupCols = windowExpr(strategy.fn, ts).map(_.as("window")).toSeq ++ keys
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)

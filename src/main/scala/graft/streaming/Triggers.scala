@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming._
 
 import graft.functions.CombineFn
+import graft.operators.Windows
 
 /** Trigger engine with pane metadata — the port of the reference's
   * ReduceFnRunner + trigger state machines
@@ -52,47 +53,31 @@ object Triggers {
       /** OnTimeBehavior.FIRE_ALWAYS: emit the on-time pane even when empty
         * (WindowingStrategy.java:106) */
       onTimeAlways: Boolean = true,
-      /** Some("day"|"week"|"month"|"year"): variable-length calendar
-        * windows (reference: CalendarWindows.java:96/:198/:314) — window
-        * end = start + 1 unit in UTC, ignoring windowSizeMs. Assign with
-        * [[assignCalendarWindows]]. */
-      calendarUnit: Option[String] = None)
+      /** Variable-length calendar windows (reference: CalendarWindows
+        * .java:96/:198/:314) — full multi-unit + time-zone config
+        * ([[graft.operators.Windows.CalendarWindows]]); window boundaries
+        * come from the shared grid math in Windows, ignoring
+        * windowSizeMs. Assign with [[assignCalendarWindows]]. */
+      calendar: Option[Windows.CalendarWindows] = None)
 
   /** End of the window starting at `startMs` under `cfg` (fixed span or
-    * calendar unit — months/years vary in length, computed in UTC). */
+    * calendar grid — months/years vary in length; DST makes even day
+    * windows variable in the configured zone). */
   private[streaming] def windowEndOf(cfg: TriggerConfig, startMs: Long): Long =
-    cfg.calendarUnit match {
-      case None => startMs + cfg.windowSizeMs
-      case Some(unit) =>
-        val zdt = java.time.Instant.ofEpochMilli(startMs).atZone(java.time.ZoneOffset.UTC)
-        val end = unit.toLowerCase match {
-          case "day"   => zdt.plusDays(1)
-          case "week"  => zdt.plusWeeks(1)
-          case "month" => zdt.plusMonths(1)
-          case "year"  => zdt.plusYears(1)
-          case other   => throw new IllegalArgumentException(s"calendar unit: $other")
-        }
-        end.toInstant.toEpochMilli
+    cfg.calendar match {
+      case None     => startMs + cfg.windowSizeMs
+      case Some(cw) => Windows.calendarWindowEndMs(cw, startMs)
     }
 
-  /** Calendar-window assignment: wstart = UTC truncation of the event time
-    * to the unit (weeks start Monday, ISO — matching date_trunc). */
-  def assignCalendarWindows[K, V](ds: Dataset[(K, java.sql.Timestamp, V)], unit: String)(
-      implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
-    val u = unit.toLowerCase
+  /** Calendar-window assignment: wstart from the shared anchored-grid
+    * math ([[graft.operators.Windows.calendarWindowStartMs]] — same
+    * floor/clamp semantics as the batch Column path). */
+  def assignCalendarWindows[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
+                                  cw: Windows.CalendarWindows)(
+      implicit outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] =
     ds.map { case (k, ts, v) =>
-      val zdt = java.time.Instant.ofEpochMilli(ts.getTime).atZone(java.time.ZoneOffset.UTC)
-      val day = zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
-      val start = u match {
-        case "day"   => day
-        case "week"  => day.minusDays((day.getDayOfWeek.getValue - 1).toLong)
-        case "month" => day.withDayOfMonth(1)
-        case "year"  => day.withDayOfYear(1)
-        case other   => throw new IllegalArgumentException(s"calendar unit: $other")
-      }
-      (k, start.toInstant.toEpochMilli, v)
+      (k, Windows.calendarWindowStartMs(cw, ts.getTime), v)
     }
-  }
 
   /** One fired pane: (key, windowStart, windowEnd, value, paneIndex,
     * timing, isFinal). timing ∈ EARLY | ON_TIME | LATE. */

@@ -130,6 +130,47 @@ class GameExamplesSpec extends SparkSpec {
       ("BananaEmu", 25L), ("ApricotCaneToad", 14L)))
   }
 
+  test("WeeklyTeamScore: the HourlyTeamScore pipeline on weeks(1, Thursday) " +
+    "through the trigger engine") {
+    // HourlyTeamScore.java parameterized by window fn: same parse → window →
+    // team-sum shape, but on an anchored multi-unit calendar window
+    // (CalendarWindows.weeks(1, THURSDAY)) running through the streaming
+    // pane processor. 2015-11-19 is a grid Thursday (epoch day 16758 =
+    // 7·2394), so every fixture event lands in [2015-11-19, 2015-11-26).
+    val cw = Windows.CalendarWindows("week", 1, startDayOfWeek = 4)
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val assigned = Triggers.assignCalendarWindows(
+      input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)], cw)
+    val panes = Triggers.triggeredAggregate(assigned, sumFn,
+      TriggerConfig(windowSizeMs = 0L, calendar = Some(cw)))
+    val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
+      .writeStream.format("memory").queryName("weekly_team")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val parsed = parseGameEvents(hourlyEvents.toDF("line"))
+        .select(col("team"), col("ts_ms"), col("score")).collect()
+        .map(r => (r.getString(0), new Timestamp(r.getLong(1)), r.getLong(2))).toSeq
+      input.addData(parsed: _*)
+      q.processAllAvailable()
+      input.addData(("__wm", new Timestamp(graft.testing.TestStream.EndOfTimeMs), 0L))
+      q.processAllAvailable()
+      val got = spark.table("weekly_team").collect()
+        .filter(_.getAs[String]("k") != "__wm")
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("wstart"), r.getAs[Long]("wend"),
+          r.getAs[Long]("value"), r.getAs[String]("timing")))
+      val weekStartMs = 16758L * 86400000 // 2015-11-19 00:00 UTC
+      assert(got.forall(p => p._2 == weekStartMs && p._3 == weekStartMs + 7L * 86400000),
+        got.mkString(";"))
+      assert(got.forall(_._5 == "ON_TIME"), got.mkString(";"))
+      assert(got.map(p => (p._1, p._4)).toSet == Set(
+        ("MagentaKangaroo", 7L), ("ApricotQuokka", 15L), ("AmberNumbat", 11L),
+        ("AlmondWallaby", 15L), ("AndroidGreenKookaburra", 23L), ("BisqueBilby", 14L),
+        ("AndroidGreenEchidna", 0L), ("AmberCockatoo", 13L), ("BananaEmu", 25L),
+        ("ApricotCaneToad", 14L)), got.mkString(";"))
+    } finally q.stop()
+  }
+
   // ----- GameStatsTest.java: abuse detection via a singleton side input
 
   test("GameStats: CalculateSpammyUsers filters by 2.5x the global mean (testCalculateSpammyUsers)") {

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.functions.CombineFn
+import graft.operators.Windows
 import graft.streaming.Triggers
 import graft.streaming.Triggers._
 
@@ -146,9 +147,9 @@ class TriggersSpec extends SparkSpec {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
     val assigned = Triggers.assignCalendarWindows(
       input.toDF().toDF("k", "t", "v").withWatermark("t", "0 seconds")
-        .as[(String, Timestamp, Long)], "month")
+        .as[(String, Timestamp, Long)], Windows.CalendarWindows("month"))
     val panes = Triggers.triggeredAggregate(assigned, countFn,
-      TriggerConfig(windowSizeMs = 0L, calendarUnit = Some("month")))
+      TriggerConfig(windowSizeMs = 0L, calendar = Some(Windows.CalendarWindows("month"))))
     val q = panes.toDF("k", "wstart", "wend", "value", "pane_index", "timing", "is_final")
       .writeStream.format("memory").queryName("calendar_panes")
       .outputMode("append").option("checkpointLocation", ckpt()).start()

@@ -72,4 +72,76 @@ class WindowsSpec extends SparkSpec {
       Seq.empty, Seq(count(lit(1)).as("n")))
     assertRows(out, Seq(Seq(4L)))
   }
+
+  test("weeks(2, Thursday): epoch-anchored fortnights starting Thursdays") {
+    // the epoch (1970-01-01) IS a Thursday, so Thursday fortnights are the
+    // raw 14-day grid; 2024-01-04 is a grid Thursday (epoch day 19726 = 14*1409)
+    val df = Seq(ts("2024-01-10 12:00:00"), ts("2024-01-03 12:00:00")).toDF("t")
+    val out = Windows.aggregate(df,
+      WindowingStrategy(CalendarWindows("week", 2, startDayOfWeek = 4)),
+      col("t"), Seq.empty, Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("string"), col("window.end").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("2024-01-04 00:00:00", "2024-01-18 00:00:00", 1L),
+      Seq("2023-12-21 00:00:00", "2024-01-04 00:00:00", 1L)), out.toString)
+  }
+
+  test("months(3).withStartingMonth(2014,1).beginningOnDay(15): quarters changing on the 15th") {
+    // the reference's own javadoc example (CalendarWindows.java:34)
+    val cw = CalendarWindows("month", 3, dayOfMonth = 15, startYear = 2014, startMonth = 1)
+    val df = Seq(ts("2024-02-20 08:00:00"), ts("2024-01-10 08:00:00")).toDF("t")
+    val out = Windows.aggregate(df, WindowingStrategy(cw),
+      col("t"), Seq.empty, Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("string"), col("window.end").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("2024-01-15 00:00:00", "2024-04-15 00:00:00"),
+      Seq("2023-10-15 00:00:00", "2024-01-15 00:00:00")), out.toString)
+  }
+
+  test("withTimeZone: day window over a spring-forward transition is 23 wall-clock hours") {
+    val ny = java.time.ZoneId.of("America/New_York")
+    val cw = CalendarWindows("day", timeZone = "America/New_York")
+    // 2024-03-10: 02:00 EST -> 03:00 EDT. 15:00Z is 11:00 EDT that day.
+    val el = java.time.Instant.parse("2024-03-10T15:00:00Z")
+    val df = Seq(Timestamp.from(el)).toDF("t")
+    val r = df.select(Windows.calendarWindowExpr(cw, col("t")).as("w"))
+      .select(col("w.start"), col("w.end")).collect()(0)
+    val expectedStart = java.time.LocalDate.of(2024, 3, 10).atStartOfDay(ny).toInstant
+    val expectedEnd = java.time.LocalDate.of(2024, 3, 11).atStartOfDay(ny).toInstant
+    assert(r.getTimestamp(0).getTime == expectedStart.toEpochMilli)
+    assert(r.getTimestamp(1).getTime == expectedEnd.toEpochMilli)
+    assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 23L * 3600 * 1000,
+      "spring-forward day must span 23 hours")
+  }
+
+  test("calendar Column expression and JVM mirror agree (DST sweeps, clamping, pre-anchor)") {
+    val configs = Seq(
+      CalendarWindows("day", 1, "America/New_York"),
+      CalendarWindows("day", 3, "America/New_York"),
+      CalendarWindows("week", 2, "America/New_York", startDayOfWeek = 4),
+      CalendarWindows("month", 2, "America/New_York", dayOfMonth = 31),
+      CalendarWindows("year", 1, "America/New_York", monthOfYear = 3, dayOfMonth = 10),
+      CalendarWindows("month", 3, "UTC", dayOfMonth = 15, startYear = 2014, startMonth = 1))
+    val instants =
+      (0 until 120).map(h => java.time.Instant.parse("2024-03-08T00:30:00Z").plusSeconds(h * 3600L)) ++
+      (0 until 96).map(h => java.time.Instant.parse("2024-11-01T00:30:00Z").plusSeconds(h * 3600L)) ++
+      Seq(java.time.Instant.parse("2024-02-29T13:00:00Z"),   // leap-day clamp interplay
+          java.time.Instant.parse("1969-05-01T12:00:00Z"))   // pre-anchor: floor, not trunc
+    val df = instants.map(Timestamp.from).toDF("t")
+    for (cw <- configs) {
+      val got = df.select(col("t"), Windows.calendarWindowExpr(cw, col("t")).as("w"))
+        .select(col("t"), col("w.start"), col("w.end")).collect()
+      got.foreach { r =>
+        val (t, s, e) = (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2))
+        assert(s.getTime == Windows.calendarWindowStartMs(cw, t.getTime),
+          s"$cw start mismatch at $t: expr=$s jvm=${Windows.calendarWindowStartMs(cw, t.getTime)}")
+        assert(e.getTime == Windows.calendarWindowEndMs(cw, s.getTime),
+          s"$cw end mismatch at $t")
+        assert(s.getTime <= t.getTime && t.getTime < e.getTime,
+          s"$cw window [$s, $e) must contain $t")
+      }
+    }
+  }
 }
