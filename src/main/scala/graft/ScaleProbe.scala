@@ -43,6 +43,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_NEWOPS_ONLY").contains("1")) { newOpsProbe(factor); return }
     // run only the z-order layout pruning duel
     if (sys.env.get("SPARK_GRAFT_ZORDER_ONLY").contains("1")) { zorderDuel(factor); return }
+    // run only the range-join width/guard duel (self-contained, sf0.1)
+    if (sys.env.get("SPARK_GRAFT_RANGE_ONLY").contains("1")) { rangeGuardDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -296,6 +298,49 @@ object ScaleProbe {
     * should read a fraction of the files the hash layout reads. Reported:
     * wall time warm AND the per-file stats-hit count (files whose min/max
     * admit the predicate — the quantity pruning actually uses). */
+  /** Range-join width/guard duel: (a) stats-derived default bucketWidth vs
+    * an explicit sane width — comparable wall, no caller tuning needed;
+    * (b) a pathological width (1 ms bins on 4-hour intervals: 14.4M
+    * bins/interval) must be REJECTED fail-loud by the maxBinsPerRow guard
+    * instead of silently amplifying the interval side 14-million-fold. */
+  private def rangeGuardDuel(): Unit = {
+    import graft.operators.Joins
+    val spark = GraftSession.getOrCreate()
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+    val fourHoursUs = 4L * 3600 * 1000000
+    val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 7 === 0)
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("p"))
+    def run(tag: String, width: Long): Double = {
+      val t0 = System.nanoTime()
+      Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
+          bucketWidth = width)
+        .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"range_width","variant":"$tag","sec":$s%.3f}""")
+      s
+    }
+    run("explicit_4h", fourHoursUs); run("derived_median", 0L) // warm
+    val exp = run("explicit_4h", fourHoursUs)
+    val der = run("derived_median", 0L)
+    println(f"""{"probe":"range_width","derived_over_explicit":${der / exp}%.2f}""")
+    val rejected =
+      try {
+        Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
+            bucketWidth = 1000L).count()
+        false
+      } catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(_.toString.contains("maxBinsPerRow"))
+      }
+    println(s"""{"probe":"range_guard","pathological_width_rejected":$rejected}""")
+    require(rejected, "bin-cap guard failed to reject a pathological bucketWidth")
+  }
+
   private def zorderDuel(factor: Int): Unit = {
     import graft.sources.Layout
     val spark = GraftSession.getOrCreate()
