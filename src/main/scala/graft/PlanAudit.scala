@@ -8,7 +8,9 @@ object PlanAudit {
         // the round-3 reworked scale paths: salted top-k, max_by/min_by
         // aggregates, bounded ANN re-ranks, native shingle kernel
         "q_top_per_key", "q_latest_per_key", "q_distinct_rep",
-        "q_ivf_ann", "q_lsh_ann", "q_dedup_minhash").foreach { name =>
+        "q_ivf_ann", "q_lsh_ann", "q_dedup_minhash",
+        // round-7: anchored calendar windows + single-scan BM25
+        "q_window_weekly", "q_weekly_team_score", "q_bm25_batch").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }

@@ -64,6 +64,22 @@ object Windows {
     require(monthOfYear >= 1 && monthOfYear <= 12, "monthOfYear 1..12")
     /** Default single-unit UTC shape — expressible as a plain date_trunc. */
     def isDefault: Boolean = this == CalendarWindows(unit)
+    // reference-shaped fluent modifiers (CalendarWindows.java:79,:192,:186,:34)
+    def withTimeZone(tz: String): CalendarWindows = copy(timeZone = tz)
+    def beginningOnDay(d: Int): CalendarWindows = copy(dayOfMonth = d)
+    def beginningOnDay(m: Int, d: Int): CalendarWindows =
+      copy(monthOfYear = m, dayOfMonth = d)
+    def withStartingMonth(y: Int, m: Int): CalendarWindows =
+      copy(startYear = y, startMonth = m)
+  }
+
+  /** Reference-shaped constructors (CalendarWindows.java:46/:56/:67/:83). */
+  object CalendarWindows {
+    def days(n: Int): CalendarWindows = CalendarWindows("day", n)
+    def weeks(n: Int, startDayOfWeek: Int): CalendarWindows =
+      CalendarWindows("week", n, startDayOfWeek = startDayOfWeek)
+    def months(n: Int): CalendarWindows = CalendarWindows("month", n)
+    def years(n: Int): CalendarWindows = CalendarWindows("year", n)
   }
 
   /** Accumulation + lateness config (reference: WindowingStrategy.java:59-65;

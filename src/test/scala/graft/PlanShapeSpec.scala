@@ -187,4 +187,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"asOf must be join-free:\n${p.take(3000)}")
     assert(p.contains("Window"), p.take(3000))
   }
+
+  test("q_window_weekly: anchored calendar grouping stays one partial+final agg pair") {
+    // the multi-unit calendar expression must not cost plan shape: pruned
+    // 2-column scan, map-side partial aggregate, exactly one Exchange
+    val p = plan("q_window_weekly")
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p.take(2500))
+    assert(p.contains("partial_count"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle expected:\n${p.take(2500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"),
+      "calendar windows must stay in native expressions")
+  }
+
+  test("bm25 batch: corpus side joins only against BROADCAST stats/queries") {
+    // every join in the scoring plan must be a broadcast-hash join keyed by
+    // term — a sort-merge join would shuffle the (doc, term) frame twice
+    val p = plan("q_bm25_batch")
+    assert(!p.contains("SortMergeJoin"), s"bm25 joins must broadcast:\n${p.take(3000)}")
+  }
 }

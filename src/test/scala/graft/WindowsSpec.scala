@@ -88,8 +88,9 @@ class WindowsSpec extends SparkSpec {
   }
 
   test("months(3).withStartingMonth(2014,1).beginningOnDay(15): quarters changing on the 15th") {
-    // the reference's own javadoc example (CalendarWindows.java:34)
-    val cw = CalendarWindows("month", 3, dayOfMonth = 15, startYear = 2014, startMonth = 1)
+    // the reference's own javadoc example (CalendarWindows.java:34),
+    // built with the reference-shaped fluent constructors
+    val cw = CalendarWindows.months(3).withStartingMonth(2014, 1).beginningOnDay(15)
     val df = Seq(ts("2024-02-20 08:00:00"), ts("2024-01-10 08:00:00")).toDF("t")
     val out = Windows.aggregate(df, WindowingStrategy(cw),
       col("t"), Seq.empty, Seq(count(lit(1)).as("n")))
