@@ -237,6 +237,45 @@ class JoinsSpec extends SparkSpec {
       Seq(Seq(1L, 5L), Seq(2L, 150L), Seq(3L, 1050L)))
   }
 
+  test("range joins match a brute-force cross-join oracle on randomized data " +
+    "(signs, magnitudes, widths)") {
+    val rnd = new scala.util.Random(20260813L) // seeded: deterministic
+    val magnitudes = Seq(0L, -1000000L, (1L << 53), -(1L << 53), (1L << 61))
+    for ((base, i) <- magnitudes.zipWithIndex) {
+      val points = (1 to 60).map(_ => base + rnd.nextInt(2000) - 1000L)
+      val intervals = (1 to 40).map { j =>
+        val lo = base + rnd.nextInt(2000) - 1000L
+        (j.toLong, lo, lo + rnd.nextInt(300).toLong) // includes empty (len 0)
+      }
+      val pDf = points.toDF("p")
+      val iDf = intervals.toDF("iv", "lo", "hi")
+      val expected = for {
+        p <- points; (iv, lo, hi) <- intervals; if p >= lo && p < hi
+      } yield (iv, p)
+      for (width <- Seq(1L, 7L, 100L, 0L)) { // 0 = stats-derived
+        val got = Joins.pointInIntervalJoin(pDf, col("p"), iDf, col("lo"), col("hi"),
+            bucketWidth = width)
+          .select(col("iv"), col("p")).collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.sorted.toSeq == expected.sorted,
+          s"magnitude[$i]=$base width=$width: ${got.length} vs ${expected.length} pairs")
+      }
+      // overlap variant vs brute force (self-comparable disjoint columns)
+      val bDf = intervals.map { case (id, lo, hi) => (id + 1000, lo, hi) }
+        .toDF("b_iv", "b_lo", "b_hi")
+      val expectedOv = for {
+        (a, alo, ahi) <- intervals; (b, blo, bhi) <- intervals
+        if alo < bhi && blo < ahi
+      } yield (a, b + 1000)
+      for (width <- Seq(7L, 100L, 0L)) {
+        val got = Joins.intervalOverlapJoin(iDf, col("lo"), col("hi"),
+            bDf, col("b_lo"), col("b_hi"), bucketWidth = width)
+          .select(col("iv"), col("b_iv")).collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.sorted.toSeq == expectedOv.sorted,
+          s"overlap magnitude[$i]=$base width=$width: ${got.length} vs ${expectedOv.length}")
+      }
+    }
+  }
+
   test("range joins fail loud when an interval would explode past maxBinsPerRow") {
     val points = Seq(5L).toDF("p")
     val intervals = Seq((1L, 0L, 1000000L)).toDF("iv", "lo", "hi")
