@@ -256,9 +256,10 @@ object Triggers {
     *    finishes;
     *  - AfterCountT(n) fires when ≥ n elements arrived since its last
     *    reset, then finishes;
-    *  - AfterProcessingTimeT(d) — AfterProcessingTime
-    *    .pastFirstElementInPane().plusDelayOf(d) (reference:
-    *    SDK/transforms/windowing/AfterProcessingTime.java:37): arms a
+    *  - AfterProcessingTimeT(d[, alignPeriod, alignOffset]) —
+    *    AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d)
+    *    [.alignedTo(period, offset)] (reference:
+    *    SDK/transforms/windowing/AfterProcessingTime.java:37,:82): arms a
     *    processing-time deadline at the pane's first element and fires once
     *    the deadline passes, then finishes. Spark's transformWithState
     *    allows one TimeMode, and the pane engine runs in EventTime — so the
@@ -301,7 +302,23 @@ object Triggers {
   sealed trait TriggerAst extends Serializable
   case object AfterWatermarkT extends TriggerAst
   final case class AfterCountT(n: Long) extends TriggerAst
-  final case class AfterProcessingTimeT(delayMs: Long) extends TriggerAst
+  final case class AfterProcessingTimeT(delayMs: Long, alignPeriodMs: Long = 0L,
+                                        alignOffsetMs: Long = 0L) extends TriggerAst {
+    /** AfterProcessingTime.pastFirstElementInPane().plusDelayOf(delay)
+      * [.alignedTo(period, offset)] (reference: AfterProcessingTime
+      * .java:70 plusDelayOf, :82 alignedTo; TimestampTransform.AlignTo =
+      * ceiling-align to the smallest period multiple since offset not
+      * before the timestamp): the deadline armed at the pane's first
+      * element. */
+    private[graft] def deadlineFrom(nowMs: Long): Long = {
+      val t = nowMs + delayMs
+      if (alignPeriodMs <= 0) t
+      else {
+        val rem = Math.floorMod(t - alignOffsetMs, alignPeriodMs)
+        if (rem == 0) t else t + (alignPeriodMs - rem)
+      }
+    }
+  }
   final case class AfterWatermarkEL(early: Option[TriggerAst],
                                     late: Option[TriggerAst]) extends TriggerAst
   final case class AfterFirstT(children: Seq[TriggerAst]) extends TriggerAst
@@ -334,7 +351,8 @@ object Triggers {
       val armed = t match {
         // pastFirstElementInPane: the deadline arms at the pane's first
         // element and survives until the node fires or resets
-        case AfterProcessingTimeT(delay) if d == Long.MaxValue && n > 0 => nowProcMs + delay
+        case pt @ AfterProcessingTimeT(_, _, _) if d == Long.MaxValue && n > 0 =>
+          pt.deadlineFrom(nowProcMs)
         case _ => d
       }
       st(path) = (c + n, f, armed)
@@ -361,7 +379,7 @@ object Triggers {
         case NeverT           => false // only the GC-horizon flush fires
         case AfterWatermarkT  => ctx.wmPastEnd
         case AfterCountT(n)   => entry(path, st)._1 >= n
-        case AfterProcessingTimeT(_) =>
+        case AfterProcessingTimeT(_, _, _) =>
           val d = entry(path, st)._3
           d != Long.MaxValue && ctx.nowProcMs >= d
         case AfterWatermarkEL(e, l) =>
@@ -386,7 +404,7 @@ object Triggers {
       * logic). Returns nothing; mutates finished flags / resets counts. */
     def onFire(t: TriggerAst, path: String, st: TrigState, ctx: TrigCtx): Unit = t match {
       case NeverT => () // unreachable: NeverT never reports shouldFire
-      case AfterWatermarkT | AfterCountT(_) | AfterProcessingTimeT(_) =>
+      case AfterWatermarkT | AfterCountT(_) | AfterProcessingTimeT(_, _, _) =>
         st(path) = (0L, true, Long.MaxValue)
       case AfterWatermarkEL(e, l) =>
         if (!ctx.wmPastEnd) {

@@ -204,4 +204,17 @@ class CompositeTriggerSpec extends SparkSpec {
     }
     assert(panes == Seq((3L, 0, "ON_TIME", true)), panes.toString)
   }
+
+  test("AfterProcessingTime.alignedTo: deadline ceiling-aligns to the period grid") {
+    // reference TimestampTransform.AlignTo: smallest multiple of period
+    // since offset that is NOT before the timestamp
+    assert(AfterProcessingTimeT(100L).deadlineFrom(1234L) == 1334L) // no alignment
+    assert(AfterProcessingTimeT(100L, alignPeriodMs = 1000L).deadlineFrom(1234L) == 2000L)
+    assert(AfterProcessingTimeT(100L, alignPeriodMs = 1000L, alignOffsetMs = 500L)
+      .deadlineFrom(1234L) == 1500L)
+    // exactly on a boundary: stays (not-before contract)
+    assert(AfterProcessingTimeT(100L, alignPeriodMs = 1000L).deadlineFrom(900L) == 1000L)
+    // negative-epoch arming still lands on the grid (floorMod, not %)
+    assert(AfterProcessingTimeT(0L, alignPeriodMs = 1000L).deadlineFrom(-1500L) == -1000L)
+  }
 }
