@@ -239,18 +239,11 @@ object ScaleProbe {
     println(rows.mkString("[", ",\n", "]"))
 
     // 2. range-join duel: bucketed rewrite vs naive BNL, fixed intervals
-    val fourHoursUs = 4L * 3600 * 1000000
     val ev = GraftSession.table(spark, out, "events")
-    val intervals = ev.filter(col("event_type") === "signup" &&
-        col("event_id") % 7 === 0 && col("event_id") < 1000000000L)
-      .select(col("event_id").as("interval_id"),
-        unix_micros(col("ts")).as("lo"),
-        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
-    val points = ev.filter(col("event_type") === "click")
-      .select(unix_micros(col("ts")).as("p"))
+    val (intervals, points) = rangeFixture(ev)
     def runBucketed(): Unit =
       Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
-          bucketWidth = fourHoursUs)
+          bucketWidth = rangeIntervalUs)
         .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
     def runNaive(): Unit =
@@ -289,15 +282,23 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Z-order layout duel: the SAME ×factor event table written (a) hash-
-    * layout and (b) Layout.zorderWrite on (user_id, ts), same file count;
-    * then a conjunctive 2-D selective query (a 10-user band × 3 days)
-    * against
-    * each. Parquet row-group pruning works off per-file min/max stats, so
-    * the z layout — where every file covers a small user×time rectangle —
-    * should read a fraction of the files the hash layout reads. Reported:
-    * wall time warm AND the per-file stats-hit count (files whose min/max
-    * admit the predicate — the quantity pruning actually uses). */
+  /** 4-hour signup-interval × click-point fixture shared by the range-join
+    * duels. Intervals keep base-copy ids only, so on a stacked ×factor
+    * table the interval side stays FIXED while points scale — the 100 TB
+    * shape (bounded window set, growing event stream). Returns
+    * (intervals(interval_id, lo, hi), points(p)) in epoch micros. */
+  private val rangeIntervalUs = 4L * 3600 * 1000000
+  private def rangeFixture(ev: DataFrame): (DataFrame, DataFrame) = {
+    val intervals = ev.filter(col("event_type") === "signup" &&
+        col("event_id") % 7 === 0 && col("event_id") < 1000000000L)
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + rangeIntervalUs).as("hi"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("p"))
+    (intervals, points)
+  }
+
   /** Range-join width/guard duel: (a) stats-derived default bucketWidth vs
     * an explicit sane width — comparable wall, no caller tuning needed;
     * (b) a pathological width (1 ms bins on 4-hour intervals: 14.4M
@@ -307,13 +308,7 @@ object ScaleProbe {
     import graft.operators.Joins
     val spark = GraftSession.getOrCreate()
     val ev = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
-    val fourHoursUs = 4L * 3600 * 1000000
-    val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 7 === 0)
-      .select(col("event_id").as("interval_id"),
-        unix_micros(col("ts")).as("lo"),
-        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
-    val points = ev.filter(col("event_type") === "click")
-      .select(unix_micros(col("ts")).as("p"))
+    val (intervals, points) = rangeFixture(ev)
     def run(tag: String, width: Long): Double = {
       val t0 = System.nanoTime()
       Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
@@ -324,8 +319,8 @@ object ScaleProbe {
       println(f"""{"probe":"range_width","variant":"$tag","sec":$s%.3f}""")
       s
     }
-    run("explicit_4h", fourHoursUs); run("derived_median", 0L) // warm
-    val exp = run("explicit_4h", fourHoursUs)
+    run("explicit_4h", rangeIntervalUs); run("derived_median", 0L) // warm
+    val exp = run("explicit_4h", rangeIntervalUs)
     val der = run("derived_median", 0L)
     println(f"""{"probe":"range_width","derived_over_explicit":${der / exp}%.2f}""")
     val rejected =
@@ -341,6 +336,14 @@ object ScaleProbe {
     require(rejected, "bin-cap guard failed to reject a pathological bucketWidth")
   }
 
+  /** Z-order layout duel: the SAME ×factor event table written (a) hash-
+    * layout and (b) Layout.zorderWrite on (user_id, ts), same file count;
+    * then a conjunctive 2-D selective query (a 10-user band × 3 days)
+    * against each. Parquet row-group pruning works off per-file min/max
+    * stats, so the z layout — where every file covers a small user×time
+    * rectangle — should read a fraction of the files the hash layout reads.
+    * Reported: wall time warm AND the per-file stats-hit count (files whose
+    * min/max admit the predicate — the quantity pruning actually uses). */
   private def zorderDuel(factor: Int): Unit = {
     import graft.sources.Layout
     val spark = GraftSession.getOrCreate()

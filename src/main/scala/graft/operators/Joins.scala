@@ -235,13 +235,17 @@ object Joins {
       .otherwise(loC)
   }
 
-  /** Median interval length — the stats-derived default `bucketWidth`
-    * (one bounded aggregate over the intervals side; the scalar comes back
-    * to the driver). Median ≈ the width at which the per-interval
-    * explosion stays ~2× while bins stay selective. */
+  /** Median NON-EMPTY interval length — the stats-derived default
+    * `bucketWidth` (one bounded aggregate over the intervals side; the
+    * scalar comes back to the driver). Median ≈ the width at which the
+    * per-interval explosion stays ~2× while bins stay selective. Empty /
+    * inverted rows (hi <= lo) are excluded: the join drops them before
+    * binning anyway, and letting them drag the median to <= 1 would make
+    * the bin-cap guard spuriously reject the legitimate intervals. */
   private def medianLength(iv: DataFrame, lo: Column, hi: Column): Long = {
-    val r = iv.select(percentile_approx(
-      (hi.cast("long") - lo.cast("long")), lit(0.5), lit(10000)).as("m")).head()
+    val len = hi.cast("long") - lo.cast("long")
+    val r = iv.filter(len > 0)
+      .select(percentile_approx(len, lit(0.5), lit(10000)).as("m")).head()
     if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
   }
 

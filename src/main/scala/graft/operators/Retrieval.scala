@@ -93,8 +93,16 @@ object Retrieval {
                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries.select(queryId.cast("long").as("query_id"),
         explode(queryTerms).as("term")).distinct()
+    // the distinct vocabulary rides to executors as ONE InSet probe set
+    // (isin past the conversion threshold), the same data volume the old
+    // broadcast-join path shipped — but it also lives on the driver and in
+    // the task closure, so bound it fail-loud: an eval set is vocabulary-
+    // bounded by construction; past the cap, split the query set.
     val vocab = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
+    require(vocab.map(_.length + 8L).sum <= 64L * 1024 * 1024,
+      s"bm25TopKBatch query vocabulary (${vocab.size} terms) exceeds 64 MiB; " +
+        "split the eval set into batches")
     val perDoc = matchedPerDoc(docs, text, id, vocab)
     val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     val n = stats.getDouble(0)

@@ -126,6 +126,15 @@ object Windows {
     * computation (CalendarWindows.java:236) leaves a gap after a clamped
     * begin — a deliberate divergence in favor of total coverage. */
   private[graft] def calendarWindowExpr(cw: CalendarWindows, ts: Column): Column = {
+    // local calendar fields are derived via from_utc_timestamp, which only
+    // reads local wall time when field extraction runs in UTC. Guarded HERE
+    // (not in aggregate()) so every entry point — batch aggregate, the
+    // streaming windowedAggregate path, direct expression use — fail-louds
+    // instead of silently double-shifting in a non-UTC session.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+        "calendar windows require spark.sql.session.timeZone=UTC")
+    }
     val local = to_date(from_utc_timestamp(ts, cw.timeZone))
     def midnight(d: Column): Column = call_function("make_timestamp",
       year(d), month(d), dayofmonth(d), lit(0), lit(0), lit(0), lit(cw.timeZone))
@@ -230,14 +239,6 @@ object Windows {
   /** Windowed aggregation: groupBy(window?, keys).agg(...). */
   def aggregate(df: DataFrame, strategy: WindowingStrategy, ts: Column,
                 keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
-    strategy.fn match {
-      case cw: CalendarWindows if !cw.isDefault =>
-        // local calendar fields are derived via from_utc_timestamp, which
-        // only reads local wall time when field extraction runs in UTC
-        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-          "non-default calendar windows require spark.sql.session.timeZone=UTC")
-      case _ => ()
-    }
     val groupCols = windowExpr(strategy.fn, ts).map(_.as("window")).toSeq ++ keys
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)

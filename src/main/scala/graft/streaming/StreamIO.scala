@@ -50,6 +50,9 @@ object StreamIO {
                        consumerConfig: Map[String, String] = Map.empty): Map[String, String] = {
     require(bootstrapServers.nonEmpty, "bootstrapServers is required")
     require(topics.nonEmpty, "at least one topic is required")
+    require(startReadTimeMs.isEmpty || startingOffsets == "latest",
+      "withStartReadTime conflicts with an explicit startingOffsets " +
+        "(reference KafkaIO checkArgument: set one or the other)")
     val start = startReadTimeMs match {
       case Some(ms) => Map("startingTimestamp" -> ms.toString)
       case None     => Map("startingOffsets" -> startingOffsets)
