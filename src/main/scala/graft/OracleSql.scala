@@ -162,6 +162,11 @@ object OracleSql {
     "q_kmv_unique" ->
       "SELECT l_returnflag, true AS within_bound FROM lineitem GROUP BY 1",
 
+    // CMS contract: est >= exact always; est <= exact + eps*N at the
+    // configured confidence — pinned true per present event type
+    "q_cms_freq" ->
+      "SELECT event_type AS item, true AS within_eps FROM events GROUP BY 1",
+
     "q_sample_any" ->
       "SELECT CAST(10 AS BIGINT) AS n_sampled, true AS members_ok",
 
@@ -248,6 +253,16 @@ object OracleSql {
       """SELECT c_custkey AS custkey, c_name FROM customer
         |WHERE c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // bloom prefilter is EXACT (false positives removed by the semi-join),
+    // so the oracle is the plain semi-join aggregate
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
 
     "q_broadcast_join" ->
       s"""SELECT p_brand,

@@ -214,6 +214,25 @@ object Queries {
       tol = 0.15, as = "within_rsd")
   }
 
+  /** Count–min sketch frequencies for the five event types, gated by the
+    * sketch contract: est ≥ exact (CMS overestimates only) and
+    * est ≤ exact + eps·N with the configured confidence (eps·N is ~N/1000
+    * rows of slack; with 5 distinct items collisions are essentially zero,
+    * so the estimate is exact in practice — the bound is what the oracle
+    * pins so the query stays green under any conforming sketch). */
+  def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val eps = 0.001
+    val est = Aggregates.cmsFrequencies(ev, col("event_type"),
+      Seq("click", "view", "purchase", "signup", "error"), eps = eps)
+    val exact = ev.groupBy(col("event_type").as("item")).agg(count(lit(1)).as("__exact"))
+    val slack = (eps * ev.count()).toLong + 1
+    est.join(exact, "item")
+      .select(col("item"),
+        (col("est_count") >= col("__exact") &&
+          col("est_count") <= col("__exact") + lit(slack)).as("within_eps"))
+  }
+
   def qSampleResidue(s: SparkSession, dir: String): DataFrame =
     Aggregates.sampleByResidue(
       t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type")),
@@ -432,6 +451,19 @@ object Queries {
     Joins.flatten(Seq(
       t(s, dir, "region").select(col("r_name").as("name")),
       t(s, dir, "nation").select(col("n_name").as("name"))))
+
+  /** Bloom semi-join reduction: lineitems of URGENT orders only. The bloom
+    * prefilter drops most non-matching lineitems before the shuffle; the
+    * result is EXACTLY the plain semi-join the oracle replays. */
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame =
+    Joins.bloomSemiJoin(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+      "l_orderkey",
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")),
+      "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("long").as("sum_qty"))
 
   /** As-of join: each click matched to the same user's latest purchase
     * at-or-before it (left-outer — clicks before any purchase keep nulls).

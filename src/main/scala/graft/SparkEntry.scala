@@ -43,6 +43,7 @@ object SparkEntry {
     "q_count_distinct"  -> Queries.qCountDistinct _,
     "q_approx_unique"   -> Queries.qApproxUnique _,
     "q_kmv_unique"      -> Queries.qKmvUnique _,
+    "q_cms_freq"        -> Queries.qCmsFreq _,
     "q_mp_quantiles"    -> Queries.qMpQuantiles _,
     "q_sample_residue"  -> Queries.qSampleResidue _,
     "q_sample_any"      -> Queries.qSampleAny _,
@@ -61,6 +62,7 @@ object SparkEntry {
     "q_join_semi"       -> Queries.qJoinSemi _,
     "q_join_anti"       -> Queries.qJoinAnti _,
     "q_broadcast_join"  -> Queries.qBroadcastJoin _,
+    "q_bloom_semi"      -> Queries.qBloomSemi _,
     "q_asof_join"       -> Queries.qAsofJoin _,
     "q_range_join"      -> Queries.qRangeJoin _,
     "q_interval_join"   -> Queries.qIntervalJoin _,

@@ -126,6 +126,26 @@ object Aggregates {
   def approxUniquePerKey(df: DataFrame, keys: Seq[Column], value: Column, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as("approx_distinct"))
 
+  /** Count–min sketch frequency estimation (beyond-ref: the mergeable
+    * heavy-hitter sketch later Beam ships as extensions/sketching
+    * SketchFrequencies; absent from the reference snapshot). One
+    * distributed tree-aggregate merges fixed-size (width=⌈2/eps⌉ ×
+    * depth=⌈ln(1/(1−confidence))⌉ counters) partition sketches — the
+    * classic bounded-memory pass over an unbounded stream of items. The
+    * sketch guarantees est ≥ true and, with probability `confidence`,
+    * est ≤ true + eps·N. `probes` (the items to report — heavy-hitter
+    * candidates, an eval vocabulary) is small by definition; estimates are
+    * read on the driver and returned as (item, est_count). */
+  def cmsFrequencies(df: DataFrame, item: Column, probes: Seq[String],
+                     eps: Double = 0.001, confidence: Double = 0.99,
+                     seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cms = df.select(item.cast("string").as("__item"))
+      .stat.countMinSketch("__item", eps, confidence, seed)
+    probes.map(p => (p, cms.estimateCount(p))).toDF("item", "est_count")
+  }
+
   /** Sample.any(n) (reference: SDK/transforms/Sample.java:74): any n elements. */
   def sampleAny(df: DataFrame, n: Int): DataFrame = df.limit(n)
 

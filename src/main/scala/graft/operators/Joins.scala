@@ -51,6 +51,50 @@ object Joins {
                     how: String = "inner"): DataFrame =
     big.join(broadcast(small), keys, how)
 
+  /** Semi-join reduction via a Bloom-filter prefilter (beyond-ref: the
+    * classic distributed-join reducer, generalizing Spark's AQE runtime
+    * row-level filter to an explicit operator the caller controls).
+    *
+    * EXACT result — always identical to `leftSemi(big, keys)`: a Bloom
+    * filter over the distinct key set (~1.2 bytes/key at fpp=1%) is built
+    * with one distributed tree-aggregate, broadcast inside the filter
+    * closure, and discards non-matching big-side rows BEFORE the shuffle;
+    * the exact semi-join afterwards removes the false positives. The win
+    * region is 100 TB-shaped: the key set too large for a broadcast hash
+    * semi-join (a hash relation costs ~50-100 bytes/entry; the bloom is
+    * ~40-80x smaller) while the big side is dominated by non-matching rows,
+    * so shuffle volume drops by ~the match rate. Long and string keys (the
+    * sketch library's native types); anything else fails loud.
+    *
+    * `expectedKeys` skips the sizing `count()` when the caller knows the
+    * cardinality; 0 means derive it. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame, keyCol: String,
+                    fpp: Double = 0.01, expectedKeys: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val distinctKeys = keys.select(col(keyCol)).distinct()
+    val n = if (expectedKeys > 0) expectedKeys else distinctKeys.count()
+    if (n == 0) return big.limit(0)
+    val prefiltered = big.schema(bigKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bloom = distinctKeys.select(col(keyCol).cast("long").as("k"))
+          .stat.bloomFilter("k", n, fpp)
+        val bf = big.sparkSession.sparkContext.broadcast(bloom)
+        val might = udf((k: java.lang.Long) => k != null && bf.value.mightContainLong(k))
+        big.filter(might(col(bigKey).cast("long")))
+      case StringType =>
+        val bloom = distinctKeys.stat.bloomFilter(keyCol, n, fpp)
+        val bf = big.sparkSession.sparkContext.broadcast(bloom)
+        val might = udf((k: String) => k != null && bf.value.mightContainString(k))
+        big.filter(might(col(bigKey)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomSemiJoin supports integral and string keys, got $other for $bigKey")
+    }
+    prefiltered.join(distinctKeys.withColumnRenamed(keyCol, "__bloom_key"),
+        col(bigKey) === col("__bloom_key"), "left_semi")
+  }
+
   /** CoGroupByKey, N-way (reference: CoGroupByKey.java:74 → KV<K, CoGbkResult>
     * with per-tag iterables). Spark shape: per-input pre-aggregation to
     * (key, collect_list(value)) then chained full-outer joins on the key —

@@ -120,4 +120,21 @@ class AggregatesSpec extends SparkSpec {
       lowCardinality = Some(false)))
     assert(ranged.nonEmpty && ranged == windowed, s"$ranged\nvs\n$windowed")
   }
+
+  test("cmsFrequencies honors the count-min contract and is deterministic") {
+    val items = Seq.fill(100)("a") ++ Seq.fill(40)("b") ++ Seq.fill(1)("c")
+    val df = items.toDF("item")
+    val eps = 0.01
+    val run1 = Aggregates.cmsFrequencies(df, col("item"), Seq("a", "b", "c", "absent"), eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("a" -> 100L, "b" -> 40L, "c" -> 1L, "absent" -> 0L)
+    val slack = (eps * items.size).toLong + 1
+    exact.foreach { case (k, e) =>
+      assert(run1(k) >= e, s"$k: CMS must never underestimate (${run1(k)} < $e)")
+      assert(run1(k) <= e + slack, s"$k: ${run1(k)} > $e + $slack")
+    }
+    val run2 = Aggregates.cmsFrequencies(df, col("item"), Seq("a", "b", "c", "absent"), eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "fixed seed must make the sketch deterministic")
+  }
 }

@@ -293,4 +293,48 @@ class JoinsSpec extends SparkSpec {
         b, col("b_lo"), col("b_hi"), bucketWidth = 1L, maxBinsPerRow = 100).collect()
     }
   }
+
+  test("bloomSemiJoin is EXACT for long keys — matches plain leftSemi, even at fpp=0.5") {
+    val big = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val keys = Seq(3L, 50L, 199L, 777L).toDF("key") // 777 absent from big
+    val expected = Joins.leftSemi(big, keys.withColumnRenamed("key", "id"), Seq("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(expected.toSeq == Seq(3L, 50L, 199L))
+    // a sloppy bloom (fpp=0.5) lets false positives through the prefilter;
+    // the exact semi-join must still remove every one of them
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Joins.bloomSemiJoin(big, "id", keys, "key", fpp = fpp)
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == expected.toSeq, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomSemiJoin: string keys, empty key set, unsupported key type") {
+    val big = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("s", "n")
+    val keys = Seq("b", "zz").toDF("k")
+    assert(Joins.bloomSemiJoin(big, "s", keys, "k")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(Joins.bloomSemiJoin(big, "s", keys.limit(0), "k").count() == 0)
+    val doubles = Seq((1.5, "x")).toDF("d", "v")
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(doubles, "d", Seq(1.5).toDF("k"), "k")
+    }
+  }
+
+  test("bloomSemiJoin prefilter actually drops non-matching rows before the exact join") {
+    // parquet-backed big side: a LOCAL relation would let
+    // ConvertToLocalRelation evaluate the UDF prefilter at optimize time
+    // and erase it from the plan
+    val dir = java.nio.file.Files.createTempDirectory("bloom_semi").toString
+    (1L to 1000L).map(i => (i, i % 7)).toDF("id", "x")
+      .write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val keys = (1L to 10L).map(_ * 100L).toDF("key")
+    val out = Joins.bloomSemiJoin(big, "id", keys, "key")
+    assert(out.count() == 10)
+    // the UDF prefilter must sit in the plan (before the join), proving the
+    // shuffle-reduction path is active rather than a plain semi-join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("UDF"), s"expected bloom UDF prefilter in plan:\n$plan")
+  }
 }
