@@ -45,6 +45,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_ZORDER_ONLY").contains("1")) { zorderDuel(factor); return }
     // run only the range-join width/guard duel (self-contained, sf0.1)
     if (sys.env.get("SPARK_GRAFT_RANGE_ONLY").contains("1")) { rangeGuardDuel(); return }
+    // run only the bloom semi-join reduction duel
+    if (sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) { bloomDuel(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -334,6 +336,92 @@ object ScaleProbe {
       }
     println(s"""{"probe":"range_guard","pathological_width_rejected":$rejected}""")
     require(rejected, "bin-cap guard failed to reject a pathological bucketWidth")
+  }
+
+  /** Bloom semi-join reduction duel: the SAME ×factor event table
+    * semi-joined to a ~0.03%-selectivity key set, (a) plain shuffled
+    * semi-join with broadcast disabled — the plan shape once the key set
+    * outgrows the broadcast threshold — vs (b) bloomSemiJoin under the
+    * same conf. The bloom prefilter cuts the big-side shuffle input to
+    * matches + fpp noise; reported: both walls, the ratio, and the match
+    * count (sanity that both produce identical results). */
+  private def bloomDuel(factor: Int): Unit = {
+    import graft.operators.Joins
+    val spark = GraftSession.getOrCreate()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dir = "/root/repo/target/sp_bloom_duel"
+    (0 until factor).map(i =>
+        base.withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // materialize the key set as an OPAQUE parquet table: derived from a
+    // predicate, Catalyst's InferFiltersFromConstraints would copy that
+    // predicate onto the fact scan and prefilter it for free — a fixture
+    // artifact; real key sets are arbitrary id lists with no algebraic
+    // definition, which is exactly what a parquet round-trip produces
+    base.filter(col("event_type") === "signup" && col("event_id") % 37 === 0)
+      .select(col("event_id").as("key"))
+      .write.mode("overwrite").parquet(s"$dir-keys")
+    val keys = spark.read.parquet(s"$dir-keys")
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+    }
+    def runPlain(): Unit =
+      fact.join(keys.withColumnRenamed("key", "event_id"), Seq("event_id"), "left_semi")
+        .write.format("noop").mode("overwrite").save()
+    def runBloom(): Unit =
+      Joins.bloomSemiJoin(fact, "event_id", keys, "key")
+        .write.format("noop").mode("overwrite").save()
+    // local[32] shuffles at memory speed, so wall time hides what a
+    // network-bound cluster pays — count shuffle WRITE bytes per run too
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def bytesOf(body: => Unit): Long = {
+      shuffled.set(0); body
+      Thread.sleep(1000) // listener bus drains async
+      shuffled.get()
+    }
+    // Spark 4 auto-injects its own runtime bloom filter when the keys side
+    // carries a selective predicate — report whether it fired, and duel a
+    // third variant with injection off: the keys-are-a-plain-table shape
+    // (no creation-side predicate) where auto-injection never applies and
+    // the explicit operator is the only reduction available.
+    val plainPlan = fact.join(keys.withColumnRenamed("key", "event_id"),
+      Seq("event_id"), "left_semi").queryExecution.executedPlan.toString
+    println(s"""{"probe":"bloom_semi","spark_runtime_filter_in_plain_plan":${plainPlan.contains("might_contain")}}""")
+    def noRuntimeFilter[A](body: => A): A = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      spark.conf.set("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+      try body finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled")
+      }
+    }
+    runPlain(); runBloom() // warm
+    val pT = timed("semi_join_plain_shuffle")(runPlain())
+    val nT = noRuntimeFilter(timed("semi_join_no_runtime_filter")(runPlain()))
+    val bT = timed("semi_join_bloom_prefilter")(runBloom())
+    val pB = bytesOf(runPlain())
+    val nB = noRuntimeFilter(bytesOf(runPlain()))
+    val bB = bytesOf(runBloom())
+    println(f"""{"duel":"bloom_semi_no_injection","no_filter_bytes":$nB,"no_filter_over_bloom_wall":${nT / bT}%.2f}""")
+    val nPlain = fact.join(keys.withColumnRenamed("key", "event_id"),
+      Seq("event_id"), "left_semi").count()
+    val nBloom = Joins.bloomSemiJoin(fact, "event_id", keys, "key").count()
+    require(nPlain == nBloom, s"bloom semi-join diverged: $nPlain vs $nBloom")
+    println(f"""{"duel":"bloom_semi","plain_over_bloom_wall":${pT / bT}%.2f,""" +
+      f""""plain_shuffle_bytes":$pB,"bloom_shuffle_bytes":$bB,""" +
+      f""""shuffle_reduction":${pB.toDouble / math.max(bB, 1)}%.1f,""" +
+      f""""fact_rows":${fact.count()},"matches":$nPlain}""")
   }
 
   /** Z-order layout duel: the SAME ×factor event table written (a) hash-

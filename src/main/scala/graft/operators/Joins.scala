@@ -56,7 +56,7 @@ object Joins {
     * row-level filter to an explicit operator the caller controls).
     *
     * EXACT result — always identical to `leftSemi(big, keys)`: a Bloom
-    * filter over the distinct key set (~1.2 bytes/key at fpp=1%) is built
+    * filter over the key set (~1.2 bytes/key at fpp=1%) is built
     * with one distributed tree-aggregate, broadcast inside the filter
     * closure, and discards non-matching big-side rows BEFORE the shuffle;
     * the exact semi-join afterwards removes the false positives. The win
@@ -66,24 +66,29 @@ object Joins {
     * so shuffle volume drops by ~the match rate. Long and string keys (the
     * sketch library's native types); anything else fails loud.
     *
-    * `expectedKeys` skips the sizing `count()` when the caller knows the
-    * cardinality; 0 means derive it. */
+    * The keys side is deliberately NOT deduplicated: duplicate keys set the
+    * same bloom bits, `left_semi` dedups inherently, and skipping the
+    * `distinct()` saves a whole keys-side Exchange — both keys-side jobs
+    * (sizing count, sketch build) are shuffle-free scans. `expectedKeys`
+    * skips the sizing `count()` when the caller knows an upper bound on
+    * the key count; 0 means derive it (the raw count — an over-estimate
+    * under duplication, which only drives real fpp BELOW the request). */
   def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame, keyCol: String,
                     fpp: Double = 0.01, expectedKeys: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val distinctKeys = keys.select(col(keyCol)).distinct()
-    val n = if (expectedKeys > 0) expectedKeys else distinctKeys.count()
+    val keyRows = keys.select(col(keyCol))
+    val n = if (expectedKeys > 0) expectedKeys else keyRows.count()
     if (n == 0) return big.limit(0)
     val prefiltered = big.schema(bigKey).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val bloom = distinctKeys.select(col(keyCol).cast("long").as("k"))
+        val bloom = keyRows.select(col(keyCol).cast("long").as("k"))
           .stat.bloomFilter("k", n, fpp)
         val bf = big.sparkSession.sparkContext.broadcast(bloom)
         val might = udf((k: java.lang.Long) => k != null && bf.value.mightContainLong(k))
         big.filter(might(col(bigKey).cast("long")))
       case StringType =>
-        val bloom = distinctKeys.stat.bloomFilter(keyCol, n, fpp)
+        val bloom = keyRows.stat.bloomFilter(keyCol, n, fpp)
         val bf = big.sparkSession.sparkContext.broadcast(bloom)
         val might = udf((k: String) => k != null && bf.value.mightContainString(k))
         big.filter(might(col(bigKey)))
@@ -91,7 +96,7 @@ object Joins {
         throw new IllegalArgumentException(
           s"bloomSemiJoin supports integral and string keys, got $other for $bigKey")
     }
-    prefiltered.join(distinctKeys.withColumnRenamed(keyCol, "__bloom_key"),
+    prefiltered.join(keyRows.withColumnRenamed(keyCol, "__bloom_key"),
         col(bigKey) === col("__bloom_key"), "left_semi")
   }
 
