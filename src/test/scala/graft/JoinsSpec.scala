@@ -294,6 +294,34 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf matches a brute-force oracle on randomized data (dup ts, sparse keys, null gaps)") {
+    // 40 keys x 1500 lefts x 800 rights: plenty of same-key same-ts
+    // collisions, keys with no rights at all, lefts before the first right.
+    // Rights are pre-aggregated per (k, rts) — the documented tie contract.
+    val rnd = new scala.util.Random(20260813L)
+    val lefts = (0 until 1500).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong))
+    val rights = (0 until 800)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong, rnd.nextInt(1000)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((k, rts), g) => (k, rts, g.map(_._3).max) }.toSeq
+    val out = Joins.asOf(
+      lefts.toDF("id", "k", "ts"), rights.toDF("k", "rts", "v"),
+      Seq("k"), "ts", "rts", Seq("rts", "v"))
+      .select(col("id"), col("rts"), col("v")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (id, k, ts) =>
+      val expected = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts) match {
+        case Seq() => None
+        case cands => val best = cands.maxBy(_._2); Some((best._2, best._3))
+      }
+      assert(out(id) == expected, s"left id=$id k=$k ts=$ts")
+    }
+    assert(out.size == lefts.size)
+  }
+
   test("bloomSemiJoin is EXACT for long keys — matches plain leftSemi, even at fpp=0.5") {
     val big = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
     val keys = Seq(3L, 50L, 199L, 777L).toDF("key") // 777 absent from big
