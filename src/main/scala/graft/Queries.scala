@@ -807,6 +807,25 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** Weighted sampling (Curation.weightedSample, Efraimidis–Spirakis)
+    * gated by its contract: exactly n distinct member docs, and the
+    * sample's mean token count exceeds the corpus mean — the observable
+    * footprint of token-share-proportional inclusion (ln() priorities are
+    * engine-varying, so no value replay; value-level determinism and the
+    * heavy-item preference law are proven in CurationSpec). */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("w"))
+    val corpusAvg = docs.agg(avg(col("w"))).collect()(0).getDouble(0)
+    val sample = Curation.weightedSample(docs, col("doc_id"), col("w"), 50, seed = 7L)
+    sample.join(docs.select(col("doc_id"), lit(1).as("__m")), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        (countDistinct(col("doc_id")) === count(lit(1))).as("distinct_ok"),
+        (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"),
+        (avg(col("w")) > lit(corpusAvg)).as("weight_biased"))
+  }
+
   /** The capstone training-data pipeline — quality gate → exact dedup →
     * per-language mixture thinning → sequence packing — composed from the
     * library's own ops, the workflow a user of the reference would run to

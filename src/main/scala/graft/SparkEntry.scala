@@ -102,6 +102,7 @@ object SparkEntry {
     "q_mm_frames"       -> Queries.qMultimodalFrames _,
     // curation (training-mix composition)
     "q_stratified_sample" -> Queries.qStratifiedSample _,
+    "q_weighted_sample"   -> Queries.qWeightedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,

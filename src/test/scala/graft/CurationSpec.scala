@@ -135,6 +135,31 @@ class CurationSpec extends SparkSpec {
     assert(run(1) == run(11))
   }
 
+  test("weightedSample: deterministic, exact size, drops non-positive weights") {
+    val rows = (1L to 300L).map(i => (i, if (i % 50 == 0) 0L else 10L + i % 7)).toDF("id", "w")
+    val s1 = Curation.weightedSample(rows, col("id"), col("w"), 40, seed = 9L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Curation.weightedSample(rows.repartition(7), col("id"), col("w"), 40, seed = 9L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "must be deterministic regardless of partitioning")
+    assert(s1.size == 40 && s1.distinct.size == 40)
+    assert(s1.forall(_ % 50 != 0), "zero-weight rows must never be sampled")
+    val s3 = Curation.weightedSample(rows, col("id"), col("w"), 40, seed = 10L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 != s3, "different seeds must (generically) pick different samples")
+  }
+
+  test("weightedSample prefers heavy items across seeds (Efraimidis-Spirakis law)") {
+    // one item carries ~90% of the total weight; in a size-5 sample of 105
+    // items it should be present for nearly every seed
+    val rows = ((1L to 104L).map(i => (i, 1L)) :+ (999L, 1000L)).toDF("id", "w")
+    val hits = (1 to 20).count { seed =>
+      Curation.weightedSample(rows, col("id"), col("w"), 5, seed = seed.toLong)
+        .collect().exists(_.getLong(0) == 999L)
+    }
+    assert(hits >= 16, s"heavy item sampled in only $hits/20 seeds")
+  }
+
   test("packTokens: an oversize doc gets a singleton bin without derailing the scan") {
     val docs = Seq((1L, 50L), (2L, 900L), (3L, 60L), (4L, 70L))
       .toDF("id", "n_tok")
