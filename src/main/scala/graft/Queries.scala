@@ -226,11 +226,16 @@ object Queries {
     val est = Aggregates.cmsFrequencies(ev, col("event_type"),
       Seq("click", "view", "purchase", "signup", "error"), eps = eps)
     val exact = ev.groupBy(col("event_type").as("item")).agg(count(lit(1)).as("__exact"))
-    val slack = (eps * ev.count()).toLong + 1
+    // the probes cover every present event type, so N = Σ __exact — an
+    // unpartitioned window over the 5-row aggregate, not a third scan
+    val n = sum(col("__exact")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())
     est.join(exact, "item")
+      .select(col("item"), col("est_count"), col("__exact"),
+        ceil(n * lit(eps) + lit(1)).as("__slack"))
       .select(col("item"),
         (col("est_count") >= col("__exact") &&
-          col("est_count") <= col("__exact") + lit(slack)).as("within_eps"))
+          col("est_count") <= col("__exact") + col("__slack")).as("within_eps"))
   }
 
   def qSampleResidue(s: SparkSession, dir: String): DataFrame =

@@ -386,6 +386,7 @@ object ScaleProbe {
         shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     def bytesOf(body: => Unit): Long = {
+      Thread.sleep(1000) // drain in-flight events from the PREVIOUS run
       shuffled.set(0); body
       Thread.sleep(1000) // listener bus drains async
       shuffled.get()

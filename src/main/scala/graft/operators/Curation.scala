@@ -88,40 +88,29 @@ object Curation {
       .toDF("doc", "group", "bin", "tok")
   }
 
-  /** Deterministic per-stratum Bernoulli thinning for mixture WEIGHTS:
-    * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
-    * of the hash space. Reproducible run-to-run and engine-neutral (no
-    * RNG state to schedule), pure codegen, zero shuffle. Strata missing
-    * from `fractions` — and rows whose stratum is NULL, which no string
-    * key can match — get `defaultFraction` (0 = dropped, the safe default
-    * for a mixture job; pass 1.0 to keep unknown strata whole). */
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES): keep
-    * the n rows with the largest priority ln(u)/w, where u ∈ (0,1] derives
-    * from a deterministic per-id hash — inclusion probability proportional
-    * to `weight` (token counts, so a mixture samples long documents at
-    * their token share rather than their document share). One bounded
+    * the n rows with the largest priority ln(u)/w, where u ∈ (0,1) derives
+    * from xxhash64(id, seed) — inclusion probability proportional to
+    * `weight` (token counts, so a mixture samples long documents at their
+    * token share rather than their document share). One bounded
     * TakeOrderedAndProject pass: per-partition top-n heaps + a driver
     * merge of n·partitions candidates — never a full sort, never the
     * corpus on one node. Deterministic for a (seed, id-set) regardless of
     * partitioning. Rows with weight ≤ 0 are dropped (never sampled).
     *
-    * The hash folds ids through a Mersenne-prime multiplicative step kept
-    * under 2^63 (no overflow wrap, so the same arithmetic is replayable in
-    * checked-arithmetic engines); ln() is the one engine-varying step, so
-    * the oracle gates this by CONTRACT (size/distinct/weight-bias) rather
-    * than value replay — same policy as the reservoir. */
+    * The seed is hashed as a second xxhash64 input — full 64-bit mixing,
+    * the same scheme as stratifiedFractions/packTokens (an affine mod-p
+    * fold of the seed only shifts every hash by a constant and barely
+    * reorders). ln() is engine-varying, so the oracle gates this by
+    * CONTRACT (size/distinct/weight-bias) rather than value replay — same
+    * policy as the reservoir. */
   def weightedSample(df: DataFrame, id: Column, weight: Column, n: Int,
                      seed: Long = 42L): DataFrame = {
     requireIntegralId(df, id)
     require(n > 0, s"sample size must be positive, got $n")
-    // seed folds in BEFORE the multiplicative scramble: an additive
-    // post-multiply seed would shift every hash by the same constant,
-    // leaving the priority ORDER (hence the sample) seed-invariant
-    val p = 2147483647L
-    val seedMod = ((seed % p) + p) % p
-    val s1 = pmod(pmod(id.cast("long"), lit(p)) + lit(seedMod), lit(p))
-    val h = pmod(s1 * lit(2654435761L), lit(p))
-    val u = (h + lit(1L)).cast("double") / lit(2147483648.0)
+    val m = 1L << 53 // u on the double-exact integer grid, u ∈ (0, 1)
+    val u = (pmod(xxhash64(id, lit(seed)), lit(m)) + lit(1L)).cast("double") /
+      lit((m + 2).toDouble)
     df.filter(weight > 0)
       .withColumn("__wpri", log(u) / weight.cast("double"))
       .orderBy(col("__wpri").desc, id.asc)
@@ -129,6 +118,13 @@ object Curation {
       .drop("__wpri")
   }
 
+  /** Deterministic per-stratum Bernoulli thinning for mixture WEIGHTS:
+    * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
+    * of the hash space. Reproducible run-to-run and engine-neutral (no
+    * RNG state to schedule), pure codegen, zero shuffle. Strata missing
+    * from `fractions` — and rows whose stratum is NULL, which no string
+    * key can match — get `defaultFraction` (0 = dropped, the safe default
+    * for a mixture job; pass 1.0 to keep unknown strata whole). */
   def stratifiedFractions(df: DataFrame, stratum: Column, id: Column,
                           fractions: Map[String, Double],
                           seed: Long, defaultFraction: Double = 0.0): DataFrame = {

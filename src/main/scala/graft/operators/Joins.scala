@@ -78,9 +78,20 @@ object Joins {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val keyRows = keys.select(col(keyCol))
+    // BOTH sides must sit in the same type family: a cross-family pair
+    // (e.g. string big key vs long keys) would hash through different
+    // sketch families (putString vs putLong) and silently drop rows a
+    // coercing plain semi-join would match — violating the exactness
+    // contract. Fail loud instead.
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val (bigT, keyT) = (big.schema(bigKey).dataType, keys.schema(keyCol).dataType)
+    require((integral(bigT) && integral(keyT)) || (bigT == StringType && keyT == StringType),
+      s"bloomSemiJoin requires both keys in the same family (both integral or " +
+        s"both string); got $bigT for $bigKey vs $keyT for $keyCol")
     val n = if (expectedKeys > 0) expectedKeys else keyRows.count()
     if (n == 0) return big.limit(0)
-    val prefiltered = big.schema(bigKey).dataType match {
+    val prefiltered = bigT match {
       case ByteType | ShortType | IntegerType | LongType =>
         val bloom = keyRows.select(col(keyCol).cast("long").as("k"))
           .stat.bloomFilter("k", n, fpp)

@@ -305,12 +305,15 @@ class JoinsSpec extends SparkSpec {
       .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong, rnd.nextInt(1000)))
       .groupBy(t => (t._1, t._2))
       .map { case ((k, rts), g) => (k, rts, g.map(_._3).max) }.toSeq
-    val out = Joins.asOf(
+    val rows = Joins.asOf(
       lefts.toDF("id", "k", "ts"), rights.toDF("k", "rts", "v"),
       Seq("k"), "ts", "rts", Seq("rts", "v"))
       .select(col("id"), col("rts"), col("v")).collect()
-      .map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+    // exactly one output row per left — BEFORE keying by id, which would
+    // silently collapse duplicate emissions
+    assert(rows.length == lefts.size, s"expected ${lefts.size} rows, got ${rows.length}")
+    val out = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
     val byKey = rights.groupBy(_._1)
     lefts.foreach { case (id, k, ts) =>
       val expected = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts) match {
@@ -346,6 +349,14 @@ class JoinsSpec extends SparkSpec {
     val doubles = Seq((1.5, "x")).toDF("d", "v")
     intercept[IllegalArgumentException] {
       Joins.bloomSemiJoin(doubles, "d", Seq(1.5).toDF("k"), "k")
+    }
+    // cross-family pairs hash through DIFFERENT sketch families (putString
+    // vs putLong) and would silently drop coercible matches — fail loud
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(big, "s", Seq(2L).toDF("k"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(Seq((2L, "x")).toDF("id", "v"), "id", keys, "k")
     }
   }
 
