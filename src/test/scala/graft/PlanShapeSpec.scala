@@ -205,4 +205,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_bm25_batch")
     assert(!p.contains("SortMergeJoin"), s"bm25 joins must broadcast:\n${p.take(3000)}")
   }
+
+  test("weightedSample: bounded TakeOrderedAndProject, never a global Sort") {
+    // orderBy + limit must fuse into per-partition top-n heaps + a driver
+    // merge; a global Sort would materialize the whole corpus ordering
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), "\\s+")).as("w"))
+    val p = graft.operators.Curation.weightedSample(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("w"), 50, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort must not appear:\n${p.take(2000)}")
+  }
 }
