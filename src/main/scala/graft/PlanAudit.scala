@@ -10,7 +10,9 @@ object PlanAudit {
         "q_top_per_key", "q_latest_per_key", "q_distinct_rep",
         "q_ivf_ann", "q_lsh_ann", "q_dedup_minhash",
         // round-7: anchored calendar windows + single-scan BM25
-        "q_window_weekly", "q_weekly_team_score", "q_bm25_batch").foreach { name =>
+        "q_window_weekly", "q_weekly_team_score", "q_bm25_batch",
+        // round-7: bloom semi-join reduction + weighted sampling
+        "q_bloom_semi", "q_weighted_sample").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }
