@@ -587,6 +587,27 @@ object OracleSql {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
          |WHERE list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) >= 0.3""".stripMargin,
 
+    // int8 quantization replayed in full (floor(x+0.5) grid over
+    // float-widened doubles); the reconstruction bound stays a contract
+    // boolean (scale/2 by construction)
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |                  CAST(embedding AS DOUBLE[]) AS v,
+        |                  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |                  CAST(list_max(embedding) AS DOUBLE) AS hi
+        |           FROM embeddings),
+        |q AS (SELECT vec_id,
+        |             list_transform(v, x -> CASE WHEN hi = lo THEN 0
+        |               ELSE CAST(floor((x - lo) * 255 / (hi - lo) + 0.5) AS INT) - 128
+        |               END) AS ql
+        |      FROM e)
+        |SELECT vec_id, CAST(list_sum(ql) AS BIGINT) AS q_sum,
+        |       CAST(list_min(ql) AS INT) AS q_min,
+        |       CAST(list_max(ql) AS INT) AS q_max,
+        |       CAST(len(ql) AS INT) AS dims,
+        |       true AS recon_ok
+        |FROM q""".stripMargin,
+
     // Full replay of multi-table LSH ANN: per-table buckets (seeds 42, 43),
     // candidate union + dedup, exact cosine re-rank, top-5 per query with
     // the (score DESC, corpus_id ASC) tiebreak of Similarity.topKByScore.

@@ -812,6 +812,27 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** Int8 embedding quantization (Similarity.quantizeInt8): the DuckDB
+    * oracle replays the whole quantization (engine-neutral floor(x+0.5)
+    * arithmetic over float-widened doubles) and pins per-vector checksums;
+    * the reconstruction bound |dequant − orig| ≤ scale/2 is emitted as a
+    * contract boolean. */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val q = embs.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("__q"))
+    q.select(col("vec_id"),
+      aggregate(col("__q.q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(col("__q.q")).cast("int").as("q_min"),
+      array_max(col("__q.q")).cast("int").as("q_max"),
+      size(col("__q.q")).as("dims"),
+      (aggregate(
+        zip_with(Similarity.dequantizeInt8(col("__q")), col("embedding"),
+          (a, b) => abs(a - b.cast("double"))),
+        lit(0.0), (m, d) => greatest(m, d))
+        <= col("__q.scale") * lit(0.5) + lit(1e-9)).as("recon_ok"))
+  }
+
   /** Weighted sampling (Curation.weightedSample, Efraimidis–Spirakis)
     * gated by its contract: exactly n distinct member docs, and the
     * sample's mean token count exceeds the corpus mean — the observable

@@ -83,6 +83,33 @@ object Similarity {
     * cast("long") of a string/UUID id would null every id out. Fail loudly
     * instead (use content-hash surrogate ids upstream for non-numeric
     * keys). */
+  /** Per-vector int8 scalar quantization — the 4× storage cut an
+    * embedding store takes at 100 TB (float32 → int8 + two float scalars
+    * per row). Each vector quantizes against its OWN [min, max] range:
+    * q_i = floor((x_i − lo) · 255 / (hi − lo) + 0.5) − 128 ∈ [−128, 127],
+    * stored with (lo, scale) for dequantization
+    * x̂_i = (q_i + 128) · scale + lo, scale = (hi − lo)/255. Constant
+    * vectors (hi = lo) quantize to all-zero with scale 0. Row-local, zero
+    * shuffle, pure engine-neutral arithmetic (floor(x + 0.5), the cents
+    * pattern) — exactly replayable by a SQL oracle. Max reconstruction
+    * error is scale/2 by construction; [[dequantizeInt8]] restores an
+    * Array[Double] column for downstream cosine work. */
+  def quantizeInt8(vec: Column): Column = {
+    val lo = array_min(vec).cast("double")
+    val hi = array_max(vec).cast("double")
+    val scale = (hi - lo) / lit(255.0)
+    val q = transform(vec, x =>
+      when(hi === lo, lit(0)).otherwise(
+        floor((x.cast("double") - lo) * lit(255.0) / (hi - lo) + lit(0.5)) - lit(128))
+        .cast("tinyint"))
+    struct(q.as("q"), lo.as("lo"), scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = (q_i + 128) · scale + lo. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"), q =>
+      (q + lit(128)).cast("double") * quant.getField("scale") + quant.getField("lo"))
+
   private def requireIntegralId(df: DataFrame, id: Column): Unit = {
     val dt = df.select(id).schema.head.dataType
     require(dt == org.apache.spark.sql.types.LongType

@@ -356,6 +356,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.nlistFor(130, targetClusterSize = 2) == 65)
   }
 
+  test("quantizeInt8: full-range mapping, scale/2 reconstruction bound, constant vectors") {
+    val vecs = Seq(
+      (1L, Array(-2.0f, 0.0f, 1.0f, 3.5f)),
+      (2L, Array(7.25f, 7.25f, 7.25f)), // constant → all-zero, scale 0
+      (3L, Array(0.001f, -0.001f, 0.5f, -0.5f, 0.25f))).toDF("id", "v")
+    val q = vecs.select(col("id"), col("v"),
+      graft.operators.Similarity.quantizeInt8(col("v")).as("__q"))
+    val rows = q.select(col("id"), col("__q.q"), col("__q.lo"), col("__q.scale"),
+        graft.operators.Similarity.dequantizeInt8(col("__q")).as("d"), col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // extremes map to -128 / 127; everything lands in int8
+    val q1 = rows(1L).getSeq[Byte](1)
+    assert(q1.min == -128 && q1.max == 127, q1.toString)
+    // constant vector: all zeros, zero scale, exact reconstruction
+    val r2 = rows(2L)
+    assert(r2.getSeq[Byte](1).forall(_ == 0) && r2.getDouble(3) == 0.0)
+    assert(r2.getSeq[Double](4).forall(_ == 7.25))
+    // reconstruction error bounded by scale/2 everywhere
+    rows.values.foreach { r =>
+      val scale = r.getDouble(3)
+      val err = r.getSeq[Double](4).zip(r.getSeq[Float](5).map(_.toDouble))
+        .map { case (a, b) => math.abs(a - b) }.max
+      assert(err <= scale / 2 + 1e-12, s"id=${r.getLong(0)} err=$err scale=$scale")
+    }
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
