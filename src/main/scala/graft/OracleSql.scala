@@ -587,6 +587,22 @@ object OracleSql {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
          |WHERE list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) >= 0.3""".stripMargin,
 
+    // context-window chunking replayed in full: same token grid, same
+    // integer chunk-boundary arithmetic (stride 24, size 32)
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |           FROM documents),
+        |x AS (SELECT doc_id, t,
+        |             greatest(CAST(floor((len(t) + 24 - 32 - 1) / 24.0) AS INT), 0) AS m
+        |      FROM d),
+        |s AS (SELECT doc_id, t, unnest(generate_series(0, m)) AS i FROM x)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       CAST(len(list_slice(t, i*24 + 1, i*24 + 32)) AS INT) AS n_tok,
+        |       array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ') AS chunk_text
+        |FROM s""".stripMargin,
+
     // int8 quantization replayed in full (floor(x+0.5) grid over
     // float-widened doubles); the reconstruction bound stays a contract
     // boolean (scale/2 by construction)

@@ -812,6 +812,14 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** Context-window chunking (TextAnalysis.chunkTokens): 32-token chunks
+    * advancing by 24 (8-token overlap); pure integer index arithmetic, so
+    * the DuckDB oracle replays every chunk boundary and chunk text
+    * exactly. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkSize = 32, overlap = 8)
+
   /** Int8 embedding quantization (Similarity.quantizeInt8): the DuckDB
     * oracle replays the whole quantization (engine-neutral floor(x+0.5)
     * arithmetic over float-widened doubles) and pins per-vector checksums;

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_ivf_ann"         -> Queries.qIvfAnn _,
     "q_embed_neardup"   -> Queries.qEmbedNearDup _,
     "q_embed_quant"     -> Queries.qEmbedQuant _,
+    "q_chunk_docs"      -> Queries.qChunkDocs _,
     "q_semdedup"        -> Queries.qSemDedup _,
     "q_text_quality"    -> Queries.qTextQuality _,
     "q_lang_id"         -> Queries.qLangId _,

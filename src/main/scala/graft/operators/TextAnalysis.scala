@@ -14,6 +14,36 @@ object TextAnalysis {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Context-window chunking: split each document into token windows of
+    * `chunkSize` whitespace tokens advancing by `chunkSize − overlap` —
+    * the sequence-prep step for pretraining / retrieval corpora. Chunk i
+    * covers tokens [i·stride, i·stride + chunkSize); the last chunk is the
+    * first one reaching the document end (short tail kept, never padded);
+    * a doc with ≤ chunkSize tokens yields exactly one chunk. Row-local
+    * explode, zero shuffle, all integer arithmetic on the token index —
+    * exactly replayable by a SQL oracle. Output: input id + `chunk_idx`,
+    * `n_tok`, `chunk_text`. */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+    val n = size(toks)
+    // last chunk index: ceil((n - chunkSize)/stride) via integer math —
+    // (n + stride - chunkSize - 1) div stride, clamped at 0
+    val lastIdx = greatest(
+      floor((n + lit(stride - chunkSize - 1)).cast("double") / lit(stride)).cast("int"),
+      lit(0))
+    docs.select(id, toks.as("__toks"),
+        posexplode(sequence(lit(0), lastIdx)).as(Seq("chunk_idx", "__start")))
+      .select(id, col("chunk_idx"),
+        size(slice(col("__toks"), col("__start") * stride + 1, lit(chunkSize))).as("n_tok"),
+        array_join(slice(col("__toks"), col("__start") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** APPROXIMATE subword token count: word-piece regex (letter runs, digit
     * runs, single punctuation) — the standard cheap estimator for LLM token
     * budgeting when the real tokenizer is off-cluster. This is NOT a BPE:

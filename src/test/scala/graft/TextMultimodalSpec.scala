@@ -12,6 +12,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Seq(0, 0, 3))
   }
 
+  test("chunkTokens: boundaries, overlap, short tail, single-chunk and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, size 4 stride 3 -> 3 chunks
+      (2L, "a b c"),                                  // fits one chunk
+      (3L, "   ")).toDF("doc_id", "text")             // empty -> 1 empty chunk
+    val out = TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"), 4, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"),
+      doc1.mkString("; "))
+    assert(doc1.map(_._3).toSeq == Seq(4, 4, 4))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, "")))
+    // every token of doc 1 appears in at least one chunk (coverage law)
+    val covered = doc1.flatMap(_._4.split(" ")).toSet
+    assert((1 to 10).forall(i => covered(s"t$i")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"), 4, 4)
+    }
+  }
+
   test("tokenCountApprox counts word-piece regex pieces") {
     val t = Create.of(spark, Seq("hello, world 42")).toDF("s")
     // hello | , | world | 4 | 2
