@@ -624,6 +624,41 @@ object OracleSql {
         |       true AS recon_ok
         |FROM q""".stripMargin,
 
+    // Full replay of quantized ANN: the int8 grid, per-vector sums, the
+    // correction-term dot, norms, and the (score DESC, corpus_id ASC)
+    // top-5 — every pre-scale term is an exact integer, the scale algebra
+    // mirrors the Spark expression tree term for term
+    "q_quant_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |                  CAST(list_max(embedding) AS DOUBLE) AS hi
+        |           FROM embeddings),
+        |z AS (SELECT vec_id, lo, (hi - lo)/255.0 AS sc,
+        |             list_transform(v, x -> CASE WHEN hi = lo THEN 0
+        |               ELSE CAST(floor((x - lo) * 255 / (hi - lo) + 0.5) AS INT) - 128
+        |               END) AS ql
+        |      FROM e),
+        |w AS (SELECT vec_id, lo, sc, ql,
+        |             CAST(len(ql) AS DOUBLE) AS d,
+        |             CAST(list_sum(ql) AS DOUBLE) AS qs
+        |      FROM z),
+        |n AS (SELECT vec_id, lo, sc, ql, d, qs,
+        |             sqrt(sc*sc*(list_dot_product(ql, ql) + 128*(qs + qs) + 16384*d)
+        |                  + sc*lo*(qs + 128*d) + sc*lo*(qs + 128*d) + d*lo*lo) AS nrm
+        |      FROM w),
+        |cand AS (SELECT c.vec_id AS corpus_id, qv.vec_id AS query_id,
+        |                round((c.sc*qv.sc*(list_dot_product(c.ql, qv.ql)
+        |                         + 128*(c.qs + qv.qs) + 16384*c.d)
+        |                       + c.sc*qv.lo*(c.qs + 128*c.d)
+        |                       + qv.sc*c.lo*(qv.qs + 128*qv.d)
+        |                       + c.d*c.lo*qv.lo) / (c.nrm * qv.nrm), 6) AS score
+        |         FROM n c, n qv WHERE qv.vec_id < 5)
+        |SELECT query_id, corpus_id, score FROM (
+        |  SELECT query_id, corpus_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, corpus_id ASC) AS rn
+        |  FROM cand) WHERE rn <= 5""".stripMargin,
+
     // Full replay of multi-table LSH ANN: per-table buckets (seeds 42, 43),
     // candidate union + dedup, exact cosine re-rank, top-5 per query with
     // the (score DESC, corpus_id ASC) tiebreak of Similarity.topKByScore.

@@ -638,6 +638,16 @@ object Queries {
       embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
   }
 
+  /** Quantized brute-force ANN (Similarity.cosineTopKQuantized): scores
+    * come from the int8 store via quantizedDot — every term before the
+    * scale multiplications is an exact integer, so the DuckDB oracle
+    * replays the whole quantize→score→top-k pipeline bit-for-bit. */
+  def qQuantAnn(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.cosineTopKQuantized(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+  }
+
   def qLshAnn(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.lshTopK(embs, col("vec_id"), col("embedding"),

@@ -102,13 +102,60 @@ object Similarity {
       when(hi === lo, lit(0)).otherwise(
         floor((x.cast("double") - lo) * lit(255.0) / (hi - lo) + lit(0.5)) - lit(128))
         .cast("tinyint"))
-    struct(q.as("q"), lo.as("lo"), scale.as("scale"))
+    // qsum (Σ q_i, exact) rides along so pairwise quantizedDot needs only
+    // the codegen'd byte-array dot plus O(1) scalar corrections
+    struct(q.as("q"), lo.as("lo"), scale.as("scale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"))
   }
 
   /** Inverse of [[quantizeInt8]]: x̂_i = (q_i + 128) · scale + lo. */
   def dequantizeInt8(quant: Column): Column =
     transform(quant.getField("q"), q =>
       (q + lit(128)).cast("double") * quant.getField("scale") + quant.getField("lo"))
+
+  /** Dot product of two [[quantizeInt8]] vectors WITHOUT dequantizing:
+    * with x̂_i = (qx_i+128)·sa + la,
+    *   x̂·ŷ = sa·sb·Σ(qx+128)(qy+128) + sa·lb·Σ(qx+128)
+    *        + sb·la·Σ(qy+128) + d·la·lb
+    * where Σ(qx+128)(qy+128) = vecDot(qx,qy) + 128·(Σqx + Σqy) + 128²·d.
+    * The hot inner loop is the SAME codegen'd [[VecDotProduct]] kernel but
+    * over byte arrays — 4× less memory traffic per candidate pair than the
+    * float path — and every term before the scale multiplications is an
+    * exact integer, so a SQL oracle replays the score bit-for-bit. */
+  def quantizedDot(a: Column, b: Column): Column = {
+    val d = size(a.getField("q")).cast("double")
+    val p = graft.expressions.VectorExpressions.vecDot(a.getField("q"), b.getField("q")) +
+      lit(128.0) * (a.getField("qsum") + b.getField("qsum")).cast("double") +
+      lit(16384.0) * d
+    val sx = a.getField("qsum").cast("double") + lit(128.0) * d
+    val sy = b.getField("qsum").cast("double") + lit(128.0) * d
+    a.getField("scale") * b.getField("scale") * p +
+      a.getField("scale") * b.getField("lo") * sx +
+      b.getField("scale") * a.getField("lo") * sy +
+      d * a.getField("lo") * b.getField("lo")
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the memory-
+    * bandwidth-bound regime's fast path: candidates are scored from the
+    * quantized store (¼ the bytes of float32) via [[quantizedDot]]; same
+    * bounded top-k shape as [[cosineTopK]]. Scores approximate the float
+    * cosine to ~scale/‖x‖ relative error; re-rank survivors against the
+    * float vectors when exactness matters. */
+  def cosineTopKQuantized(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          k: Int): DataFrame = {
+    requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"),
+        quantizeInt8(corpusVec).as("cq"))
+      .withColumn("cnorm", sqrt(quantizedDot(col("cq"), col("cq"))))
+    val q = queries.select(queryId.cast("long").as("query_id"),
+        quantizeInt8(queryVec).as("qq"))
+      .withColumn("qnorm", sqrt(quantizedDot(col("qq"), col("qq"))))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score", round(
+        quantizedDot(col("cq"), col("qq")) / (col("cnorm") * col("qnorm")), 6))
+    topKByScore(scored, k)
+  }
 
   private def requireIntegralId(df: DataFrame, id: Column): Unit = {
     val dt = df.select(id).schema.head.dataType

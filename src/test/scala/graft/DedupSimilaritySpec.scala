@@ -382,6 +382,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedDot equals the dot of dequantized vectors; quantized top-k tracks float top-k") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 4 - 2))).toDF("id", "v")
+    val q2 = vecs.select(col("id"), col("v"), Similarity.quantizeInt8(col("v")).as("a"))
+      .crossJoin(vecs.select(col("id").as("id2"),
+        Similarity.quantizeInt8(col("v")).as("b"), col("v").as("v2")))
+    // identity: the correction-term formula == plain dot of dequantized
+    val diffs = q2.select(
+        Similarity.quantizedDot(col("a"), col("b")).as("qd"),
+        Similarity.dotProduct(Similarity.dequantizeInt8(col("a")),
+          Similarity.dequantizeInt8(col("b"))).as("dd"))
+      .collect().map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(diffs.max < 1e-6, s"max |quantizedDot - dequantized dot| = ${diffs.max}")
+    // ranking: quantized top-5 overlaps the float top-5 heavily (int8 on
+    // 32 dims perturbs cosine by ~1e-2; fixture scores are well separated)
+    val floatTop = Similarity.cosineTopK(vecs, col("id"), col("v"),
+        vecs.filter(col("id") < 3), col("id"), col("v"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantTop = Similarity.cosineTopKQuantized(vecs, col("id"), col("v"),
+        vecs.filter(col("id") < 3), col("id"), col("v"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (floatTop intersect quantTop).size
+    assert(overlap >= 12, s"quantized top-k diverged: only $overlap/15 shared pairs")
+    // self-similarity must stay the top hit for every query
+    assert((0L until 3L).forall(q => quantTop((q, q))), quantTop.toString)
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
