@@ -638,20 +638,18 @@ object OracleSql {
         |               ELSE CAST(floor((x - lo) * 255 / (hi - lo) + 0.5) AS INT) - 128
         |               END) AS ql
         |      FROM e),
-        |w AS (SELECT vec_id, lo, sc, ql,
-        |             CAST(len(ql) AS DOUBLE) AS d,
-        |             CAST(list_sum(ql) AS DOUBLE) AS qs
+        |w AS (SELECT vec_id, sc, ql,
+        |             128*sc + lo AS t,
+        |             sc*CAST(list_sum(ql) AS DOUBLE) AS g,
+        |             CAST(len(ql) AS DOUBLE) AS d
         |      FROM z),
-        |n AS (SELECT vec_id, lo, sc, ql, d, qs,
-        |             sqrt(sc*sc*(list_dot_product(ql, ql) + 128*(qs + qs) + 16384*d)
-        |                  + sc*lo*(qs + 128*d) + sc*lo*(qs + 128*d) + d*lo*lo) AS nrm
+        |n AS (SELECT vec_id, sc, ql, t, g, d,
+        |             sqrt(sc*sc*list_dot_product(ql, ql) + g*t + g*t + d*t*t) AS nrm
         |      FROM w),
         |cand AS (SELECT c.vec_id AS corpus_id, qv.vec_id AS query_id,
-        |                round((c.sc*qv.sc*(list_dot_product(c.ql, qv.ql)
-        |                         + 128*(c.qs + qv.qs) + 16384*c.d)
-        |                       + c.sc*qv.lo*(c.qs + 128*c.d)
-        |                       + qv.sc*c.lo*(qv.qs + 128*qv.d)
-        |                       + c.d*c.lo*qv.lo) / (c.nrm * qv.nrm), 6) AS score
+        |                round((c.sc*qv.sc*list_dot_product(c.ql, qv.ql)
+        |                       + c.g*qv.t + qv.g*c.t + c.d*c.t*qv.t)
+        |                      / (c.nrm * qv.nrm), 6) AS score
         |         FROM n c, n qv WHERE qv.vec_id < 5)
         |SELECT query_id, corpus_id, score FROM (
         |  SELECT query_id, corpus_id, score,

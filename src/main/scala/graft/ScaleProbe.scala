@@ -47,6 +47,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_RANGE_ONLY").contains("1")) { rangeGuardDuel(); return }
     // run only the bloom semi-join reduction duel
     if (sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) { bloomDuel(factor); return }
+    // run only the quantized-ANN store duel
+    if (sys.env.get("SPARK_GRAFT_QUANT_ONLY").contains("1")) { quantDuel(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -423,6 +425,50 @@ object ScaleProbe {
       f""""plain_shuffle_bytes":$pB,"bloom_shuffle_bytes":$bB,""" +
       f""""shuffle_reduction":${pB.toDouble / math.max(bB, 1)}%.1f,""" +
       f""""fact_rows":${fact.count()},"matches":$nPlain}""")
+  }
+
+  /** Quantized-ANN store duel: the SAME ×factor embedding corpus persisted
+    * (a) float32 and (b) int8-quantized (quantize ONCE at write time, the
+    * deployment shape), then brute-force cosine top-5 for the fixed query
+    * batch from each store. Reported: store bytes on disk, search walls,
+    * and the ratio — the int8 path reads ~¼ the bytes and runs the same
+    * codegen'd dot kernel over bytes. */
+  private def quantDuel(factor: Int): Unit = {
+    import graft.operators.Similarity
+    val spark = GraftSession.getOrCreate()
+    val base = GraftSession.table(spark, "/root/testdata/sf0.1", "embeddings")
+    val big = (0 until factor).map(i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+    val dir = "/root/repo/target/sp_quant_duel"
+    big.select(col("vec_id"), col("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/f32")
+    big.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qe"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/i8")
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    println(s"""{"probe":"quant_store","f32_bytes":${dirBytes(s"$dir/f32")},"i8_bytes":${dirBytes(s"$dir/i8")}}""")
+    val queries = base.filter(col("vec_id") < 5)
+    val f32 = spark.read.parquet(s"$dir/f32")
+    val i8 = spark.read.parquet(s"$dir/i8")
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+    }
+    def runF(): Unit = Similarity.cosineTopK(f32, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .write.format("noop").mode("overwrite").save()
+    def runQ(): Unit = Similarity.cosineTopKPreQuantized(i8, col("vec_id"), col("qe"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .write.format("noop").mode("overwrite").save()
+    runF(); runQ() // warm
+    val fT = timed(s"ann_float32_x$factor")(runF())
+    val qT = timed(s"ann_int8_store_x$factor")(runQ())
+    println(f"""{"duel":"quant_ann","float_over_int8_wall":${fT / qT}%.2f}""")
+    spark.stop()
   }
 
   /** Z-order layout duel: the SAME ×factor event table written (a) hash-

@@ -99,9 +99,92 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over integral arrays (byte/short/int), accumulated
+  * in LONG — the int8-quantized scoring kernel. Unlike [[VecDotProduct]]
+  * it never converts elements to double: products stay in int arithmetic
+  * (max |product| = 2^14 for int8), the accumulator in long (exact for any
+  * realistic dims), one conversion at the very end by the caller. Same
+  * null contract as VecDotProduct: NULL on length mismatch or null
+  * element. */
+case class VecDotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_int"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(ByteType | ShortType | IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires byte/short/int array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Long = dt match {
+    case ByteType    => arr.getByte(i).toLong
+    case ShortType   => arr.getShort(i).toLong
+    case IntegerType => arr.getInt(i).toLong
+    case other       => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    if (x.numElements() != y.numElements()) return null
+    var sum = 0L
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += get(x, i, lt) * get(y, i, rt)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def accessor(dt: DataType, arr: String, i: String): String = dt match {
+      case ByteType    => s"(long) $arr.getByte($i)"
+      case ShortType   => s"(long) $arr.getShort($i)"
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case other       => throw new IllegalStateException(s"unsupported element type $other")
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |if ($l.numElements() != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $l.numElements(); $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${accessor(lt, l, i)} * ${accessor(rt, r, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Dot product of two numeric array columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Integer dot product of two integral array columns (codegen'd, long). */
+  def vecDotInt(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotProductInt(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
