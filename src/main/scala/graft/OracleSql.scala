@@ -595,7 +595,9 @@ object OracleSql {
         |                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |           FROM documents),
         |x AS (SELECT doc_id, t,
-        |             greatest(CAST(floor((len(t) + 24 - 32 - 1) / 24.0) AS INT), 0) AS m
+        |             -- COALESCE: Spark's greatest() skips NULLs while DuckDB 1.0
+        |             -- propagates them; a NULL text must still yield one chunk
+        |             greatest(CAST(floor((COALESCE(len(t), 0) + 24 - 32 - 1) / 24.0) AS INT), 0) AS m
         |      FROM d),
         |s AS (SELECT doc_id, t, unnest(generate_series(0, m)) AS i FROM x)
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
@@ -617,7 +619,7 @@ object OracleSql {
         |               ELSE CAST(floor((x - lo) * 255 / (hi - lo) + 0.5) AS INT) - 128
         |               END) AS ql
         |      FROM e)
-        |SELECT vec_id, CAST(list_sum(ql) AS BIGINT) AS q_sum,
+        |SELECT vec_id, CAST(COALESCE(list_sum(ql), 0) AS BIGINT) AS q_sum,
         |       CAST(list_min(ql) AS INT) AS q_min,
         |       CAST(list_max(ql) AS INT) AS q_max,
         |       CAST(len(ql) AS INT) AS dims,

@@ -32,6 +32,13 @@ object ScaleProbe {
     "q_stratified_sample", // per-stratum reservoir: accumulator ≤ n per group
     "q_pack_tokens")     // greedy packing: one shuffle + O(rows) scan
 
+  /** Warm-run duel timer: prints one JSON line per run, returns seconds. */
+  private def timed(tag: String)(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
     // rerun only the LSH duel against already-materialized scaled tables
@@ -63,11 +70,6 @@ object ScaleProbe {
       "embeddings" -> Seq("vec_id"),
       "documents"  -> Seq("doc_id"))
 
-    def timed(tag: String)(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
-    }
 
     if (!lshOnly) {
     rekeyCols.foreach { case (name, ids) =>
@@ -221,11 +223,6 @@ object ScaleProbe {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    def timed(tag: String)(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
-    }
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -368,11 +365,6 @@ object ScaleProbe {
       .select(col("event_id").as("key"))
       .write.mode("overwrite").parquet(s"$dir-keys")
     val keys = spark.read.parquet(s"$dir-keys")
-    def timed(tag: String)(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
-    }
     def runPlain(): Unit =
       fact.join(keys.withColumnRenamed("key", "event_id"), Seq("event_id"), "left_semi")
         .write.format("noop").mode("overwrite").save()
@@ -453,11 +445,6 @@ object ScaleProbe {
     val queries = base.filter(col("vec_id") < 5)
     val f32 = spark.read.parquet(s"$dir/f32")
     val i8 = spark.read.parquet(s"$dir/i8")
-    def timed(tag: String)(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
-    }
     def runF(): Unit = Similarity.cosineTopK(f32, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 5)
       .write.format("noop").mode("overwrite").save()
@@ -511,11 +498,6 @@ object ScaleProbe {
         .filter(col("ulo") <= 49 && col("uhi") >= 40 &&
           col("tlo") < t0 + 43 * dayUs && col("thi") >= t0 + 40 * dayUs)
         .count()
-    def timed(tag: String)(body: => Unit): Double = {
-      val t0n = System.nanoTime(); body
-      val s = (System.nanoTime() - t0n) / 1e9
-      println(f"""{"duel":"$tag","sec":$s%.3f}"""); s
-    }
     query(s"$dir/plain"); query(s"$dir/zorder") // warm
     val rows = query(s"$dir/plain")
     val pT = timed("zorder_duel_plain")(query(s"$dir/plain"))

@@ -1,9 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -177,11 +178,89 @@ case class VecDotProductInt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass int8 scalar quantization of a float/double array:
+  * struct(q: array<tinyint>, lo, scale, qsum). A single O(d) traversal
+  * computes min/max, a second emits the byte grid and Σq. Replaces the
+  * transform/aggregate HOF formulation, whose interpreted lambdas
+  * re-evaluated the lambda-invariant array_min/array_max subtrees PER
+  * ELEMENT (O(d²) per row — measured as the dominant cost of the
+  * quantization queries). Interpreted eval (CodegenFallback) is one
+  * virtual call per ROW around tight loops — the per-element HOF overhead
+  * is what mattered. NULL input or any NULL element → NULL (the
+  * VecDotProduct null-poisoning convention). */
+case class QuantizeInt8Vec(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = QuantizeInt8Vec.outType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a float/double array input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      xs(i) = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other      => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      i += 1
+    }
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    i = 0
+    while (i < n) { if (xs(i) < lo) lo = xs(i); if (xs(i) > hi) hi = xs(i); i += 1 }
+    if (n == 0) { lo = 0.0; hi = 0.0 }
+    val scale = (hi - lo) / 255.0
+    val q = new Array[Byte](n)
+    var qsum = 0L
+    i = 0
+    while (i < n) {
+      val b = if (hi == lo) 0.toByte
+        else (math.floor((xs(i) - lo) * 255.0 / (hi - lo) + 0.5) - 128).toByte
+      q(i) = b
+      qsum += b
+      i += 1
+    }
+    InternalRow(new GenericArrayData(q.map(b => b: Any)), lo, scale, qsum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Vec {
+  val outType: StructType = StructType(Seq(
+    StructField("q", ArrayType(ByteType, containsNull = false)),
+    StructField("lo", DoubleType, nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qsum", LongType, nullable = false)))
+}
+
 object VectorExpressions {
   /** Dot product of two numeric array columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One-pass int8 quantization (native expression, O(d) per row). */
+  def quantizeInt8Vec(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Vec(ColumnBridge.expression(v)))
 
   /** Integer dot product of two integral array columns (codegen'd, long). */
   def vecDotInt(a: Column, b: Column): Column =

@@ -79,10 +79,6 @@ object Similarity {
     topKByScore(scored, k)
   }
 
-  /** The typed/salted top-k paths encode ids as Long; a silent
-    * cast("long") of a string/UUID id would null every id out. Fail loudly
-    * instead (use content-hash surrogate ids upstream for non-numeric
-    * keys). */
   /** Per-vector int8 scalar quantization — the 4× storage cut an
     * embedding store takes at 100 TB (float32 → int8 + two float scalars
     * per row). Each vector quantizes against its OWN [min, max] range:
@@ -94,19 +90,12 @@ object Similarity {
     * pattern) — exactly replayable by a SQL oracle. Max reconstruction
     * error is scale/2 by construction; [[dequantizeInt8]] restores an
     * Array[Double] column for downstream cosine work. */
-  def quantizeInt8(vec: Column): Column = {
-    val lo = array_min(vec).cast("double")
-    val hi = array_max(vec).cast("double")
-    val scale = (hi - lo) / lit(255.0)
-    val q = transform(vec, x =>
-      when(hi === lo, lit(0)).otherwise(
-        floor((x.cast("double") - lo) * lit(255.0) / (hi - lo) + lit(0.5)) - lit(128))
-        .cast("tinyint"))
-    // qsum (Σ q_i, exact) rides along so pairwise quantizedDot needs only
-    // the codegen'd byte-array dot plus O(1) scalar corrections
-    struct(q.as("q"), lo.as("lo"), scale.as("scale"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // native one-pass expression: the HOF formulation (transform +
+    // aggregate) re-evaluated the lambda-invariant array_min/array_max
+    // PER ELEMENT in interpreted lambdas — O(d²) per row, measured as
+    // the dominant cost of the quantization queries
+    graft.expressions.VectorExpressions.quantizeInt8Vec(vec)
 
   /** Inverse of [[quantizeInt8]]: x̂_i = (q_i + 128) · scale + lo. */
   def dequantizeInt8(quant: Column): Column =
@@ -190,6 +179,10 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  /** The typed/salted top-k paths encode ids as Long; a silent
+    * cast("long") of a string/UUID id would null every id out. Fail loudly
+    * instead (use content-hash surrogate ids upstream for non-numeric
+    * keys). */
   private def requireIntegralId(df: DataFrame, id: Column): Unit = {
     val dt = df.select(id).schema.head.dataType
     require(dt == org.apache.spark.sql.types.LongType

@@ -30,13 +30,18 @@ object TextAnalysis {
     val stride = chunkSize - overlap
     val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
-    val n = size(toks)
+    // tokens materialize in a FIRST projection: embedding `toks` in the
+    // generator too would copy the split subtree across the
+    // Generate/Project boundary (no CSE there) and tokenize every doc
+    // twice
+    val tokenized = docs.select(id, toks.as("__toks"))
+    val n = size(col("__toks"))
     // last chunk index: ceil((n - chunkSize)/stride) via integer math —
     // (n + stride - chunkSize - 1) div stride, clamped at 0
     val lastIdx = greatest(
       floor((n + lit(stride - chunkSize - 1)).cast("double") / lit(stride)).cast("int"),
       lit(0))
-    docs.select(id, toks.as("__toks"),
+    tokenized.select(id, col("__toks"),
         posexplode(sequence(lit(0), lastIdx)).as(Seq("chunk_idx", "__start")))
       .select(id, col("chunk_idx"),
         size(slice(col("__toks"), col("__start") * stride + 1, lit(chunkSize))).as("n_tok"),
