@@ -587,6 +587,20 @@ object OracleSql {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
          |WHERE list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) >= 0.3""".stripMargin,
 
+    // char-trigram self-LM replayed in full: same trigram grid, same
+    // relative frequencies; ln noise absorbed by the 6dp round
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |              FROM d WHERE len(t) >= 3)),
+        |m AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM m),
+        |lp AS (SELECT tri, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM m, tot)
+        |SELECT doc_id, round(avg(logp), 6) AS lm_score,
+        |       count(*) AS n_tri
+        |FROM tri JOIN lp USING (tri) GROUP BY 1""".stripMargin,
+
     // context-window chunking replayed in full: same token grid, same
     // integer chunk-boundary arithmetic (stride 24, size 32)
     "q_chunk_docs" ->

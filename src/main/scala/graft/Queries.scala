@@ -822,6 +822,14 @@ object Queries {
       (sum(when(col("__m").isNull, 1).otherwise(0)) === 0).as("members_ok"))
   }
 
+  /** Char-trigram LM scoring (TextAnalysis.lmTrigramScore): the DuckDB
+    * oracle replays the whole self-trained model — same trigram grid,
+    * same relative frequencies, ln-probability averages rounded to 6dp
+    * (ln is ±1 ulp across engines; the per-doc average is ~1e-15 relative
+    * noise, far below the rounding grain). */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmTrigramScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+
   /** Context-window chunking (TextAnalysis.chunkTokens): 32-token chunks
     * advancing by 24 (8-token overlap); pure integer index arithmetic, so
     * the DuckDB oracle replays every chunk boundary and chunk text

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_embed_quant"     -> Queries.qEmbedQuant _,
     "q_chunk_docs"      -> Queries.qChunkDocs _,
     "q_quant_ann"       -> Queries.qQuantAnn _,
+    "q_lm_score"        -> Queries.qLmScore _,
     "q_semdedup"        -> Queries.qSemDedup _,
     "q_text_quality"    -> Queries.qTextQuality _,
     "q_lang_id"         -> Queries.qLangId _,

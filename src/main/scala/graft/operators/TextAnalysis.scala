@@ -49,6 +49,36 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Char-trigram language-model quality score — the shape of CCNet/Gopher
+    * perplexity filtering, self-trained: the corpus's own trigram relative
+    * frequencies are the model, and each document scores
+    * `avg(ln p(tri))` over its trigrams (low score = improbable character
+    * sequences = gibberish/boilerplate candidates). Deterministic: no
+    * sampling, one trigram-explode pass. Scale shape: the model is bounded
+    * by the observed trigram vocabulary (≲ charset³, tiny next to the
+    * corpus) and broadcasts; the per-doc aggregate partially combines
+    * BEFORE its shuffle (explode preserves row locality, so each doc's
+    * trigrams sit in one partition and the shuffle carries one row per
+    * doc). Casefolded text is materialized ONCE per row before the
+    * per-trigram lambda (the interpreted-HOF let-binding idiom — inlining
+    * lower(text) into the lambda would recompute it per trigram). Docs
+    * with < 3 chars have no trigrams and are absent from the output.
+    * Output: (doc_id, lm_score = round(avg ln p, 6), n_tri). */
+  def lmTrigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val docsT = docs.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
+    val tris = docsT.select(col("doc_id"),
+      explode(when(length(col("__t")) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(col("__t")) - 2),
+          i => col("__t").substr(i, lit(3))))).as("tri"))
+    val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    val total = sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val logp = model.select(col("tri"),
+      log(col("cnt").cast("double") / total).as("__logp"))
+    tris.join(broadcast(logp), "tri")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("__logp")), 6).as("lm_score"), count(lit(1)).as("n_tri"))
+  }
+
   /** APPROXIMATE subword token count: word-piece regex (letter runs, digit
     * runs, single punctuation) — the standard cheap estimator for LLM token
     * budgeting when the real tokenizer is off-cluster. This is NOT a BPE:

@@ -35,6 +35,26 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lmTrigramScore: hand-computed model, gibberish scores lower, short docs absent") {
+    // corpus of "ababab" repeats plus one doc of rare characters: the
+    // repeated-trigram docs share high-probability trigrams, the rare doc
+    // scores strictly lower
+    val docs = Seq(
+      (1L, "ababab"), (2L, "ababab"), (3L, "ababab"),
+      (4L, "zqxzqx"), (5L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(5L), "a 2-char doc has no trigrams")
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(1L)._2 == 4 && out(4L)._2 == 4, out.toString)
+    assert(out(4L)._1 < out(1L)._1, s"rare trigrams must score lower: $out")
+    // hand-check doc 1: trigrams aba,bab,aba,bab; corpus counts:
+    // aba=6, bab=6 of 16 total -> each p = 6/16 -> score = ln(0.375)
+    val expected = BigDecimal(math.log(6.0 / 16))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._1 - expected) < 2e-6, s"${out(1L)._1} vs $expected")
+  }
+
   test("tokenCountApprox counts word-piece regex pieces") {
     val t = Create.of(spark, Seq("hello, world 42")).toDF("s")
     // hello | , | world | 4 | 2
