@@ -66,10 +66,14 @@ object TextAnalysis {
     * Output: (doc_id, lm_score = round(avg ln p, 6), n_tri). */
   def lmTrigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val docsT = docs.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
+    // localCheckpoint: the exploded frame feeds BOTH the model aggregate
+    // and the scoring join — without it the trigram extraction runs twice
+    // (the BM25 one-scan pattern, Retrieval.scala)
     val tris = docsT.select(col("doc_id"),
       explode(when(length(col("__t")) < 3, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(col("__t")) - 2),
           i => col("__t").substr(i, lit(3))))).as("tri"))
+      .localCheckpoint()
     val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
     val total = sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
     val logp = model.select(col("tri"),
