@@ -609,8 +609,9 @@ object OracleSql {
         |                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |           FROM documents),
         |x AS (SELECT doc_id, t,
-        |             -- COALESCE: Spark's greatest() skips NULLs while DuckDB 1.0
-        |             -- propagates them; a NULL text must still yield one chunk
+        |             -- COALESCE: greatest() NULL handling differs across DuckDB
+        |             -- versions (skip vs propagate); pin the Spark behavior
+        |             -- (a NULL text still yields one chunk) independent of it
         |             greatest(CAST(floor((COALESCE(len(t), 0) + 24 - 32 - 1) / 24.0) AS INT), 0) AS m
         |      FROM d),
         |s AS (SELECT doc_id, t, unnest(generate_series(0, m)) AS i FROM x)

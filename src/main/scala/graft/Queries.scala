@@ -848,7 +848,10 @@ object Queries {
     val q = embs.select(col("vec_id"), col("embedding"),
       Similarity.quantizeInt8(col("embedding")).as("__q"))
     q.select(col("vec_id"),
-      aggregate(col("__q.q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      // the kernel's qsum field IS the byte sum — recomputing it with an
+      // interpreted HOF would re-add the per-element overhead the native
+      // expression removed; DuckDB recomputes independently on its side
+      col("__q.qsum").as("q_sum"),
       array_min(col("__q.q")).cast("int").as("q_min"),
       array_max(col("__q.q")).cast("int").as("q_max"),
       size(col("__q.q")).as("dims"),

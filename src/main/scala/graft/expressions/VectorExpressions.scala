@@ -224,7 +224,17 @@ case class QuantizeInt8Vec(child: Expression)
     var lo = Double.PositiveInfinity
     var hi = Double.NegativeInfinity
     i = 0
-    while (i < n) { if (xs(i) < lo) lo = xs(i); if (xs(i) > hi) hi = xs(i); i += 1 }
+    while (i < n) {
+      // NaN compares false against everything: it would silently skip the
+      // min/max scan and then land in the grid as byte 0 — corrupting
+      // scores downstream with no signal. Infinities make the scale
+      // degenerate. Fail loud instead (the ANSI-cast behavior of the HOF
+      // formulation this kernel replaced).
+      if (xs(i).isNaN || xs(i).isInfinite)
+        throw new IllegalArgumentException(
+          s"quantize_int8: non-finite element ${xs(i)} at index $i")
+      if (xs(i) < lo) lo = xs(i); if (xs(i) > hi) hi = xs(i); i += 1
+    }
     if (n == 0) { lo = 0.0; hi = 0.0 }
     val scale = (hi - lo) / 255.0
     val q = new Array[Byte](n)

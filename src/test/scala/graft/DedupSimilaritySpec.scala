@@ -382,6 +382,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 edge contracts: empty array, null element, non-finite fail-loud") {
+    import graft.operators.Similarity
+    // empty array: total function — all-zero struct, not NULL
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("__q"))
+      .select(col("__q.q"), col("__q.lo"), col("__q.scale"), col("__q.qsum")).collect()(0)
+    assert(empty.getSeq[Byte](0).isEmpty && empty.getDouble(1) == 0.0 &&
+      empty.getDouble(2) == 0.0 && empty.getLong(3) == 0L)
+    // a null ELEMENT nulls the whole struct (VecDotProduct null-poisoning)
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f))).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("__q")).collect()(0)
+    assert(withNull.isNullAt(0), "null element must null the struct")
+    // non-finite elements fail loud instead of landing in the grid as 0
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity)) {
+      val e = intercept[Exception] {
+        Seq(Tuple1(Array(1.0f, bad))).toDF("v")
+          .select(Similarity.quantizeInt8(col("v"))).collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(e).contains("non-finite"), chain(e).take(500))
+    }
+  }
+
   test("quantizedDot equals the dot of dequantized vectors; quantized top-k tracks float top-k") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(42)
