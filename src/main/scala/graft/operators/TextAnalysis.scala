@@ -64,20 +64,29 @@ object TextAnalysis {
     * lower(text) into the lambda would recompute it per trigram). Docs
     * with < 3 chars have no trigrams and are absent from the output.
     * Output: (doc_id, lm_score = round(avg ln p, 6), n_tri). */
-  def lmTrigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def lmTrigramScore(docs: DataFrame, id: Column, text: Column,
+                     materializeTrigrams: Boolean = false): DataFrame = {
     val docsT = docs.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
-    // localCheckpoint: the exploded frame feeds BOTH the model aggregate
-    // and the scoring join — without it the trigram extraction runs twice
-    // (the BM25 one-scan pattern, Retrieval.scala)
-    val tris = docsT.select(col("doc_id"),
+    def trisOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
       explode(when(length(col("__t")) < 3, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(col("__t")) - 2),
           i => col("__t").substr(i, lit(3))))).as("tri"))
-      .localCheckpoint()
+    // The exploded frame feeds BOTH the model aggregate and the scoring
+    // join. Default: recompute it (two codegen'd extraction scans) —
+    // materializing O(total corpus chars) rows to executor storage to save
+    // one scan is a net loss at scale (~3× the corpus written to local
+    // disk). `materializeTrigrams = true` flips the tradeoff for small
+    // corpora / expensive upstream plans.
+    val tris = if (materializeTrigrams) trisOf(docsT).localCheckpoint()
+               else trisOf(docsT)
     val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-    val total = sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
-    val logp = model.select(col("tri"),
-      log(col("cnt").cast("double") / total).as("__logp"))
+    // Scalar corpus total + broadcast, NOT sum().over(Window.partitionBy()):
+    // the unpartitioned window would serialize the whole vocabulary frame
+    // through a single-partition WindowExec; the scalar agg is one tiny job
+    // and the cross join broadcasts a single row.
+    val total = model.agg(sum(col("cnt")).as("__total"))
+    val logp = model.crossJoin(broadcast(total)).select(col("tri"),
+      log(col("cnt").cast("double") / col("__total").cast("double")).as("__logp"))
     tris.join(broadcast(logp), "tri")
       .groupBy(col("doc_id"))
       .agg(round(avg(col("__logp")), 6).as("lm_score"), count(lit(1)).as("n_tri"))

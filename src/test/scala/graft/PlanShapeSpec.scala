@@ -221,4 +221,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"global sort must not appear:\n${p.take(2000)}")
   }
+
+  test("q_lm_score: no single-partition WindowExec, no checkpointed corpus scan") {
+    // the model normalizer must be a scalar aggregate + broadcast cross
+    // join — an unpartitioned WindowExec would serialize the whole trigram
+    // vocabulary through one task; and the default path must recompute the
+    // trigram extraction rather than materialize O(corpus chars) rows to
+    // executor storage (localCheckpoint shows up as an ExistingRDD scan)
+    val p = plan("q_lm_score")
+    assert(!p.contains("Window "), s"unpartitioned window in q_lm_score:\n${p.take(2500)}")
+    assert(!p.contains("ExistingRDD"),
+      s"corpus-sized localCheckpoint must not be the default:\n${p.take(2500)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"scalar total must broadcast:\n${p.take(2500)}")
+  }
 }
