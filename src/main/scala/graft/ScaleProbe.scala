@@ -372,17 +372,22 @@ object ScaleProbe {
       Joins.bloomSemiJoin(fact, "event_id", keys, "key")
         .write.format("noop").mode("overwrite").save()
     // local[32] shuffles at memory speed, so wall time hides what a
-    // network-bound cluster pays — count shuffle WRITE bytes per run too
+    // network-bound cluster pays — count shuffle WRITE bytes per run too.
+    // Attribution is made exact by DRAINING the async listener bus before
+    // zeroing and before reading (waitUntilEmpty, the technique Spark's own
+    // tests use), and the listener is removed once the duel is done so
+    // nothing bleeds into later probes sharing the session.
     val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
     def bytesOf(body: => Unit): Long = {
-      Thread.sleep(1000) // drain in-flight events from the PREVIOUS run
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       shuffled.set(0); body
-      Thread.sleep(1000) // listener bus drains async
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       shuffled.get()
     }
     // Spark 4 auto-injects its own runtime bloom filter when the keys side
@@ -409,6 +414,7 @@ object ScaleProbe {
     val nB = noRuntimeFilter(bytesOf(runPlain()))
     val bB = bytesOf(runBloom())
     println(f"""{"duel":"bloom_semi_no_injection","no_filter_bytes":$nB,"no_filter_over_bloom_wall":${nT / bT}%.2f}""")
+    spark.sparkContext.removeSparkListener(shuffleListener)
     val nPlain = fact.join(keys.withColumnRenamed("key", "event_id"),
       Seq("event_id"), "left_semi").count()
     val nBloom = Joins.bloomSemiJoin(fact, "event_id", keys, "key").count()

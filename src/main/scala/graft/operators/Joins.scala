@@ -56,10 +56,12 @@ object Joins {
     * row-level filter to an explicit operator the caller controls).
     *
     * EXACT result — always identical to `leftSemi(big, keys)`: a Bloom
-    * filter over the key set (~1.2 bytes/key at fpp=1%) is built
-    * with one distributed tree-aggregate, broadcast inside the filter
-    * closure, and discards non-matching big-side rows BEFORE the shuffle;
-    * the exact semi-join afterwards removes the false positives. The win
+    * filter over the key set (~1.2 bytes/key at fpp=1%) is built with one
+    * distributed tree-aggregate and probed by Spark's codegen'd
+    * `BloomFilterMightContain` expression (no Scala UDF — the prefilter
+    * stays inside WholeStageCodegen), discarding non-matching big-side
+    * rows BEFORE the shuffle; the exact semi-join afterwards removes the
+    * false positives. The win
     * region is 100 TB-shaped: the key set too large for a broadcast hash
     * semi-join (a hash relation costs ~50-100 bytes/entry; the bloom is
     * ~40-80x smaller) while the big side is dominated by non-matching rows,
@@ -89,20 +91,42 @@ object Joins {
     require((integral(bigT) && integral(keyT)) || (bigT == StringType && keyT == StringType),
       s"bloomSemiJoin requires both keys in the same family (both integral or " +
         s"both string); got $bigT for $bigKey vs $keyT for $keyCol")
-    val n = if (expectedKeys > 0) expectedKeys else keyRows.count()
+    // NULL keys can never match a semi-join, so dropping them before the
+    // sketch build preserves exactness AND avoids the NPE stat.bloomFilter
+    // throws on a null string key.
+    val liveKeys = keyRows.na.drop(Seq(keyCol))
+    val n = if (expectedKeys > 0) expectedKeys else liveKeys.count()
     if (n == 0) return big.limit(0)
+    // The probe is Spark's codegen'd BloomFilterMightContain — the same
+    // expression its injected runtime filters use — over the serialized
+    // sketch as a binary literal (shipped once per stage inside the task
+    // binary, which Spark itself broadcasts). No Scala UDF: the big-side
+    // scan + prefilter stays inside WholeStageCodegen.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def mightContain(bloom: org.apache.spark.util.sketch.BloomFilter,
+                     value: Column): Column = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(baos)
+      ColumnBridge.column(new BloomFilterMightContain(
+        Literal.create(baos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(value)))
+    }
     val prefiltered = bigT match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val bloom = keyRows.select(col(keyCol).cast("long").as("k"))
+        // build putLong(raw) / probe mightContainLong(raw): both sides cast
+        // to long so mixed integral widths keep hashing identically
+        val bloom = liveKeys.select(col(keyCol).cast("long").as("k"))
           .stat.bloomFilter("k", n, fpp)
-        val bf = big.sparkSession.sparkContext.broadcast(bloom)
-        val might = udf((k: java.lang.Long) => k != null && bf.value.mightContainLong(k))
-        big.filter(might(col(bigKey).cast("long")))
+        big.filter(mightContain(bloom, col(bigKey).cast("long")))
       case StringType =>
-        val bloom = keyRows.stat.bloomFilter(keyCol, n, fpp)
-        val bf = big.sparkSession.sparkContext.broadcast(bloom)
-        val might = udf((k: String) => k != null && bf.value.mightContainString(k))
-        big.filter(might(col(bigKey)))
+        // BloomFilterMightContain probes longs only, so hash strings to
+        // xxhash64 on BOTH the build and probe sides (a 64-bit pre-hash
+        // only nudges the effective fpp, and the exact semi-join after the
+        // prefilter removes every false positive anyway)
+        val bloom = liveKeys.select(xxhash64(col(keyCol)).as("k"))
+          .stat.bloomFilter("k", n, fpp)
+        big.filter(mightContain(bloom, xxhash64(col(bigKey))))
       case other =>
         throw new IllegalArgumentException(
           s"bloomSemiJoin supports integral and string keys, got $other for $bigKey")

@@ -372,8 +372,26 @@ class JoinsSpec extends SparkSpec {
     val out = Joins.bloomSemiJoin(big, "id", keys, "key")
     assert(out.count() == 10)
     // the UDF prefilter must sit in the plan (before the join), proving the
-    // shuffle-reduction path is active rather than a plain semi-join
+    // shuffle-reduction path is active rather than a plain semi-join —
+    // and it must be the codegen'd BloomFilterMightContain expression,
+    // NOT a Scala UDF crossing the codegen boundary per big-side row
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("UDF"), s"expected bloom UDF prefilter in plan:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected codegen'd bloom prefilter in plan:\n$plan")
+    assert(!plan.contains("UDF"), s"no Scala UDF allowed in the probe path:\n$plan")
+  }
+
+  test("bloomSemiJoin: NULL keys on either side neither NPE nor match") {
+    val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n"), (3L, "c"))
+      .toDF("id", "v")
+    val keys = Seq[java.lang.Long](3L, null).toDF("key")
+    assert(Joins.bloomSemiJoin(big, "id", keys, "key")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val bigS = Seq(("a", 1), (null, 2), ("c", 3)).toDF("s", "n")
+    val keysS = Seq("c", null).toDF("k")
+    assert(Joins.bloomSemiJoin(bigS, "s", keysS, "k")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // all-null key set behaves like the empty key set
+    assert(Joins.bloomSemiJoin(bigS, "s", Seq[String](null).toDF("k"), "k").count() == 0)
   }
 }
