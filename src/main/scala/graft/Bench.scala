@@ -36,7 +36,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // record box contention in the artifact itself: a loaded machine has
+    // produced 2-5x inflated per-query walls in past rounds, and without
+    // the load average in the JSON that is indistinguishable from a code
+    // regression after the fact
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val ncpu = Runtime.getRuntime.availableProcessors
+    if (load > ncpu * 0.5)
+      System.err.println(f"[bench] WARNING: loadavg $load%.1f on $ncpu cpus — " +
+        "box is contended; walls are inflated")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"ncpu":$ncpu}""")
     spark.stop()
   }
 }

@@ -141,7 +141,11 @@ object Aggregates {
                      seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL items would reach CountMinSketch.add(null) and die with an
+    // obscure NPE; a null is "no item", so drop it — same frequency
+    // semantics a GROUP BY item would give (nulls form no countable item).
     val cms = df.select(item.cast("string").as("__item"))
+      .filter(col("__item").isNotNull)
       .stat.countMinSketch("__item", eps, confidence, seed)
     probes.map(p => (p, cms.estimateCount(p))).toDF("item", "est_count")
   }

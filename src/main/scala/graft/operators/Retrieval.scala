@@ -91,8 +91,13 @@ object Retrieval {
   def bm25TopKBatch(docs: DataFrame, text: Column, id: Column,
                     queries: DataFrame, queryId: Column, queryTerms: Column,
                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // null elements inside a terms array can never match a token; drop
+    // them right after the explode so the vocab cap check and the InSet
+    // probe only ever see real terms (a surviving null NPE'd in the
+    // driver-side size check before the fail-loud cap could fire)
     val qterms = queries.select(queryId.cast("long").as("query_id"),
-        explode(queryTerms).as("term")).distinct()
+        explode(queryTerms).as("term"))
+      .filter(col("term").isNotNull).distinct()
     // the distinct vocabulary rides to executors as ONE InSet probe set
     // (isin past the conversion threshold), the same data volume the old
     // broadcast-join path shipped — but it also lives on the driver and in

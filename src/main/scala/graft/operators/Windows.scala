@@ -130,11 +130,15 @@ object Windows {
     // reads local wall time when field extraction runs in UTC. Guarded HERE
     // (not in aggregate()) so every entry point — batch aggregate, the
     // streaming windowedAggregate path, direct expression use — fail-louds
-    // instead of silently double-shifting in a non-UTC session.
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-        "calendar windows require spark.sql.session.timeZone=UTC")
-    }
+    // instead of silently double-shifting in a non-UTC session. No active
+    // session at Column-construction time is itself an error: skipping the
+    // check would let a later non-UTC execution double-shift silently.
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "calendar windows need an active SparkSession at expression-" +
+          "construction time to verify spark.sql.session.timeZone=UTC"))
+    require(session.conf.get("spark.sql.session.timeZone") == "UTC",
+      "calendar windows require spark.sql.session.timeZone=UTC")
     val local = to_date(from_utc_timestamp(ts, cw.timeZone))
     def midnight(d: Column): Column = call_function("make_timestamp",
       year(d), month(d), dayofmonth(d), lit(0), lit(0), lit(0), lit(cw.timeZone))

@@ -137,4 +137,12 @@ class AggregatesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(run1 == run2, "fixed seed must make the sketch deterministic")
   }
+
+  test("cmsFrequencies: NULL items are no item — skipped, not an NPE") {
+    val df = Seq[String]("a", null, "a", null, "b").toDF("item")
+    val got = Aggregates.cmsFrequencies(df, col("item"), Seq("a", "b"), eps = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") >= 2L && got("b") >= 1L)
+    assert(got("a") <= 2L + 1 && got("b") <= 1L + 1)
+  }
 }

@@ -298,6 +298,14 @@ class DedupSimilaritySpec extends SparkSpec {
         q -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq }
     assert(batch(7L) == out.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
     assert(batch(8L).map(_._1) == Seq(5L)) // only doc 5 contains "nothing"
+
+    // a null element inside a terms array is dropped, not an NPE in the
+    // vocab size check — and scores are unchanged vs the null-free query
+    val withNull = graft.operators.Retrieval.bm25TopKBatch(docs, col("text"), col("doc_id"),
+      Seq((7L, Seq("rare", null, "common"))).toDF("query_id", "terms"),
+      col("query_id"), col("terms"), k = 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq
+    assert(withNull == batch(7L))
   }
 
   test("bm25 tokenizes the corpus exactly once (scoring reads the checkpoint)") {

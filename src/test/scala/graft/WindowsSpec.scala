@@ -101,6 +101,17 @@ class WindowsSpec extends SparkSpec {
       Seq("2023-10-15 00:00:00", "2024-01-15 00:00:00")), out.toString)
   }
 
+  test("calendarWindowExpr: no active session at construction is an ERROR, not a skipped guard") {
+    // the UTC-session check can only run if a session is visible; silently
+    // skipping it would let a later non-UTC execution double-shift
+    val cw = CalendarWindows("day")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try intercept[IllegalStateException] { Windows.calendarWindowExpr(cw, col("t")) }
+    finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // restored session: construction works again
+    Windows.calendarWindowExpr(cw, col("t"))
+  }
+
   test("withTimeZone: day window over a spring-forward transition is 23 wall-clock hours") {
     val ny = java.time.ZoneId.of("America/New_York")
     val cw = CalendarWindows("day", timeZone = "America/New_York")
