@@ -10,7 +10,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.getOrCreate()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: bench only the named queries (diagnosis runs)
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted.map { n =>
+        require(SparkEntry.queries.contains(n), s"unknown query $n"); n
+      } else SparkEntry.queries.keys.toSeq.sorted
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
