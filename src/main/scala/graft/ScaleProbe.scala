@@ -56,6 +56,9 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) { bloomDuel(factor); return }
     // run only the quantized-ANN store duel
     if (sys.env.get("SPARK_GRAFT_QUANT_ONLY").contains("1")) { quantDuel(factor); return }
+    // run only the round-8 probes (LM score / chunking / weighted sample /
+    // count-min frequencies)
+    if (sys.env.get("SPARK_GRAFT_R8_ONLY").contains("1")) { r8OpsProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -208,6 +211,77 @@ object ScaleProbe {
     *     clustering). Wall time runs the full operator where the pair
     *     count is sane (auto both scales; fixed base only).
     */
+  /** Round-8 probes: the round-7 newcomer ops that had no ScaleProbe entry.
+    * Wall ratios at ×factor data plus each op's OWN scale quantity — the
+    * number whose growth curve decides whether the plan survives 100 TB:
+    * the LM's model rows (must stay vocabulary-bounded as the corpus
+    * grows), chunking's output rows (must track the corpus linearly —
+    * row-local, no cross-doc state), weightedSample's output size (must
+    * stay exactly k — bounded per-partition heaps, never a global sort),
+    * and the count-min sketch's dimensions/bytes (fixed by eps/confidence,
+    * independent of row count). */
+  private def r8OpsProbe(factor: Int): Unit = {
+    import graft.operators.{Aggregates, Curation, TextAnalysis}
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_r8"
+    val spark = GraftSession.getOrCreate()
+
+    def rekey(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 1000000000L)))
+    Seq("documents" -> Seq("doc_id"), "events" -> Seq("event_id")).foreach {
+      case (name, ids) =>
+        val t = GraftSession.table(spark, base, name)
+        (0 until factor).map(i => if (i == 0) t else rekey(t, i, ids))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probes = Seq("q_lm_score", "q_chunk_docs", "q_weighted_sample", "q_cms_freq")
+    probes.foreach { n => time(n, base); time(n, out) } // warm
+    val rows = probes.map { n =>
+      val t1 = time(n, base)
+      val tN = time(n, out)
+      f"""{"query":"$n","sf01_sec":$t1%.3f,"x${factor}_sec":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    }
+    println(rows.mkString("[", ",\n", "]"))
+
+    // op-specific scale quantities
+    val docsB = GraftSession.table(spark, base, "documents")
+    val docsN = GraftSession.table(spark, out, "documents")
+    def modelRows(docs: DataFrame): Long =
+      docs.select(explode(when(length(lower(col("text"))) < 3,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(lower(col("text"))) - 2),
+          i => lower(col("text")).substr(i, lit(3))))).as("tri"))
+        .select(col("tri")).distinct().count()
+    val (mB, mN) = (modelRows(docsB), modelRows(docsN))
+    println(f"""{"probe":"lm_model_rows","base":$mB,"x$factor":$mN,"ratio":${mN.toDouble / mB}%.2f}""")
+    def chunkRows(docs: DataFrame): Long =
+      TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"), 32, 8).count()
+    val (cB, cN) = (chunkRows(docsB), chunkRows(docsN))
+    println(f"""{"probe":"chunk_rows","base":$cB,"x$factor":$cN,"ratio":${cN.toDouble / cB}%.2f}""")
+    def wsRows(docs: DataFrame): Long =
+      Curation.weightedSample(
+        docs.select(col("doc_id"), size(split(col("text"), "\\s+")).as("w")),
+        col("doc_id"), col("w"), 50, seed = 7L).count()
+    println(s"""{"probe":"weighted_sample_rows","base":${wsRows(docsB)},"x$factor":${wsRows(docsN)},"k":50}""")
+    def cmsDims(dir: String): (Int, Int, Long, Int) = {
+      val ev = GraftSession.table(spark, dir, "events")
+        .select(col("event_type").as("__item")).filter(col("__item").isNotNull)
+      val cms = ev.stat.countMinSketch("__item", 0.001, 0.99, 42)
+      (cms.depth(), cms.width(), cms.totalCount(), cms.toByteArray.length)
+    }
+    val (dB, wB, tB, bB) = cmsDims(base)
+    val (dN, wN, tN2, bN) = cmsDims(out)
+    println(s"""{"probe":"cms_sketch","base_depth":$dB,"base_width":$wB,"base_total":$tB,"base_bytes":$bB,""" +
+      s""""x${factor}_depth":$dN,"x${factor}_width":$wN,"x${factor}_total":$tN2,"x${factor}_bytes":$bN}""")
+    spark.stop()
+  }
+
   private def newOpsProbe(factor: Int): Unit = {
     import graft.operators.{Joins, Similarity}
     val base = "/root/testdata/sf0.1"

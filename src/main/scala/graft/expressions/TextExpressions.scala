@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,8 +99,173 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Primitive long → count open-addressing map (linear probing, power-of-2
+  * capacity, ≤ 0.5 load, murmur finalizer scramble) preserving insertion
+  * order. Keys must be ≥ 0 (−1 marks an empty slot) — callers pack ≤ 63
+  * bits. Purpose-built for [[CharNgramCounts]]: the JDK maps box a Long
+  * per increment, which dominated the kernel's profile.
+  */
+private[graft] final class LongCountMap(initialCapacity: Int) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) - 1) << 1
+  private var mask = cap - 1
+  private var keys = {
+    val a = new Array[Long](cap); java.util.Arrays.fill(a, -1L); a
+  }
+  private var vals = new Array[Long](cap)
+  private var order = new Array[Long](16)
+  var size = 0
+
+  private def slotOf(k: Long): Int = {
+    // murmur3 fmix64 finalizer — full avalanche so sequential packed
+    // windows don't cluster under linear probing
+    var h = k
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    var idx = (h & mask).toInt
+    while (keys(idx) != -1L && keys(idx) != k) idx = (idx + 1) & mask
+    idx
+  }
+
+  def increment(k: Long): Unit = {
+    val idx = slotOf(k)
+    if (keys(idx) == k) { vals(idx) += 1; return }
+    keys(idx) = k; vals(idx) = 1
+    if (size == order.length) order = java.util.Arrays.copyOf(order, size * 2)
+    order(size) = k
+    size += 1
+    if (size * 2 > cap) grow()
+  }
+
+  private def grow(): Unit = {
+    val oldKeys = keys; val oldVals = vals
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); java.util.Arrays.fill(keys, -1L)
+    vals = new Array[Long](cap)
+    var i = 0
+    while (i < oldKeys.length) {
+      if (oldKeys(i) != -1L) {
+        val idx = slotOf(oldKeys(i))
+        keys(idx) = oldKeys(i); vals(idx) = oldVals(i)
+      }
+      i += 1
+    }
+  }
+
+  /** k-th distinct key in first-occurrence order. */
+  def orderedKey(i: Int): Long = order(i)
+  def count(k: Long): Long = vals(slotOf(k))
+}
+
+/** Native per-document character-n-gram COUNTER — the hot kernel of
+  * [[graft.operators.TextAnalysis.lmTrigramScore]].
+  *
+  * Replaces `explode(transform(sequence(1, len-2), i => substr(t, i, 3)))`
+  * — whose lambda evaluates INTERPRETED (per-position closure dispatch,
+  * one UTF8String allocation per position, an O(chars) array per doc) and
+  * whose output is O(corpus chars) single-gram rows that a downstream
+  * partial aggregate must then hash back down. One imperative pass per
+  * document inside codegen, emitting the already-reduced map
+  * n-gram → occurrence count (distinct-per-doc entries, the same frame
+  * the `groupBy(doc_id, tri).count()` reduction produced — computed
+  * row-locally for free).
+  *
+  * Semantics pinned to the lambda form (TextMultimodalSpec): code-point
+  * (not byte) windows — identical to `substr` on multi-byte text; fewer
+  * than `n` chars (or NULL) → empty map; no casefolding (callers pass
+  * pre-lowered text so the plan lowercases ONCE per row).
+  */
+case class CharNgramCounts(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  // NULL text yields an EMPTY map — the expression itself never returns null
+  override def nullable: Boolean = false
+  override def prettyName: String = "char_ngram_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input and n >= 1 (got ${child.dataType}, n=$n)")
+
+  require(n <= 3, s"$prettyName packs code points into a 63-bit key; n <= 3 (got $n)")
+
+  /** Shared empty result. Public for the generated code path. */
+  val emptyCounts: MapData =
+    new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+      new GenericArrayData(Array.empty[Any]))
+
+  /** One pass: decode the doc to a String ONCE (per-position
+    * `UTF8String.substring(i, i+n)` re-scans the byte buffer from 0 every
+    * call — O(len²) per doc), slide a code-point n-window packed into one
+    * long (≤3 code points × 21 bits), and count in a primitive
+    * open-addressing map — no boxed Long and no per-position string
+    * allocation; strings materialize only for the DISTINCT grams at the
+    * end, in first-occurrence order. Public so generated code can invoke
+    * it. */
+  def computeCounts(text: UTF8String): MapData = {
+    val s = text.toString
+    val units = s.length
+    if (units < n) return emptyCounts // code points <= UTF-16 units
+    val map = new LongCountMap(64)
+    // rolling window of the last n code points, packed 21 bits each
+    val keepMask = if (n == 3) (1L << 42) - 1 else (1L << (21 * (n - 1))) - 1
+    var packed = 0L
+    var have = 0
+    var i = 0
+    while (i < units) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      packed = ((packed & keepMask) << 21) | cp
+      have += 1
+      if (have >= n) map.increment(packed)
+    }
+    if (map.size == 0) return emptyCounts
+    val keys = new Array[Any](map.size)
+    val vals = new Array[Any](map.size)
+    val sb = new java.lang.StringBuilder(n * 2)
+    var k = 0
+    while (k < map.size) {
+      val key = map.orderedKey(k)
+      sb.setLength(0)
+      var j = n - 1
+      while (j >= 0) { sb.appendCodePoint(((key >>> (21 * j)) & 0x1FFFFF).toInt); j -= 1 }
+      keys(k) = UTF8String.fromString(sb.toString)
+      vals(k) = map.count(key)
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) emptyCounts else computeCounts(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("counter", this, classOf[CharNgramCounts].getName)
+    val childGen = child.genCode(ctx)
+    val mapCls = classOf[MapData].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$mapCls ${ev.value} = ${childGen.isNull}
+        |  ? $ref.emptyCounts() : $ref.computeCounts(${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a string column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Per-row map of character n-gram → count (codegen'd, code-point
+    * windows, no casefolding — pass pre-lowered text). */
+  def charNgramCounts(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramCounts(ColumnBridge.expression(text), n))
 }

@@ -67,19 +67,23 @@ object TextAnalysis {
   def lmTrigramScore(docs: DataFrame, id: Column, text: Column,
                      materializeTrigrams: Boolean = false): DataFrame = {
     val docsT = docs.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
-    def trisOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
-      explode(when(length(col("__t")) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(col("__t")) - 2),
-          i => col("__t").substr(i, lit(3))))).as("tri"))
-    // The exploded frame feeds BOTH the model aggregate and the scoring
-    // join. Default: recompute it (two codegen'd extraction scans) —
-    // materializing O(total corpus chars) rows to executor storage to save
-    // one scan is a net loss at scale (~3× the corpus written to local
-    // disk). `materializeTrigrams = true` flips the tradeoff for small
-    // corpora / expensive upstream plans.
-    val tris = if (materializeTrigrams) trisOf(docsT).localCheckpoint()
-               else trisOf(docsT)
-    val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    // ONE compiled extraction pass (graft.expressions.CharNgramCounts)
+    // emits the already-reduced per-doc map tri → count — no interpreted
+    // per-position lambda, no O(corpus chars) single-gram explode. The
+    // groupBy re-aggregation is a near-identity (kernel output is already
+    // distinct per doc) but gives both consumers — the model aggregate and
+    // the scoring join — an IDENTICAL exchange subtree, so Catalyst plans
+    // the second occurrence as a ReusedExchange: extraction runs once with
+    // no checkpoint. `materializeTrigrams = true` additionally pins the
+    // reduced frame — bounded by distinct (doc, tri) pairs, NOT corpus
+    // chars — to executor storage for re-entrant callers.
+    val perDocRaw = docsT
+      .select(col("doc_id"),
+        explode(graft.expressions.TextExpressions.charNgramCounts(col("__t"), 3)))
+      .select(col("doc_id"), col("key").as("tri"), col("value").as("cnt"))
+      .groupBy(col("doc_id"), col("tri")).agg(sum(col("cnt")).as("cnt"))
+    val perDoc = if (materializeTrigrams) perDocRaw.localCheckpoint() else perDocRaw
+    val model = perDoc.groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
     // Scalar corpus total + broadcast, NOT sum().over(Window.partitionBy()):
     // the unpartitioned window would serialize the whole vocabulary frame
     // through a single-partition WindowExec; the scalar agg is one tiny job
@@ -87,9 +91,12 @@ object TextAnalysis {
     val total = model.agg(sum(col("cnt")).as("__total"))
     val logp = model.crossJoin(broadcast(total)).select(col("tri"),
       log(col("cnt").cast("double") / col("__total").cast("double")).as("__logp"))
-    tris.join(broadcast(logp), "tri")
+    // avg over trigram INSTANCES = cnt-weighted average over the reduced
+    // frame; n_tri likewise recovers the instance count
+    perDoc.join(broadcast(logp), "tri")
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("__logp")), 6).as("lm_score"), count(lit(1)).as("n_tri"))
+      .agg(round(sum(col("cnt") * col("__logp")) / sum(col("cnt")), 6).as("lm_score"),
+        sum(col("cnt")).as("n_tri"))
   }
 
   /** APPROXIMATE subword token count: word-piece regex (letter runs, digit

@@ -55,6 +55,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(out(1L)._1 - expected) < 2e-6, s"${out(1L)._1} vs $expected")
   }
 
+  test("charNgramCounts kernel ≡ interpreted transform+substr (multi-byte, surrogates, edges)") {
+    // the kernel packs code points, not UTF-16 units or bytes — pin
+    // equivalence with the Catalyst lambda form on text where those
+    // diverge: 2-byte chars, CJK, an astral (surrogate-pair) emoji
+    val texts = Seq(
+      "hello world", "héllo wörld", "中文字符串测试", "a😀b😀c", "ababab",
+      "ab", "x", "", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val kernel = df.select(col("id"),
+        explode(graft.expressions.TextExpressions.charNgramCounts(col("t"), 3)))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lambda = df.select(col("id"),
+        explode(when(length(col("t")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3))))).as("tri"))
+      .groupBy(col("id"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kernel == lambda, s"kernel=$kernel\nlambda=$lambda")
+    // first-occurrence order of the distinct grams (map key order)
+    val ordered = df.filter(col("id") === 4)
+      .select(map_keys(graft.expressions.TextExpressions.charNgramCounts(col("t"), 3)))
+      .collect()(0).getSeq[String](0)
+    assert(ordered == Seq("aba", "bab"), ordered.toString)
+  }
+
   test("tokenCountApprox counts word-piece regex pieces") {
     val t = Create.of(spark, Seq("hello, world 42")).toDF("s")
     // hello | , | world | 4 | 2
