@@ -378,6 +378,40 @@ object OracleSql {
         |      FROM events)
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // TopWikipediaSessions: 1h-gap sessions per user (same >= gap break as
+    // q_window_session), session end = last edit + gap, top-3 sessions per
+    // day-of-session-end with pinned tie-break (n DESC, user, start)
+    "q_top_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, tsu,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '1 hour'
+        |                THEN 1 ELSE 0 END AS new_sess
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |  )
+        |),
+        |sess AS (
+        |  SELECT user_id, min(tsu) AS session_start,
+        |         max(tsu) + INTERVAL '1 hour' AS session_end,
+        |         count(*) AS n_edits
+        |  FROM g GROUP BY user_id, sess
+        |),
+        |r AS (
+        |  SELECT CAST(date_trunc('day', session_end) AS TIMESTAMP) AS sday,
+        |         user_id, session_start, session_end, n_edits,
+        |         row_number() OVER (
+        |           PARTITION BY date_trunc('day', session_end)
+        |           ORDER BY n_edits DESC, user_id, session_start) AS rn
+        |  FROM sess
+        |)
+        |SELECT sday, user_id, session_start, session_end, n_edits
+        |FROM r WHERE rn <= 3""".stripMargin,
+
     // ------------------------------------------------------------ LLM-pipeline ops
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies

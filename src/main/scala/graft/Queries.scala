@@ -571,6 +571,37 @@ object Queries {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("score_cents"), col("n"))
 
+  /** TopWikipediaSessions (reference: examples/complete/
+    * TopWikipediaSessions.java:69 — the classic sessionization pipeline):
+    * Sessions.withGapDuration per user → Count.perElement → re-window the
+    * per-session counts into a calendar grid keyed by the session's END
+    * (Beam's default END_OF_WINDOW output timestamp; the reference
+    * computes "the longest session ending in each month") → Top.of(k)
+    * by edit count. The reference's grid is months(1); the synthetic
+    * events table spans one month, so the catalog query keys by DAY with
+    * k=3 — identical composition and plan shape (session_window agg →
+    * date_trunc → salted bounded top-k), a ~90-row oracle instead of a
+    * 1-row one. Ties (Beam leaves Top comparator ties unspecified) are
+    * pinned: smaller user_id, then earlier session_start. */
+  def qTopSessions(s: SparkSession, dir: String): DataFrame = {
+    val sessions = t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_edits"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_edits"))
+    val daily = sessions.withColumn("sday", date_trunc("day", col("session_end")))
+    Aggregates.topKPerKeySalted(daily, Seq(col("sday")),
+        struct((-col("n_edits")).as("__neg"), col("user_id"),
+          col("session_start"), col("session_end"), col("n_edits")),
+        saltFrom = struct(col("user_id"), col("session_start")), k = 3)
+      .select(col("sday"), col("item.user_id").as("user_id"),
+        col("item.session_start").as("session_start"),
+        col("item.session_end").as("session_end"),
+        col("item.n_edits").as("n_edits"))
+  }
+
   /** Multi-unit anchored calendar windows (reference CalendarWindows.java:56
     * weeks(n, startDayOfWeek)): Thursday-anchored fortnights. The epoch is
     * a Thursday, so the grid is the raw 14-day epoch-day grid — which is

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_window_calendar" -> Queries.qWindowCalendar _,
     "q_window_weekly"   -> Queries.qWindowWeekly _,
     "q_weekly_team_score" -> Queries.qWeeklyTeamScore _,
+    "q_top_sessions"    -> Queries.qTopSessions _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,
