@@ -327,6 +327,60 @@ object CombineFns {
         (acc._1, acc._2, fn.extractOutput(acc._3))
     }
 
+  /** TimestampCombiner modes (reference: windowing/TimestampCombiner.java —
+    * END_OF_WINDOW, EARLIEST, LATEST, plus the transformed variant the Python
+    * SDK exposes as OUTPUT_AT_EARLIEST_TRANSFORMED and the Java SDK reaches
+    * via WindowFn#getOutputTime). Only EarliestTransformed may consult the
+    * window fn's output-time transform — the custom-timestamping rows of
+    * trigger_transcripts.yaml pin that EOW/EARLIEST never invoke it. */
+  sealed trait TimestampCombiner
+  object TimestampCombiner {
+    case object EndOfWindow extends TimestampCombiner
+    case object Earliest extends TimestampCombiner
+    case object Latest extends TimestampCombiner
+    case object EarliestTransformed extends TimestampCombiner
+  }
+
+  /** Wraps a CombineFn over (eventTimeMs, value) pairs so each pane carries
+    * its resolved output timestamp. `outputTimeFn` models
+    * WindowFn#getOutputTime(elementTs, window) (reference: WindowFn.java:130;
+    * Python window.py get_transformed_output_time): it is applied per element
+    * ONLY under EarliestTransformed. The output timestamp is None for
+    * EndOfWindow — the pane already has the window end, and no per-element
+    * work (including the transform) is performed. */
+  def withTimestampCombiner[V, ACC, OUT](
+      fn: CombineFn[V, ACC, OUT], combiner: TimestampCombiner,
+      outputTimeFn: Long => Long = identity)
+      : CombineFn[(Long, V), (Long, ACC), (Option[Long], OUT)] =
+    new CombineFn[(Long, V), (Long, ACC), (Option[Long], OUT)] {
+      private val sentinel = combiner match {
+        case TimestampCombiner.Latest => Long.MinValue
+        case _                        => Long.MaxValue
+      }
+      override def createAccumulator(): (Long, ACC) = (sentinel, fn.createAccumulator())
+      override def addInput(acc: (Long, ACC), in: (Long, V)): (Long, ACC) = {
+        val ts = combiner match {
+          case TimestampCombiner.EndOfWindow          => sentinel
+          case TimestampCombiner.Earliest             => math.min(acc._1, in._1)
+          case TimestampCombiner.Latest               => math.max(acc._1, in._1)
+          case TimestampCombiner.EarliestTransformed  => math.min(acc._1, outputTimeFn(in._1))
+        }
+        (ts, fn.addInput(acc._2, in._2))
+      }
+      override def mergeAccumulators(a: (Long, ACC), b: (Long, ACC)): (Long, ACC) = {
+        val ts = combiner match {
+          case TimestampCombiner.Latest => math.max(a._1, b._1)
+          case _                        => math.min(a._1, b._1)
+        }
+        (ts, fn.mergeAccumulators(a._2, b._2))
+      }
+      override def extractOutput(acc: (Long, ACC)): (Option[Long], OUT) = {
+        val ts = if (combiner == TimestampCombiner.EndOfWindow || acc._1 == sentinel) None
+                 else Some(acc._1)
+        (ts, fn.extractOutput(acc._2))
+      }
+    }
+
   /** CombineFns.compose (reference: SDK/transforms/CombineFns.java): several
     * CombineFns in one pass = several aggregate Columns in one .agg() — in
     * Spark this is native; helpers kept for the typed façade. */
