@@ -864,8 +864,17 @@ object OracleSql {
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |b AS (SELECT doc_id, n, UNNEST(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS blk FROM d)
         |SELECT doc_id AS media_id, CAST(blk // 2 AS INT) AS frame_idx,
-        |       CAST(least(256, n - blk * 256) AS INT) AS frame_bytes
-        |FROM b WHERE blk % 2 = 0""".stripMargin,
+        |       CAST(least(256, n - blk * 256) AS INT) AS frame_bytes,
+        |       CAST(NULL AS INT) AS frame_w, CAST(NULL AS INT) AS frame_h
+        |FROM b WHERE blk % 2 = 0
+        |UNION ALL
+        |-- planted golden MJPEG AVI (media_id -1): 3 fixed 649-byte 8x8 JPEG
+        |-- frames, everyK=2 samples frames 0 and 2; dims come from Spark's
+        |-- REAL ImageIO decode, pinned here as fixture constants
+        |SELECT media_id, frame_idx, frame_bytes, frame_w, frame_h
+        |FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS INT), CAST(649 AS INT), CAST(8 AS INT), CAST(8 AS INT)),
+        |             (CAST(-1 AS BIGINT), CAST(1 AS INT), CAST(649 AS INT), CAST(8 AS INT), CAST(8 AS INT)))
+        |  AS g(media_id, frame_idx, frame_bytes, frame_w, frame_h)""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id AS media_id,

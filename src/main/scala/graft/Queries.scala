@@ -800,11 +800,43 @@ object Queries {
     Multimodal.decodeAudio(s,
       Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "audio"))
 
-  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(s,
-      Multimodal.asMedia(t(s, dir, "documents"), col("doc_id"), col("text"), "video"),
-      everyK = 2)
-      .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+  /** Golden 8×8 MJPEG frame (fixed bytes, JDK-decodable JPEG): planting it
+    * in q_mm_frames makes the REAL AVI→frames→ImageIO path oracle-gated —
+    * frame sizes and decoded dims are fixed by this fixture, so DuckDB can
+    * assert them as constants while Spark genuinely parses the container
+    * and decodes the pixels. */
+  val goldenJpeg: Array[Byte] =
+    ("ffd8ffe000104a46494600010200000100010000ffdb004300080606070605080707070909080a0c140d0c0b0b0c1912130f" +
+     "141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ffdb0043010909090c0b0c" +
+     "180d0d1832211c21323232323232323232323232323232323232323232323232323232323232323232323232323232323232" +
+     "3232323232323232ffc00011080008000803012200021101031101ffc4001f00000105010101010101000000000000000001" +
+     "02030405060708090a0bffc400b5100002010303020403050504040000017d01020300041105122131410613516107227114" +
+     "328191a1082342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445464748494a53545556" +
+     "5758595a636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5" +
+     "b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f010003" +
+     "0101010101010101010000000000000102030405060708090a0bffc400b51100020102040403040705040400010277000102" +
+     "031104052131061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a262728292a35" +
+     "363738393a434445464748494a535455565758595a636465666768696a737475767778797a82838485868788898a92939495" +
+     "969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9ea" +
+     "f2f3f4f5f6f7f8f9faffda000c03010002110311003f00cff0e7803ee7ee7f4a28a29d2a92e52f24ce317f548fbc7fffd9")
+      .sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Frame sampling over the documents corpus (stub 256-byte blocks, NULL
+    * dims) UNIONed with one planted golden MJPEG AVI (media_id = −1): three
+    * golden frames, everyK=2 samples frames 0 and 2, and the oracle pins
+    * their exact byte length and ImageIO-decoded 8×8 dims as constants. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Multimodal.asMedia(
+      t(s, dir, "documents"), col("doc_id"), col("text"), "video")
+    val avi = Multimodal.VideoCodec.buildMjpegAvi(
+      Seq(goldenJpeg, goldenJpeg, goldenJpeg), width = 8, height = 8)
+    val planted = Multimodal.asMedia(
+      Seq((-1L, avi)).toDF("id", "payload"), col("id"), col("payload"), "video")
+    Multimodal.sampleFrames(s, docs.unionByName(planted), everyK = 2)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"), col("frame_w"), col("frame_h"))
+  }
 
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s,

@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * corpus streams through fixed executor memory.
   *
   * Images decode for REAL via [[ImageCodec]] (`javax.imageio` ships in every
-  * JDK: PNG/JPEG/BMP/GIF/WBMP) and audio via [[AudioCodec]]
-  * (`javax.sound.sampled`: WAV/AIFF/AU). Video is the one modality with no
-  * JDK codec, so it uses the clearly-marked deterministic [[StubCodec]] —
-  * which also serves as the fallback for payloads the real codecs cannot
-  * parse, so a corrupt file never kills a 100 TB pass; the `decoded` flag
-  * routes undecodables to quarantine downstream. Swap `StubCodec` for a
-  * JNI/FFI codec (ffmpeg) in production for video.
+  * JDK: PNG/JPEG/BMP/GIF/WBMP), audio via [[AudioCodec]]
+  * (`javax.sound.sampled`: WAV/AIFF/AU), and MJPEG-in-AVI video via
+  * [[VideoCodec]] (a pure-Java RIFF chunk walker — MJPEG frames are
+  * standalone JPEGs, so the image codec finishes the job). Other video
+  * codecs have no JDK decoder and use the clearly-marked deterministic
+  * [[StubCodec]] — which also serves as the fallback for payloads the real
+  * codecs cannot parse, so a corrupt file never kills a 100 TB pass; the
+  * `decoded` flag / NULL dims route undecodables to quarantine downstream.
+  * Swap `StubCodec` for a JNI/FFI codec (ffmpeg) in production for H.264+.
   */
 object Multimodal {
 
@@ -110,6 +112,118 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException |
              _: java.io.IOException | _: IllegalArgumentException => None
       }
+    }
+  }
+
+  /** Real video container codec: a pure-Java RIFF/AVI chunk walker. The JDK
+    * has no inter-frame video codec, but MJPEG-in-AVI needs none — every
+    * frame is a standalone JPEG the JDK's `javax.imageio` decodes — so this
+    * is the one video format decodable with zero native dependencies
+    * (reference scope: the video-frame extraction the multimodal pipeline
+    * stubs behind ffmpeg elsewhere). Parsing is fail-soft: anything that is
+    * not a well-formed AVI returns None and the caller falls back to
+    * [[StubCodec]], so a corrupt container never kills a 100 TB pass.
+    * Memory per task is O(payload): frames are slices of the already-loaded
+    * binary column value. */
+  object VideoCodec {
+    /** `width`/`height`/`declaredFrames` come from the `avih` main header;
+      * `frames` are the raw video-data chunk payloads (`##dc`/`##db`) in
+      * file order — for MJPEG each one is a complete JPEG. */
+    final case class AviVideo(width: Int, height: Int, declaredFrames: Int,
+                              frames: Vector[Array[Byte]])
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    /** Walk the RIFF chunk tree; None unless the payload is a structurally
+      * valid `RIFF....AVI ` container. Chunk sizes are clamped to the
+      * payload and a non-advancing offset aborts the walk (truncated or
+      * hostile size fields degrade to "what was parsed so far", never to an
+      * infinite loop or OOB read). */
+    def parseAvi(payload: Array[Byte]): Option[AviVideo] = {
+      if (payload == null || payload.length < 12) return None
+      if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
+      var width = 0; var height = 0; var declared = 0
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off)
+          val size = u32(payload, off + 4)
+          val dataStart = off + 8
+          val dataEnd = math.min(dataStart + size, end.toLong).toInt
+          if (size < 0 || dataEnd < dataStart) return // hostile size: abort
+          if (id == "LIST" && dataEnd - dataStart >= 4)
+            walk(dataStart + 4, dataEnd)
+          else if (id == "avih" && dataEnd - dataStart >= 40) {
+            declared = u32(payload, dataStart + 16).toInt
+            width = u32(payload, dataStart + 32).toInt
+            height = u32(payload, dataStart + 36).toInt
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                     id(2) == 'd' && (id(3) == 'b' || id(3) == 'c'))
+            frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+          off = dataEnd + ((size & 1L).toInt) // chunks pad to even offsets
+        }
+      }
+      val riffEnd = math.min(8L + u32(payload, 4), payload.length.toLong).toInt
+      walk(12, riffEnd)
+      val fs = frames.result()
+      if (fs.isEmpty && width == 0 && height == 0) None
+      else Some(AviVideo(width, height, declared, fs))
+    }
+
+    /** Minimal MJPEG-AVI writer (the encode direction of [[parseAvi]]):
+      * RIFF(hdrl(avih, strl(strh vids/MJPG, strf)) + movi of `00dc` JPEG
+      * chunks). Used to plant golden containers in tests/queries; also a
+      * legitimate sink for frame sequences. Built bottom-up as byte arrays
+      * — container overhead is ~200 bytes, frames dominate. */
+    def buildMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                      fps: Int = 25): Array[Byte] = {
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def tag(s: String): Array[Byte] =
+        s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      def cat(parts: Array[Byte]*): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach(out.write)
+        out.toByteArray
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        cat(tag(id), le32(body.length.toLong), body,
+          if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(listType: String, parts: Array[Byte]*): Array[Byte] = {
+        val body = cat(parts: _*)
+        cat(tag("LIST"), le32(4L + body.length), tag(listType), body)
+      }
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val avih = chunk("avih", cat(
+        le32(1000000L / math.max(fps, 1)),              // dwMicroSecPerFrame
+        le32(0), le32(0), le32(0),                      // maxBytesPerSec, padding, flags
+        le32(frames.length.toLong),                     // dwTotalFrames
+        le32(0), le32(1), le32(maxFrame.toLong),        // initialFrames, streams, bufSize
+        le32(width.toLong), le32(height.toLong),
+        le32(0), le32(0), le32(0), le32(0)))            // reserved
+      val strh = chunk("strh", cat(
+        tag("vids"), tag("MJPG"),
+        le32(0), le32(0), le32(0),                      // flags, prio+lang, initialFrames
+        le32(1), le32(fps.toLong),                      // scale, rate → fps
+        le32(0), le32(frames.length.toLong),            // start, length
+        le32(maxFrame.toLong), le32(0xFFFFFFFFL),       // bufSize, quality=-1
+        le32(0),                                        // sampleSize
+        le32(0), le32((height.toLong << 16) | width.toLong))) // rcFrame (right,bottom)
+      val strf = chunk("strf", cat(                     // BITMAPINFOHEADER
+        le32(40), le32(width.toLong), le32(height.toLong),
+        le32((24L << 16) | 1L),                         // biBitCount=24, biPlanes=1
+        tag("MJPG"),                                    // biCompression
+        le32(width.toLong * height * 3), le32(0), le32(0), le32(0), le32(0)))
+      val hdrl = list("hdrl", avih, list("strl", strh, strf))
+      val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+      val riffBody = cat(tag("AVI "), hdrl, movi)
+      cat(tag("RIFF"), le32(riffBody.length.toLong), riffBody)
     }
   }
 
@@ -262,16 +376,36 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling (video): 1:N explode of sampled frames with indices. */
+  /** Frame sampling (video): 1:N explode of every k-th frame with indices.
+    * Payloads that parse as AVI ([[VideoCodec.parseAvi]]) yield their REAL
+    * video-data chunks, each ImageIO-decoded for `frame_w`/`frame_h` (MJPEG
+    * frames are standalone JPEGs; undecodable frames keep NULL dims).
+    * Everything else falls back to the deterministic [[StubCodec]] 256-byte
+    * blocks with NULL dims — same fail-soft contract as the other decode
+    * passes. `frame_idx` numbers the SAMPLED frames 0..n on both paths. */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyK: Int = 4): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType), StructField("frame_idx", IntegerType),
-      StructField("frame", BinaryType)))
+      StructField("frame", BinaryType),
+      StructField("frame_w", IntegerType), StructField("frame_h", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     media.select(col("media_id"), col("payload")).mapPartitions { it =>
       it.flatMap { r =>
-        StubCodec.sampleFrames(r.getAs[Array[Byte]]("payload"), everyK)
-          .zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+        val payload = r.getAs[Array[Byte]]("payload")
+        VideoCodec.parseAvi(payload) match {
+          case Some(v) =>
+            v.frames.zipWithIndex.collect { case (f, i) if i % everyK == 0 => f }
+              .zipWithIndex.map { case (f, i) =>
+                val img = ImageCodec.decode(f)
+                Row(r.getLong(0), i, f,
+                  img.map(im => Integer.valueOf(im.getWidth)).orNull,
+                  img.map(im => Integer.valueOf(im.getHeight)).orNull)
+              }
+          case None =>
+            StubCodec.sampleFrames(if (payload == null) Array.emptyByteArray else payload,
+                everyK)
+              .zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f, null, null) }
+        }
       }
     }(enc)
   }

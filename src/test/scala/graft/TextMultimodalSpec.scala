@@ -273,6 +273,77 @@ class TextMultimodalSpec extends SparkSpec {
       Create.of(spark, Seq((1L, big))).toDF("id", "txt"), col("id"), col("txt"), "video")
     val frames = Multimodal.sampleFrames(spark, media, everyK = 4).collect()
     assert(frames.length == 2) // blocks 0 and 4
+    assert(frames.forall(r => r.isNullAt(3) && r.isNullAt(4))) // stub: no dims
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, ((x * 7) << 16) | (y * 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("VideoCodec: MJPEG AVI round-trips build -> parse -> ImageIO decode") {
+    import Multimodal.VideoCodec
+    val f0 = jpegBytes(32, 24); val f1 = jpegBytes(32, 24); val f2 = jpegBytes(32, 24)
+    val avi = VideoCodec.buildMjpegAvi(Seq(f0, f1, f2), width = 32, height = 24, fps = 10)
+    val parsed = VideoCodec.parseAvi(avi)
+    assert(parsed.isDefined, "built AVI must parse")
+    val v = parsed.get
+    assert(v.width == 32 && v.height == 24 && v.declaredFrames == 3)
+    assert(v.frames.size == 3)
+    assert(v.frames(0).sameElements(f0) && v.frames(1).sameElements(f1) &&
+      v.frames(2).sameElements(f2)) // frame bytes survive the container intact
+    // the REAL decode: each recovered frame is a standalone JPEG
+    val img = Multimodal.ImageCodec.decode(v.frames(0))
+    assert(img.isDefined && img.get.getWidth == 32 && img.get.getHeight == 24)
+  }
+
+  test("VideoCodec: non-AVI, truncated, and hostile-size payloads parse to None") {
+    import Multimodal.VideoCodec
+    assert(VideoCodec.parseAvi(null).isEmpty)
+    assert(VideoCodec.parseAvi("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.parseAvi("RIFF".getBytes("UTF-8")).isEmpty) // too short
+    val good = VideoCodec.buildMjpegAvi(Seq(jpegBytes(8, 8)), 8, 8)
+    assert(VideoCodec.parseAvi(java.util.Arrays.copyOf(good, 20)).isEmpty ||
+      VideoCodec.parseAvi(java.util.Arrays.copyOf(good, 20)).get.frames.isEmpty)
+    // hostile chunk size (0xFFFFFFFF) inside movi: walk aborts, no OOB/loop
+    val hostile = good.clone()
+    // find "00dc" and corrupt its size field to u32 max
+    val idx = hostile.indices.find(i => i + 4 <= hostile.length &&
+      new String(hostile, i, 4, "ISO-8859-1") == "00dc").get
+    hostile(idx + 4) = 0xFF.toByte; hostile(idx + 5) = 0xFF.toByte
+    hostile(idx + 6) = 0xFF.toByte; hostile(idx + 7) = 0xFF.toByte
+    VideoCodec.parseAvi(hostile) // must terminate without throwing
+  }
+
+  test("sampleFrames: AVI payloads take the real path, text the stub path") {
+    import Multimodal.VideoCodec
+    val frames3 = Seq(jpegBytes(16, 12), jpegBytes(16, 12), jpegBytes(16, 12))
+    val avi = VideoCodec.buildMjpegAvi(frames3, 16, 12)
+    val rows = Seq((1L, avi), (2L, ("y" * 600).getBytes("UTF-8")))
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "bytes"), col("id"), col("bytes"), "video")
+    val got = Multimodal.sampleFrames(spark, media, everyK = 2).collect()
+      .groupBy(_.getLong(0))
+    // real path: frames 0 and 2 sampled, renumbered 0/1, real decoded dims
+    val real = got(1L).sortBy(_.getInt(1))
+    assert(real.length == 2)
+    assert(real(0).getAs[Array[Byte]](2).sameElements(frames3(0)))
+    assert(real(1).getAs[Array[Byte]](2).sameElements(frames3(2)))
+    assert(real.forall(r => r.getInt(3) == 16 && r.getInt(4) == 12))
+    // stub path: 600 bytes -> blocks 0 and 2 of 256, NULL dims
+    val stub = got(2L).sortBy(_.getInt(1))
+    assert(stub.length == 2 && stub.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("goldenJpeg fixture: 649 bytes, ImageIO-decodes at 8x8") {
+    // q_mm_frames' oracle hardcodes these three facts; pin them here so a
+    // fixture edit fails fast in CI rather than as an oracle hash mismatch
+    assert(Queries.goldenJpeg.length == 649)
+    val img = Multimodal.ImageCodec.decode(Queries.goldenJpeg)
+    assert(img.isDefined && img.get.getWidth == 8 && img.get.getHeight == 8)
   }
 
   test("Metrics counter accumulates across a distributed action") {
