@@ -412,6 +412,35 @@ object OracleSql {
         |SELECT sday, user_id, session_start, session_end, n_edits
         |FROM r WHERE rn <= 3""".stripMargin,
 
+    "q_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM words
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(cnt) AS total FROM wc GROUP BY 1),
+        |dfreq AS (SELECT w, count(*) AS dwith FROM wc GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+        |SELECT wc.doc_id AS doc_id, wc.w AS word,
+        |       round((cnt / CAST(total AS DOUBLE)) *
+        |             ln(CAST(nd AS DOUBLE) / dwith), 6) AS tfidf
+        |FROM wc JOIN tot USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n
+        |WHERE wc.doc_id % 50 = 0""".stripMargin,
+
+    "q_autocomplete" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS cnt FROM words
+        |           WHERE length(w) > 0 GROUP BY 1),
+        |pfx AS (SELECT substr(w, 1, CAST(i AS INT)) AS prefix, w, cnt
+        |        FROM counts, UNNEST(range(1, length(w) + 1)) AS t(i)),
+        |r AS (SELECT prefix, w, cnt,
+        |             row_number() OVER (PARTITION BY prefix
+        |                                ORDER BY cnt DESC, w DESC) AS rn
+        |      FROM pfx)
+        |SELECT prefix, w AS word, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= 3""".stripMargin,
+
     // ------------------------------------------------------------ LLM-pipeline ops
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies

@@ -614,6 +614,60 @@ object Queries {
       .select(col("window.start").as("wstart"), col("window.end").as("wend"),
         col("event_type"), col("n"))
 
+  /** TfIdf (reference: examples/complete/TfIdf.java:195-370 — the classic
+    * joining/side-input composition): `\W+`-split lowercased words →
+    * tf(w,d) = count(w in d) / totalWords(d); df(w) = docsWith(w) /
+    * totalDocs; score = tf · ln(1/df). Spark-first shape: ONE exploded
+    * word frame feeds all three aggregates (Beam needs a CoGroupByKey
+    * per join; here they are two shuffled joins Catalyst sizes itself,
+    * with AQE free to broadcast the vocabulary-bounded df side); the
+    * reference's totalDocuments side input is a scalar aggregate +
+    * broadcast cross join (the repo-wide idiom, never a driver collect
+    * of data rows). Output keeps the FULL computation but samples
+    * doc_id % 50 == 0 rows so the oracle frame stays bounded; scores
+    * round to 6 decimals (ln differs in the last ulp across engines). */
+  def qTfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wc = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\W+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val docTotals = wc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+    val docFreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dwith"))
+    val totalDocs = docs.agg(countDistinct(col("doc_id")).as("nd"))
+    wc.join(docTotals, "doc_id").join(docFreq, "w")
+      .crossJoin(broadcast(totalDocs))
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("w").as("word"),
+        round((col("cnt") / col("total")) *
+          log(col("nd").cast("double") / col("dwith")), 6).as("tfidf"))
+  }
+
+  /** AutoComplete (reference: examples/complete/AutoComplete.java:100-175,
+    * ComputeTopFlat minPrefix=1): token counts → every prefix of every
+    * token → top-3 candidates per prefix ordered by (count DESC, word
+    * DESC) — Top.largestPerKey over CompletionCandidate.compareTo
+    * (count, then value), ties to the LARGER string. The reference
+    * needs withHotKeyFanout because 1-char prefixes concentrate the
+    * whole vocabulary; [[Aggregates.topKPerKeySalted]] is that same
+    * two-phase salted reduction (stage 1 ranks within (prefix, salt),
+    * stage 2 merges ≤ fanout×k candidates per prefix), so short
+    * prefixes never funnel into one task at 100 TB. Prefix explosion is
+    * row-local (`transform(sequence(...))` inside codegen). */
+  def qAutoComplete(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\W+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val prefixes = counts.select(
+      explode(expr("transform(sequence(1, length(w)), i -> substring(w, 1, i))")).as("prefix"),
+      col("w"), col("cnt"))
+    Aggregates.topKPerKeySalted(prefixes, Seq(col("prefix")),
+        struct(col("cnt"), col("w")), saltFrom = col("w"), k = 3,
+        descending = true)
+      .select(col("prefix"), col("item.w").as("word"), col("item.cnt").as("cnt"))
+  }
+
   // ---------------------------------------------------------------- LLM-pipeline ops
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

@@ -78,6 +78,8 @@ object SparkEntry {
     "q_window_weekly"   -> Queries.qWindowWeekly _,
     "q_weekly_team_score" -> Queries.qWeeklyTeamScore _,
     "q_top_sessions"    -> Queries.qTopSessions _,
+    "q_tfidf"           -> Queries.qTfIdf _,
+    "q_autocomplete"    -> Queries.qAutoComplete _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,

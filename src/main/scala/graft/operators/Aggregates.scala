@@ -59,21 +59,27 @@ object Aggregates {
     * ≤ fanout×k rows per key.
     *
     * `item` must be a struct whose ASCENDING sort order is the desired rank
-    * order (negate numeric fields for descending). Returns one row per kept
-    * item with the struct exploded as column `item`.
+    * order (negate numeric fields for descending, or pass
+    * `descending = true` to rank by the struct's DESCENDING order — needed
+    * when a tie-break field is a string, which has no negation). Returns one
+    * row per kept item with the struct exploded as column `item`.
     *
     * For an even tighter shuffle (≤k rows per key per PARTITION, map-side
     * truncation before the exchange), use the typed
     * graft.functions.TopKCombineFn Aggregator — Similarity.cosineTopK and
     * the ANN re-rank paths do. */
   def topKPerKeySalted(df: DataFrame, keys: Seq[Column], item: Column,
-                       saltFrom: Column, k: Int, fanout: Int = 32): DataFrame = {
+                       saltFrom: Column, k: Int, fanout: Int = 32,
+                       descending: Boolean = false): DataFrame = {
     val pruned = df.select(
       keys :+ item.as("__item") :+ pmod(xxhash64(saltFrom), lit(fanout)).as("__salt"): _*)
-    val w = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(col("__item").asc)
+    val ord = if (descending) col("__item").desc else col("__item").asc
+    val w = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(ord)
+    val sorted = if (descending) reverse(array_sort(collect_list(col("__item"))))
+                 else array_sort(collect_list(col("__item")))
     pruned.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .groupBy(keys: _*)
-      .agg(slice(array_sort(collect_list(col("__item"))), 1, k).as("__top"))
+      .agg(slice(sorted, 1, k).as("__top"))
       .select(keys :+ explode(col("__top")).as("item"): _*)
   }
 

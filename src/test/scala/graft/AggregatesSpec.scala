@@ -32,6 +32,22 @@ class AggregatesSpec extends SparkSpec {
     assert(viaSalted.collect().map(_.toSeq).toSet == viaWindow.collect().map(_.toSeq).toSet)
   }
 
+  test("topKPerKeySalted descending agrees with the rank-window top-k (string tiebreak)") {
+    // descending=true ranks by the struct's DESC order — the mode needed
+    // when the tiebreak is a string (no negation); here (cnt DESC, w DESC),
+    // the AutoComplete/Top.largestPerKey ordering
+    val d = Create.of(spark, Seq(
+      ("p", 5L, "apple"), ("p", 5L, "apricot"), ("p", 5L, "ant"), ("p", 9L, "ax"),
+      ("q", 1L, "bat"), ("q", 1L, "bar"))).toDF("k", "cnt", "w")
+    val viaWindow = Aggregates.topPerKey(d, Seq(col("k")),
+        Seq(col("cnt").desc, col("w").desc), 2)
+      .select(col("k"), col("cnt"), col("w"))
+    val viaSalted = Aggregates.topKPerKeySalted(d, Seq(col("k")),
+        struct(col("cnt"), col("w")), col("w"), 2, descending = true)
+      .select(col("k"), col("item.cnt").as("cnt"), col("item.w").as("w"))
+    assert(viaSalted.collect().map(_.toSeq).toSet == viaWindow.collect().map(_.toSeq).toSet)
+  }
+
   test("latestPerKey picks max-ts row with tiebreak") {
     val e = Create.of(spark, Seq(("a", 1L, "old"), ("a", 5L, "new"), ("a", 5L, "zz")))
       .toDF("k", "ts", "val")
