@@ -441,6 +441,53 @@ object OracleSql {
         |SELECT prefix, w AS word, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rn <= 3""".stripMargin,
 
+    // TrafficMaxLaneFlow: 4 lanes per reading x 4 overlapping sliding
+    // windows; per (window, station) the max-flow lane with its payload,
+    // ties pinned (lane_flow, lane_idx, event_id) DESC
+    "q_traffic_max_lane" ->
+      """WITH lanes AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - k.k * INTERVAL '15 minutes' AS wstart,
+        |         user_id % 25 AS station, event_id, l.lane_idx,
+        |         (event_id * l.lane_idx) % 997 AS lane_flow
+        |  FROM events, (VALUES (0), (1), (2), (3)) AS k(k),
+        |       (VALUES (1), (2), (3), (4)) AS l(lane_idx)),
+        |r AS (
+        |  SELECT wstart, station, lane_flow, lane_idx, event_id,
+        |         row_number() OVER (PARTITION BY wstart, station
+        |             ORDER BY lane_flow DESC, lane_idx DESC, event_id DESC) AS rn
+        |  FROM lanes)
+        |SELECT wstart, station, lane_flow AS lane_max_flow,
+        |       'lane' || lane_idx AS lane, event_id
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // TrafficRoutes: per (window, route) avg speed + slowdownEvent =
+    // slowdowns >= 2*speedups, where ups/downs compare consecutive
+    // readings per station in (ts, event_id) order; equal speeds count
+    // as slowdowns (reference: lastSpeed < speed ? speedup : slowdown)
+    "q_traffic_routes" ->
+      s"""WITH ev AS (
+         |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         |           - k.k * INTERVAL '15 minutes' AS wstart,
+         |         event_type AS route, user_id % 20 AS station, event_id,
+         |         CAST(ts AS TIMESTAMP) AS tsu, ${c("value")} AS speed
+         |  FROM events, (VALUES (0), (1), (2), (3)) AS k(k)),
+         |cmp AS (
+         |  SELECT wstart, route, speed,
+         |         lag(speed) OVER (PARTITION BY wstart, route, station
+         |                          ORDER BY tsu, event_id) AS prev
+         |  FROM ev)
+         |SELECT wstart, route,
+         |       round(sum(speed) / CAST(count(*) AS DOUBLE), 6) AS avg_speed,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND speed > prev
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS speedups,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND speed <= prev
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS slowdowns,
+         |       sum(CASE WHEN prev IS NOT NULL AND speed <= prev THEN 1 ELSE 0 END)
+         |         >= 2 * sum(CASE WHEN prev IS NOT NULL AND speed > prev
+         |                         THEN 1 ELSE 0 END) AS slowdown_event
+         |FROM cmp GROUP BY 1, 2""".stripMargin,
+
     // ------------------------------------------------------------ LLM-pipeline ops
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies

@@ -668,6 +668,80 @@ object Queries {
       .select(col("prefix"), col("item.w").as("word"), col("item.cnt").as("cnt"))
   }
 
+  /** TrafficMaxLaneFlow (reference: examples/complete/
+    * TrafficMaxLaneFlow.java:170-282): each sensor reading fans out into
+    * per-lane tuples keyed by station (ExtractFlowInfoFn), SlidingWindows,
+    * then a custom Combine.perKey (MaxFlow) that is an argmax RETAINING the
+    * whole lane record — the reference uses a hand-written combiner exactly
+    * because Max.perKey would drop the auxiliary fields. Spark-first shape:
+    * the fan-out is a row-local explode over a codegen'd `sequence`, and the
+    * argmax-with-payload is ONE `max(struct(flow, tiebreak..., payload))` in
+    * a hash aggregate — map-side partial max means each of the 4 overlapping
+    * sliding windows ships one candidate struct per (window, station) per
+    * partition, never the raw readings. The reference's `flow >= max`
+    * last-wins tie is iteration-order-dependent (unspecified); pinned here
+    * to the total order (lane_flow, lane_idx, event_id) DESC. Lane flows are
+    * synthesized deterministically from (event_id, lane) since the events
+    * table has one value per reading, not eight. */
+  def qTrafficMaxLane(s: SparkSession, dir: String): DataFrame = {
+    val lanes = t(s, dir, "events")
+      .select(col("ts"), col("event_id"), (col("user_id") % 25).as("station"),
+        explode(expr("sequence(1, 4)")).as("lane_idx"))
+      .withColumn("lane_flow", (col("event_id") * col("lane_idx")) % 997)
+    Windows.aggregate(lanes,
+        Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")),
+        col("ts"), Seq(col("station")),
+        Seq(max(struct(col("lane_flow"), col("lane_idx"), col("event_id"))).as("m")))
+      .select(col("window.start").as("wstart"), col("station"),
+        col("m.lane_flow").as("lane_max_flow"),
+        concat(lit("lane"), col("m.lane_idx")).as("lane"),
+        col("m.event_id").as("event_id"))
+  }
+
+  /** TrafficRoutes (reference: examples/complete/TrafficRoutes.java:215-254
+    * GatherStats): readings keyed by route in SlidingWindows; within each
+    * (window, route) the reference sorts by timestamp and walks a
+    * per-station prevSpeeds map counting speedups (prev < cur) vs slowdowns
+    * (prev >= cur), then emits the route's average speed and
+    * `slowdownEvent = slowdowns >= 2 * speedups`. Spark-first shape: the
+    * per-station consecutive-pair walk is a two-level aggregation — level 1
+    * groups (window, route, station) and does the walk ROW-LOCALLY over a
+    * sorted collect_list via codegen'd higher-order functions (zip_with of
+    * the array against its own tail — no per-row UDF, no WindowExec); level
+    * 2 rolls stations up to (window, route). Both levels shuffle on their
+    * full grouping key, so no station or route ever funnels through one
+    * task. Station groups are window-bounded (1 h of one station's
+    * readings), so the collected arrays are small by construction — the
+    * same boundedness argument the reference's in-memory GatherStats
+    * relies on. route = event_type, station = user_id % 20, speed =
+    * value-cents (exact integers; the avg divides once at the end). */
+  def qTrafficRoutes(s: SparkSession, dir: String): DataFrame = {
+    val readings = t(s, dir, "events").select(col("ts"),
+      col("event_type").as("route"), (col("user_id") % 20).as("station"),
+      col("event_id"), cents(col("value")).as("speed"))
+    val perStation = Windows.aggregate(readings,
+        Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")),
+        col("ts"), Seq(col("route"), col("station")),
+        Seq(sort_array(collect_list(struct(col("ts").as("tsu"),
+              col("event_id"), col("speed")))).as("arr"),
+            sum(col("speed")).as("speed_sum"),
+            count(lit(1)).as("speed_count")))
+      .withColumn("ups", expr(
+        """aggregate(zip_with(slice(arr, 1, size(arr) - 1),
+          |                   slice(arr, 2, size(arr) - 1),
+          |                   (p, c) -> IF(c.speed > p.speed, 1, 0)),
+          |          0, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("downs", size(col("arr")) - 1 - col("ups"))
+    perStation
+      .groupBy(col("window"), col("route"))
+      .agg(sum(col("speed_sum")).as("ss"), sum(col("speed_count")).as("sc"),
+        sum(col("ups")).as("speedups"), sum(col("downs")).as("slowdowns"))
+      .select(col("window.start").as("wstart"), col("route"),
+        round(col("ss") / col("sc").cast("double"), 6).as("avg_speed"),
+        col("speedups"), col("slowdowns"),
+        (col("slowdowns") >= lit(2) * col("speedups")).as("slowdown_event"))
+  }
+
   // ---------------------------------------------------------------- LLM-pipeline ops
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

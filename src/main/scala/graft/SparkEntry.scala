@@ -80,6 +80,8 @@ object SparkEntry {
     "q_top_sessions"    -> Queries.qTopSessions _,
     "q_tfidf"           -> Queries.qTfIdf _,
     "q_autocomplete"    -> Queries.qAutoComplete _,
+    "q_traffic_max_lane" -> Queries.qTrafficMaxLane _,
+    "q_traffic_routes"  -> Queries.qTrafficRoutes _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,

@@ -334,6 +334,47 @@ class GameExamplesSpec extends SparkSpec {
     assert(panes.map(p => (p._1, p._2, p._3)).toSet ==
       Set(("blue", 18L, "ON_TIME"), ("red", 7L, "ON_TIME")), panes.toString)
   }
+
+  // ----- DebuggingWordCount (examples/DebuggingWordCount.java:76-117 +
+  // DebuggingWordCountTest.java:45): CountWords → regex FilterTextFn with
+  // matchedWords/unmatchedWords counters → PAssert.containsInAnyOrder
+
+  test("DebuggingWordCount: regex filter + metrics counters + PAssert (testDebuggingWordCount)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dwc").toFile
+    try {
+      val in = new java.io.File(tmp, "input.txt")
+      java.nio.file.Files.write(in.toPath,
+        "stomach secret Flourish message Flourish here Flourish"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+      val matched = Metrics.counter(spark, "dwc.matchedWords")
+      val unmatched = Metrics.counter(spark, "dwc.unmatchedWords")
+
+      val counts = graft.sources.IO.readText(spark, in.getAbsolutePath)
+        .toDF("line")
+        .select(explode(split(col("line"), "[^a-zA-Z']+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // FilterTextFn's counters observe every element; the filter itself
+      // stays a declarative predicate so the plan keeps pushdown/codegen
+      val pattern = "Flourish|stomach"
+      val observed = counts.withColumn("__m", col("word").rlike("^(" + pattern + ")$"))
+        .mapPartitions { it =>
+          it.map { r =>
+            if (r.getAs[Boolean]("__m")) matched.add(1) else unmatched.add(1)
+            r
+          }
+        }(org.apache.spark.sql.Encoders.row(counts.schema.add("__m", "boolean")))
+      val filtered = observed.filter(col("__m")).drop("__m")
+
+      graft.testing.PAssert.containsInAnyOrder(filtered,
+        Seq(Seq("Flourish", 3L), Seq("stomach", 1L)))
+      assert(Metrics.counterValue(spark, "dwc.matchedWords").contains(2L))
+      assert(Metrics.counterValue(spark, "dwc.unmatchedWords").contains(3L))
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
 }
 
 /** UserScore.ParseEventFn (UserScore.java:98): csv → (user, team, score,

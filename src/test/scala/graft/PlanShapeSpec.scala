@@ -235,4 +235,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"scalar total must broadcast:\n${p.take(2500)}")
   }
+
+  test("q_traffic_max_lane: argmax-with-payload is one partial+final agg, no window funnel") {
+    // the MaxFlow combiner must be max(struct(...)) in a hash aggregate with
+    // a map-side partial (each overlapping sliding window ships ONE candidate
+    // per (window, station) per partition) — NOT a row_number/WindowExec,
+    // which would sort every exploded lane row inside each window partition
+    val p = plan("q_traffic_max_lane")
+    assert(!p.contains("Window "), s"argmax must not use WindowExec:\n${p.take(2500)}")
+    assert(p.contains("partial_max") || p.contains("partial, max"),
+      s"map-side partial max expected:\n${p.take(2500)}")
+  }
+
+  test("q_traffic_routes: per-station pair walk is row-local HOFs, no WindowExec, no UDF") {
+    // the consecutive-reading comparison must run inside the level-1 hash
+    // aggregate's collected array via codegen'd higher-order functions —
+    // a lag()/WindowExec formulation would add a per-(window,route,station)
+    // sort exchange, and a UDF would break codegen on the hot exploded frame
+    val p = plan("q_traffic_routes")
+    assert(!p.contains("Window "), s"pair walk must not use WindowExec:\n${p.take(2500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"no UDFs in the traffic-routes path:\n${p.take(2500)}")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"two-level aggregation expected:\n${p.take(2500)}")
+  }
 }
