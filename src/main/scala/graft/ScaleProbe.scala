@@ -59,6 +59,9 @@ object ScaleProbe {
     // run only the round-8 probes (LM score / chunking / weighted sample /
     // count-min frequencies)
     if (sys.env.get("SPARK_GRAFT_R8_ONLY").contains("1")) { r8OpsProbe(factor); return }
+    // run only the example-port probes (sessions / tfidf / autocomplete /
+    // traffic)
+    if (sys.env.get("SPARK_GRAFT_EXAMPLES_ONLY").contains("1")) { examplesProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -279,6 +282,58 @@ object ScaleProbe {
     val (dN, wN, tN2, bN) = cmsDims(out)
     println(s"""{"probe":"cms_sketch","base_depth":$dB,"base_width":$wB,"base_total":$tB,"base_bytes":$bB,""" +
       s""""x${factor}_depth":$dN,"x${factor}_width":$wN,"x${factor}_total":$tN2,"x${factor}_bytes":$bN}""")
+    spark.stop()
+  }
+
+  /** Example-port probes: the reference-example compositions added in round
+    * 8 (TopWikipediaSessions, TfIdf, AutoComplete, TrafficMaxLaneFlow,
+    * TrafficRoutes) at ×N re-keyed data. The traffic pair's scale story is
+    * OUTPUT INVARIANCE: re-keying multiplies readings per (window, station)
+    * but the window×station grid is fixed, so a healthy plan's output rows
+    * stay constant and the map-side partial max/sum absorbs the growth
+    * before the shuffle — the probe prints both walls and both output
+    * cardinalities. TfIdf's quantity is the vocabulary (df side) growth —
+    * sublinear in corpus size; AutoComplete's is candidates-per-prefix
+    * (bounded by fanout×k by construction). */
+  private def examplesProbe(factor: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_r8"
+    val spark = GraftSession.getOrCreate()
+
+    def rekey(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 1000000000L)))
+    Seq("documents" -> Seq("doc_id"), "events" -> Seq("event_id")).foreach {
+      case (name, ids) =>
+        val t = GraftSession.table(spark, base, name)
+        (0 until factor).map(i => if (i == 0) t else rekey(t, i, ids))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probes = Seq("q_top_sessions", "q_tfidf", "q_autocomplete",
+      "q_traffic_max_lane", "q_traffic_routes")
+    probes.foreach { n => time(n, base); time(n, out) } // warm
+    val rows = probes.map { n =>
+      val t1 = time(n, base)
+      val tN = time(n, out)
+      val outB = SparkEntry.queries(n)(spark, base).count()
+      val outN = SparkEntry.queries(n)(spark, out).count()
+      f"""{"query":"$n","sf01_sec":$t1%.3f,"x${factor}_sec":$tN%.3f,""" +
+        f""""ratio":${tN / t1}%.2f,"out_base":$outB,"out_x$factor":$outN}"""
+    }
+    println(rows.mkString("[", ",\n", "]"))
+
+    // TfIdf vocabulary (the df join side): sublinear growth is the scale story
+    def vocab(dir: String): Long =
+      GraftSession.table(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\W+")).as("w"))
+        .filter(length(col("w")) > 0).select("w").distinct().count()
+    val (vB, vN) = (vocab(base), vocab(out))
+    println(f"""{"probe":"tfidf_vocab","base":$vB,"x$factor":$vN,"ratio":${vN.toDouble / vB}%.2f}""")
     spark.stop()
   }
 
