@@ -726,11 +726,7 @@ object Queries {
               col("event_id"), col("speed")))).as("arr"),
             sum(col("speed")).as("speed_sum"),
             count(lit(1)).as("speed_count")))
-      .withColumn("ups", expr(
-        """aggregate(zip_with(slice(arr, 1, size(arr) - 1),
-          |                   slice(arr, 2, size(arr) - 1),
-          |                   (p, c) -> IF(c.speed > p.speed, 1, 0)),
-          |          0, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("ups", Aggregates.risingPairs(col("arr"), _.getField("speed")))
       .withColumn("downs", size(col("arr")) - 1 - col("ups"))
     perStation
       .groupBy(col("window"), col("route"))

@@ -312,6 +312,22 @@ object Aggregates {
   def sortValuesLarge(df: DataFrame, key: Column, secondary: Column): DataFrame =
     df.repartition(key).sortWithinPartitions(key, secondary)
 
+  /** Count of consecutive pairs in `arr` (already sorted by the caller)
+    * whose `value` strictly rises — the row-local half of the reference's
+    * GatherStats walk (examples/complete/TrafficRoutes.java:215-254, which
+    * iterates a sorted list comparing each reading to its predecessor).
+    * Pure codegen'd higher-order functions (zip_with of the array against
+    * its own tail + aggregate), so it runs inside the enclosing hash
+    * aggregate's projection with no UDF, no WindowExec, and no extra
+    * shuffle; an empty or single-element array yields 0. Falling-or-equal
+    * pairs are `size(arr) - 1 - risingPairs(...)`. */
+  def risingPairs(arr: Column, value: Column => Column): Column =
+    aggregate(
+      zip_with(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+               slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (p, c) => when(value(c) > value(p), lit(1)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+
   /** Reshuffle (reference: SDK/transforms/Reshuffle.java:54): redistribution
     * + stable-input barrier — in Spark a shuffle boundary provides both. */
   def reshuffle(df: DataFrame, numPartitions: Int): DataFrame = df.repartition(numPartitions)

@@ -161,4 +161,23 @@ class AggregatesSpec extends SparkSpec {
     assert(got("a") >= 2L && got("b") >= 1L)
     assert(got("a") <= 2L + 1 && got("b") <= 1L + 1)
   }
+
+  test("risingPairs: randomized differential vs a brute-force sliding walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // 200 arrays over sizes 0..12 with heavy value collisions (the 'equal
+    // speeds count as falling' edge the reference's <-comparison implies)
+    val fixtures = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(13))(rnd.nextInt(5).toLong))
+    }
+    val expected = fixtures.map { case (id, xs) =>
+      id -> xs.sliding(2).count(p => p.length == 2 && p(1) > p.head).toLong
+    }.toMap
+    val got = fixtures.toDF("id", "arr")
+      .select(col("id"),
+        Aggregates.risingPairs(transform(col("arr"), x => struct(x.as("speed"))),
+          _.getField("speed")).cast("long").as("ups"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }

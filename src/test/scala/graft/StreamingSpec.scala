@@ -103,6 +103,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingWordExtract: tokenize -> uppercase -> row conversion on a stream " +
+      "(examples/complete/StreamingWordExtract.java:56-96)") {
+    // the reference's three DoFns (ExtractWords on the shared TOKENIZER_PATTERN,
+    // Uppercase, StringToRowConverter) as declarative streaming transforms —
+    // stateless element-wise ops need no watermark and stay in append mode
+    val input = MemoryStream[String](spark)
+    val rows = input.toDF().toDF("line")
+      .select(explode(split(col("line"), "[^a-zA-Z']+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(upper(col("word")).as("string_field"))
+    val q = rows.writeStream.format("memory").queryName("swe_test")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData("not Peace, but a sword")
+      q.processAllAvailable()
+      val got = spark.table("swe_test").collect().map(_.getString(0)).toSeq.sorted
+      assert(got == Seq("A", "BUT", "NOT", "PEACE", "SWORD"))
+      input.addData("o'er the land")
+      q.processAllAvailable()
+      assert(spark.table("swe_test").count() == 8)
+      assert(spark.table("swe_test").collect().map(_.getString(0)).contains("O'ER"))
+    } finally q.stop()
+  }
+
   test("stream-static join broadcasts the bounded side") {
     val input = MemoryStream[Long](spark)
     val dim = Create.of(spark, Seq((1L, "one"), (2L, "two"))).toDF("id", "name")
