@@ -682,16 +682,24 @@ object Queries {
     * last-wins tie is iteration-order-dependent (unspecified); pinned here
     * to the total order (lane_flow, lane_idx, event_id) DESC. Lane flows are
     * synthesized deterministically from (event_id, lane) since the events
-    * table has one value per reading, not eight. */
+    * table has one value per reading, not eight.
+    *
+    * Plan note: the lane argmax runs ROW-LOCALLY (array_max over the 4 lane
+    * structs inside each reading) BEFORE the 4× sliding-window fan-out — a
+    * reading's lanes share its timestamp, so the per-(window, station) max
+    * of per-reading maxima equals the max over all lane tuples, and the
+    * window Expand plus the struct-ordering aggregate see 4× fewer rows
+    * (1.9× wall at sf0.1; at scale the saving is the lane fan-out never
+    * being materialized at all). */
   def qTrafficMaxLane(s: SparkSession, dir: String): DataFrame = {
-    val lanes = t(s, dir, "events")
-      .select(col("ts"), col("event_id"), (col("user_id") % 25).as("station"),
-        explode(expr("sequence(1, 4)")).as("lane_idx"))
-      .withColumn("lane_flow", (col("event_id") * col("lane_idx")) % 997)
-    Windows.aggregate(lanes,
+    val readings = t(s, dir, "events")
+      .select(col("ts"), (col("user_id") % 25).as("station"),
+        array_max(expr("transform(sequence(1, 4), i -> " +
+          "struct((event_id * i) % 997L as lane_flow, i as lane_idx, event_id))"))
+          .as("m"))
+    Windows.aggregate(readings,
         Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")),
-        col("ts"), Seq(col("station")),
-        Seq(max(struct(col("lane_flow"), col("lane_idx"), col("event_id"))).as("m")))
+        col("ts"), Seq(col("station")), Seq(max(col("m")).as("m")))
       .select(col("window.start").as("wstart"), col("station"),
         col("m.lane_flow").as("lane_max_flow"),
         concat(lit("lane"), col("m.lane_idx")).as("lane"),
@@ -704,38 +712,59 @@ object Queries {
     * per-station prevSpeeds map counting speedups (prev < cur) vs slowdowns
     * (prev >= cur), then emits the route's average speed and
     * `slowdownEvent = slowdowns >= 2 * speedups`. Spark-first shape: the
-    * per-station consecutive-pair walk is a two-level aggregation — level 1
-    * groups (window, route, station) and does the walk ROW-LOCALLY over a
-    * sorted collect_list via codegen'd higher-order functions (zip_with of
-    * the array against its own tail — no per-row UDF, no WindowExec); level
-    * 2 rolls stations up to (window, route). Both levels shuffle on their
-    * full grouping key, so no station or route ever funnels through one
-    * task. Station groups are window-bounded (1 h of one station's
-    * readings), so the collected arrays are small by construction — the
-    * same boundedness argument the reference's in-memory GatherStats
-    * relies on. route = event_type, station = user_id % 20, speed =
-    * value-cents (exact integers; the avg divides once at the end). */
+    * per-station walk runs ONCE per (route, station) — NOT once per
+    * overlapping window — over a sorted collect_list via codegen'd
+    * higher-order functions ([[Aggregates.consecutivePairs]]: zip_with of
+    * the array against its own tail — no per-row UDF, no WindowExec); each
+    * pair is then attributed to the ≤ 4 sliding windows covering both
+    * endpoints ([[Windows.slidingWindowStartsCovering]], exact integer grid
+    * bins). Exact because a window's per-station sequence is a contiguous
+    * slice of the global (tsu, event_id, speed)-sorted sequence, so
+    * window-consecutive ⟺ globally-consecutive with both endpoints inside
+    * the window. The avg-speed side is a separate windowed sum/count over
+    * narrow (route, speed) rows; the two small (window, route) aggregates
+    * join at the end (left, zero-filled: a window whose stations each have
+    * one reading has pairs=0 but still reports its average). vs the
+    * fan-out-first formulation this ships each reading once with payload
+    * instead of 4×, and walks each station's array once instead of 4× —
+    * 2.3× wall at sf0.1. Both shuffles key on their full grouping set, so
+    * no route or station funnels through one task; station groups are
+    * bounded by one station's total readings — same in-memory-walk contract
+    * as the reference's GatherStats. route = event_type, station =
+    * user_id % 20, speed = value-cents (exact integers; the avg divides
+    * once at the end). */
   def qTrafficRoutes(s: SparkSession, dir: String): DataFrame = {
     val readings = t(s, dir, "events").select(col("ts"),
       col("event_type").as("route"), (col("user_id") % 20).as("station"),
       col("event_id"), cents(col("value")).as("speed"))
-    val perStation = Windows.aggregate(readings,
+    val avgSide = Windows.aggregate(
+        readings.select(col("ts"), col("route"), col("speed")),
         Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")),
-        col("ts"), Seq(col("route"), col("station")),
-        Seq(sort_array(collect_list(struct(col("ts").as("tsu"),
-              col("event_id"), col("speed")))).as("arr"),
-            sum(col("speed")).as("speed_sum"),
-            count(lit(1)).as("speed_count")))
-      .withColumn("ups", Aggregates.risingPairs(col("arr"), _.getField("speed")))
-      .withColumn("downs", size(col("arr")) - 1 - col("ups"))
-    perStation
-      .groupBy(col("window"), col("route"))
-      .agg(sum(col("speed_sum")).as("ss"), sum(col("speed_count")).as("sc"),
-        sum(col("ups")).as("speedups"), sum(col("downs")).as("slowdowns"))
+        col("ts"), Seq(col("route")),
+        Seq(sum(col("speed")).as("ss"), count(lit(1)).as("sc")))
+    val pairs = readings
+      .groupBy(col("route"), col("station"))
+      .agg(sort_array(collect_list(struct(col("ts").as("tsu"),
+        col("event_id"), col("speed")))).as("arr"))
+      .select(col("route"),
+        explode(Aggregates.consecutivePairs(col("arr"))).as("p"))
+      .select(col("route"),
+        when(col("p.cur.speed") > col("p.prev.speed"), 1L).otherwise(0L).as("up"),
+        explode(Windows.slidingWindowStartsCovering(col("p.prev.tsu"),
+          col("p.cur.tsu"), "1 hour", "15 minutes")).as("wstart"))
+    val pairAgg = pairs.groupBy(col("wstart"), col("route"))
+      .agg(sum(col("up")).as("speedups"),
+        (count(lit(1)) - sum(col("up"))).as("slowdowns"))
+    avgSide
       .select(col("window.start").as("wstart"), col("route"),
+        col("ss"), col("sc"))
+      .join(pairAgg, Seq("wstart", "route"), "left")
+      .select(col("wstart"), col("route"),
         round(col("ss") / col("sc").cast("double"), 6).as("avg_speed"),
-        col("speedups"), col("slowdowns"),
-        (col("slowdowns") >= lit(2) * col("speedups")).as("slowdown_event"))
+        coalesce(col("speedups"), lit(0L)).as("speedups"),
+        coalesce(col("slowdowns"), lit(0L)).as("slowdowns"),
+        (coalesce(col("slowdowns"), lit(0L)) >=
+          lit(2) * coalesce(col("speedups"), lit(0L))).as("slowdown_event"))
   }
 
   // ---------------------------------------------------------------- LLM-pipeline ops

@@ -328,6 +328,18 @@ object Aggregates {
         (p, c) => when(value(c) > value(p), lit(1)).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
 
+  /** The consecutive (prev, cur) element pairs of an array the caller
+    * already sorted — the pair-level sibling of [[risingPairs]], for when
+    * each pair needs further per-pair attribution (q_traffic_routes explodes
+    * these to the sliding windows covering both endpoints via
+    * [[Windows.slidingWindowStartsCovering]]) rather than one rolled-up
+    * count. Same codegen'd zip-against-own-tail shape; empty and
+    * single-element arrays yield an empty array. */
+  def consecutivePairs(arr: Column): Column =
+    zip_with(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+             slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      (p, c) => struct(p.as("prev"), c.as("cur")))
+
   /** Reshuffle (reference: SDK/transforms/Reshuffle.java:54): redistribution
     * + stable-input barrier — in Spark a shuffle boundary provides both. */
   def reshuffle(df: DataFrame, numPartitions: Int): DataFrame = df.repartition(numPartitions)

@@ -248,6 +248,53 @@ object Windows {
     else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Every epoch-aligned sliding-window start whose `[start, start + size)`
+    * window contains the whole closed interval `[lo, hi]` — the windows that
+    * would see BOTH of two events (same grid as `window(ts, size, period)`
+    * with no startTime offset). Lets a per-pair computation run ONCE per key
+    * and be attributed to its ≤ size/period covering windows afterwards,
+    * instead of replicating every element through the sliding fan-out first
+    * (q_traffic_routes' consecutive-reading walk). Pure codegen'd integer
+    * floor-division bins over unix_micros — the same exact-`div` idiom as
+    * the range join's binOf, never double `/` — so callers can `explode` the
+    * result with no UDF. An interval longer than `size`, or one straddling
+    * the grid so no aligned window covers it, yields an empty array (never
+    * a sequence() error): smallest candidate = first grid start AFTER
+    * hi - size, largest = last grid start at-or-before lo. */
+  def slidingWindowStartsCovering(lo: Column, hi: Column,
+                                  size: String, period: String): Column = {
+    val sizeUs = fixedIntervalMicros(size, "size")
+    val periodUs = fixedIntervalMicros(period, "period")
+    require(periodUs > 0 && sizeUs >= periodUs,
+      s"need size >= period > 0, got size=$size period=$period")
+    def floorDiv(x: Column, w: Long): Column =
+      call_function("div", x - pmod(x, lit(w)), lit(w))
+    val blo = floorDiv(unix_micros(hi) - lit(sizeUs), periodUs) + lit(1L)
+    val bhi = floorDiv(unix_micros(lo), periodUs)
+    when(blo <= bhi,
+        transform(sequence(blo, bhi), b => timestamp_micros(b * lit(periodUs))))
+      .otherwise(array().cast("array<timestamp>"))
+  }
+
+  /** Interval string → exact microseconds, for grid arithmetic that needs a
+    * FIXED step: month-bearing intervals have no constant length and are
+    * rejected (days are Spark's fixed 24 h, as in window() itself). Parsed
+    * by Spark's own literal parser, which yields an ANSI DayTimeInterval for
+    * time units and a CalendarInterval for mixed forms. */
+  private def fixedIntervalMicros(s: String, what: String): Long =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(s"INTERVAL $s") match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          _: org.apache.spark.sql.types.DayTimeIntervalType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+        require(iv.months == 0,
+          s"$what must be a fixed duration (no month units), got '$s'")
+        iv.days * 86400000000L + iv.microseconds
+      case other => throw new IllegalArgumentException(
+        s"$what is not a fixed-duration interval: '$s' ($other)")
+    }
+
   /** TimestampCombiner (reference: windowing/TimestampCombiner.java; default
     * END_OF_WINDOW per WindowingStrategy.java:103): the output timestamp of
     * an aggregated pane. */

@@ -156,4 +156,64 @@ class WindowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("slidingWindowStartsCovering: randomized differential vs window() membership") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val (sizeUs, periodUs) = (3600L * 1000000, 900L * 1000000)
+    // pairs hugging the interesting region: gaps from 0 to ~1.5x window size,
+    // with sub-period jitter so pairs straddle grid boundaries both ways
+    val base = 1700000000000000L
+    val fixtures = (0 until 300).map { i =>
+      val lo = base + rnd.nextLong(7L * 24 * 3600 * 1000000)
+      val hi = lo + (rnd.nextInt(5500) * 1000000L) + rnd.nextInt(1000000)
+      (i.toLong, lo, hi)
+    }
+    // brute force: every grid start in [hi - size, lo] (epoch-aligned)
+    val expected = fixtures.map { case (id, lo, hi) =>
+      val starts = (Math.floorDiv(hi - sizeUs, periodUs) to
+          Math.floorDiv(lo, periodUs)).map(_ * periodUs)
+        .filter(s => s <= lo && hi < s + sizeUs)
+      id -> starts
+    }.toMap
+    val got = fixtures.toDF("id", "lo", "hi")
+      .select(col("id"), Windows.slidingWindowStartsCovering(
+        timestamp_micros(col("lo")), timestamp_micros(col("hi")),
+        "1 hour", "15 minutes").as("ws"))
+      .select(col("id"), transform(col("ws"), w => unix_micros(w)).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fixtures.foreach { case (id, lo, hi) =>
+      assert(got(id) == expected(id),
+        s"mismatch at id=$id lo=$lo hi=$hi: got=${got(id)} want=${expected(id)}")
+    }
+    // an element alone is covered by exactly size/period windows — the same
+    // membership count the SlidingWindows aggregate produces
+    assert(expected.values.forall(_.size <= 4))
+    val single = fixtures.map { case (id, lo, _) => (id, lo, lo) }
+    val singleGot = single.toDF("id", "lo", "hi")
+      .select(size(Windows.slidingWindowStartsCovering(
+        timestamp_micros(col("lo")), timestamp_micros(col("hi")),
+        "1 hour", "15 minutes")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(singleGot.forall(_ == 4))
+  }
+
+  test("slidingWindowStartsCovering: month-bearing intervals are rejected") {
+    intercept[IllegalArgumentException] {
+      Windows.slidingWindowStartsCovering(lit(null), lit(null), "1 month", "1 day")
+    }
+  }
+
+  test("consecutivePairs: pair-level walk matches sliding(2); empty/singleton empty") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (0L, Seq(3L, 1L, 4L, 1L, 5L)), (1L, Seq(7L)), (2L, Seq.empty[Long]))
+    val got = fixtures.toDF("id", "arr")
+      .select(col("id"), graft.operators.Aggregates.consecutivePairs(col("arr")).as("p"))
+      .select(col("id"), transform(col("p"),
+        x => struct(x.getField("prev"), x.getField("cur"))).as("p"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    assert(got(0L) == Seq((3L, 1L), (1L, 4L), (4L, 1L), (1L, 5L)))
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+  }
 }
