@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session bootstrap + table loading for the graft engine.
   *
@@ -44,23 +44,61 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from a scale-factor directory.
+  /** Load one table from a scale-factor directory, normalizing every
+    * timestamp column to session-local TIMESTAMP (LTZ) regardless of the
+    * physical parquet encoding. The driver has regenerated the testdata
+    * with three encodings so far — `events.ts` was int64 TIMESTAMP(NANOS)
+    * through round 7 and `timestamp[us]` with no timezone (Spark:
+    * TIMESTAMP_NTZ) from round 8 — so downstream code must never see the
+    * physical type:
     *
-    * Parquet TIMESTAMP(NANOS) (the `events.ts` column) is illegal for
-    * Spark's reader; `nanosAsLong` surfaces it as LongType ns-since-epoch,
-    * which we floor-truncate to a µs TimestampType column (the same
-    * truncation DuckDB's TIMESTAMP_NS→TIMESTAMP cast performs, so oracle
-    * comparisons agree). */
+    *  - int64-nanos: `nanosAsLong` surfaces it as LongType ns-since-epoch,
+    *    floor-truncated to µs (the same truncation DuckDB's
+    *    TIMESTAMP_NS→TIMESTAMP cast performs, so oracle comparisons agree);
+    *  - TIMESTAMP_NTZ: the wall clock is interpreted as UTC — exactly how
+    *    the DuckDB oracle reads a no-timezone timestamp[us] — via a cast
+    *    under the enforced UTC session timezone;
+    *  - TIMESTAMP (LTZ): passed through.
+    *
+    * After this, `unix_micros(ts)` (LTZ-only in Spark 4) is legal on every
+    * table column everywhere downstream. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer `div`, NOT floor(ts/1000): double division of an ~1e18 ns
-      // value loses precision below 2^-53 relative — off-by-1µs truncations
-      // that break oracle hash-compares.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if name == "events" && f.name == "ts" =>
+          // integer `div`, NOT floor(ts/1000): double division of an ~1e18
+          // ns value loses precision below 2^-53 relative — off-by-1µs
+          // truncations that break oracle hash-compares.
+          d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          requireUtc(spark,
+            s"normalizing NTZ column `${f.name}` of table `$name` to LTZ")
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
   }
+
+  /** Epoch microseconds from either timestamp flavor. Spark 4's
+    * `unix_micros` only accepts TIMESTAMP (LTZ) and throws
+    * DATATYPE_MISMATCH on TIMESTAMP_NTZ; this helper first casts to LTZ,
+    * which for an NTZ input interprets the wall clock in the session
+    * timezone — required to be UTC (fail-loud, same contract as calendar
+    * windows), so the NTZ wall clock is read as a UTC instant, matching
+    * DuckDB's `epoch_us` of a naive timestamp. A no-op double cast for an
+    * already-LTZ input; both cast and unix_micros are codegen'd. */
+  def epochMicros(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(s =>
+      requireUtc(s, "epochMicros on a possibly-NTZ column"))
+    unix_micros(c.cast(TimestampType))
+  }
+
+  private def requireUtc(spark: SparkSession, what: String): Unit =
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      s"$what requires spark.sql.session.timeZone=UTC (an NTZ wall clock " +
+        "cast under any other zone would silently shift epoch micros)")
 
   /** Load every table and register temp views (for spark.sql usage). */
   def registerAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

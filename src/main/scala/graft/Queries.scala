@@ -495,10 +495,10 @@ object Queries {
     val fourHoursUs = 4L * 3600 * 1000000
     val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 7 === 0)
       .select(col("event_id").as("interval_id"),
-        unix_micros(col("ts")).as("lo"),
-        (unix_micros(col("ts")) + fourHoursUs).as("hi"))
+        GraftSession.epochMicros(col("ts")).as("lo"),
+        (GraftSession.epochMicros(col("ts")) + fourHoursUs).as("hi"))
     val points = ev.filter(col("event_type") === "click")
-      .select(unix_micros(col("ts")).as("p"), cents(col("value")).as("click_cents"))
+      .select(GraftSession.epochMicros(col("ts")).as("p"), cents(col("value")).as("click_cents"))
     Joins.pointInIntervalJoin(points, col("p"), intervals, col("lo"), col("hi"),
         bucketWidth = fourHoursUs)
       .groupBy(col("interval_id"))
@@ -512,11 +512,11 @@ object Queries {
     val ev = t(s, dir, "events")
     val hourUs = 3600L * 1000000
     val a = ev.filter(col("event_type") === "signup" && col("event_id") % 11 === 0)
-      .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_lo"),
-        (unix_micros(col("ts")) + 2 * hourUs).as("a_hi"))
+      .select(col("event_id").as("a_id"), GraftSession.epochMicros(col("ts")).as("a_lo"),
+        (GraftSession.epochMicros(col("ts")) + 2 * hourUs).as("a_hi"))
     val b = ev.filter(col("event_type") === "error" && col("event_id") % 13 === 0)
-      .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_lo"),
-        (unix_micros(col("ts")) + hourUs).as("b_hi"))
+      .select(col("event_id").as("b_id"), GraftSession.epochMicros(col("ts")).as("b_lo"),
+        (GraftSession.epochMicros(col("ts")) + hourUs).as("b_hi"))
     Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
         b, col("b_lo"), col("b_hi"), bucketWidth = 2 * hourUs)
       .groupBy(col("a_id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -269,8 +270,11 @@ object Windows {
       s"need size >= period > 0, got size=$size period=$period")
     def floorDiv(x: Column, w: Long): Column =
       call_function("div", x - pmod(x, lit(w)), lit(w))
-    val blo = floorDiv(unix_micros(hi) - lit(sizeUs), periodUs) + lit(1L)
-    val bhi = floorDiv(unix_micros(lo), periodUs)
+    // GraftSession.epochMicros, not bare unix_micros: callers may hand in
+    // columns read straight from parquet, where a no-timezone timestamp[us]
+    // arrives as TIMESTAMP_NTZ and unix_micros throws at analysis time.
+    val blo = floorDiv(GraftSession.epochMicros(hi) - lit(sizeUs), periodUs) + lit(1L)
+    val bhi = floorDiv(GraftSession.epochMicros(lo), periodUs)
     when(blo <= bhi,
         transform(sequence(blo, bhi), b => timestamp_micros(b * lit(periodUs))))
       .otherwise(array().cast("array<timestamp>"))

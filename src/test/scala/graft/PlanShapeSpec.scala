@@ -192,7 +192,11 @@ class PlanShapeSpec extends SparkSpec {
     // the multi-unit calendar expression must not cost plan shape: pruned
     // 2-column scan, map-side partial aggregate, exactly one Exchange
     val p = plan("q_window_weekly")
-    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p.take(2500))
+    // pin the PRUNING (only ts + event_type read), not the physical ts
+    // encoding — the driver has already rotated that twice (int64-nanos,
+    // then timestamp[us]-NTZ) and a type-pinned string rots with it
+    assert("ReadSchema: struct<ts:[^,>]+,event_type:string>".r.findFirstIn(p).isDefined,
+      p.take(2500))
     assert(p.contains("partial_count"), p.take(2500))
     assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle expected:\n${p.take(2500)}")
     assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"),
