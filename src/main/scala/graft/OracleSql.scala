@@ -1082,6 +1082,52 @@ object OracleSql {
         |SELECT c.doc_id, CAST(count(DISTINCT c.s) AS BIGINT) AS n_overlap
         |FROM sh c JOIN bench b USING (s)
         |WHERE c.doc_id >= 20
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // BigQueryTornadoes: indicator filter -> count per day-of-month
+    "q_tornadoes" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |       count(*) AS tornado_count
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1""".stripMargin,
+
+    // CombinePerKeyExamples: length>=9 words -> sorted distinct source list
+    "q_large_word_plays" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT word, source FROM (
+        |    SELECT source,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 6)
+        |SELECT word, string_agg(source, ',' ORDER BY source) AS all_plays
+        |FROM pairs GROUP BY word""".stripMargin,
+
+    // DistinctExample: distinct text lines
+    "q_distinct_lines" -> "SELECT DISTINCT text FROM documents",
+
+    // FilterExamples: single-day slice below the global mean; the mean is
+    // exact-cents-sum / count so the double boundary agrees bit-for-bit
+    "q_filter_below_mean" ->
+      """SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS year,
+        |       CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+        |       CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS mean_temp_cents
+        |FROM events
+        |WHERE EXTRACT(day FROM ts) = 7
+        |  AND CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) <
+        |      (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |              / count(*) FROM events)""".stripMargin,
+
+    // JoinExamples: fact x one-row-per-key dim, formatted output line
+    "q_join_examples" ->
+      """SELECT 'Country code: ' || c_nationkey || ', Country name: ' || n_name
+        |       || ', Event info: ' || c_name AS result
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // MaxPerKeyExamples: max reading per day-of-month
+    "q_max_per_day" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |       max(value) AS max_mean_temp
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

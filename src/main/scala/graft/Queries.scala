@@ -540,6 +540,18 @@ object Queries {
       Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents")))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value_cents"))
 
+  /** Sliding windows via `window(ts, size, period)` — a size/period-fold
+    * Expand per event, fused in codegen, which is the right plan when the
+    * per-window computation is a simple fold over SINGLE events (count/sum:
+    * partial aggregation absorbs the fan-out map-side). When the per-window
+    * work involves RELATIONS between elements (consecutive pairs, joins of
+    * neighbors), fan-out-first replicates wide payloads and repeats the
+    * per-group walk once per covering window; the pair-attribution idiom —
+    * reduce once globally, then attribute results to the ≤ size/period
+    * covering windows via [[Windows.slidingWindowStartsCovering]] — is the
+    * scale-safe alternative (see [[qTrafficRoutes]];
+    * `SPARK_GRAFT_PAIRDUEL_ONLY=1` ScaleProbe measures the two
+    * formulations head-to-head). */
   def qWindowSliding(s: SparkSession, dir: String): DataFrame =
     Windows.aggregate(t(s, dir, "events"),
       Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")), col("ts"),
@@ -766,6 +778,92 @@ object Queries {
         (coalesce(col("slowdowns"), lit(0L)) >=
           lit(2) * coalesce(col("speedups"), lit(0L))).as("slowdown_event"))
   }
+
+  // ------------------------------------------------------- cookbook examples
+
+  /** BigQueryTornadoes (reference: examples/cookbook/BigQueryTornadoes
+    * .java:72-121 ExtractTornadoesFn + Count.perElement + FormatCountsFn):
+    * filter rows where an indicator fires, count per calendar period.
+    * Mapping: tornado → event_type = 'error'; the testdata spans one month,
+    * so the period key is day-of-month (same filter→count-per-key shape,
+    * real key cardinality). Partial count absorbs the fan-in map-side —
+    * one shuffle of ≤31 rows regardless of input size. */
+  def qTornadoes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("tornado_count"))
+
+  /** CombinePerKeyExamples (reference: examples/cookbook/
+    * CombinePerKeyExamples.java:77-130 ExtractLargeWordsFn + Combine.perKey
+    * (ConcatWords)): words of length >= 6 → the comma-joined list of works
+    * they appear in. The reference's ConcatWords joins in arrival order
+    * (nondeterministic under parallel merge); this port joins the SORTED
+    * DISTINCT sources so the result is oracle-comparable — collect_set is
+    * the associative/commutative accumulator ConcatWords should have been.
+    * Set size is bounded by |sources| (20 here; plays in the reference),
+    * not by corpus size, so per-key state stays small at 100 TB. */
+  def qLargeWordPlays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      // MIN_WORD_LENGTH scaled 9 -> 6: the synthetic corpus tops out at
+      // 8-letter words, and a 0-row oracle match would prove nothing
+      .filter(length(col("word")) >= 6)
+      .groupBy(col("word"))
+      .agg(array_join(sort_array(collect_set(col("source"))), ",").as("all_plays"))
+
+  /** DistinctExample (reference: examples/cookbook/DistinctExample.java:
+    * 84-95: TextIO lines → Distinct.create): distinct document texts —
+    * hash-shuffle on the full line, the same plan Distinct lowers to. */
+  def qDistinctLines(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("text")).distinct()
+
+  /** FilterExamples (reference: examples/cookbook/FilterExamples.java:
+    * 104-185 ProjectionFn + FilterSingleMonthDataFn + BelowGlobalMean with
+    * Mean.globally as a singleton side input): project (year, month, day,
+    * temp), keep one calendar period, keep readings below the global mean.
+    * The global mean is computed as exact long cents sum / count — two
+    * exact integers whose double quotient is bit-identical in Spark and
+    * DuckDB, so the boundary filter can't flip on float summation order
+    * (avg(double) is order-dependent). The scalar joins in as a broadcast
+    * (the View.asSingleton pattern); day 7 stands in for MONTH_TO_FILTER
+    * since the testdata spans a single month. */
+  def qFilterBelowMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.agg(sum(cents(col("value"))).as("sc"), count(lit(1)).as("n"))
+    ev.filter(dayofmonth(col("ts")) === 7)
+      .crossJoin(broadcast(stats))
+      .filter(cents(col("value")).cast("double") <
+        col("sc").cast("double") / col("n").cast("double"))
+      .select(year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"), cents(col("value")).as("mean_temp_cents"))
+  }
+
+  /** JoinExamples (reference: examples/cookbook/JoinExamples.java:69-121
+    * joinEvents: CoGroupByKey over event info + country names, one output
+    * line per event with getOnly(countryInfo)): customers (many per
+    * nation) joined to nations (exactly one name per key) and formatted to
+    * the reference's output string. The one-row-per-key side is a dim
+    * table → broadcast hash join, no shuffle of the fact side. */
+  def qJoinExamples(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "customer")
+      .select(col("c_nationkey").as("code"), col("c_name").as("event_info"))
+    val countries = t(s, dir, "nation")
+      .select(col("n_nationkey").as("code"), col("n_name").as("country"))
+    events.join(broadcast(countries), Seq("code"))
+      .select(concat(lit("Country code: "), col("code"),
+        lit(", Country name: "), col("country"),
+        lit(", Event info: "), col("event_info")).as("result"))
+  }
+
+  /** MaxPerKeyExamples (reference: examples/cookbook/MaxPerKeyExamples
+    * .java:72-125 ExtractTempFn + Max.doublesPerKey): max reading per
+    * calendar period (day-of-month — the testdata spans one month). Max of
+    * doubles is order-independent, so the oracle hash can't drift. */
+  def qMaxPerDay(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .agg(max(col("value")).as("max_mean_temp"))
 
   // ---------------------------------------------------------------- LLM-pipeline ops
 

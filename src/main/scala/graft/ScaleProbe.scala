@@ -62,6 +62,8 @@ object ScaleProbe {
     // run only the example-port probes (sessions / tfidf / autocomplete /
     // traffic)
     if (sys.env.get("SPARK_GRAFT_EXAMPLES_ONLY").contains("1")) { examplesProbe(factor); return }
+    // run only the pair-attribution duel (fan-out-first vs reduce-first)
+    if (sys.env.get("SPARK_GRAFT_PAIRDUEL_ONLY").contains("1")) { pairAttributionDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -434,6 +436,74 @@ object ScaleProbe {
     * (b) a pathological width (1 ms bins on 4-hour intervals: 14.4M
     * bins/interval) must be REJECTED fail-loud by the maxBinsPerRow guard
     * instead of silently amplifying the interval side 14-million-fold. */
+  /** Pair-attribution micro-duel — the reusable lesson from the round-8
+    * traffic rewrite, measured head-to-head so it's recorded as a pattern,
+    * not query baker's knowledge. Task: count consecutive-reading speedups
+    * per (sliding window, route) — q_traffic_routes' pair side.
+    *
+    *  - fan-out-first (the reference's GatherStats shape,
+    *    TrafficRoutes.java:215-254): explode every reading into its ≤4
+    *    overlapping sliding windows FIRST, then sort + walk pairs inside
+    *    each (window, route, station) group. The shuffle carries each
+    *    reading's full payload size/period times, and each station array is
+    *    re-sorted and re-walked once per covering window.
+    *  - reduce-first (the library idiom): walk the global sorted sequence
+    *    ONCE per (route, station) ([[graft.operators.Aggregates.consecutivePairs]]),
+    *    then attribute each pair to the windows covering both endpoints
+    *    ([[graft.operators.Windows.slidingWindowStartsCovering]]) — exact
+    *    because a window's per-station sequence is a contiguous slice of
+    *    the global sorted sequence; only narrow (route, up, wstart) rows
+    *    are replicated.
+    *
+    * Equality is asserted (exceptAll both ways = 0) before timing; the
+    * printed ratio is the cost of fanning out wide rows before reducing. */
+  private def pairAttributionDuel(): Unit = {
+    import graft.operators.{Aggregates, Windows}
+    val spark = GraftSession.getOrCreate()
+    val readings = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+      .select(col("ts"), col("event_type").as("route"),
+        (col("user_id") % 20).as("station"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("speed"))
+    def pairAgg(pairs: DataFrame): DataFrame =
+      pairs.groupBy(col("wstart"), col("route"))
+        .agg(sum(col("up")).as("speedups"),
+          (count(lit(1)) - sum(col("up"))).as("slowdowns"))
+    def reduceFirst(): DataFrame = pairAgg(readings
+      .groupBy(col("route"), col("station"))
+      .agg(sort_array(collect_list(struct(col("ts").as("tsu"),
+        col("event_id"), col("speed")))).as("arr"))
+      .select(col("route"), explode(Aggregates.consecutivePairs(col("arr"))).as("p"))
+      .select(col("route"),
+        when(col("p.cur.speed") > col("p.prev.speed"), 1L).otherwise(0L).as("up"),
+        explode(Windows.slidingWindowStartsCovering(col("p.prev.tsu"),
+          col("p.cur.tsu"), "1 hour", "15 minutes")).as("wstart")))
+    def fanoutFirst(): DataFrame = pairAgg(readings
+      .select(col("route"), col("station"), col("ts"), col("event_id"), col("speed"),
+        explode(Windows.slidingWindowStartsCovering(col("ts"), col("ts"),
+          "1 hour", "15 minutes")).as("wstart"))
+      .groupBy(col("wstart"), col("route"), col("station"))
+      .agg(sort_array(collect_list(struct(col("ts").as("tsu"),
+        col("event_id"), col("speed")))).as("arr"))
+      .select(col("wstart"), col("route"),
+        explode(Aggregates.consecutivePairs(col("arr"))).as("p"))
+      .select(col("wstart"), col("route"),
+        when(col("p.cur.speed") > col("p.prev.speed"), 1L).otherwise(0L).as("up")))
+    require(reduceFirst().exceptAll(fanoutFirst()).isEmpty &&
+      fanoutFirst().exceptAll(reduceFirst()).isEmpty,
+      "pair-attribution formulations disagree")
+    def time(tag: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"duel":"pair_$tag","sec":$s%.3f}"""); s
+    }
+    time("fanout_first")(fanoutFirst()); time("reduce_first")(reduceFirst()) // warm
+    val fan = Seq.fill(3)(time("fanout_first")(fanoutFirst())).sorted.apply(1)
+    val red = Seq.fill(3)(time("reduce_first")(reduceFirst())).sorted.apply(1)
+    println(f"""{"duel":"pair_attribution","fanout_over_reduce":${fan / red}%.2f}""")
+    spark.stop()
+  }
+
   private def rangeGuardDuel(): Unit = {
     import graft.operators.Joins
     val spark = GraftSession.getOrCreate()

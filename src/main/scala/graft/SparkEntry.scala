@@ -82,6 +82,12 @@ object SparkEntry {
     "q_autocomplete"    -> Queries.qAutoComplete _,
     "q_traffic_max_lane" -> Queries.qTrafficMaxLane _,
     "q_traffic_routes"  -> Queries.qTrafficRoutes _,
+    "q_tornadoes"       -> Queries.qTornadoes _,
+    "q_large_word_plays" -> Queries.qLargeWordPlays _,
+    "q_distinct_lines"  -> Queries.qDistinctLines _,
+    "q_filter_below_mean" -> Queries.qFilterBelowMean _,
+    "q_join_examples"   -> Queries.qJoinExamples _,
+    "q_max_per_day"     -> Queries.qMaxPerDay _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,
