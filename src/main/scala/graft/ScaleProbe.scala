@@ -304,20 +304,35 @@ object ScaleProbe {
 
     def rekey(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 1000000000L)))
-    Seq("documents" -> Seq("doc_id"), "events" -> Seq("event_id")).foreach {
+    Seq("documents" -> Seq("doc_id"), "events" -> Seq("event_id"),
+        "customer" -> Seq("c_custkey")).foreach {
       case (name, ids) =>
         val t = GraftSession.table(spark, base, name)
         (0 until factor).map(i => if (i == 0) t else rekey(t, i, ids))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
+    // nation is the dim side of q_join_examples: stays FIXED, like the
+    // r5 probe's dimension tables — scaling it would scale the join key
+    // domain rather than the fact volume
+    GraftSession.table(spark, base, "nation")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // r8 example ports + the r9 cookbook ports. Scale quantities for the
+    // cookbook six: q_tornadoes / q_max_per_day / q_filter_below_mean
+    // outputs are fixed by the ≤31-day period grid (and the filter's
+    // selectivity), q_large_word_plays by the vocabulary × bounded source
+    // set, q_distinct_lines by distinct text lines (shared across ×N
+    // copies), q_join_examples by the fact row count (×N, trivially
+    // linear through a broadcast join).
     val probes = Seq("q_top_sessions", "q_tfidf", "q_autocomplete",
-      "q_traffic_max_lane", "q_traffic_routes")
+      "q_traffic_max_lane", "q_traffic_routes",
+      "q_tornadoes", "q_large_word_plays", "q_distinct_lines",
+      "q_filter_below_mean", "q_join_examples", "q_max_per_day")
     probes.foreach { n => time(n, base); time(n, out) } // warm
     val rows = probes.map { n =>
       val t1 = time(n, base)

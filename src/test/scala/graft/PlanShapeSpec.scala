@@ -263,4 +263,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"two-level aggregation expected:\n${p.take(2500)}")
   }
+
+  test("q_join_examples: dim side broadcasts — no shuffle of the fact table") {
+    // JoinExamples' one-row-per-key country side is a dim table; the CoGBK
+    // must lower to a broadcast-hash join, never a sort-merge (which would
+    // shuffle every fact row on the join key)
+    val p = plan("q_join_examples")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), s"dim join must broadcast:\n${p.take(2500)}")
+  }
+
+  test("q_tornadoes: indicator filter pushes to the scan, partial+final count pair") {
+    // BigQueryTornadoes' shape: the event_type predicate must reach the
+    // parquet scan, and the per-period count must combine map-side so the
+    // single exchange carries <= 31 period rows per task, not raw events
+    val p = plan("q_tornadoes")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      p.take(2500))
+    assert(p.contains("partial_count"), s"map-side partial count expected:\n${p.take(2500)}")
+    assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle expected:\n${p.take(2500)}")
+  }
+
+  test("q_filter_below_mean: the global-mean side input joins as a broadcast scalar") {
+    // FilterExamples' Mean.globally singleton view: the 1-row stats frame
+    // must broadcast (BroadcastNestedLoopJoin over a single row is free);
+    // a shuffled join here would re-partition the whole events table to
+    // meet one row
+    val p = plan("q_filter_below_mean")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"singleton side input must broadcast:\n${p.take(2500)}")
+  }
 }
