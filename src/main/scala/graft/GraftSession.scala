@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session bootstrap + table loading for the graft engine.
@@ -81,24 +82,32 @@ object GraftSession {
     }
   }
 
-  /** Epoch microseconds from either timestamp flavor. Spark 4's
-    * `unix_micros` only accepts TIMESTAMP (LTZ) and throws
-    * DATATYPE_MISMATCH on TIMESTAMP_NTZ; this helper first casts to LTZ,
-    * which for an NTZ input interprets the wall clock in the session
-    * timezone — required to be UTC (fail-loud, same contract as calendar
-    * windows), so the NTZ wall clock is read as a UTC instant, matching
-    * DuckDB's `epoch_us` of a naive timestamp. A no-op double cast for an
-    * already-LTZ input; both cast and unix_micros are codegen'd. */
-  def epochMicros(c: Column): Column = {
-    SparkSession.getActiveSession.foreach(s =>
-      requireUtc(s, "epochMicros on a possibly-NTZ column"))
-    unix_micros(c.cast(TimestampType))
-  }
+  /** Epoch microseconds from either timestamp flavor — a native identity
+    * expression (both flavors store µs-since-epoch as a long internally)
+    * that rejects, at ANALYSIS time, any non-timestamp input and any NTZ
+    * input under a non-UTC session. See
+    * [[graft.expressions.EpochMicrosExpr]] for the full contract; the old
+    * cast-based formulation would have read a LongType epoch-micros column
+    * as SECONDS since epoch — a silent 10^6 error this version fail-louds
+    * on. */
+  def epochMicros(c: Column): Column =
+    ColumnBridge.column(graft.expressions.EpochMicrosExpr(ColumnBridge.expression(c)))
 
-  private def requireUtc(spark: SparkSession, what: String): Unit =
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      s"$what requires spark.sql.session.timeZone=UTC (an NTZ wall clock " +
-        "cast under any other zone would silently shift epoch micros)")
+  /** Semantic UTC check: accepts "UTC", "Etc/UTC", "GMT", "+00:00", … —
+    * any zone whose rules normalize to the UTC offset — not just the exact
+    * string "UTC". Unknown zone ids are NOT UTC (fail-loud downstream). */
+  private[graft] def isUtcZone(tz: String): Boolean =
+    try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+      .normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+
+  private[graft] def requireUtc(spark: SparkSession, what: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(isUtcZone(tz),
+      s"$what requires spark.sql.session.timeZone=UTC, got '$tz' (an NTZ " +
+        "wall clock cast under any other zone would silently shift epoch " +
+        "micros)")
+  }
 
   /** Load every table and register temp views (for spark.sql usage). */
   def registerAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

@@ -227,6 +227,82 @@ object StreamProbe {
       }
     }
 
+    // -------- stream-stream range-bounded join (StreamingOps
+    // .streamStreamJoin): per round, one impression + one in-bound click per
+    // key; the watermark rides forward 60s per round (>> the 10s bound), so
+    // both sides' buffered rows from prior rounds are evictable every round.
+    // Boundedness claim: max state ≈ rows of the two most recent rounds
+    // (eviction applies one batch after the watermark moves), NOT
+    // rounds × keys — the accumulation failure the fail-loud wrapper exists
+    // to prevent.
+    def probeStreamStream(nKeys: Int): ProbeResult = {
+      import org.apache.spark.sql.functions.{col, expr}
+      import spark.implicits._
+      val nRounds = 6
+      val impIn = MemoryStream[(String, Timestamp)](spark)
+      val clickIn = MemoryStream[(String, Timestamp)](spark)
+      val joined = graft.streaming.StreamingOps.streamStreamJoin(
+        impIn.toDF().toDF("ad_id", "imp_t"), col("imp_t"), "0 seconds",
+        clickIn.toDF().toDF("ad_id", "click_t"), col("click_t"), "0 seconds",
+        keys = Seq("ad_id"),
+        timeBound = (lt, rt) => rt >= lt && rt <= lt + expr("INTERVAL 10 SECONDS"))
+      val name = s"streamprobe_j_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = joined.select("ad_id", "imp_t", "click_t")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var fed = 0L
+      val t0 = System.nanoTime()
+      (0 until nRounds).foreach { r =>
+        val base = r * 60000L
+        impIn.addData(keys.map(k => (k, new Timestamp(base + 1000))))
+        clickIn.addData(keys.map(k => (k, new Timestamp(base + 3000))))
+        q.processAllAvailable()
+        fed += nKeys.toLong * 2
+      }
+      // two final advances so the last real round's state is past the GC
+      // horizon AND the eviction batch has run
+      val far = nRounds * 60000L + 300000L
+      impIn.addData(("__wm", new Timestamp(far)))
+      clickIn.addData(("__wm", new Timestamp(far)))
+      q.processAllAvailable()
+      impIn.addData(("__wm2", new Timestamp(far + 60000L)))
+      clickIn.addData(("__wm2", new Timestamp(far + 60000L)))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val matched = spark.table(name).count()
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      assert(matched == nRounds.toLong * nKeys,
+        s"every in-bound click must match exactly once: $matched vs ${nRounds * nKeys}")
+      ProbeResult(fed, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    def reportStreamStream(base: ProbeResult, big: ProbeResult,
+                           baseKeys: Int, bigKeys: Int): Unit = {
+      println(f"""{"probe":"stream_stream_join","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+        f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
+        f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
+        f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,""" +
+        f""""base_max_state":${base.maxStateRows},"x${factor}_max_state":${big.maxStateRows},""" +
+        f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
+      // max bound: two most recent rounds' rows on both sides (+ sentinels);
+      // final bound: sentinel rows only. Beyond either means the range bound
+      // failed to GC join state.
+      val (bMax, nMax) = (4 * baseKeys + 8, 4 * bigKeys + 8)
+      if (base.maxStateRows > bMax || big.maxStateRows > nMax ||
+          base.finalStateRows > 8 || big.finalStateRows > 8) {
+        System.err.println(s"FAIL[stream_stream_join]: state beyond the range-bound GC " +
+          s"envelope (max base=${base.maxStateRows}>$bMax or x$factor=${big.maxStateRows}>$nMax, " +
+          s"final base=${base.finalStateRows} x$factor=${big.finalStateRows} > 8)")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     val baseKeys = 50
     // warm all paths once (RocksDB + codegen init dominate a cold run)
     probeTriggered(baseKeys); probeSessions(baseKeys); probeAsOf(baseKeys)
@@ -239,6 +315,10 @@ object StreamProbe {
     val aBase = probeAsOf(baseKeys)
     val aBig = probeAsOf(baseKeys * factor)
     reportAsOf(aBase, aBig, baseKeys, baseKeys * factor)
+    probeStreamStream(baseKeys) // warm
+    val jBase = probeStreamStream(baseKeys)
+    val jBig = probeStreamStream(baseKeys * factor)
+    reportStreamStream(jBase, jBig, baseKeys, baseKeys * factor)
     spark.stop()
   }
 }

@@ -144,6 +144,9 @@ object ReservoirSampleFn {
 class ApproximateUniqueFn[T](sampleSize: Int,
                              stableKey: T => String = (t: T) => ReservoirSampleFn.defaultKey(t))
     extends CombineFn[T, Array[Long], Long] {
+  require(sampleSize > 0,
+    s"ApproximateUniqueFn needs sampleSize > 0, got $sampleSize (the " +
+      "reference requires ≥ 16, ApproximateUnique.java:311)")
   private def hash(in: T): Long = {
     var h = 0xCBF29CE484222325L
     stableKey(in).getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+import org.apache.spark.sql.catalyst.plans.logical.Join
 import org.apache.spark.sql.functions._
 
 import graft.operators.Windows
@@ -65,9 +67,61 @@ object StreamingOps {
                        how: String = "inner"): DataFrame =
     stream.join(broadcast(static), keys, how)
 
-  /** Stream-stream join: both sides watermarked, equality keys + an
-    * event-time range bound so state is GC'd (Spark requirement). */
-  def streamStreamJoin(left: DataFrame, right: DataFrame,
-                       joinExpr: Column, how: String = "inner"): DataFrame =
-    left.join(right, joinExpr, how)
+  /** Stream-stream join. Beam has no stream-stream join primitive — the
+    * reference expresses it as windowed CoGroupByKey
+    * (SDK/transforms/join/CoGroupByKey.java:74): both sides grouped per
+    * window, state GC'd when the window expires. Here the event-time range
+    * bound plays the window's role: Spark keeps a side's row only until the
+    * other side's watermark clears the bound, so state is GC'd continuously
+    * instead of per-window.
+    *
+    * Fail-loud contract (the unbounded-state footgun this wrapper exists to
+    * prevent): both inputs MUST be streaming; both get their watermark
+    * applied HERE (event-time column + delay per side — surfaced as
+    * `__left_time` / `__right_time` in the output); and `timeBound` MUST
+    * relate the two event-time columns with a range comparison. A join
+    * missing any of these would buffer every row forever — the exact
+    * failure mode that kills a long-running job, so it throws at build time
+    * instead.
+    *
+    * Key columns are deduplicated using-columns style (`coalesce(l, r)`),
+    * so outer-join outputs carry one key column. State boundedness is
+    * probed (StreamProbe) and asserted in StreamingSpec.
+    */
+  def streamStreamJoin(left: DataFrame, leftTs: Column, leftDelay: String,
+                       right: DataFrame, rightTs: Column, rightDelay: String,
+                       keys: Seq[String],
+                       timeBound: (Column, Column) => Column,
+                       how: String = "inner"): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "streamStreamJoin requires two streaming inputs; for a bounded side " +
+        "use streamStaticJoin (broadcast per micro-batch) instead")
+    val l = left.withColumn("__left_time", leftTs)
+      .withWatermark("__left_time", leftDelay)
+    val r = right.withColumn("__right_time", rightTs)
+      .withWatermark("__right_time", rightDelay)
+    val bound = timeBound(l("__left_time"), r("__right_time"))
+    val keyCond = keys.map(k => l(k) === r(k)).reduceOption(_ && _)
+    val cond = keyCond.map(_ && bound).getOrElse(bound)
+    val joined = l.join(r, cond, how)
+    // Validate on the ANALYZED plan (Spark 4 Columns are lazy ColumnNode
+    // wrappers, opaque before analysis): the join condition must contain a
+    // range comparison relating the two event-time columns, or Spark cannot
+    // GC join state.
+    val joinCondition = joined.queryExecution.analyzed.collectFirst {
+      case j: Join => j.condition
+    }.flatten
+    val hasRangeBound = joinCondition.exists(_.collect {
+      case b: BinaryComparison => b.references.map(_.name).toSet
+    }.exists(ns => ns.contains("__left_time") && ns.contains("__right_time")))
+    require(hasRangeBound,
+      "streamStreamJoin: timeBound must relate BOTH event-time columns " +
+        "(__left_time, __right_time) with a range comparison (>=, <=, " +
+        "between) — without a two-sided event-time bound Spark buffers " +
+        "every row forever (unbounded state)")
+    val keyCols = keys.map(k => coalesce(l(k), r(k)).as(k))
+    val lRest = l.columns.filterNot(keys.contains).map(c => l(c))
+    val rRest = r.columns.filterNot(keys.contains).map(c => r(c))
+    joined.select(keyCols ++ lRest ++ rRest: _*)
+  }
 }

@@ -79,6 +79,26 @@ class CombineFnLawsSpec extends SparkSpec {
     assert(est > 7000 && est < 13000, s"estimate $est for true 10000")
   }
 
+  test("ApproximateUniqueFn: merge-heavy sharding — many singleton accumulators " +
+      "merged in random order equal the one-shot estimate (r9 array-accumulator rewrite)") {
+    // adversarial for the array rewrite: every accumulator holds exactly one
+    // hash, so EVERY insert during the merge phase exercises the
+    // binary-search + arraycopy path rather than the steady-state rejection
+    val fn = new ApproximateUniqueFn[Int](32)
+    val rnd = new Random(20260813L)
+    (1 to 20).foreach { i =>
+      val xs = List.fill(50 + rnd.nextInt(400))(rnd.nextInt(300))
+      val oneShot = run(fn, xs, 1)
+      // one accumulator per element, merged pairwise in a shuffled order
+      val singletons = rnd.shuffle(xs).map(x => fn.addInput(fn.createAccumulator(), x))
+      val merged = fn.extractOutput(singletons.reduce(fn.mergeAccumulators))
+      assert(merged == oneShot, s"case $i: merge-heavy $merged != one-shot $oneShot")
+    }
+    // degenerate sampleSize is a loud constructor error, not a runtime AIOOBE
+    val e = intercept[IllegalArgumentException](new ApproximateUniqueFn[Int](0))
+    assert(e.getMessage.contains("sampleSize"))
+  }
+
   test("ApproximateQuantilesFn: epsilon accuracy under any sharding/order") {
     val fn = new ApproximateQuantilesFn(numQuantiles = 5, bufferSize = 64)
     val rnd = new Random(7L)

@@ -19,7 +19,7 @@ import graft.operators.Windows.{CalendarWindows, FixedWindows, WindowingStrategy
   * results over each. If the driver rotates to a FOURTH encoding, the
   * schema pin here fails loudly instead of shipping a locally-green commit
   * that is red in the driver's environment. */
-class SchemaDriftSpec extends SparkSpec {
+class SchemaDriftSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   // 3 days of deterministic events, microsecond-grained, some sub-second
@@ -31,8 +31,26 @@ class SchemaDriftSpec extends SparkSpec {
       (i, tsUs, i % 37, Seq("click", "signup", "error")(i.toInt % 3), i * 0.25)
     }
 
+  // fixtures live under target/ (repo scratch convention) and are removed
+  // in afterAll, so repeated runs don't leak three parquet trees each
+  private val scratch = {
+    val p = java.nio.file.Paths.get("target", "schema-drift-fixtures")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  override def afterAll(): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(scratch)) {
+      val all = Files.walk(scratch).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
+
   private def writeEncoding(encoding: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-drift-$encoding").toString
+    val dir = java.nio.file.Files.createTempDirectory(scratch, s"graft-drift-$encoding").toString
     val df = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
     val withTs = encoding match {
       // int64 ns-since-epoch: what nanosAsLong surfaces for parquet
@@ -129,13 +147,35 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
-  test("epochMicros fail-louds on a non-UTC session instead of shifting silently") {
+  test("epochMicros fail-louds on NTZ under a non-UTC session instead of shifting silently") {
+    val ntz = rows.take(5).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
-      val e = intercept[IllegalArgumentException] {
-        GraftSession.epochMicros(col("ts"))
+      val e = intercept[Exception] {
+        ntz.select(GraftSession.epochMicros(col("ts"))).collect()
       }
       assert(e.getMessage.contains("UTC"))
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("epochMicros accepts semantically-UTC zone aliases (Etc/UTC)") {
+    val ntz = rows.take(5).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try {
+      val got = ntz.select(GraftSession.epochMicros(col("ts")).as("us"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == rows.take(5).map(_._2).sorted)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("epochMicros rejects a LongType epoch column at analysis (10^6-error guard)") {
+    // the old cast-based formulation would have read these micros as SECONDS
+    val longs = Seq(baseUs, baseUs + 1L).toDF("lo")
+    val e = intercept[Exception] {
+      longs.select(GraftSession.epochMicros(col("lo"))).collect()
+    }
+    assert(e.getMessage.contains("SECONDS") || e.getMessage.contains("TIMESTAMP"))
   }
 }

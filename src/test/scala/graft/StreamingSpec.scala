@@ -473,4 +473,107 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(("a", 15L, Some(10L))), got.mkString)
     } finally q.stop()
   }
+
+  test("streamStreamJoin: range-bounded inner join matches in-bound pairs, " +
+      "drops out-of-bound, GCs state at the watermark") {
+    val imps = MemoryStream[(String, Timestamp)](spark)
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      imps.toDF().toDF("ad_id", "imp_t"), col("imp_t"), "0 seconds",
+      clicks.toDF().toDF("ad_id", "click_t"), col("click_t"), "0 seconds",
+      keys = Seq("ad_id"),
+      timeBound = (lt, rt) => rt >= lt && rt <= lt + expr("INTERVAL 10 MINUTES"))
+    val q = joined
+      .select(col("ad_id"), col("imp_t").cast("string"), col("click_t").cast("string"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      imps.addData(("a1", ts("2024-01-01 10:00:00")), ("a2", ts("2024-01-01 10:01:00")))
+      clicks.addData(("a1", ts("2024-01-01 10:05:00"))) // in bound: imp+5min
+      q.processAllAvailable()
+      assert(spark.table("ss_join").collect().map(_.toSeq).toSeq ==
+        Seq(Seq("a1", "2024-01-01 10:00:00", "2024-01-01 10:05:00")),
+        "inner match emits without waiting for the watermark")
+
+      clicks.addData(("a2", ts("2024-01-01 10:30:00"))) // 29min after imp: out of bound
+      clicks.addData(("a9", ts("2024-01-01 10:06:00"))) // key never impressed
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 1, "out-of-bound/unkeyed clicks must not join")
+
+      // ≥3 watermark advances on BOTH sides; old join state falls behind the
+      // bound and must be evicted (the whole point of requiring the bound)
+      var fed = 5L
+      Seq("12:00:00", "13:00:00", "14:00:00").foreach { h =>
+        imps.addData((s"wm_$h", ts(s"2024-01-01 $h")))
+        clicks.addData((s"wm_$h", ts(s"2024-01-01 $h")))
+        q.processAllAvailable()
+        fed += 2
+      }
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      val finalRows = states.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      val removed = states.map(_.numRowsRemoved).sum
+      assert(finalRows >= 0 && finalRows < fed,
+        s"state must not retain all $fed fed rows, got $finalRows")
+      assert(finalRows <= 4,
+        s"after 3 hourly advances only the newest advance's rows may remain " +
+          s"(bound is 10min), got $finalRows state rows")
+      assert(removed > 0, "watermark advances must actually evict join state")
+    } finally q.stop()
+  }
+
+  test("streamStreamJoin leftOuter: unmatched left emits with nulls once the " +
+      "watermark clears its bound") {
+    val imps = MemoryStream[(String, Timestamp)](spark)
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      imps.toDF().toDF("ad_id", "imp_t"), col("imp_t"), "0 seconds",
+      clicks.toDF().toDF("ad_id", "click_t"), col("click_t"), "0 seconds",
+      keys = Seq("ad_id"),
+      timeBound = (lt, rt) => rt >= lt && rt <= lt + expr("INTERVAL 10 MINUTES"),
+      how = "leftOuter")
+    val q = joined
+      .select(col("ad_id"), col("imp_t").cast("string"), col("click_t").cast("string"))
+      .writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      imps.addData(("a1", ts("2024-01-01 10:00:00")), ("a2", ts("2024-01-01 10:00:30")))
+      clicks.addData(("a1", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // a2's null row cannot emit yet: its 10-min bound is still open
+      assert(spark.table("ss_join_outer").count() == 1)
+      imps.addData(("zz", ts("2024-01-01 12:00:00")))
+      clicks.addData(("zz", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      imps.addData(("zz2", ts("2024-01-01 13:00:00")))
+      clicks.addData(("zz2", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_outer").collect()
+        .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+      assert(got.contains(("a2", None)),
+        s"unmatched left must emit with null click after watermark passes, got $got")
+      assert(got.contains(("a1", Some("2024-01-01 10:02:00"))))
+    } finally q.stop()
+  }
+
+  test("streamStreamJoin fail-louds on the unbounded-state footgun") {
+    val l = MemoryStream[(String, Timestamp)](spark)
+    val r = MemoryStream[(String, Timestamp)](spark)
+    // timeBound ignoring one side: no GC possible -> reject at build time
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingOps.streamStreamJoin(
+        l.toDF().toDF("k", "lt"), col("lt"), "0 seconds",
+        r.toDF().toDF("k", "rt"), col("rt"), "0 seconds",
+        keys = Seq("k"), timeBound = (lt, _) => lt >= lit("2024-01-01"))
+    }
+    assert(e1.getMessage.contains("__right_time"))
+    // a bounded side is not a stream-stream join
+    val e2 = intercept[IllegalArgumentException] {
+      import spark.implicits._
+      StreamingOps.streamStreamJoin(
+        l.toDF().toDF("k", "lt"), col("lt"), "0 seconds",
+        Seq(("k1", ts("2024-01-01 00:00:00"))).toDF("k", "rt"), col("rt"), "0 seconds",
+        keys = Seq("k"), timeBound = (lt, rt) => rt >= lt)
+    }
+    assert(e2.getMessage.contains("streamStaticJoin"))
+  }
 }
