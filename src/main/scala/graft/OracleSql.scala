@@ -488,6 +488,21 @@ object OracleSql {
          |                         THEN 1 ELSE 0 END) AS slowdown_event
          |FROM cmp GROUP BY 1, 2""".stripMargin,
 
+    // WindowedWordCount: deterministic AddTimestampFn replay — event time =
+    // 2026-01-01T00:00Z + ((doc_id*7919) % 7200) seconds (1767225600 epoch
+    // seconds base, 10-min-grid aligned), fixed 10-minute windows, word
+    // counts per (window, word)
+    "q_windowed_wc" ->
+      """SELECT make_timestamp((1767225600000000
+        |         + ((doc_id * 7919) % 7200) * 1000000)
+        |         // 600000000 * 600000000) AS wstart,
+        |       word, count(*) AS n
+        |FROM (SELECT doc_id,
+        |             unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY 1, 2""".stripMargin,
+
     // ------------------------------------------------------------ LLM-pipeline ops
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies

@@ -779,6 +779,35 @@ object Queries {
           lit(2) * coalesce(col("speedups"), lit(0L))).as("slowdown_event"))
   }
 
+  /** WindowedWordCount (reference: examples/WindowedWordCount.java:90-221):
+    * the last of the four word-count examples — lines get an event time in a
+    * bounded range (AddTimestampFn :100-122 draws it randomly over 2 hours;
+    * here it is a deterministic hash of doc_id over the same 2-hour span so
+    * the oracle can replay it exactly), `Window.into(FixedWindows)` (:195-198,
+    * 10-minute windows), then the reused CountWords transform over the
+    * windowed collection (:204) — counts become per (window, word). The
+    * companion sink contract — one output file per window, name derived from
+    * the window bounds (common/WriteOneFilePerWindow.java) — is
+    * [[graft.sources.IO.writeOneFilePerWindow]], asserted batch + streaming
+    * in WindowedSinkSpec; this query pins the windowed-count semantics.
+    * Plan: explode fuses with the scan in codegen; partial count absorbs the
+    * word fan-out map-side, so the single shuffle carries (window, word)
+    * partials — the same shape as q_flatmap_wc with a window key. */
+  def qWindowedWc(s: SparkSession, dir: String): DataFrame = {
+    val base = lit("2026-01-01 00:00:00").cast("timestamp")
+    val lines = t(s, dir, "documents").select(
+      timestamp_micros(unix_micros(base)
+        + (col("doc_id") * 7919 % 7200) * 1000000L).as("ts"),
+      col("text"))
+    val words = lines
+      .select(col("ts"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+    Windows.aggregate(words,
+        Windows.WindowingStrategy(Windows.FixedWindows("10 minutes")),
+        col("ts"), Seq(col("word")), Seq(count(lit(1)).as("n")))
+      .select(col("window.start").as("wstart"), col("word"), col("n"))
+  }
+
   // ------------------------------------------------------- cookbook examples
 
   /** BigQueryTornadoes (reference: examples/cookbook/BigQueryTornadoes

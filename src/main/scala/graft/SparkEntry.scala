@@ -82,6 +82,7 @@ object SparkEntry {
     "q_autocomplete"    -> Queries.qAutoComplete _,
     "q_traffic_max_lane" -> Queries.qTrafficMaxLane _,
     "q_traffic_routes"  -> Queries.qTrafficRoutes _,
+    "q_windowed_wc"     -> Queries.qWindowedWc _,
     "q_tornadoes"       -> Queries.qTornadoes _,
     "q_large_word_plays" -> Queries.qLargeWordPlays _,
     "q_distinct_lines"  -> Queries.qDistinctLines _,

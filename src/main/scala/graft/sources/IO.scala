@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 
 /** Batch IO surface (reference: SDK/io/TextIO.java:176/:210,
   * AvroIO.java, GenerateSequence.java:103, jdbc/JdbcIO.java:145/:154).
@@ -37,6 +37,46 @@ object IO {
                        partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
       .format(format).save(path)
+
+  /** WriteOneFilePerWindow (reference: examples/common/WriteOneFilePerWindow
+    * .java:46-116 — TextIO `withWindowedWrites` + a `FilenamePolicy` naming
+    * files from the window's bounds): write formatted text lines grouped so
+    * each window produces its own output file(s), path segment derived
+    * deterministically from the window bounds. The reference's
+    * `PerWindowFiles` prints ISO hourMinute (`10:00-10:10-0-of-1`); here the
+    * label is date-qualified (`w=20260101T1000-1010`) so windows from
+    * different days never collide, and it is a partition DIRECTORY (the
+    * Spark-native windowed-sink shape; the dir name carries the same
+    * window-bound derivation).
+    *
+    * - default (`numShards = 0`): EXACTLY one file per window — rows are
+    *   hash-clustered on the window label so one task owns each window, and
+    *   `partitionBy` splits that task's output one directory per window.
+    * - `numShards = n` (`withNumShards`, WriteOneFilePerWindow.java:65-67):
+    *   at most n files per window via a content-derived salt (derived from
+    *   the row, not the partition position, so a re-executed task routes
+    *   each row identically under fetch-failure retry).
+    *
+    * 100 TB: the clustering shuffle keys on window label (bounded
+    * cardinality per trigger); a hot window fans its write out with
+    * `numShards` instead of funneling through one task. Streaming shape:
+    * call from `foreachBatch` with `SaveMode.Append` — in append mode each
+    * window is emitted exactly once (watermark-final pane), so the
+    * one-file-per-window layout is preserved across micro-batches. */
+  def writeOneFilePerWindow(df: DataFrame, line: Column, wstart: Column,
+                            wend: Column, path: String, numShards: Int = 0,
+                            saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    val label = concat(date_format(wstart, "yyyyMMdd'T'HHmm"), lit("-"),
+      date_format(wend, "HHmm"))
+    val rows = df.select(line.cast("string").as("value"), label.as("w"))
+    val clustered =
+      if (numShards > 0)
+        rows.withColumn("__shard", pmod(xxhash64(col("value")), lit(numShards)))
+          .repartition(col("w"), col("__shard")).drop("__shard")
+      else rows.repartition(col("w"))
+    clustered.write.mode(saveMode).partitionBy("w").format("text").save(path)
+  }
 
   // --------------------------------------------------------- columnar files
 
