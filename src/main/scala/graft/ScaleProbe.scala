@@ -64,6 +64,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_EXAMPLES_ONLY").contains("1")) { examplesProbe(factor); return }
     // run only the pair-attribution duel (fan-out-first vs reduce-first)
     if (sys.env.get("SPARK_GRAFT_PAIRDUEL_ONLY").contains("1")) { pairAttributionDuel(); return }
+    // run only the hot-key fanout skew duel (plain groupBy vs salted two-stage)
+    if (sys.env.get("SPARK_GRAFT_HOTKEY_ONLY").contains("1")) { hotkeyDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -763,6 +765,105 @@ object ScaleProbe {
     println(f"""{"avro_file_mb":${len / 1e6}%.1f,"rows":${src.count()},""" +
       f""""single_split_sec":$single%.3f,"split_${nSplits}_sec":$split%.3f,""" +
       f""""split_speedup":${single / split}%.2f}""")
+    spark.stop()
+  }
+
+  /** Hot-key fanout skew duel (reference motivation: Combine.java:1598
+    * withHotKeyFanout — pre-aggregate a hot key across `fanout` salted
+    * sub-keys so its combine doesn't funnel through one worker).
+    *
+    * Input: 90% of all rows on ONE key, the rest uniform over 100k keys,
+    * 256 input partitions (standing in for a wide map stage). Two aggregate
+    * regimes, each plain-groupBy vs salted two-stage
+    * ([[Aggregates.sumPerKeyWithFanout]] and a bag-building analogue):
+    *
+    *  - `sum` (algebraic): Spark's map-side partial aggregation already
+    *    reduces the hot key to ONE partial row per map task before the
+    *    shuffle — the exact job Beam's fanout does by hand. The salt only
+    *    adds a second shuffle.
+    *  - `bag` (holistic collect_list): ObjectHashAggregate still runs a
+    *    partial mode — each map task ships ONE partial bag per key — so the
+    *    record funnel never materializes here either (the hot bag itself is
+    *    assembled in one reducer in both formulations; that cost is
+    *    irreducible for bag semantics).
+    *  - `mapg` (groupByKey().mapGroups — the combiner-less raw-GBK → DoFn
+    *    shape that Beam's fanout actually targets): NO partial aggregation
+    *    exists; every hot-key row ships to one reducer task. The salt
+    *    splits that funnel across `fanout` tasks.
+    *
+    * Recorded per run: wall seconds AND max shuffle-read records/bytes of
+    * any single task — the funnel, not the average, is what OOMs at 100 TB.
+    * Note AQE's skew handling splits skewed JOIN partitions only, not
+    * aggregations, so it cannot rescue mapg_plain. Bag results compare as
+    * multisets (count / sum / xor-hash per key) before timing. */
+  private def hotkeyDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val fanout = 32
+    val n = sys.env.getOrElse("SPARK_GRAFT_HOTKEY_ROWS", "8000000").toLong
+    val rows = spark.range(0, n, 1, 256).select(
+      when(col("id") % 10 < 9, lit("hot"))
+        .otherwise(concat(lit("k"), col("id") % 100000)).as("key"),
+      (col("id") % 1000000).as("v"))
+    @volatile var maxTaskRecords = 0L
+    @volatile var maxTaskBytes = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).map(_.shuffleReadMetrics).foreach { m =>
+          if (m.recordsRead > maxTaskRecords) maxTaskRecords = m.recordsRead
+          val b = m.localBytesRead + m.remoteBytesRead
+          if (b > maxTaskBytes) maxTaskBytes = b
+        }
+    })
+    def sumPlain(): DataFrame =
+      rows.groupBy(col("key")).agg(sum(col("v")).as("sum_value"))
+    def sumSalted(): DataFrame =
+      Aggregates.sumPerKeyWithFanout(rows, col("key"), col("v"), fanout)
+    def bagPlain(): DataFrame =
+      rows.groupBy(col("key")).agg(collect_list(col("v")).as("bag"))
+    def bagSalted(): DataFrame =
+      rows.withColumn("__salt", pmod(xxhash64(col("v")), lit(fanout)))
+        .groupBy(col("key"), col("__salt"))
+        .agg(collect_list(col("v")).as("part"))
+        .groupBy(col("key"))
+        .agg(flatten(collect_list(col("part"))).as("bag"))
+    // the combiner-less per-key-iterator shape (Beam raw GBK → DoFn):
+    // count via mapGroups so no partial aggregation can be planned
+    import spark.implicits._
+    def typed = rows.select(col("key").as("_1"), col("v").as("_2")).as[(String, Long)]
+    def mapgPlain(): DataFrame = typed.groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.size.toLong)).toDF("key", "n_rows")
+    def mapgSalted(): DataFrame = typed
+      .groupByKey(r => (r._1, r._2 % fanout))
+      .mapGroups((ks: (String, Long), it: Iterator[(String, Long)]) =>
+        (ks._1, it.size.toLong))
+      .toDF("key", "partial")
+      .groupBy(col("key")).agg(sum(col("partial")).as("n_rows"))
+    // multiset equality of the bag formulations (order-insensitive invariants)
+    def bagSig(df: DataFrame): DataFrame = df.select(col("key"),
+      size(col("bag")).as("m"),
+      aggregate(col("bag"), lit(0L), (a, x) => a + x).as("s"),
+      aggregate(col("bag"), lit(0L), (a, x) => a.bitwiseXOR(xxhash64(x))).as("h"))
+    require(bagSig(bagPlain()).exceptAll(bagSig(bagSalted())).isEmpty &&
+      sumPlain().exceptAll(sumSalted()).isEmpty &&
+      mapgPlain().exceptAll(mapgSalted()).isEmpty,
+      "salted formulations must agree with plain groupBy")
+    def run(tag: String)(df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val samples = Seq.fill(3) {
+        maxTaskRecords = 0L; maxTaskBytes = 0L
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let straggler task-end events drain
+        (s, maxTaskRecords, maxTaskBytes)
+      }
+      val (sec, maxRec, maxB) = samples.sortBy(_._1).apply(1)
+      println(f"""{"duel":"hotkey_$tag","sec":$sec%.3f,""" +
+        f""""max_task_shuffle_rows":$maxRec,"max_task_shuffle_mb":${maxB / 1e6}%.1f}""")
+    }
+    run("sum_plain")(sumPlain()); run("sum_salted")(sumSalted())
+    run("bag_plain")(bagPlain()); run("bag_salted")(bagSalted())
+    run("mapg_plain")(mapgPlain()); run("mapg_salted")(mapgSalted())
     spark.stop()
   }
 }

@@ -345,10 +345,15 @@ object Aggregates {
   def reshuffle(df: DataFrame, numPartitions: Int): DataFrame = df.repartition(numPartitions)
 
   /** Combine.perKey(...).withHotKeyFanout (reference: Combine.java:1598):
-    * two-stage combine with key salting for skew. Spark already does partial
-    * aggregation; explicit salting shown for completeness — `salt` buckets
-    * first-stage, then final combine without the salt. Only worthwhile for
-    * algebraic aggs; counts/sums shown. */
+    * two-stage combine with key salting for skew. Measured head-to-head
+    * (ScaleProbe hotkey duel, BASELINE.md r10): for anything planned as
+    * `groupBy().agg(...)` — algebraic OR holistic (collect_list gets
+    * ObjectHashAggregate partials too) — Catalyst's map-side partial
+    * aggregation already does what Beam's fanout does by hand, and the salt
+    * only adds a shuffle. The salt PAYS (7.4× smaller per-task funnel, 1.8×
+    * wall at 90%-one-key skew) exactly where no combiner can be planned:
+    * `groupByKey().mapGroups`-style per-key iterators. AQE can't rescue
+    * those either — its skew splitting covers joins only. */
   def sumPerKeyWithFanout(df: DataFrame, key: Column, value: Column, fanout: Int): DataFrame =
     // Salt derived from row content, not partition position: a re-executed
     // map task must route each row to the same salt bucket or retries under
