@@ -284,6 +284,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle expected:\n${p.take(2500)}")
   }
 
+  test("q_windowed_wc: word fan-out combines map-side; one shuffle of (window, word) partials") {
+    // WindowedWordCount's shape: the explode fuses with the scan, and the
+    // per-(window, word) count must combine BEFORE the exchange — the
+    // shuffle carries vocabulary x window partials, never the raw word
+    // fan-out (at 100 TB the fan-out is ~200x the document bytes)
+    val p = plan("q_windowed_wc")
+    assert(p.contains("partial_count"), s"map-side partial count expected:\n${p.take(2500)}")
+    assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle expected:\n${p.take(2500)}")
+    assert(p.contains("Generate explode"), s"explode stays in the plan (codegen-fused):\n${p.take(2500)}")
+  }
+
   test("q_filter_below_mean: the global-mean side input joins as a broadcast scalar") {
     // FilterExamples' Mean.globally singleton view: the 1-row stats frame
     // must broadcast (BroadcastNestedLoopJoin over a single row is free);
