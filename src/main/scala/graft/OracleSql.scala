@@ -851,6 +851,40 @@ object OracleSql {
         |  FROM cand
         |) WHERE rn <= 5""".stripMargin,
 
+    // Full replay of product-quantization ANN: md5-ordered codebook sample
+    // sliced into 8 subspaces of 8 dims, 9-dp rounded per-subspace argmin
+    // encode (||s||² dropped — constant per (row, subspace)), reconstruction
+    // = codewords concatenated in subspace order, scored as ONE sequential
+    // dot (same fp addition order as Similarity.pqTopK), top-5 with the
+    // (score DESC, corpus_id ASC) tiebreak.
+    "q_pq_ann" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c,
+        |                vec AS cvec
+        |         FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |sub AS (SELECT c, j, cvec[j*8+1 : j*8+8] AS cs
+        |        FROM cent, UNNEST(range(0, 8)) AS t(j)),
+        |subn AS (SELECT c, j, cs, list_dot_product(cs, cs) AS c2 FROM sub),
+        |enc AS (SELECT id, j, code FROM (
+        |    SELECT v.id, s.j, s.c AS code,
+        |           row_number() OVER (PARTITION BY v.id, s.j
+        |               ORDER BY round(s.c2/2 - list_dot_product(v.vec[s.j*8+1 : s.j*8+8], s.cs), 9),
+        |                        s.c) AS rn
+        |    FROM v, subn s) WHERE rn = 1),
+        |recon AS (SELECT e.id AS corpus_id, flatten(list(s.cs ORDER BY e.j)) AS xhat
+        |          FROM enc e JOIN subn s ON s.j = e.j AND s.c = e.code
+        |          GROUP BY e.id),
+        |rn2 AS (SELECT corpus_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS xn FROM recon),
+        |q AS (SELECT id AS query_id, vec AS qv, sqrt(list_dot_product(vec, vec)) AS qnrm
+        |      FROM v WHERE id < 5)
+        |SELECT query_id, corpus_id, score FROM (
+        |  SELECT q.query_id, r.corpus_id,
+        |         round(list_dot_product(q.qv, r.xhat) / (q.qnrm * r.xn), 6) AS score,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_dot_product(q.qv, r.xhat) / (q.qnrm * r.xn), 6) DESC,
+        |                      r.corpus_id ASC) AS rn
+        |  FROM rn2 r CROSS JOIN q) WHERE rn <= 5""".stripMargin,
+
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       CASE WHEN length(trim(text)) = 0 THEN 0

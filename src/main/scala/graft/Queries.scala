@@ -1007,6 +1007,21 @@ object Queries {
       k = 5, nlist = 16, nprobe = 4)
   }
 
+  /** Product-quantization ANN over the embeddings table (lloydIters=0 —
+    * the md5-seeded oracle-replayable codebooks; 8 subspaces × 16
+    * codewords = 8 bytes per stored vector, 32× under float). Top-5 per
+    * query by asymmetric distance: the corpus side is scored from its
+    * codes alone, the scan never touches the original vectors — the
+    * billion-vector memory path. DuckDB replays codebook sampling, the
+    * rounded per-subspace argmin encode, and the table-lookup scoring
+    * step for step. */
+  def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.pqTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 5, m = 8, ksub = 16)
+  }
+
   /** SemDeDup over the embeddings table: md5-seeded clusters (lloydIters=0
     * — the oracle-replayable path), within-cluster near-dup marking with
     * the min-id-representative policy. Threshold 0.3 = this fixture's

@@ -56,6 +56,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) { bloomDuel(factor); return }
     // run only the quantized-ANN store duel
     if (sys.env.get("SPARK_GRAFT_QUANT_ONLY").contains("1")) { quantDuel(factor); return }
+    // run only the product-quantization store/recall duel
+    if (sys.env.get("SPARK_GRAFT_PQ_ONLY").contains("1")) { pqDuel(factor); return }
     // run only the round-8 probes (LM score / chunking / weighted sample /
     // count-min frequencies)
     if (sys.env.get("SPARK_GRAFT_R8_ONLY").contains("1")) { r8OpsProbe(factor); return }
@@ -677,6 +679,86 @@ object ScaleProbe {
     val fT = timed(s"ann_float32_x$factor")(runF())
     val qT = timed(s"ann_int8_store_x$factor")(runQ())
     println(f"""{"duel":"quant_ann","float_over_int8_wall":${fT / qT}%.2f}""")
+    spark.stop()
+  }
+
+  /** Product-quantization duel: ×factor embeddings corpus (copies
+    * deterministically perturbed so vectors stay distinct), stored (a) as
+    * float32 and (b) as PQ codes (m=8 × ksub=16 → array<tinyint>), then
+    * 5-query top-5 ANN from each store. Reported: store bytes, wall, and
+    * — the scale-critical quantity for a LOSSY method — recall@5 of the
+    * PQ ranking against the exact brute-force ranking on the same corpus.
+    * Lloyd-refined codebooks (2 rounds) are the production path measured
+    * here; the oracle query keeps lloydIters=0 for replayability. */
+  private def pqDuel(factor: Int): Unit = {
+    import graft.operators.Similarity
+    val spark = GraftSession.getOrCreate()
+    val base = GraftSession.table(spark, "/root/testdata/sf0.1", "embeddings")
+    val big = (0 until factor).map { i =>
+      base.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, p) => x + (pmod(p * (i + 1), lit(5)) - lit(2)) * lit(0.01))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    val dir = "/root/repo/target/sp_pq_duel"
+    big.repartition(32).write.mode("overwrite").parquet(s"$dir/f32")
+    def dirBytes(p: String): Long = new java.io.File(p)
+      .listFiles().filter(_.isFile).map(_.length()).sum
+    // 25 queries x top-5 = 125 ranked pairs per recall estimate (5 queries
+    // put one hit of noise at +-0.04 recall — too coarse to read the knob)
+    val queries = base.filter(col("vec_id") < 25)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val f32 = spark.read.parquet(s"$dir/f32")
+    def runExact(): DataFrame = Similarity.cosineTopK(f32, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 5)
+    runExact().write.format("noop").mode("overwrite").save() // warm
+    val eT = timed(s"pq_exact_f32_x$factor") {
+      runExact().write.format("noop").mode("overwrite").save() }
+    val exactSet = runExact().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // points on the (m, ksub) knobs: bytes/vector = m (codes), recall rises
+    // with both — m shrinks each subspace, ksub densifies its codebook
+    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 64))) {
+      val cb = Similarity.pqCodebooks(big, col("vec_id"), col("embedding"),
+        m = m, ksub = ksub, lloydIters = 2)
+      Similarity.pqEncode(big, col("vec_id"), col("embedding"), cb)
+        .select(col("id"), col("codes").cast("array<tinyint>").as("codes"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/pq_$m")
+      // PQ side scores straight from the stored codes (pqTopK re-derives
+      // the codebook internally for API simplicity; this mirrors its
+      // scoring stage over the pre-encoded store — the 100 TB read path)
+      val codesDf = spark.read.parquet(s"$dir/pq_$m")
+        .select(col("id").as("corpus_id"), col("codes").cast("array<int>").as("codes"))
+      def runPq(): DataFrame = {
+        val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .withColumn("qnrm", sqrt(graft.expressions.VectorExpressions.vecDot(col("qv"), col("qv"))))
+        val xhat = concat(cb.zipWithIndex.map { case (codebook, j) =>
+          val cbj = array(codebook.map(c => array(c.map(lit): _*)): _*)
+          element_at(cbj, col("codes")(j) + 1)
+        }: _*)
+        val xn = sqrt(graft.expressions.VectorExpressions.vecDot(xhat, xhat))
+        val sc = codesDf.crossJoin(broadcast(q)).select(col("query_id"), col("corpus_id"),
+          round(graft.expressions.VectorExpressions.vecDot(col("qv"), xhat)
+            / (col("qnrm") * xn), 6).as("score"))
+        sc
+      }
+      def top(k: Int): Set[(Long, Long)] = Similarity.topKByScore(runPq(), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Similarity.topKByScore(runPq(), 5)
+        .write.format("noop").mode("overwrite").save() // warm
+      val pT = timed(s"pq_codes_m${m}_x$factor") {
+        Similarity.topKByScore(runPq(), 5)
+          .write.format("noop").mode("overwrite").save() }
+      val recall = (exactSet intersect top(5)).size.toDouble / exactSet.size
+      // the production shape: PQ shortlists top-50 from codes alone, exact
+      // re-rank touches float vectors only for the shortlist — this recall
+      // is the one the two-stage pipeline actually delivers
+      val shortlist = (exactSet intersect top(50)).size.toDouble / exactSet.size
+      println(f"""{"duel":"pq_ann","m":$m,"ksub":$ksub,""" +
+        f""""f32_bytes":${dirBytes(s"$dir/f32")},"pq_bytes":${dirBytes(s"$dir/pq_$m")},""" +
+        f""""recall_at_5":$recall%.3f,"shortlist50_recall":$shortlist%.3f,""" +
+        f""""exact_over_pq_wall":${eT / pT}%.2f}""")
+    }
     spark.stop()
   }
 

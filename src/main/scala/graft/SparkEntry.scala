@@ -101,6 +101,7 @@ object SparkEntry {
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_ivf_ann"         -> Queries.qIvfAnn _,
+    "q_pq_ann"          -> Queries.qPqAnn _,
     "q_embed_neardup"   -> Queries.qEmbedNearDup _,
     "q_embed_quant"     -> Queries.qEmbedQuant _,
     "q_chunk_docs"      -> Queries.qChunkDocs _,

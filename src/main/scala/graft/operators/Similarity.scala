@@ -193,7 +193,7 @@ object Similarity {
   }
 
   /** Shared typed top-k reduction over a (query_id, corpus_id, score) frame. */
-  private[operators] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     implicit val ord: Ordering[(Double, Long)] = scoreOrdering
@@ -469,6 +469,130 @@ object Similarity {
           val norm = math.sqrt(mean.map(x => x * x).sum)
           if (norm == 0.0) old else mean.map(_ / norm)
         case None => old // empty cell: keep the previous centroid
+      }
+    }
+  }
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebooks (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"): the d-dim space splits into `m` contiguous
+    * subspaces of d/m dims; each subspace gets its own `ksub`-codeword
+    * codebook, so a vector stores as m small codes — at (m=8, ksub=16)
+    * that is 8 bytes against 256 for a 64-dim float vector (32×), the
+    * memory path that keeps a billion-vector index resident where int8
+    * ([[quantizeInt8]], 4×) cannot.
+    *
+    * Determinism/oracle path: with `lloydIters = 0` the codewords of
+    * subspace j are the j-th slices of the md5-ordered sample
+    * ([[md5Seeds]] — engine-neutral, DuckDB-replayable); production raises
+    * `lloydIters` (per-subspace k-means on the mean update, each round
+    * monotonically decreasing subspace MSE). Returns m × (≤ksub) × d/m. */
+  private[graft] def pqCodebooks(corpus: DataFrame, id: Column, vec: Column,
+                                 m: Int, ksub: Int,
+                                 lloydIters: Int = 0): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, "pq needs m >= 1 subspaces and ksub >= 1 codewords")
+    val seeds = md5Seeds(corpus, id, vec, ksub)
+    if (seeds.isEmpty) return Array.empty
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val init = Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    (0 until lloydIters).foldLeft(init) { (cb, _) => pqLloydRound(corpus, vec, cb) }
+  }
+
+  /** Per-row PQ codes: for each subspace, the index of the L2-nearest
+    * codeword. argmin over round(||c||²/2 − s·c, 9) — the ||s||² term is
+    * constant per (row, subspace) and drops out; the 9-dp rounding plus
+    * code-ascending tiebreak makes the assignment replayable by an
+    * independent engine, same contract as [[cellsFor]]. Codegen'd: one
+    * VecDotProduct per (subspace, codeword) against literal arrays. */
+  private def pqCodeExpr(cb: Array[Array[Array[Double]]])(vec: Column): Column = {
+    val dsub = cb(0)(0).length
+    array(cb.zipWithIndex.map { case (codebook, j) =>
+      val sv = slice(vec, j * dsub + 1, dsub)
+      element_at(array_sort(array(codebook.zipWithIndex.map { case (c, ci) =>
+        val cArr = array(c.map(lit): _*)
+        val halfC2 = lit(c.map(x => x * x).sum / 2.0)
+        struct(round(halfC2 - dotProduct(sv, cArr), 9).as("d"),
+          lit(ci).as("code"))
+      }: _*)), 1).getField("code")
+    }: _*)
+  }
+
+  /** Materialize the PQ code store: (id, codes array<int> of length m).
+    * This is the 100 TB write-once artifact — the corpus scan that every
+    * later [[pqTopK]] probes reads is m ints per row, not the float
+    * vectors. */
+  def pqEncode(corpus: DataFrame, id: Column, vec: Column,
+               cb: Array[Array[Array[Double]]]): DataFrame = {
+    requireIntegralId(corpus, id)
+    corpus.select(id.cast("long").as("id"),
+      pqCodeExpr(cb)(vec.cast("array<double>")).as("codes"))
+  }
+
+  /** Asymmetric-distance PQ top-k: corpus rows are scored from their codes
+    * alone — the reconstruction x̂ is m literal-codebook lookups
+    * concatenated, scored as ONE sequential dot q·x̂ / (‖q‖·‖x̂‖). The
+    * single-dot formulation (rather than Σ_j of per-subspace dots) pins
+    * the floating-point addition ORDER to plain left-to-right over the d
+    * elements, so an independent engine replays the 6-dp rounded score
+    * exactly. The corpus scan reads m small ints per row, never the
+    * original vectors. Queries broadcast (the fixed-small-query-batch,
+    * growing-corpus shape); bounded-heap [[topKByScore]] re-rank,
+    * (score DESC, corpus_id ASC) tiebreak. */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, m: Int = 8, ksub: Int = 16,
+             lloydIters: Int = 0): DataFrame = {
+    requireIntegralId(corpus, corpusId); requireIntegralId(queries, queryId)
+    val cb = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, lloydIters)
+    if (cb.isEmpty)
+      return corpus.select(corpusId.cast("long").as("query_id"),
+        corpusId.cast("long").as("corpus_id"), lit(0.0).as("score")).limit(0)
+    val codes = pqEncode(corpus, corpusId, corpusVec, cb)
+      .withColumnRenamed("id", "corpus_id")
+    val q = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.cast("array<double>").as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val xhat = concat(cb.zipWithIndex.map { case (codebook, j) =>
+      val cbj = array(codebook.map(c => array(c.map(lit): _*)): _*)
+      element_at(cbj, col("codes")(j) + 1)
+    }: _*)
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotProduct(col("qv"), xhat) / (col("qnrm") * l2Norm(xhat)), 6)
+          .as("score"))
+    topKByScore(scored, k)
+  }
+
+  /** One per-subspace k-means round for [[pqCodebooks]]: assign codes with
+    * the current codebooks, then replace each (subspace, code) codeword
+    * with the plain mean of its assigned subvectors — the L2 centroid
+    * update (PQ minimizes subspace MSE; no renormalization, unlike the
+    * spherical [[lloydRound]]). One narrow corpus pass, a (j, code, pos)
+    * HashAggregate, and an m×ksub×d/m collect. Empty codes keep their
+    * previous codeword. */
+  private[graft] def pqLloydRound(corpus: DataFrame, vec: Column,
+                                  cb: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val m = cb.length; val dsub = cb(0)(0).length
+    val coded = corpus.select(vec.cast("array<double>").as("v"))
+      .withColumn("codes", pqCodeExpr(cb)(col("v")))
+      .select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col("codes")(j).as("code"),
+          slice(col("v"), j * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+    val means = coded
+      .select(col("e.j"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg(avg(col("x")).as("mu"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (jc, rows) =>
+        jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    cb.zipWithIndex.map { case (codebook, j) =>
+      codebook.zipWithIndex.map { case (old, ci) =>
+        means.getOrElse((j, ci), old)
       }
     }
   }

@@ -443,6 +443,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((0L until 3L).forall(q => quantTop((q, q))), quantTop.toString)
   }
 
+  test("pqEncode: m codes per row, in codeword range, identical vectors get identical codes") {
+    val embs = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val cb = Similarity.pqCodebooks(embs, col("vec_id"), col("embedding"), m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)), "codebooks must be 8 x 16 x 8")
+    val codes = Similarity.pqEncode(embs, col("vec_id"), col("embedding"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // a codeword source vector must encode to itself in every subspace
+    // (distance 0 is the unique rounded minimum unless another codeword ties,
+    // in which case both slices are identical values anyway)
+    val dup = embs.select(col("vec_id"), col("embedding"))
+      .union(embs.filter(col("vec_id") === 7).select(lit(100000L), col("embedding")))
+    val dupCodes = Similarity.pqEncode(dup, col("vec_id"), col("embedding"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(dupCodes(100000L) == dupCodes(7L), "identical vectors must share codes")
+  }
+
+  test("pqTopK: corpus contained in the codewords reproduces brute-force exactly") {
+    // every corpus vector is its own codeword (n <= ksub), so the
+    // reconstruction is lossless and asymmetric PQ == exact cosine top-k,
+    // scores included (both sides round at 6 dp over the same fp order)
+    val embs = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pq = Similarity.pqTopK(embs, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        k = 4, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.cosineTopK(embs, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq == exact, s"lossless PQ must equal brute force:\npq=$pq\nexact=$exact")
+  }
+
+  test("PQ Lloyd refinement: per-subspace k-means rounds reduce quantization MSE") {
+    val embs = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val vecs = embs.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // subspace MSE: mean over (row, subspace) of ||s - nearest codeword||^2
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      val dsub = cb(0)(0).length
+      vecs.map { v =>
+        cb.zipWithIndex.map { case (codebook, j) =>
+          val s = v.slice(j * dsub, (j + 1) * dsub)
+          codebook.map(c => s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / (vecs.length * cb.length)
+    }
+    val seed = Similarity.pqCodebooks(embs, col("vec_id"), col("embedding"), 8, 16)
+    val r1 = Similarity.pqLloydRound(embs, col("embedding"), seed)
+    val r2 = Similarity.pqLloydRound(embs, col("embedding"), r1)
+    assert(r1.zip(seed).exists { case (a, b) =>
+      a.zip(b).exists { case (x, y) => !x.sameElements(y) } }, "codewords never moved")
+    assert(mse(r1) <= mse(seed) + 1e-9, s"round 1 worsened MSE: ${mse(seed)} -> ${mse(r1)}")
+    assert(mse(r2) <= mse(r1) + 1e-9, s"round 2 worsened MSE: ${mse(r1)} -> ${mse(r2)}")
+    // the refined index still serves k results per query
+    val out = Similarity.pqTopK(embs, col("vec_id"), col("embedding"),
+      embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+      k = 5, m = 8, ksub = 16, lloydIters = 2)
+    val perQuery = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 3 && perQuery.forall(_ == 5L), perQuery.mkString(","))
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
