@@ -262,11 +262,104 @@ object QuantizeInt8Vec {
     StructField("qsum", LongType, nullable = false)))
 }
 
+/** One-pass product-quantization encode: the m per-subspace argmin codes of
+  * a vector against constant codebooks. Replaces an m×ksub literal-dot
+  * expression tree whose per-subspace `array_sort`-of-structs ran
+  * interpreted (CodegenFallback) and re-entered expression evaluation
+  * 128 times per row — measured ~0.5 ms/row; this kernel is one virtual
+  * call per row around primitive loops (the [[QuantizeInt8Vec]] precedent).
+  *
+  * Argmin contract (identical to the `round(‖c‖²/2 − s·c, 9)` +
+  * code-ascending formulation the DuckDB oracle replays): raw doubles
+  * decide when the gap exceeds 1e-8 — a margin 10× the worst rounding
+  * displacement, so the rounded comparison provably agrees — and only
+  * near-ties pay the exact Spark-`round` (BigDecimal HALF_UP at 9 dp)
+  * resolution, with the lower code index winning exact ties. NULL input or
+  * NULL element → NULL; a length not equal to the codebook's m·d/m is a
+  * loud error (corrupt vector, not a rankable row). */
+case class PqEncodeVec(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  private lazy val m = codebooks.length
+  private lazy val dsub = codebooks(0)(0).length
+  private lazy val halfC2: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum / 2.0))
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a float/double array input, got $other")
+    }
+
+  private def round9(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length $n != m*dsub = ${m * dsub}")
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      xs(i) = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other      => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j); val h = halfC2(j); val off = j * dsub
+      var bestC = 0
+      var bestD = { // d_0
+        var s = 0.0; var p = 0
+        while (p < dsub) { s += xs(off + p) * cb(0)(p); p += 1 }
+        h(0) - s
+      }
+      var c = 1
+      while (c < cb.length) {
+        var s = 0.0; var p = 0
+        while (p < dsub) { s += xs(off + p) * cb(c)(p); p += 1 }
+        val d = h(c) - s
+        if (d < bestD - 1e-8) { bestD = d; bestC = c }
+        else if (d < bestD + 1e-8 && round9(d) < round9(bestD)) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(codes.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Dot product of two numeric array columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ codes of a vector column against constant codebooks (native, one
+    * pass per row). */
+  def pqEncodeVec(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeVec(ColumnBridge.expression(v), codebooks))
 
   /** One-pass int8 quantization (native expression, O(d) per row). */
   def quantizeInt8Vec(v: Column): Column =

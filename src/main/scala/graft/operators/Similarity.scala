@@ -505,20 +505,12 @@ object Similarity {
     * codeword. argmin over round(||c||²/2 − s·c, 9) — the ||s||² term is
     * constant per (row, subspace) and drops out; the 9-dp rounding plus
     * code-ascending tiebreak makes the assignment replayable by an
-    * independent engine, same contract as [[cellsFor]]. Codegen'd: one
-    * VecDotProduct per (subspace, codeword) against literal arrays. */
-  private def pqCodeExpr(cb: Array[Array[Array[Double]]])(vec: Column): Column = {
-    val dsub = cb(0)(0).length
-    array(cb.zipWithIndex.map { case (codebook, j) =>
-      val sv = slice(vec, j * dsub + 1, dsub)
-      element_at(array_sort(array(codebook.zipWithIndex.map { case (c, ci) =>
-        val cArr = array(c.map(lit): _*)
-        val halfC2 = lit(c.map(x => x * x).sum / 2.0)
-        struct(round(halfC2 - dotProduct(sv, cArr), 9).as("d"),
-          lit(ci).as("code"))
-      }: _*)), 1).getField("code")
-    }: _*)
-  }
+    * independent engine, same contract as [[cellsFor]]. Native one-pass
+    * kernel ([[graft.expressions.PqEncodeVec]]) — the literal-dot
+    * expression-tree formulation re-entered interpreted evaluation m×ksub
+    * times per row and dominated the encode wall. */
+  private def pqCodeExpr(cb: Array[Array[Array[Double]]])(vec: Column): Column =
+    graft.expressions.VectorExpressions.pqEncodeVec(vec, cb)
 
   /** Materialize the PQ code store: (id, codes array<int> of length m).
     * This is the 100 TB write-once artifact — the corpus scan that every
