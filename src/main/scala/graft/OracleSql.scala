@@ -587,6 +587,57 @@ object OracleSql {
         |  FROM sc
         |) WHERE rn <= 5""".stripMargin,
 
+    // Hybrid RRF: replay BOTH side rankings (BM25-batch top-10 — same CTEs
+    // as q_bm25_batch — and brute-force cosine top-10 for vec_id < 3),
+    // rank each with the (score DESC, doc_id ASC) tiebreak, fuse with
+    // 1/(60 + rank), top-5 fused per query
+    "q_hybrid_rrf" ->
+      """WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+        |             (0, 'join'), (0, 'filter'), (0, 'dup'),
+        |             (1, 'hash'), (1, 'scan'),
+        |             (2, 'customer'), (2, 'slow'), (2, 'batch')) AS t(query_id, term)),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM w),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM d, UNNEST(toks) AS u(t)
+        |       WHERE t IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, round(ln(1 + (stats.n - df + 0.5) / (df + 0.5)), 9) AS idf
+        |        FROM (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |              FROM tf GROUP BY 1) CROSS JOIN stats),
+        |bm_sc AS (SELECT q.query_id, tf.doc_id,
+        |              round(CAST(sum(idf.idf * tf.tf * 2.2
+        |                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS DOUBLE), 6) AS score
+        |       FROM tf JOIN idf USING (term) JOIN q USING (term) CROSS JOIN stats
+        |       GROUP BY 1, 2),
+        |bm_top AS (SELECT query_id, doc_id, score,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY score DESC, doc_id ASC) AS rnk
+        |           FROM bm_sc QUALIFY rnk <= 10),
+        |aq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |       FROM embeddings WHERE vec_id < 3),
+        |ac AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+        |an_sc AS (SELECT query_id, doc_id,
+        |                 round(list_dot_product(cvec, qvec)
+        |                   / (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(qvec, qvec))),
+        |                   6) AS score
+        |          FROM ac, aq),
+        |an_top AS (SELECT query_id, doc_id, score,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY score DESC, doc_id ASC) AS rnk
+        |           FROM an_sc QUALIFY rnk <= 10),
+        |fused AS (SELECT query_id, doc_id,
+        |                 round(sum(1.0 / (60 + rnk)), 9) AS score
+        |          FROM (SELECT query_id, doc_id, rnk FROM bm_top
+        |                UNION ALL SELECT query_id, doc_id, rnk FROM an_top)
+        |          GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM fused
+        |) WHERE rn <= 5""".stripMargin,
+
     // Same tokenization convention as the other shingle oracles (lower +
     // \s+ split with empty leading token preserved, 1-based inclusive
     // slices); DISTINCT per doc mirrors WordShingles' first-occurrence dedup.

@@ -986,6 +986,28 @@ object Queries {
       queries, col("query_id"), col("terms"), k = 5)
   }
 
+  /** Hybrid retrieval: BM25 top-10 (lexical) fused with brute-force cosine
+    * top-10 (embedding; doc_id ⟷ vec_id, the documents table's embedding
+    * sibling) by reciprocal-rank fusion, top-5 fused per query — the
+    * two-tower retrieval shape every RAG/hard-negative-mining pipeline
+    * runs. Both side rankings carry the (score DESC, id ASC) tiebreak and
+    * 6-dp rounded scores, so DuckDB replays ranks, fusion, and the final
+    * cut exactly. */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq("join", "filter", "dup")),
+      (1L, Seq("hash", "scan")),
+      (2L, Seq("customer", "slow", "batch"))).toDF("query_id", "terms")
+    val lexical = Retrieval.bm25TopKBatch(t(s, dir, "documents"),
+      col("text"), col("doc_id"), queries, col("query_id"), col("terms"), k = 10)
+    val embs = t(s, dir, "embeddings")
+    val semantic = Similarity.cosineTopK(embs, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 10)
+      .withColumnRenamed("corpus_id", "doc_id")
+    Retrieval.rrfFuse(Seq(lexical, semantic), k = 5)
+  }
+
   /** Sub-document duplication (Lee et al. exact-substring style): per doc,
     * the fraction of its distinct 8-token spans that also occur verbatim in
     * another doc — a verdict column per doc, full DuckDB replay. */

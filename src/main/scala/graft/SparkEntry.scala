@@ -98,6 +98,7 @@ object SparkEntry {
     "q_span_dedup"      -> Queries.qSpanDedup _,
     "q_bm25"            -> Queries.qBm25 _,
     "q_bm25_batch"      -> Queries.qBm25Batch _,
+    "q_hybrid_rrf"      -> Queries.qHybridRrf _,
     "q_embed_topk"      -> Queries.qEmbedCosineTopK _,
     "q_lsh_ann"         -> Queries.qLshAnn _,
     "q_ivf_ann"         -> Queries.qIvfAnn _,

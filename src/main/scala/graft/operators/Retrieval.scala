@@ -132,4 +132,38 @@ object Retrieval {
     Similarity.topKByScore(scored, k)
       .withColumnRenamed("corpus_id", "doc_id")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge
+    * several per-query rankings — the hybrid-retrieval primitive that
+    * combines lexical BM25 with embedding ANN without score calibration,
+    * since only RANKS enter the fused score Σ_lists 1/(rrfK + rank). Each
+    * input is a (query_id, doc_id, score) top-k list; ranks are
+    * row_number over (score DESC, doc_id ASC) — the deterministic
+    * tiebreak every retrieval op here emits, so ranks (and hence the
+    * fusion) replay exactly in an independent engine; fused scores round
+    * at 9 dp. A doc absent from a list simply contributes nothing (the
+    * standard RRF convention).
+    *
+    * Scale shape: inputs are k-bounded per query by construction, so the
+    * rank window and the fusion aggregate run over ≤ Σk rows per query —
+    * the whole fusion is narrow no matter the corpus size; the expensive
+    * retrieval stages upstream keep their own scale stories. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 1, "rrfK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val contribs = rankings.map { df =>
+      df.select(col("query_id"), col("doc_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("doc_id"),
+          (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id").as("corpus_id"))
+      .agg(round(sum(col("contrib")), 9).as("score"))
+    Similarity.topKByScore(fused, k)
+      .withColumnRenamed("corpus_id", "doc_id")
+  }
 }

@@ -507,6 +507,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perQuery.length == 3 && perQuery.forall(_ == 5L), perQuery.mkString(","))
   }
 
+  test("rrfFuse: rank-only fusion, absent docs contribute nothing, doc_id tiebreak") {
+    import graft.operators.Retrieval
+    // list A ranks (1, 2, 3); list B ranks (2, 9) — scores on wildly
+    // different scales, which RRF must ignore (ranks only)
+    val a = Seq((0L, 1L, 900.0), (0L, 2L, 500.0), (0L, 3L, 100.0))
+      .toDF("query_id", "doc_id", "score")
+    val b = Seq((0L, 2L, 0.9), (0L, 9L, 0.1)).toDF("query_id", "doc_id", "score")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // doc 2: 1/62 + 1/61 (rank 2 in A, rank 1 in B) — the only doc in both
+    // lists must win; others carry a single term
+    assert(fused.map(_._1).toSeq == Seq(2L, 1L, 9L, 3L), fused.mkString(","))
+    assert(math.abs(fused.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // equal scores within a list: rank assigned by doc_id ASC, so fusion
+    // is deterministic under ties too
+    val tied = Seq((0L, 5L, 1.0), (0L, 4L, 1.0)).toDF("query_id", "doc_id", "score")
+    val tf = Retrieval.rrfFuse(Seq(tied), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(tf.map(_._1).toSeq == Seq(4L, 5L), tf.mkString(","))
+  }
+
   test("spanDuplication: cross-doc spans counted, within-doc repeats don't, short docs zero") {
     // doc 1 and 2 share the 3-token run "x y z"; doc 3 repeats its own
     // span twice (distinct per doc → not a cross-doc dup); doc 4 is too
