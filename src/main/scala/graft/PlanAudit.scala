@@ -12,7 +12,9 @@ object PlanAudit {
         // round-7: anchored calendar windows + single-scan BM25
         "q_window_weekly", "q_weekly_team_score", "q_bm25_batch",
         // round-7: bloom semi-join reduction + weighted sampling
-        "q_bloom_semi", "q_weighted_sample", "q_lm_score").foreach { name =>
+        "q_bloom_semi", "q_weighted_sample", "q_lm_score",
+        // round-10: windowed wordcount, PQ ANN, hybrid RRF
+        "q_windowed_wc", "q_pq_ann", "q_hybrid_rrf").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }
