@@ -508,6 +508,19 @@ object OracleSql {
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Incremental dedup: corpus = doc_id < 400 (digest store only), batch =
+    // doc_id >= 400; keep = unseen in corpus AND batch representative
+    "q_dedup_incr" ->
+      """WITH corpus AS (SELECT md5(text) AS content_hash, min(doc_id) AS corpus_rep
+        |                FROM documents WHERE doc_id < 400 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS content_hash
+        |      FROM documents WHERE doc_id >= 400),
+        |br AS (SELECT content_hash, min(doc_id) AS batch_rep FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.content_hash, c.corpus_rep, br.batch_rep,
+        |       (c.corpus_rep IS NULL AND b.doc_id = br.batch_rep) AS keep
+        |FROM b LEFT JOIN corpus c USING (content_hash)
+        |JOIN br USING (content_hash)""".stripMargin,
+
     "q_dedup_minhash" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s

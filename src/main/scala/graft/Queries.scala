@@ -899,6 +899,18 @@ object Queries {
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** Incremental exact dedup: docs with doc_id < 400 play the existing
+    * corpus (its digest store built once via [[Dedup.exact]]); docs >= 400
+    * are the new increment, each getting a keep/dup verdict against corpus
+    * AND batch without the corpus text ever being rescanned. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = Dedup.exact(docs.filter(col("doc_id") < 400), col("text"), col("doc_id"))
+      .select(col("content_hash"), col("rep_id").as("corpus_rep"))
+    Dedup.exactIncremental(docs.filter(col("doc_id") >= 400),
+      col("text"), col("doc_id"), store)
+  }
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidates(t(s, dir, "documents"), col("text"), col("doc_id"),
         shingleN = 3, bands = 4)

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_max_per_day"     -> Queries.qMaxPerDay _,
     // LLM-pipeline ops
     "q_dedup_exact"     -> Queries.qDedupExact _,
+    "q_dedup_incr"      -> Queries.qDedupIncremental _,
     "q_dedup_minhash"   -> Queries.qDedupMinhash _,
     "q_simhash"         -> Queries.qSimHash _,
     "q_ngram_jaccard"   -> Queries.qNgramJaccard _,

@@ -19,6 +19,38 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup — the daily-increment pipeline shape: verdicts
+    * for a NEW batch of documents against an existing corpus digest store
+    * WITHOUT rescanning the corpus. `corpusDigests` is the persisted
+    * (content_hash, corpus_rep) frame — [[exact]]'s output renamed, written
+    * once and appended per increment. Per batch doc:
+    * `corpus_rep` = the corpus representative sharing its digest (NULL if
+    * unseen), `batch_rep` = the min-id batch doc sharing it, and
+    * `keep = corpus_rep IS NULL AND doc_id = batch_rep` — the doc survives
+    * only if its content is new to BOTH the corpus and this batch (the
+    * same min-id-representative policy as [[exact]]).
+    *
+    * 100 TB shape: the store is a narrow digest table; the join shuffles
+    * the batch's digests and the store's digests, never any text. Write
+    * the store BUCKETED on content_hash ([[graft.sources.IO.writeBucketed]])
+    * and the store side never shuffles again on any increment; for very
+    * large stores, pre-filter the probe with the Bloom semi-join
+    * ([[Joins.bloomSemiJoin]]) so only possibly-seen digests reach the
+    * join. The LSH analogue is the same composition over persisted
+    * [[minHashCandidates]] band signatures. */
+  def exactIncremental(batch: DataFrame, text: Column, id: Column,
+                       corpusDigests: DataFrame): DataFrame = {
+    val b = batch.select(id.as("doc_id"), md5(text).as("content_hash"))
+    val batchReps = b.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("batch_rep"))
+    b.join(corpusDigests.select(col("content_hash"), col("corpus_rep")),
+        Seq("content_hash"), "left")
+      .join(batchReps, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"), col("corpus_rep"),
+        col("batch_rep"),
+        (col("corpus_rep").isNull && col("doc_id") === col("batch_rep")).as("keep"))
+  }
+
   /** Word n-gram shingles, normalized (lowercase, whitespace-split):
     * the codegen'd native kernel (graft.expressions.WordShingles — one
     * imperative pass per document inside WholeStageCodegen). */

@@ -22,6 +22,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count() == 4) // 1&2 merged; 3, 4, "" distinct
   }
 
+  test("exactIncremental: corpus dup, intra-batch dup, and fresh content verdicts") {
+    val corpus = Create.of(spark, Seq((1L, "seen before"), (2L, "also seen")))
+      .toDF("doc_id", "text")
+    val store = Dedup.exact(corpus, col("text"), col("doc_id"))
+      .select(col("content_hash"), col("rep_id").as("corpus_rep"))
+    val batch = Create.of(spark, Seq(
+      (10L, "seen before"),   // corpus dup → drop, corpus_rep = 1
+      (11L, "brand new"),     // fresh + batch rep → keep
+      (12L, "brand new"),     // intra-batch dup of 11 → drop
+      (13L, "also new"))).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, col("text"), col("doc_id"), store)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((Some(1L), 10L, false)), out(10L).toString)
+    assert(out(11L) == ((None, 11L, true)))
+    assert(out(12L) == ((None, 11L, false)), "intra-batch dup must not survive")
+    assert(out(13L) == ((None, 13L, true)))
+  }
+
   test("shingles: n-grams of normalized words, distinct, empty-safe") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
