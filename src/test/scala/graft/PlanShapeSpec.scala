@@ -163,6 +163,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n${p.take(2000)}")
   }
 
+  test("exactIncremental against a BUCKETED digest store: store side never re-shuffles") {
+    // the scaladoc's 100 TB claim: persist the corpus digests bucketed on
+    // content_hash and every increment's verdict join reads the store
+    // without an Exchange above its scan — only the (small) batch side
+    // shuffles to meet the store's bucketing
+    import org.apache.spark.sql.functions._
+    val docs = GraftSession.table(spark, dir, "documents")
+    val store = graft.operators.Dedup.exact(
+        docs.filter(col("doc_id") < 400), col("text"), col("doc_id"))
+      .select(col("content_hash"), col("rep_id").as("corpus_rep"))
+    graft.sources.IO.writeBucketed(store, "b_digests", Seq("content_hash"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.operators.Dedup.exactIncremental(
+        docs.filter(col("doc_id") >= 400), col("text"), col("doc_id"),
+        spark.table("b_digests"))
+      val p = out.queryExecution.executedPlan.toString
+      // the store-side join leg must carry no Exchange: with the batch leg
+      // shuffling to 8 partitions to meet the bucketing, the plan has
+      // exchanges only for batch legs (digest join + batch_rep aggregate)
+      val storeScan = p.linesIterator.find(_.contains("b_digests"))
+      assert(storeScan.isDefined, s"bucketed store scan expected:\n${p.take(2500)}")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"store must be read bucket-aware:\n${p.take(2500)}")
+      // value sanity vs the unbucketed formulation
+      val plain = graft.operators.Dedup.exactIncremental(
+        docs.filter(col("doc_id") >= 400), col("text"), col("doc_id"), store)
+      assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_digests")
+    }
+  }
+
   test("q_range_join: bucketed equi-join — NO nested-loop or cartesian plan") {
     // a pure inequality join would plan as BroadcastNestedLoopJoin
     // (O(points × intervals) — dead at 100 TB); the bin-bucket rewrite
