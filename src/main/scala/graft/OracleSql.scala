@@ -1241,6 +1241,10 @@ object OracleSql {
     "q_max_per_day" ->
       """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
         |       max(value) AS max_mean_temp
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // tf.Example wire round-trip is the identity on the projected columns
+    "q_tfexample" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents"
   )
 }

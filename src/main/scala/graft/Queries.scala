@@ -1494,4 +1494,18 @@ object Queries {
     sums.select(col("user_id"), col("total_cents"),
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
+
+  /** ProtoCoder capability (reference: sdks/java/extensions/protobuf/...
+    * /ProtoCoder.java:49) via the pure-Scala wire codec: every document row
+    * is encoded to canonical tf.train.Example bytes (the TFRecord training
+    * format) and decoded back through the schema-driven parser — the oracle
+    * is the identity, so a single wire-format bug (varint, tag, packed
+    * list, map entry) breaks the hash compare. Row-local both ways: the
+    * plan is one narrow mapPartitions chain, zero shuffle, O(1 record)
+    * memory — embarrassingly parallel at any corpus size. */
+  def qTfExample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    sources.TfExampleIO.decodeBytes(sources.TfExampleIO.encodeRows(docs), docs.schema)
+  }
 }

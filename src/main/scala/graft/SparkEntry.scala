@@ -115,6 +115,7 @@ object SparkEntry {
     "q_token_count"     -> Queries.qTokenCount _,
     "q_bpe_count"       -> Queries.qBpeCount _,
     "q_fingerprint"     -> Queries.qFingerprint _,
+    "q_tfexample"       -> Queries.qTfExample _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
     "q_mm_audio"        -> Queries.qMultimodalAudio _,
     "q_mm_features"     -> Queries.qMultimodalFeatures _,
