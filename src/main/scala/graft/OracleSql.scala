@@ -1245,6 +1245,46 @@ object OracleSql {
 
     // tf.Example wire round-trip is the identity on the projected columns
     "q_tfexample" ->
-      "SELECT doc_id, text, lang, n_chars FROM documents"
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+
+    // DSIR importance resampling: full replay — hashed unigram+bigram
+    // buckets (engine-neutral md5 60-bit hash), smoothed target/raw
+    // multinomials, 6-dp-rounded log-weights, seeded Gumbel top-50
+    "q_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     w -> w <> '') AS words
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, is_target,
+        |         unnest(words || list_transform(range(1, len(words)),
+        |                  i -> words[i] || ' ' || words[i+1])) AS ng
+        |  FROM d),
+        |hc AS (
+        |  SELECT doc_id, is_target,
+        |         CAST(('0x' || substr(md5(ng),1,15)) AS BIGINT) % 512 AS bucket,
+        |         count(*) AS cnt
+        |  FROM ng GROUP BY 1,2,3),
+        |model AS (
+        |  SELECT bucket, sum(cnt) AS q_cnt,
+        |         sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt
+        |  FROM hc GROUP BY 1),
+        |tot AS (SELECT sum(q_cnt) AS qt, sum(t_cnt) AS tt FROM model),
+        |dl AS (SELECT bucket,
+        |              ln((t_cnt + 1.0)/(tt + 512.0)) -
+        |              ln((q_cnt + 1.0)/(qt + 512.0)) AS dlogp
+        |       FROM model, tot),
+        |w AS (
+        |  SELECT hc.doc_id, round(sum(cnt * dlogp), 6) AS dsir_logw
+        |  FROM hc JOIN dl USING (bucket) WHERE NOT is_target GROUP BY 1),
+        |k AS (
+        |  SELECT doc_id, dsir_logw,
+        |         dsir_logw - ln(-ln(
+        |           (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),1,15))
+        |                 AS BIGINT) + 0.5) / 1152921504606846976.0)) AS gk
+        |  FROM w)
+        |SELECT doc_id, dsir_logw, round(gk, 6) AS gumbel_key
+        |FROM k ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin
   )
 }

@@ -1495,6 +1495,23 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** DSIR importance resampling (Xie et al. 2023): score every non-English
+    * doc by how target-like (lang='en' slice) its hashed unigram+bigram bag
+    * is, then Gumbel-top-k resample 50 docs with probability ∝ exp(weight).
+    * FULL DuckDB replay: engine-neutral md5 bucket hash, exact-integer
+    * models, 6-dp-rounded weights before the seeded Gumbel perturbation,
+    * salted bounded top-k (never a global rank window). */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val w = operators.Dsir.importanceWeights(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      col("lang") === "en", buckets = 512, alpha = 1.0)
+    val raw = w.filter(!col("is_target"))
+      .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
+    operators.Dsir.resample(raw, k = 50)
+      .select(col("doc_id"), col("dsir_logw"),
+        round(col("gumbel_key"), 6).as("gumbel_key"))
+  }
+
   /** ProtoCoder capability (reference: sdks/java/extensions/protobuf/...
     * /ProtoCoder.java:49) via the pure-Scala wire codec: every document row
     * is encoded to canonical tf.train.Example bytes (the TFRecord training

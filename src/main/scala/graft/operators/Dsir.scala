@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" — public
+  * paper): score every raw document by how target-like its hashed n-gram
+  * bag is, then resample with probability ∝ the importance weight via
+  * seeded Gumbel top-k.
+  *
+  *  - Features: word unigrams + bigrams of lowered text, hashed into a
+  *    FIXED number of buckets (the paper's hashed generative model). The
+  *    hash is engine-neutral (first 15 hex chars of md5 → 60-bit int, the
+  *    repo's established DuckDB-replayable pattern), so the whole pipeline
+  *    is exactly replayable by the oracle.
+  *  - Models: two smoothed multinomials over buckets — target (the
+  *    `isTarget` slice) and raw (everything) — fit in ONE pass: a single
+  *    per-(doc,bucket) count aggregate feeds both, the bucket model is at
+  *    most `buckets` rows (a broadcast of MBs at any corpus size), and
+  *    totals ride one scalar aggregate.
+  *  - Weight: log w(d) = Σ_b c_d(b) · (log p̂_target(b) − log p̂_raw(b)),
+  *    additive smoothing α on both models (paper eq. 3 shape).
+  *  - Selection: Gumbel top-k — key = log w + Gumbel(0,1) seeded from
+  *    md5(doc_id), equivalent to sampling k docs without replacement with
+  *    probability ∝ w (Vieira 2014's Gumbel-max trick, public). Selection
+  *    uses the salted two-phase bounded top-k, never a global rank window.
+  *
+  * 100 TB story: per-doc work is row-local (ngram hash → ≤min(|doc|, B)
+  * bucket rows); the only shuffles are the per-(doc,bucket) count and the
+  * tiny model aggregate; the model join is a broadcast; top-k is the salted
+  * bounded heap. Nothing grows with corpus size except the linear scan.
+  */
+object Dsir {
+
+  /** Engine-neutral 60-bit hash (md5 hex prefix), replayable in any SQL
+    * engine: DuckDB spells it CAST('0x' || substr(md5(x),1,15) AS BIGINT). */
+  private[operators] def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word unigrams + bigrams of lowered text (letters-only tokenization —
+    * the cheap, language-agnostic feature space the paper uses hashed). */
+  def wordNgrams(text: Column): Column = {
+    val words = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+    val bigrams = transform(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      (w, i) => concat(w, lit(" "), element_at(words, i + 2)))
+    concat(words, bigrams)
+  }
+
+  /** Per-doc hashed feature counts: (doc_id, is_target, bucket, cnt). */
+  def hashedCounts(docs: DataFrame, id: Column, text: Column,
+                   isTarget: Column, buckets: Int): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), isTarget.as("is_target"),
+        explode(wordNgrams(text)).as("__ng"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(hash60(col("__ng")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc importance log-weights against the `isTarget` slice.
+    * Output: (doc_id, is_target, dsir_logw) — weights for ALL docs
+    * (callers typically resample only the non-target side but scoring the
+    * target slice too is free and useful for calibration). */
+  def importanceWeights(docs: DataFrame, id: Column, text: Column,
+                        isTarget: Column, buckets: Int = 1 << 16,
+                        alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && alpha > 0,
+      s"DSIR needs buckets > 0 and alpha > 0, got buckets=$buckets alpha=$alpha")
+    val hashed = hashedCounts(docs, id, text, isTarget, buckets)
+    // one aggregate feeds BOTH models: raw = all docs, target = flagged docs
+    val model = hashed.groupBy(col("bucket")).agg(
+      sum(col("cnt")).as("q_cnt"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_cnt"))
+    val totals = model.agg(
+      sum(col("q_cnt")).as("__q_tot"), sum(col("t_cnt")).as("__t_tot"))
+    // smoothed log-ratio per OBSERVED bucket (a doc's buckets are always
+    // observed in the raw model, so the left side of the join never needs
+    // the unobserved-bucket floor)
+    val dlogp = model.crossJoin(broadcast(totals)).select(col("bucket"),
+      (log((col("t_cnt") + lit(alpha)) /
+           (col("__t_tot") + lit(alpha * buckets))) -
+       log((col("q_cnt") + lit(alpha)) /
+           (col("__q_tot") + lit(alpha * buckets)))).as("__dlogp"))
+    hashed.join(broadcast(dlogp), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(first(col("is_target")).as("is_target"),
+        sum(col("cnt") * col("__dlogp")).as("dsir_logw"))
+  }
+
+  /** Gumbel key for weight w (log space): logw − ln(−ln u), u seeded from
+    * md5(tag:doc_id) — deterministic, engine-neutral, u ∈ (0,1). */
+  def gumbelKey(logw: Column, docId: Column, tag: String = "dsir"): Column = {
+    val u = (hash60(concat(lit(s"$tag:"), docId.cast("string"))).cast("double")
+      + lit(0.5)) / lit(Math.pow(2.0, 60))
+    logw - log(-log(u))
+  }
+
+  /** Sample k docs without replacement with probability ∝ exp(dsir_logw):
+    * rank by Gumbel key via the salted bounded top-k (no global rank
+    * window). Input must carry (doc_id, dsir_logw). */
+  def resample(weights: DataFrame, k: Int, tag: String = "dsir"): DataFrame =
+    Aggregates.topKPerKeySalted(
+      weights.select(col("doc_id"), col("dsir_logw"),
+        gumbelKey(col("dsir_logw"), col("doc_id"), tag).as("__gk")),
+      keys = Seq(lit(1).as("__g")),
+      item = struct((-col("__gk")).as("ngk"), col("doc_id").as("id"),
+        col("dsir_logw").as("lw")),
+      saltFrom = col("doc_id"), k = k)
+      .select(col("item.id").as("doc_id"), col("item.lw").as("dsir_logw"),
+        (-col("item.ngk")).as("gumbel_key"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** Semantics + plan pins for DSIR importance resampling. */
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two clearly-separated vocabularies: target docs talk about cats,
+  // raw noise talks about stocks; one raw doc is cat-like
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat with the cat", true),
+    (2L, "a cat and another cat play with cats", true),
+    (3L, "stocks fell as markets tumbled on rates", false),
+    (4L, "bond yields and stocks slid lower today", false),
+    (5L, "the cat chased the mat across the room", false)
+  ).toDF("doc_id", "text", "is_target")
+
+  test("weights rank the target-like raw doc above off-target raw docs") {
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        col("is_target"), buckets = 1 << 12, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 5)
+    // doc 5 (cat-like) must out-weigh docs 3 and 4 (stock-talk)
+    assert(w(5L) > w(3L) && w(5L) > w(4L),
+      s"expected cat-like doc 5 to score highest among raw docs: $w")
+    // target docs themselves score high (calibration property)
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+  }
+
+  test("ngram features are unigrams + bigrams of lowered letters-only words") {
+    val ngs = docs.filter($"doc_id" === 3L)
+      .select(Dsir.wordNgrams(col("text"))).as[Seq[String]].head()
+    assert(ngs.contains("stocks") && ngs.contains("stocks fell") &&
+      ngs.contains("on rates"))
+    // 7 words → 7 unigrams + 6 bigrams
+    assert(ngs.length == 13 && ngs.count(_.contains(" ")) == 6)
+    // single-word and empty docs don't blow up
+    val tiny = Seq((9L, "word", false), (10L, "!!!", false))
+      .toDF("doc_id", "text", "is_target")
+    val ws = tiny.select(Dsir.wordNgrams(col("text"))).as[Seq[String]].collect()
+    assert(ws(0) == Seq("word") && ws(1).isEmpty)
+  }
+
+  test("resample returns exactly k docs, deterministic across runs") {
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+      col("is_target"), buckets = 1 << 12, alpha = 0.5)
+    val a = Dsir.resample(w.filter(!col("is_target"))
+      .select(col("doc_id"), col("dsir_logw")), k = 2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Dsir.resample(w.filter(!col("is_target"))
+      .select(col("doc_id"), col("dsir_logw")), k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 2 && a == b)
+  }
+
+  test("plan: model join is BROADCAST, no global rank window, no cartesian") {
+    val p = SparkEntry.queries("q_dsir")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // selection must ride the salted top-k: every window partitions by salt
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.forall(_.contains("__salt")),
+      s"unsalted window funnel in q_dsir:\n${windowSpecs.mkString("\n")}")
+  }
+}
