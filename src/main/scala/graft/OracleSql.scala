@@ -1247,6 +1247,42 @@ object OracleSql {
     "q_tfexample" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
 
+    // spherical k-means, ONE Lloyd round replayed in full: md5 seeds →
+    // 9-dp argmin assignment → per-cell spherical mean (sum of x/nrm,
+    // renormalized; empty/zero cells keep the seed) → re-assignment
+    "q_kmeans" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |                 vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |          FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+        |a0 AS (SELECT id, cell, vec, nrm FROM (
+        |    SELECT n.id, n.vec, n.nrm, cent0.cell,
+        |           row_number() OVER (PARTITION BY n.id ORDER BY
+        |             round(-list_dot_product(n.vec, cent0.cvec) / (n.nrm * cent0.cnorm), 9),
+        |             cent0.cell) AS rn
+        |    FROM n CROSS JOIN cent0) WHERE rn = 1),
+        |sums AS (SELECT cell, pos, sum(x / nrm) AS s FROM (
+        |    SELECT cell, nrm, unnest(vec) AS x,
+        |           unnest(range(1, len(vec) + 1)) AS pos
+        |    FROM a0 WHERE nrm > 0) GROUP BY 1, 2),
+        |newc AS (SELECT cell, list(s ORDER BY pos) AS mvec, sqrt(sum(s * s)) AS mnorm
+        |         FROM sums GROUP BY cell),
+        |cent1 AS (SELECT c0.cell,
+        |                 CASE WHEN nc.cell IS NULL OR nc.mnorm = 0 THEN c0.cvec
+        |                      ELSE list_transform(nc.mvec, x -> x / nc.mnorm) END AS cvec
+        |          FROM cent0 c0 LEFT JOIN newc nc ON c0.cell = nc.cell),
+        |cent1n AS (SELECT cell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM cent1),
+        |a1 AS (SELECT id, cell FROM (
+        |    SELECT n.id, cent1n.cell,
+        |           row_number() OVER (PARTITION BY n.id ORDER BY
+        |             round(-list_dot_product(n.vec, cent1n.cvec) / (n.nrm * cent1n.cnorm), 9),
+        |             cent1n.cell) AS rn
+        |    FROM n CROSS JOIN cent1n) WHERE rn = 1),
+        |sizes AS (SELECT cell, count(*) AS cell_size FROM a1 GROUP BY 1)
+        |SELECT a1.id AS vec_id, CAST(a1.cell AS INT) AS cell, sizes.cell_size
+        |FROM a1 JOIN sizes ON a1.cell = sizes.cell""".stripMargin,
+
     // DSIR importance resampling: full replay — hashed unigram+bigram
     // buckets (engine-neutral md5 60-bit hash), smoothed target/raw
     // multinomials, 6-dp-rounded log-weights, seeded Gumbel top-50

@@ -1495,6 +1495,21 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** Spherical k-means with ONE Lloyd refinement round, fully replayed by
+    * DuckDB (md5-ordered seeds → 9-dp argmin assignment → spherical
+    * per-cell mean → re-assignment): the only oracle gate on the
+    * lloydRound path every ANN operator shares. Output also carries the
+    * final per-cell size so a collapsed/empty-cell bug can't hide behind
+    * matching assignments of a few sampled rows. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val asgn = Similarity.kmeans(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 8, iters = 1)
+    val sizes = asgn.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+    asgn.join(broadcast(sizes), "cell")
+      .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"),
+        col("cell_size"))
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): score every non-English
     * doc by how target-like (lang='en' slice) its hashed unigram+bigram bag
     * is, then Gumbel-top-k resample 50 docs with probability ∝ exp(weight).

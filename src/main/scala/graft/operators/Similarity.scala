@@ -376,6 +376,26 @@ object Similarity {
     Some(assigned)
   }
 
+  /** First-class distributed spherical k-means: md5-seeded centroids
+    * ([[md5Seeds]] — engine-neutral, no RNG state), `iters` Lloyd
+    * refinement rounds ([[lloydRound]] — per-round cost is one narrow
+    * codegen'd assignment pass + one (cell, pos) aggregate whose size is
+    * k×dim, collected to the driver as the next round's literals), then a
+    * final assignment. Returns (id, cell).
+    *
+    * This is the clustering engine IVF-ANN, SemDeDup and PQ already ride;
+    * exposed standalone for topic bucketing / cluster-balance curation.
+    * q_kmeans oracle-replays a full refinement round in DuckDB — the
+    * only oracle coverage of [[lloydRound]] itself (the ANN oracles pin
+    * iters=0). 100 TB: per-iteration state is k×dim doubles (driver-side
+    * literals), assignment is map-only; k ≤ 64 stays join-free, larger k
+    * switches to the broadcast-argmin path in [[assignCells]]. */
+  def kmeans(embs: DataFrame, id: Column, vec: Column, k: Int,
+             iters: Int = 1): DataFrame =
+    assignCells(embs, id, vec, k, iters).getOrElse(
+      throw new IllegalArgumentException("kmeans on an empty corpus"))
+      .select(col("id"), col("cell"))
+
   /** Auto cluster count for [[semDedup]]: clusters sized ~`targetClusterSize`
     * keep the within-cell self-join bounded as the corpus grows — under a
     * FIXED nlist, cell occupancy (and with it pairwise work) grows linearly
