@@ -1247,6 +1247,43 @@ object OracleSql {
     "q_tfexample" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
 
+    // incremental SemDeDup: corpus (<400) clusters via md5 seeds, batch
+    // (>=400) assigned to the SAME cells, verdicts within-cell against
+    // store + smaller-id batch rows; least() ignores NULLs in both engines
+    "q_semdedup_incr" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+        |corp AS (SELECT * FROM n WHERE id < 400),
+        |bat AS (SELECT * FROM n WHERE id >= 400),
+        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |                vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |         FROM corp ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+        |sa AS (SELECT id, vec, nrm, cell FROM (
+        |    SELECT corp.id, corp.vec, corp.nrm, cent.cell,
+        |           row_number() OVER (PARTITION BY corp.id ORDER BY
+        |             round(-list_dot_product(corp.vec, cent.cvec) / (corp.nrm * cent.cnorm), 9),
+        |             cent.cell) AS rn
+        |    FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |ba AS (SELECT id, vec, nrm, cell FROM (
+        |    SELECT bat.id, bat.vec, bat.nrm, cent.cell,
+        |           row_number() OVER (PARTITION BY bat.id ORDER BY
+        |             round(-list_dot_product(bat.vec, cent.cvec) / (bat.nrm * cent.cnorm), 9),
+        |             cent.cell) AS rn
+        |    FROM bat CROSS JOIN cent) WHERE rn = 1),
+        |cd AS (SELECT a.id, min(c.id) AS corpus_dup
+        |       FROM ba a JOIN sa c ON a.cell = c.cell
+        |       WHERE round(list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm), 6) >= 0.3
+        |       GROUP BY 1),
+        |bd AS (SELECT a.id, min(b2.id) AS batch_dup
+        |       FROM ba a JOIN ba b2 ON a.cell = b2.cell AND b2.id < a.id
+        |       WHERE round(list_dot_product(a.vec, b2.vec) / (a.nrm * b2.nrm), 6) >= 0.3
+        |       GROUP BY 1)
+        |SELECT ba.id AS vec_id, CAST(ba.cell AS INT) AS cell,
+        |       least(cd.corpus_dup, bd.batch_dup) AS dup_of,
+        |       cd.corpus_dup IS NULL AND bd.batch_dup IS NULL AS keep
+        |FROM ba LEFT JOIN cd ON cd.id = ba.id
+        |        LEFT JOIN bd ON bd.id = ba.id""".stripMargin,
+
     // spherical k-means, ONE Lloyd round replayed in full: md5 seeds →
     // 9-dp argmin assignment → per-cell spherical mean (sum of x/nrm,
     // renormalized; empty/zero cells keep the seed) → re-assignment

@@ -1495,6 +1495,22 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** Incremental SemDeDup — the semantic sibling of [[qDedupIncremental]]:
+    * vectors < 400 play the already-deduped corpus (clustered store +
+    * persisted centroids); vectors >= 400 are the new batch, each getting
+    * a keep/dup verdict against corpus AND batch without re-clustering.
+    * Full DuckDB replay (md5 seeds, 9-dp argmin, 6-dp cosine gate). */
+  def qSemDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val corpus = embs.filter(col("vec_id") < 400)
+    val cents = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = 8)
+    val store = Similarity.semDedupStore(corpus, col("vec_id"), col("embedding"), cents)
+    Similarity.semDedupIncremental(embs.filter(col("vec_id") >= 400),
+        col("vec_id"), col("embedding"), cents, store, threshold = 0.3)
+      .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"),
+        col("dup_of"), col("keep"))
+  }
+
   /** Spherical k-means with ONE Lloyd refinement round, fully replayed by
     * DuckDB (md5-ordered seeds → 9-dp argmin assignment → spherical
     * per-cell mean → re-assignment): the only oracle gate on the

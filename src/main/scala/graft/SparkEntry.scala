@@ -111,6 +111,7 @@ object SparkEntry {
     "q_lm_score"        -> Queries.qLmScore _,
     "q_semdedup"        -> Queries.qSemDedup _,
     "q_kmeans"          -> Queries.qKmeans _,
+    "q_semdedup_incr"   -> Queries.qSemDedupIncr _,
     "q_text_quality"    -> Queries.qTextQuality _,
     "q_lang_id"         -> Queries.qLangId _,
     "q_token_count"     -> Queries.qTokenCount _,

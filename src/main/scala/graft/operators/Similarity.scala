@@ -333,6 +333,18 @@ object Similarity {
 
   /** [[semDedup]]'s clustering stage, exposed for occupancy diagnostics
     * (ScaleProbe): (id, vec, nrm, cell), or None on an empty corpus. */
+  /** md5-seeded centroids + `iters` Lloyd rounds, as plain arrays — the
+    * persistable half of the clustering state (k×dim doubles; write them
+    * wherever model artifacts live and feed [[assignToCentroids]] /
+    * [[semDedupIncremental]] later without touching the corpus again). */
+  def kmeansCentroids(embs: DataFrame, id: Column, vec: Column, k: Int,
+                      iters: Int = 0): Array[Array[Double]] = {
+    requireIntegralId(embs, id)
+    val seeds = md5Seeds(embs, id, vec, k)
+    require(seeds.nonEmpty, "kmeansCentroids on an empty corpus")
+    (0 until iters).foldLeft(seeds)((c, _) => lloydRound(embs, vec, c))
+  }
+
   private[graft] def assignCells(embs: DataFrame, id: Column, vec: Column,
                                  nlist: Int, lloydIters: Int): Option[DataFrame] = {
     requireIntegralId(embs, id)
@@ -341,6 +353,16 @@ object Similarity {
     val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
       lloydRound(embs, vec, cents)
     }
+    Some(assignToCentroids(embs, id, vec, centroids))
+  }
+
+  /** Nearest-centroid assignment of arbitrary rows against FIXED centroids:
+    * (id, vec, nrm, cell). Same 9-dp rounded argmin + cell-index tiebreak
+    * as the in-corpus path, so incremental batches land in exactly the
+    * cells the corpus clustering would give them. */
+  def assignToCentroids(embs: DataFrame, id: Column, vec: Column,
+                        centroids: Array[Array[Double]]): DataFrame = {
+    requireIntegralId(embs, id)
     val base = embs.select(id.cast("long").as("id"), vec.as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     // Two assignment paths with IDENTICAL semantics (9-dp rounded argmin,
@@ -373,7 +395,47 @@ object Similarity {
         // a narrow codegen'd pass is cheaper than storing it.
         base.join(best, "id").localCheckpoint()
       }
-    Some(assigned)
+    assigned
+  }
+
+  /** Corpus-side state for [[semDedupIncremental]]: the clustered vector
+    * store (cell, id, vec, nrm). Persist it BUCKETED on `cell`
+    * (IO.writeBucketed) and increments join it with no store-side
+    * Exchange. */
+  def semDedupStore(embs: DataFrame, id: Column, vec: Column,
+                    centroids: Array[Array[Double]]): DataFrame =
+    assignToCentroids(embs, id, vec, centroids)
+      .select(col("cell"), col("id"), col("vec"), col("nrm"))
+
+  /** Incremental SemDeDup: keep/dup verdicts for a NEW batch of embeddings
+    * against a persisted corpus store — the semantic sibling of
+    * [[graft.operators.Dedup.exactIncremental]]. The corpus is never
+    * rescanned or re-clustered: the batch is assigned to the SAME cells via
+    * the persisted `centroids`, then compared only within-cell against the
+    * store and against same-cell smaller-id batch rows. dup_of = smallest
+    * duplicate id (corpus and batch ids compete; corpus rows never get
+    * verdicts — they are already deduped state). 100 TB: per-batch work is
+    * |batch| × cell-occupancy, independent of corpus scan cost; with the
+    * store bucketed on cell the big side never shuffles. */
+  def semDedupIncremental(batch: DataFrame, id: Column, vec: Column,
+                          centroids: Array[Array[Double]], store: DataFrame,
+                          threshold: Double = 0.95): DataFrame = {
+    val b = assignToCentroids(batch, id, vec, centroids)
+    val vsCorpus = b.as("a")
+      .join(store.as("c"), col("a.cell") === col("c.cell"))
+      .filter(round(cosineFromNorms(col("a.vec"), col("c.vec"),
+        col("a.nrm"), col("c.nrm")), 6) >= threshold)
+      .groupBy(col("a.id").as("id")).agg(min(col("c.id")).as("corpus_dup"))
+    val vsBatch = b.as("a")
+      .join(b.as("b2"), col("a.cell") === col("b2.cell") && col("b2.id") < col("a.id"))
+      .filter(round(cosineFromNorms(col("a.vec"), col("b2.vec"),
+        col("a.nrm"), col("b2.nrm")), 6) >= threshold)
+      .groupBy(col("a.id").as("id")).agg(min(col("b2.id")).as("batch_dup"))
+    b.select(col("id"), col("cell"))
+      .join(vsCorpus, Seq("id"), "left").join(vsBatch, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        least(col("corpus_dup"), col("batch_dup")).as("dup_of"),
+        (col("corpus_dup").isNull && col("batch_dup").isNull).as("keep"))
   }
 
   /** First-class distributed spherical k-means: md5-seeded centroids

@@ -198,6 +198,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semDedupIncremental against a BUCKETED vector store: store side never re-shuffles") {
+    // same 100 TB contract as the digest store: persist (cell,id,vec,nrm)
+    // bucketed on cell and an increment's within-cell join reads the store
+    // with no Exchange above its scan
+    import org.apache.spark.sql.functions._
+    val embs = GraftSession.table(spark, dir, "embeddings")
+    val corpus = embs.filter(col("vec_id") < 400)
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      corpus, col("vec_id"), col("embedding"), k = 8)
+    val store = graft.operators.Similarity.semDedupStore(
+      corpus, col("vec_id"), col("embedding"), cents)
+    graft.sources.IO.writeBucketed(store, "b_vecstore", Seq("cell"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.operators.Similarity.semDedupIncremental(
+        embs.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+        cents, spark.table("b_vecstore"), threshold = 0.3)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"store must be read bucket-aware:\n${p.take(2500)}")
+      // value sanity vs the unbucketed formulation
+      val plain = graft.operators.Similarity.semDedupIncremental(
+        embs.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+        cents, store, threshold = 0.3)
+      assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_vecstore")
+    }
+  }
+
   test("q_range_join: bucketed equi-join — NO nested-loop or cartesian plan") {
     // a pure inequality join would plan as BroadcastNestedLoopJoin
     // (O(points × intervals) — dead at 100 TB); the bin-bucket rewrite
