@@ -37,6 +37,42 @@ package graft
   */
 object OracleSql {
 
+  /** Unrolled replay of Bpe.learnMerges: the word vocabulary is encoded as
+    * a double-separator symbol string ("␣␣c␣␣a␣␣t␣␣"), each round counts
+    * weighted adjacent pairs from the split symbols, picks the
+    * (cnt DESC, a, b) argmax, and applies the merge via a literal replace
+    * of '␣a␣␣b␣' with '␣ab␣' — the doubled separators make consecutive
+    * pair occurrences non-overlapping, so one replace pass is EXACTLY the
+    * simultaneous left-to-right merge sweep the Scala side performs. */
+  private def bpeLearnSql(rounds: Int): String = {
+    // every CTE is MATERIALIZED: v_r is referenced by sy_{r+1}, v_{r+1}
+    // and (via 4 scalar subqueries) p_r — inlined CTEs would re-execute
+    // the whole chain per reference, ~5^rounds scans
+    val v0 =
+      """v0 AS MATERIALIZED (SELECT '  ' || array_to_string(
+        |          list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  ' AS s, f
+        |  FROM (SELECT w, count(*) AS f FROM (
+        |      SELECT unnest(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w FROM documents)
+        |    GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""sy$r AS MATERIALIZED (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms, f FROM v${r - 1}),
+         |p$r AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(f) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |             i -> [syms[i], syms[i + 1]])) AS pr, f
+         |    FROM sy$r WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(s,
+         |    ' ' || (SELECT a FROM p$r) || '  ' || (SELECT b FROM p$r) || ' ',
+         |    ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS s, f
+         |  FROM v${r - 1})""".stripMargin
+    }
+    val union = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, a AS pair_a, b AS pair_b, cnt AS pair_count FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $v0,\n${roundCtes.mkString(",\n")}\n$union"
+  }
+
   private val cents = "CAST(floor(%s * 100 + 0.5) AS BIGINT)"
   private def c(e: String): String = cents.format(e)
 
@@ -1246,6 +1282,9 @@ object OracleSql {
     // tf.Example wire round-trip is the identity on the projected columns
     "q_tfexample" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
+
+    // BPE merge learning, all 6 rounds unrolled (see bpeLearnSql)
+    "q_bpe_learn" -> bpeLearnSql(6),
 
     // incremental SemDeDup: corpus (<400) clusters via md5 seeds, batch
     // (>=400) assigned to the SAME cells, verdicts within-cell against

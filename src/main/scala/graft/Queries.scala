@@ -1495,6 +1495,18 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first 6
+    * merges from the documents corpus — word-frequency vocabulary, per-round
+    * weighted pair counts, lexicographic tiebreak. The oracle replays all 6
+    * rounds in DuckDB (unrolled CTEs; merge application via the
+    * double-separator string encoding, an exact simultaneous left-to-right
+    * non-overlapping replace in both engines). */
+  def qBpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bpe.learnMerges(t(s, dir, "documents"), col("text"), rounds = 6)
+      .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
+  }
+
   /** Incremental SemDeDup — the semantic sibling of [[qDedupIncremental]]:
     * vectors < 400 play the already-deduped corpus (clustered store +
     * persisted centroids); vectors >= 400 are the new batch, each getting

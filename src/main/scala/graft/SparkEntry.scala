@@ -116,6 +116,7 @@ object SparkEntry {
     "q_lang_id"         -> Queries.qLangId _,
     "q_token_count"     -> Queries.qTokenCount _,
     "q_bpe_count"       -> Queries.qBpeCount _,
+    "q_bpe_learn"       -> Queries.qBpeLearn _,
     "q_fingerprint"     -> Queries.qFingerprint _,
     "q_tfexample"       -> Queries.qTfExample _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,

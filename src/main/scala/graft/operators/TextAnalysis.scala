@@ -330,4 +330,77 @@ object Bpe {
       }
       .toDF("doc_id", "bpe_tokens")
   }
+
+  /** One simultaneous merge sweep: replace every adjacent (a, b) by a+b,
+    * greedy left-to-right, non-overlapping — Sennrich et al. 2016's
+    * replace-all-occurrences step ("a a a" + (a,a) → [aa, a];
+    * "a b a b" + (a,b) → [ab, ab]). */
+  def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** LEARN `rounds` BPE merges from the corpus (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" — the
+    * standard tokenizer-training loop): pretokenize → word vocabulary with
+    * frequencies → repeatedly (count adjacent symbol pairs weighted by
+    * word frequency, take the most frequent — ties broken lexicographically
+    * so the table is deterministic — and merge it everywhere).
+    *
+    * Returns (merge_rank, pair_a, pair_b, pair_count), rank 1-based in
+    * learned order — directly usable as the `merges` input of
+    * [[tokenCount]] via `.map(r => (r.pair_a, r.pair_b))`.
+    *
+    * 100 TB story: the corpus is scanned ONCE (the word-count shuffle,
+    * map-side combined, vocabulary-bounded output). Every round after that
+    * touches only the vocabulary frame: one pair aggregate (bounded by
+    * total vocab symbols, shrinking each round), a 1-row TakeOrdered
+    * collect, and a row-local merge map — the same driver-coordinated
+    * iteration shape as Lloyd rounds. `minFreq` bounds the vocab under
+    * web-scale typo tails (standard practice; dropped words simply can't
+    * vote on merges). */
+  def learnMerges(docs: DataFrame, text: Column, rounds: Int,
+                  minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
+    require(rounds >= 1, s"learnMerges needs rounds >= 1, got $rounds")
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select(explode(regexp_extract_all(text.cast("string"),
+      lit(pretoken.pattern()), lit(0))).as("w"))
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] = words
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq)
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .cache()
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab.flatMap { case (syms, f) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
+        }.toDF("a", "b", "f")
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, a, b, cnt))
+        val old = vocab
+        vocab = old.map { case (syms, f) => (applyMerge(syms, a, b), f) }.cache()
+        vocab.count() // materialize before releasing the parent
+        old.unpersist()
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    out.toList
+  }
 }
