@@ -14,7 +14,12 @@ object PlanAudit {
         // round-7: bloom semi-join reduction + weighted sampling
         "q_bloom_semi", "q_weighted_sample", "q_lm_score",
         // round-10: windowed wordcount, PQ ANN, hybrid RRF
-        "q_windowed_wc", "q_pq_ann", "q_hybrid_rrf").foreach { name =>
+        "q_windowed_wc", "q_pq_ann", "q_hybrid_rrf",
+        // round-10 session 2: DSIR, k-means, incremental semdedup,
+        // tf.Example round-trip (q_bpe_learn is driver-iterative — its
+        // per-round plans are the vocab aggregates, audited via DsirSpec-
+        // style pins instead)
+        "q_dsir", "q_kmeans", "q_semdedup_incr", "q_tfexample").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }

@@ -68,6 +68,9 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_PAIRDUEL_ONLY").contains("1")) { pairAttributionDuel(); return }
     // run only the hot-key fanout skew duel (plain groupBy vs salted two-stage)
     if (sys.env.get("SPARK_GRAFT_HOTKEY_ONLY").contains("1")) { hotkeyDuel(); return }
+    // run only the round-10 probes (DSIR / BPE learning / kmeans /
+    // tf.Example / incremental semdedup)
+    if (sys.env.get("SPARK_GRAFT_R10_ONLY").contains("1")) { r10OpsProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -946,6 +949,119 @@ object ScaleProbe {
     run("sum_plain")(sumPlain()); run("sum_salted")(sumSalted())
     run("bag_plain")(bagPlain()); run("bag_salted")(bagSalted())
     run("mapg_plain")(mapgPlain()); run("mapg_salted")(mapgSalted())
+    spark.stop()
+  }
+
+  /** Round-10 probes: the scale-critical quantity of each new operator.
+    * DSIR — model rows bounded by `buckets` (the broadcast stays MBs at any
+    * corpus size); BPE learning — per-round pair-aggregate input bounded by
+    * vocab symbols, not corpus tokens; kmeans — per-round driver state is
+    * k×dim; tf.Example — row-local wall ratio; incremental semdedup —
+    * within-cell compare pairs under auto nlist. Scaled corpus = ×factor
+    * perturbed copies (texts get a distinct suffix so vocab/dedup state
+    * GROWS — plain replication would flatter every vocabulary-bounded
+    * claim). */
+  private def r10OpsProbe(factor: Int): Unit = {
+    import graft.operators.{Bpe, Dsir, Similarity}
+    import graft.sources.TfExampleIO
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_r10"
+    val spark = GraftSession.getOrCreate()
+    import spark.implicits._
+
+    Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+      .foreach { case (name, ids) =>
+        val t = GraftSession.table(spark, base, name)
+        (0 until factor).map { i =>
+          val rekeyed = ids.foldLeft(t)((d, c) =>
+            d.withColumn(c, col(c) + lit(i * 1000000000L)))
+          if (name == "documents" && i > 0)
+            rekeyed.withColumn("text",
+              concat(col("text"), lit(s" copyvariant$i")))
+          else rekeyed
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+
+    def docsAt(dir: String) = GraftSession.table(spark, dir, "documents")
+    def embsAt(dir: String) = GraftSession.table(spark, dir, "embeddings")
+
+    // 1. DSIR: model rows (≤ buckets, the broadcast bound) + wall ratio
+    def dsirModelRows(dir: String): Long =
+      Dsir.hashedCounts(docsAt(dir), col("doc_id"), col("text"),
+        col("lang") === "en", 1 << 16).select(col("bucket")).distinct().count()
+    def dsirRun(dir: String): Unit =
+      Dsir.importanceWeights(docsAt(dir), col("doc_id"), col("text"),
+        col("lang") === "en", 1 << 16).write.format("noop").mode("overwrite").save()
+    dsirRun(base); dsirRun(out) // warm
+    val dB = timed("dsir_base")(dsirRun(base))
+    val dN = timed(s"dsir_x$factor")(dsirRun(out))
+    println(f"""{"dsir_model_rows_base":${dsirModelRows(base)},""" +
+      f""""dsir_model_rows_x$factor":${dsirModelRows(out)},"dsir_bucket_cap":${1 << 16},""" +
+      f""""dsir_wall_ratio":${dN / dB}%.2f}""")
+
+    // 2. BPE learning: vocab rows + symbol count at both scales (the
+    // per-round aggregate input), wall for 4 rounds
+    def bpeVocab(dir: String): (Long, Long) = {
+      val v = docsAt(dir).select(explode(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      (v.count(), v.agg(sum(length(col("w")))).head().getLong(0))
+    }
+    val (vB, sB) = bpeVocab(base); val (vN, sN) = bpeVocab(out)
+    val bT = timed("bpe_learn4_base") {
+      Bpe.learnMerges(docsAt(base), col("text"), rounds = 4)
+    }
+    val bTN = timed(s"bpe_learn4_x$factor") {
+      Bpe.learnMerges(docsAt(out), col("text"), rounds = 4)
+    }
+    println(f"""{"bpe_vocab_rows_base":$vB,"bpe_vocab_rows_x$factor":$vN,""" +
+      f""""bpe_vocab_syms_base":$sB,"bpe_vocab_syms_x$factor":$sN,""" +
+      f""""bpe_wall_ratio":${bTN / bT}%.2f}""")
+
+    // 3. kmeans: wall ratio (per-round driver state is k×dim regardless)
+    def kmRun(dir: String): Unit =
+      Similarity.kmeans(embsAt(dir), col("vec_id"), col("embedding"),
+        k = 16, iters = 2).write.format("noop").mode("overwrite").save()
+    kmRun(base); kmRun(out) // warm
+    val kB = timed("kmeans_base")(kmRun(base))
+    val kN = timed(s"kmeans_x$factor")(kmRun(out))
+    println(f"""{"kmeans_state_doubles":${16 * 64},"kmeans_wall_ratio":${kN / kB}%.2f}""")
+
+    // 4. tf.Example round-trip: row-local, ratio should track row count
+    def tfRun(dir: String): Unit = {
+      val d = docsAt(dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      TfExampleIO.decodeBytes(TfExampleIO.encodeRows(d), d.schema)
+        .write.format("noop").mode("overwrite").save()
+    }
+    tfRun(base); tfRun(out) // warm
+    val tB = timed("tfexample_base")(tfRun(base))
+    val tN = timed(s"tfexample_x$factor")(tfRun(out))
+    println(f"""{"tfexample_wall_ratio":${tN / tB}%.2f}""")
+
+    // 5. incremental semdedup: within-cell compare pairs, auto nlist —
+    // batch = 1/8 of each corpus, store = the rest
+    def sdiPairs(dir: String): (Long, Long) = {
+      val e = embsAt(dir)
+      val n = e.count()
+      val cut = e.agg(expr("percentile_approx(vec_id, 0.875)")).head().getLong(0)
+      val nlist = Similarity.nlistFor(n)
+      val cents = Similarity.kmeansCentroids(
+        e.filter(col("vec_id") < cut), col("vec_id"), col("embedding"), nlist)
+      val store = Similarity.semDedupStore(
+        e.filter(col("vec_id") < cut), col("vec_id"), col("embedding"), cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      val batch = Similarity.assignToCentroids(
+        e.filter(col("vec_id") >= cut), col("vec_id"), col("embedding"), cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("nb"))
+      val pairs = store.join(batch, "cell")
+        .agg(sum(col("nc") * col("nb"))).head().getLong(0)
+      (pairs, nlist.toLong)
+    }
+    val (pB, nlB) = sdiPairs(base); val (pN, nlN) = sdiPairs(out)
+    println(f"""{"sdi_pairs_base":$pB,"sdi_pairs_x$factor":$pN,""" +
+      f""""sdi_pair_ratio":${pN.toDouble / math.max(pB, 1)}%.2f,""" +
+      f""""sdi_nlist_base":$nlB,"sdi_nlist_x$factor":$nlN}""")
     spark.stop()
   }
 }
