@@ -73,6 +73,55 @@ object OracleSql {
     s"WITH $v0,\n${roundCtes.mkString(",\n")}\n$union"
   }
 
+  /** Unrolled replay of Classifier.trainLogReg + scoreLogReg: the same
+    * hashed unigram+bigram buckets as q_dsir, then `rounds` full-batch
+    * gradient steps from zero init (round 1's sigmoid(0)=0.5 is written
+    * literally so no empty weight table is needed), weights kept
+    * full-precision across rounds; only the final probability is rounded. */
+  private def logRegSql(buckets: Int, rounds: Int, lr: Double): String = {
+    val head =
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     w -> w <> '') AS words
+         |  FROM documents),
+         |hc AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |         CAST(('0x' || substr(md5(ng),1,15)) AS BIGINT) % $buckets AS bucket,
+         |         count(*) AS cnt
+         |  FROM (SELECT doc_id, y,
+         |          unnest(words || list_transform(range(1, len(words)),
+         |                   i -> words[i] || ' ' || words[i+1])) AS ng
+         |        FROM d) GROUP BY 1, 2, 3),
+         |nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM hc),
+         |docs1 AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM hc),
+         |e1 AS MATERIALIZED (SELECT doc_id, y, 0.5 - y AS err FROM docs1),
+         |g1 AS MATERIALIZED (SELECT bucket, sum(err * cnt) AS g
+         |  FROM hc JOIN e1 USING (doc_id) GROUP BY 1),
+         |w1 AS MATERIALIZED (SELECT bucket, 0 - $lr * g / nn.n AS wt FROM g1, nn),
+         |b1 AS MATERIALIZED (SELECT 0 - $lr * (SELECT sum(err) FROM e1) / nn.n AS b FROM nn)""".stripMargin
+    val laterRounds = (2 to rounds).map { r =>
+      s"""z$r AS MATERIALIZED (SELECT hc.doc_id, hc.y,
+         |    (SELECT b FROM b${r - 1}) + sum(cnt * coalesce(wt, 0)) AS zz
+         |  FROM hc LEFT JOIN w${r - 1} USING (bucket) GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (SELECT doc_id, y, 1.0/(1.0 + exp(-zz)) - y AS err FROM z$r),
+         |g$r AS MATERIALIZED (SELECT bucket, sum(err * cnt) AS g
+         |  FROM hc JOIN e$r USING (doc_id) GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT g$r.bucket,
+         |    coalesce(w${r - 1}.wt, 0) - $lr * g / nn.n AS wt
+         |  FROM g$r LEFT JOIN w${r - 1} USING (bucket), nn),
+         |b$r AS MATERIALIZED (SELECT (SELECT b FROM b${r - 1})
+         |    - $lr * (SELECT sum(err) FROM e$r) / nn.n AS b FROM nn)""".stripMargin
+    }
+    val score =
+      s"""SELECT doc_id, round(p, 6) AS quality_prob, p >= 0.5 AS predicted
+         |FROM (SELECT hc.doc_id,
+         |        1.0/(1.0 + exp(-((SELECT b FROM b$rounds)
+         |          + sum(cnt * coalesce(wt, 0))))) AS p
+         |      FROM hc LEFT JOIN w$rounds USING (bucket) GROUP BY 1)""".stripMargin
+    (Seq(head) ++ laterRounds).mkString(",\n") + "\n" + score
+  }
+
   private val cents = "CAST(floor(%s * 100 + 0.5) AS BIGINT)"
   private def c(e: String): String = cents.format(e)
 
@@ -1285,6 +1334,9 @@ object OracleSql {
 
     // BPE merge learning, all 6 rounds unrolled (see bpeLearnSql)
     "q_bpe_learn" -> bpeLearnSql(6),
+
+    // quality classifier: 3 GD rounds + scoring replayed (see logRegSql)
+    "q_quality_clf" -> logRegSql(512, 3, 0.5),
 
     // incremental SemDeDup: corpus (<400) clusters via md5 seeds, batch
     // (>=400) assigned to the SAME cells, verdicts within-cell against

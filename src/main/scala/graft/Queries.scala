@@ -1495,6 +1495,25 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** Trained quality classifier (fastText/CCNet filter shape): logistic
+    * regression over hashed unigram+bigram buckets, 3 full-batch GD rounds
+    * predicting the lang='en' slice, then applied back to every doc. The
+    * oracle replays TRAINING — all 3 gradient rounds — and scoring in
+    * DuckDB (weights kept full-precision through the rounds; only the
+    * emitted probability is rounded). NOTE: the synthetic corpus draws
+    * text and lang independently, so there is no learnable signal HERE
+    * (accuracy ≈ majority class — expected); the oracle gates the
+    * distributed training math, and ClassifierSpec proves separation on
+    * genuinely separable data. */
+  def qQualityClf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b, w) = Classifier.trainLogReg(docs, col("doc_id"), col("text"),
+      col("lang") === "en", buckets = 512, rounds = 3, lr = 0.5)
+    Classifier.scoreLogReg(docs, col("doc_id"), col("text"), b, w)
+      .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"),
+        col("predicted"))
+  }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first 6
     * merges from the documents corpus — word-frequency vocabulary, per-round
     * weighted pair counts, lexicographic tiebreak. The oracle replays all 6

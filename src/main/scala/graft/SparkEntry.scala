@@ -125,6 +125,7 @@ object SparkEntry {
     "q_mm_frames"       -> Queries.qMultimodalFrames _,
     // curation (training-mix composition)
     "q_dsir"              -> Queries.qDsir _,
+    "q_quality_clf"       -> Queries.qQualityClf _,
     "q_stratified_sample" -> Queries.qStratifiedSample _,
     "q_weighted_sample"   -> Queries.qWeightedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
