@@ -259,6 +259,99 @@ case class CharNgramCounts(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native DSIR feature extractor: word unigram + bigram counts in one
+  * imperative pass per document. Replaces the interpreted lambda chain
+  * `filter(split(...)) ++ transform(slice(...), (w,i) => concat(...))`
+  * + raw explode in [[graft.operators.Dsir.wordNgrams]] (the semantic
+  * specification this kernel is equivalence-tested against in DsirSpec):
+  * the lambdas evaluate outside whole-stage codegen with per-ngram closure
+  * dispatch, and the raw explode carries one row per ngram INSTANCE where
+  * this kernel emits the already-reduced per-doc map.
+  *
+  * Semantics: words are maximal runs of [a-z] (pass PRE-LOWERED text —
+  * same contract as [[CharNgramCounts]]); features are every word and
+  * every adjacent pair joined by a single space, counted as a multiset.
+  */
+case class WordNgramCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngram_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input (got ${child.dataType})")
+
+  val emptyCounts: MapData =
+    new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+      new GenericArrayData(Array.empty[Any]))
+
+  /** One pass: scan for [a-z] runs, emit each word and each adjacent
+    * bigram into an insertion-ordered count map. String keys (words are
+    * variable-length — no bit-packing shortcut); the map is bounded by
+    * DISTINCT ngrams per doc, and downstream explode carries one row per
+    * distinct ngram instead of one per instance. */
+  def computeCounts(text: UTF8String): MapData = {
+    val s = text.toString
+    val len = s.length
+    val map = new java.util.LinkedHashMap[String, Array[Long]](64)
+    def inc(key: String): Unit = {
+      val slot = map.get(key)
+      if (slot == null) map.put(key, Array(1L)) else slot(0) += 1L
+    }
+    var prev: String = null
+    var i = 0
+    while (i < len) {
+      // skip separators
+      while (i < len && (s.charAt(i) < 'a' || s.charAt(i) > 'z')) i += 1
+      val start = i
+      while (i < len && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        inc(w)
+        if (prev != null) inc(prev + " " + w)
+        prev = w
+      }
+    }
+    if (map.isEmpty) return emptyCounts
+    val n = map.size
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = map.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue()(0)
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) emptyCounts else computeCounts(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("counter", this, classOf[WordNgramCounts].getName)
+    val childGen = child.genCode(ctx)
+    val mapCls = classOf[MapData].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$mapCls ${ev.value} = ${childGen.isNull}
+        |  ? $ref.emptyCounts() : $ref.computeCounts(${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a string column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =
@@ -268,4 +361,9 @@ object TextExpressions {
     * windows, no casefolding — pass pre-lowered text). */
   def charNgramCounts(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramCounts(ColumnBridge.expression(text), n))
+
+  /** Per-row map of word unigram+bigram → count (codegen'd, [a-z] runs —
+    * pass pre-lowered text). */
+  def wordNgramCounts(text: Column): Column =
+    ColumnBridge.column(WordNgramCounts(ColumnBridge.expression(text)))
 }

@@ -57,6 +57,7 @@ object Classifier {
       bias -= lr * g0 / n
       w = w.zipWithIndex.map { case (v, b) => v - lr * grads.getOrElse(b, 0.0) / n }
     }
+    hashed.unpersist()
     (bias, w)
   }
 

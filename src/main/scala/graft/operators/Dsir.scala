@@ -39,7 +39,11 @@ object Dsir {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word unigrams + bigrams of lowered text (letters-only tokenization —
-    * the cheap, language-agnostic feature space the paper uses hashed). */
+    * the cheap, language-agnostic feature space the paper uses hashed).
+    * This lambda chain is the SEMANTIC SPECIFICATION of the codegen'd
+    * [[graft.expressions.WordNgramCounts]] kernel the hot path rides
+    * (equivalence pinned in DsirSpec on the real corpus — same precedent
+    * as shinglesLambda vs WordShingles). */
   def wordNgrams(text: Column): Column = {
     val words = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
     val bigrams = transform(
@@ -48,15 +52,20 @@ object Dsir {
     concat(words, bigrams)
   }
 
-  /** Per-doc hashed feature counts: (doc_id, is_target, bucket, cnt). */
+  /** Per-doc hashed feature counts: (doc_id, is_target, bucket, cnt).
+    * ONE codegen'd extraction pass ([[graft.expressions.WordNgramCounts]])
+    * emits the already-reduced per-doc ngram→count map, so the explode
+    * carries one row per DISTINCT ngram (not per instance) and no
+    * interpreted lambda runs per element. */
   def hashedCounts(docs: DataFrame, id: Column, text: Column,
                    isTarget: Column, buckets: Int): DataFrame =
     docs.select(id.cast("long").as("doc_id"), isTarget.as("is_target"),
-        explode(wordNgrams(text)).as("__ng"))
+        explode(graft.expressions.TextExpressions.wordNgramCounts(lower(text))))
       .select(col("doc_id"), col("is_target"),
-        pmod(hash60(col("__ng")), lit(buckets.toLong)).as("bucket"))
+        pmod(hash60(col("key")), lit(buckets.toLong)).as("bucket"),
+        col("value").as("__c"))
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__c")).as("cnt"))
 
   /** Per-doc importance log-weights against the `isTarget` slice.
     * Output: (doc_id, is_target, dsir_logw) — weights for ALL docs

@@ -56,6 +56,28 @@ class DsirSpec extends SparkSpec {
     assert(a.size == 2 && a == b)
   }
 
+  test("WordNgramCounts kernel ≡ the lambda specification on the real corpus") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val fromLambda = docs.select($"doc_id",
+        explode(Dsir.wordNgrams(col("text"))).as("ng"))
+      .groupBy("doc_id", "ng").count()
+    val fromKernel = docs.select($"doc_id",
+        explode(graft.expressions.TextExpressions.wordNgramCounts(lower(col("text")))))
+      .select($"doc_id", $"key".as("ng"), $"value".as("count"))
+    assert(fromLambda.exceptAll(fromKernel).isEmpty &&
+      fromKernel.exceptAll(fromLambda).isEmpty)
+    // and on adversarial strings: leading/trailing separators, unicode,
+    // single word, empty, null
+    val edge = Seq((1L, "  héllo world—again "), (2L, "solo"), (3L, "!!!"),
+      (4L, ""), (5L, null)).toDF("doc_id", "text")
+    val a = edge.select($"doc_id", explode(Dsir.wordNgrams(col("text"))).as("ng"))
+      .groupBy("doc_id", "ng").count()
+    val b = edge.select($"doc_id",
+        explode(graft.expressions.TextExpressions.wordNgramCounts(lower(col("text")))))
+      .select($"doc_id", $"key".as("ng"), $"value".as("count"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("plan: model join is BROADCAST, no global rank window, no cartesian") {
     val p = SparkEntry.queries("q_dsir")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
