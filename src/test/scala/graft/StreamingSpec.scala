@@ -229,6 +229,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus-prep: foreachBatch incremental dedup against a growing digest store") {
+    // the production shape for streaming ingestion dedup: each micro-batch
+    // gets verdicts from Dedup.exactIncremental against the accumulated
+    // digest store, then its NEW digests append to the store — duplicates
+    // across batches are flagged, never re-admitted
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)](spark)
+    val store = scala.collection.concurrent.TrieMap.empty[String, Long] // hash -> rep
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamIO.foreachBatchSink(input.toDS()) { (batch, _) =>
+      val docs = batch.toDF("doc_id", "text")
+      val storeDf = store.toSeq.toDF("content_hash", "corpus_rep")
+      val verdicts = graft.operators.Dedup.exactIncremental(
+        docs, col("text"), col("doc_id"), storeDf).collect()
+      verdicts.foreach { r =>
+        val (id, hash, keep) = (r.getLong(0), r.getString(1), r.getBoolean(4))
+        if (keep) { kept += id; store.putIfAbsent(hash, id) } else dropped += id
+      }
+    }.option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // in-batch dup
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma")) // cross-batch dup + new
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(1L, 2L, 5L), s"kept=$kept dropped=$dropped")
+      assert(dropped.sorted == Seq(3L, 4L), s"kept=$kept dropped=$dropped")
+      assert(store.size == 3)
+    } finally q.stop()
+  }
+
   test("watchGrowth: polled set growth emits each new element exactly once") {
     val input = MemoryStream[Long](spark) // tick stream
     val out = graft.streaming.StreamIO.watchGrowthFrom[Long](
