@@ -33,6 +33,9 @@ object GraftSession {
       // store with column families — RocksDB, bundled with Spark.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Catalyst extensions (a NO-OP unless spark.graft.* confs enable a
+      // rule — see graft.plans.GraftExtensions)
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Catalyst extension entry point (`spark.sql.extensions=graft.plans.
+  * GraftExtensions`, registered by default in GraftSession): whole-plan
+  * rewrites that built-in operators can't express — the
+  * SparkSessionExtensions tier of the operator-preference ladder.
+  *
+  * Currently injects [[RangeJoinRewrite]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(s => RangeJoinRewrite(s))
+}
+
+/** Auto-rewrite of naive point-in-interval range joins.
+  *
+  * A user who writes the obvious
+  * `points.join(intervals, p >= lo && p < hi)` gets a
+  * BroadcastNestedLoopJoin — O(|points|×|intervals|) work that dies at
+  * scale. When `spark.graft.rangeJoin.bucketWidth` is set (> 0), this rule
+  * recognizes exactly that shape — an INNER join whose condition is ONE
+  * lower and ONE upper bound on the same integral point column against
+  * bounds from the other side, nothing else — and rebuilds it through
+  * [[graft.operators.Joins.pointInIntervalJoin]]: bin-bucketed equi-join,
+  * shuffle on bin, in-bin residual filter. The original output attributes
+  * pass through untouched (same exprIds), so downstream operators resolve
+  * unchanged; a final Project restores column order.
+  *
+  * Deliberately conservative — the rule SKIPS (leaving the plan as
+  * written) when: the width conf is unset (no silent stats job at
+  * optimization time), bounds/point are not bare integral attributes,
+  * either side already uses the rewrite's temp names, the same attribute
+  * appears on both sides (self-join ambiguity), or extra predicates ride
+  * the condition (they'd be lost). Idempotent by construction: the
+  * rewritten join carries a bin equality, which the 2-predicate matcher
+  * rejects. */
+case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val WidthConf = "graft.rangeJoin.bucketWidth"
+  private val TempNames = Set("__pt", "__bin", "__lo", "__hi")
+
+  private def width: Long =
+    spark.conf.getOption(s"spark.$WidthConf")
+      .orElse(spark.conf.getOption(WidthConf)).map(_.toLong).getOrElse(0L)
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other => Seq(other)
+  }
+
+  /** (point, bound, boundIsLower): p >= b / b <= p → lower; p < b / b > p
+    * → upper. Only bare attributes qualify. */
+  private def norm(p: Expression): Option[(AttributeReference, AttributeReference, Boolean)] =
+    p match {
+      case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) => Some((a, b, true))
+      case LessThanOrEqual(b: AttributeReference, a: AttributeReference) => Some((a, b, true))
+      case LessThan(a: AttributeReference, b: AttributeReference) => Some((a, b, false))
+      case GreaterThan(b: AttributeReference, a: AttributeReference) => Some((a, b, false))
+      case _ => None
+    }
+
+  private def integral(a: AttributeReference): Boolean =
+    a.dataType == LongType || a.dataType == IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), _) if rewritable(j, l, r, cond) =>
+        val Some((pt, lo, hi, pointsLeft)) = matchRange(cond, l, r)
+        val (pp, ip) = if (pointsLeft) (l, r) else (r, l)
+        val out = graft.operators.Joins.pointInIntervalJoin(
+          ColumnBridge.ofRows(spark, pp), ColumnBridge.column(pt),
+          ColumnBridge.ofRows(spark, ip), ColumnBridge.column(lo),
+          ColumnBridge.column(hi), bucketWidth = w)
+        Project(j.output, out.queryExecution.analyzed)
+    }
+  }
+
+  private def rewritable(j: Join, l: LogicalPlan, r: LogicalPlan,
+                         cond: Expression): Boolean =
+    matchRange(cond, l, r).isDefined &&
+      !(l.output ++ r.output).exists(a => TempNames(a.name))
+
+  private def matchRange(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(AttributeReference, AttributeReference, AttributeReference, Boolean)] = {
+    val preds = splitConj(cond)
+    if (preds.length != 2) return None
+    (norm(preds(0)), norm(preds(1))) match {
+      case (Some((p1, b1, low1)), Some((p2, b2, low2)))
+          if p1.exprId == p2.exprId && low1 != low2 &&
+            Seq(p1, b1, b2).forall(integral) =>
+        val (lo, hi) = if (low1) (b1, b2) else (b2, b1)
+        val inL = l.outputSet
+        val inR = r.outputSet
+        // unambiguous sideness: point on one side, both bounds on the other
+        if (inL.contains(p1) && !inR.contains(p1) &&
+            inR.contains(lo) && inR.contains(hi) &&
+            !inL.contains(lo) && !inL.contains(hi))
+          Some((p1, lo, hi, true))
+        else if (inR.contains(p1) && !inL.contains(p1) &&
+            inL.contains(lo) && inL.contains(hi) &&
+            !inR.contains(lo) && !inR.contains(hi))
+          Some((p1, lo, hi, false))
+        else None
+      case _ => None
+    }
+  }
+}

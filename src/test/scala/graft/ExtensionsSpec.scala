@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: RangeJoinRewrite turns a
+  * user-written nested-loop range join into the bucketed plan when
+  * `spark.graft.rangeJoin.bucketWidth` is set, and leaves everything else
+  * alone. */
+class ExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  private lazy val points = (0L until 2000L).map(i => (i, i * 7 % 1000))
+    .toDF("point_id", "p")
+  private lazy val intervals = (0L until 100L).map(i => (i, i * 10, i * 10 + 25))
+    .toDF("interval_id", "lo", "hi")
+
+  private def naive = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+
+  test("rule OFF (conf unset): the naive plan keeps its nested loop") {
+    spark.conf.unset(WidthConf)
+    val p = naive.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("rule ON: same query plans as a bucketed equi-join, identical results") {
+    spark.conf.unset(WidthConf)
+    val expected = naive.collect().map(_.toSeq).toSet
+    spark.conf.set(WidthConf, "16")
+    try {
+      val rewritten = naive
+      val p = rewritten.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"expected the bucketed rewrite:\n${p.take(2500)}")
+      val got = rewritten.collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"rewrite changed results: ${got.size} vs ${expected.size} rows")
+      // column order and names preserved
+      assert(rewritten.columns.toSeq == naive.columns.toSeq)
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("rule ON: downstream operators resolve over the rewritten join") {
+    spark.conf.set(WidthConf, "16")
+    try {
+      val agg = naive.groupBy($"interval_id").agg(count(lit(1)).as("n"))
+        .orderBy($"interval_id")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(agg.count() > 0)
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("rule skips what it cannot prove: extra predicate, equi-join, non-integral") {
+    spark.conf.set(WidthConf, "16")
+    try {
+      // extra predicate riding the condition → untouched
+      val extra = points.join(intervals,
+        $"p" >= $"lo" && $"p" < $"hi" && $"point_id" =!= $"interval_id")
+      assert(extra.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      // plain equi-join → untouched (no bins anywhere)
+      val equi = points.join(intervals, $"p" === $"lo")
+      assert(!equi.queryExecution.executedPlan.toString.contains("__bin"))
+      // doubles → untouched
+      val dPoints = points.select($"point_id", $"p".cast("double").as("p"))
+      val dIv = intervals.select($"interval_id",
+        $"lo".cast("double").as("lo"), $"hi".cast("double").as("hi"))
+      assert(dPoints.join(dIv, $"p" >= $"lo" && $"p" < $"hi")
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("rule is idempotent across optimizer fixpoint (results stable, one rewrite)") {
+    spark.conf.set(WidthConf, "16")
+    try {
+      val q = naive
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // exactly one bucketed join layer: the __bin key appears, and no
+      // nested second rewrite stacked another sequence/explode on top
+      assert(optimized.contains("__bin"), optimized.take(2000))
+      assert(q.count() == naive.count())
+    } finally spark.conf.unset(WidthConf)
+  }
+}
