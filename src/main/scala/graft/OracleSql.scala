@@ -1338,6 +1338,26 @@ object OracleSql {
     // quality classifier: 3 GD rounds + scoring replayed (see logRegSql)
     "q_quality_clf" -> logRegSql(512, 3, 0.5),
 
+    // CCNet perplexity terciles: the q_lm_score replay + exact-percentile
+    // thresholds (quantile_cont ↔ Spark percentile, both 6-dp rounded)
+    "q_ccnet_buckets" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |              FROM d WHERE len(t) >= 3)),
+        |m AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM m),
+        |lp AS (SELECT tri, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM m, tot),
+        |sc AS (SELECT doc_id, round(avg(logp), 6) AS lm_score
+        |       FROM tri JOIN lp USING (tri) GROUP BY 1),
+        |thr AS (SELECT round(quantile_cont(lm_score, 1.0/3.0), 6) AS t1,
+        |               round(quantile_cont(lm_score, 2.0/3.0), 6) AS t2 FROM sc)
+        |SELECT doc_id, lm_score,
+        |       CASE WHEN lm_score <= t1 THEN 'tail'
+        |            WHEN lm_score <= t2 THEN 'middle'
+        |            ELSE 'head' END AS ppl_bucket
+        |FROM sc, thr""".stripMargin,
+
     // incremental SemDeDup: corpus (<400) clusters via md5 seeds, batch
     // (>=400) assigned to the SAME cells, verdicts within-cell against
     // store + smaller-id batch rows; least() ignores NULLs in both engines

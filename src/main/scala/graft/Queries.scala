@@ -1495,6 +1495,25 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** CCNet-style perplexity bucketing: score every doc with the self-trained
+    * char-trigram LM, split the corpus into head/middle/tail terciles by
+    * EXACT percentile thresholds (a single-pass aggregate, not a global
+    * rank window — no funnel), label each doc. head = highest lm_score =
+    * lowest perplexity, the paper's keep-first slice. Thresholds and
+    * scores both 6-dp rounded so the tercile boundaries replay exactly. */
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.lmTrigramScore(t(s, dir, "documents"),
+      col("doc_id"), col("text")).select(col("doc_id"), col("lm_score"))
+    val thr = scores.agg(
+      round(call_function("percentile", col("lm_score"), lit(1.0 / 3.0)), 6).as("t1"),
+      round(call_function("percentile", col("lm_score"), lit(2.0 / 3.0)), 6).as("t2"))
+    scores.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("lm_score"),
+        when(col("lm_score") <= col("t1"), "tail")
+          .when(col("lm_score") <= col("t2"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+  }
+
   /** Trained quality classifier (fastText/CCNet filter shape): logistic
     * regression over hashed unigram+bigram buckets, 3 full-batch GD rounds
     * predicting the lang='en' slice, then applied back to every doc. The

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_chunk_docs"      -> Queries.qChunkDocs _,
     "q_quant_ann"       -> Queries.qQuantAnn _,
     "q_lm_score"        -> Queries.qLmScore _,
+    "q_ccnet_buckets"   -> Queries.qCcnetBuckets _,
     "q_semdedup"        -> Queries.qSemDedup _,
     "q_kmeans"          -> Queries.qKmeans _,
     "q_semdedup_incr"   -> Queries.qSemDedupIncr _,
