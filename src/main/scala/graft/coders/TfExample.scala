@@ -126,6 +126,91 @@ object TfExample {
     result
   }
 
+  // --------------------------------------------------- SequenceExample
+
+  /** tf.train.SequenceExample (public example.proto):
+    * {{{
+    * message SequenceExample { Features context = 1; FeatureLists feature_lists = 2; }
+    * message FeatureLists { map<string, FeatureList> feature_list = 1; }
+    * message FeatureList  { repeated Feature feature = 1; }
+    * }}}
+    * The sequence format for stepwise training data (audio frames, video
+    * frames, token sequences): scalar/context features once, per-step
+    * features as an ORDERED list of Feature messages. */
+  def encodeSequence(context: Seq[(String, TfFeature)],
+                     featureLists: Seq[(String, Seq[TfFeature])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    // context (field 1) reuses the Features encoding from encode()
+    val ctx = {
+      val fs = new ByteArrayOutputStream()
+      context.sortBy(_._1).foreach { case (name, f) =>
+        val entry = new ByteArrayOutputStream()
+        writeStringField(entry, 1, name)
+        writeLenField(entry, 2, encodeFeature(f))
+        writeLenField(fs, 1, entry.toByteArray)
+      }
+      fs.toByteArray
+    }
+    writeLenField(out, 1, ctx)
+    val fls = new ByteArrayOutputStream()
+    featureLists.sortBy(_._1).foreach { case (name, steps) =>
+      val fl = new ByteArrayOutputStream()
+      steps.foreach(f => writeLenField(fl, 1, encodeFeature(f)))  // FeatureList.feature
+      val entry = new ByteArrayOutputStream()
+      writeStringField(entry, 1, name)
+      writeLenField(entry, 2, fl.toByteArray)
+      writeLenField(fls, 1, entry.toByteArray)                    // FeatureLists.feature_list
+    }
+    writeLenField(out, 2, fls.toByteArray)                        // SequenceExample.feature_lists
+    out.toByteArray
+  }
+
+  /** Decode SequenceExample bytes → (context map, ordered feature lists). */
+  def decodeSequence(bytes: Array[Byte])
+      : (Map[String, TfFeature], Map[String, Vector[TfFeature]]) = {
+    var ctx = Map.empty[String, TfFeature]
+    var lists = Map.empty[String, Vector[TfFeature]]
+    fields(bytes).foreach { top =>
+      if (top.wireType == WtLen) top.number match {
+        case 1 =>                                                // context Features
+          fields(bytes, top.off, top.off + top.len).foreach { fe =>
+            if (fe.number == 1 && fe.wireType == WtLen) {
+              var key: String = null
+              var value: Option[TfFeature] = None
+              fields(bytes, fe.off, fe.off + fe.len).foreach { kv =>
+                if (kv.number == 1 && kv.wireType == WtLen)
+                  key = new String(bytes, kv.off, kv.len, UTF_8)
+                else if (kv.number == 2 && kv.wireType == WtLen)
+                  value = decodeFeature(bytes, kv.off, kv.len)
+              }
+              ctx += ((if (key == null) "" else key) ->
+                value.getOrElse(BytesListF(Vector.empty)))
+            }
+          }
+        case 2 =>                                                // feature_lists
+          fields(bytes, top.off, top.off + top.len).foreach { fe =>
+            if (fe.number == 1 && fe.wireType == WtLen) {
+              var key: String = null
+              val steps = Vector.newBuilder[TfFeature]
+              fields(bytes, fe.off, fe.off + fe.len).foreach { kv =>
+                if (kv.number == 1 && kv.wireType == WtLen)
+                  key = new String(bytes, kv.off, kv.len, UTF_8)
+                else if (kv.number == 2 && kv.wireType == WtLen)
+                  fields(bytes, kv.off, kv.off + kv.len).foreach { st =>
+                    if (st.number == 1 && st.wireType == WtLen)
+                      steps += decodeFeature(bytes, st.off, st.len)
+                        .getOrElse(BytesListF(Vector.empty))
+                  }
+              }
+              lists += ((if (key == null) "" else key) -> steps.result())
+            }
+          }
+        case _ => () // unknown field: skip
+      }
+    }
+    (ctx, lists)
+  }
+
   /** Decode Example bytes → feature map. Later duplicate map keys replace
     * earlier ones (proto3 map merge rule); unknown fields are skipped. */
   def decode(bytes: Array[Byte]): Map[String, TfFeature] = {

@@ -181,6 +181,33 @@ class TfExampleSpec extends SparkSpec {
     }
   }
 
+  test("SequenceExample round-trip: context + ordered per-step feature lists") {
+    val ctx = Seq(
+      "doc_id" -> Int64ListF(Vector(42L)),
+      "title" -> BytesListF(Vector("clip".getBytes("UTF-8"))))
+    val lists = Seq(
+      "frames" -> Seq(FloatListF(Vector(0.1f, 0.2f)), FloatListF(Vector(0.3f, 0.4f)),
+        FloatListF(Vector.empty)),
+      "tokens" -> Seq(Int64ListF(Vector(7L)), Int64ListF(Vector(8L, 9L))))
+    val bytes = TfExample.encodeSequence(ctx, lists)
+    val (dcx, dls) = TfExample.decodeSequence(bytes)
+    assert(dcx("doc_id") == Int64ListF(Vector(42L)))
+    assert(new String(dcx("title").asInstanceOf[BytesListF].values.head) == "clip")
+    // step ORDER is the contract
+    assert(dls("frames") == Vector(FloatListF(Vector(0.1f, 0.2f)),
+      FloatListF(Vector(0.3f, 0.4f)), FloatListF(Vector.empty)))
+    assert(dls("tokens") == Vector(Int64ListF(Vector(7L)), Int64ListF(Vector(8L, 9L))))
+  }
+
+  test("SequenceExample: empty context and empty lists survive; unknown fields skipped") {
+    val bytes = TfExample.encodeSequence(Nil, Seq("steps" -> Nil))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, bytes.length)
+    ProtoWire.writeVarintField(out, 15, 99L) // unknown top-level field
+    val (ctx, lists) = TfExample.decodeSequence(out.toByteArray)
+    assert(ctx.isEmpty && lists == Map("steps" -> Vector.empty))
+  }
+
   test("kind mismatch fails loud with the feature name") {
     val bytes = TfExample.encode(Seq("x" -> FloatListF(Vector(1f))))
     val ask = StructType(Seq(StructField("x", LongType)))
