@@ -1338,6 +1338,15 @@ object OracleSql {
     // quality classifier: 3 GD rounds + scoring replayed (see logRegSql)
     "q_quality_clf" -> logRegSql(512, 3, 0.5),
 
+    // deterministic training shuffle: exact replay of the seeded layout
+    "q_shuffle_shards" ->
+      """SELECT doc_id,
+        |       CAST(CAST(('0x' || substr(md5('shuf:42:' || CAST(doc_id AS VARCHAR)),1,15))
+        |                 AS BIGINT) % 8 AS INTEGER) AS shard,
+        |       CAST(('0x' || substr(md5('shuf:42:' || CAST(doc_id AS VARCHAR)),1,15))
+        |            AS BIGINT) AS sort_key
+        |FROM documents""".stripMargin,
+
     // CCNet perplexity terciles: the q_lm_score replay + exact-percentile
     // thresholds (quantile_cont ↔ Spark percentile, both 6-dp rounded)
     "q_ccnet_buckets" ->

@@ -1495,6 +1495,14 @@ object Queries {
       (col("total_cents") * lit(nUsers) * lit(10L) > lit(25L * sumAll)).as("is_spammy"))
   }
 
+  /** Deterministic training shuffle: the corpus's reproducible random
+    * permutation into 8 shards — (doc_id, shard, sort_key) fully replayed
+    * by DuckDB from the same md5 scheme. */
+  def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleKeys(t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), shards = 8)
+      .select(col("doc_id"), col("shard"), col("sort_key"))
+
   /** CCNet-style perplexity bucketing: score every doc with the self-trained
     * char-trigram LM, split the corpus into head/middle/tail terciles by
     * EXACT percentile thresholds (a single-pass aggregate, not a global

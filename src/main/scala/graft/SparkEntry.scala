@@ -131,6 +131,7 @@ object SparkEntry {
     "q_weighted_sample"   -> Queries.qWeightedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
+    "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,
     // composed examples
     "q_spammy_users"      -> Queries.qSpammyUsers _,

@@ -118,6 +118,38 @@ object Curation {
       .drop("__wpri")
   }
 
+  /** Deterministic global training shuffle: every LLM data pipeline's last
+    * step is a reproducible random permutation of the corpus into N output
+    * shards. Each row gets (shard, sort_key) from an engine-neutral seeded
+    * hash — no RNG state, stable under retries, and an independent engine
+    * can replay the exact layout (the md5 scheme the DSIR/ANN oracles use:
+    * DuckDB spells it CAST('0x' || substr(md5(...),1,15) AS BIGINT)).
+    * Write with [[writeShuffled]]: `repartition(shard)` +
+    * `sortWithinPartitions(sort_key)` — one shuffle, each task writes one
+    * shard, no global sort. Collision note: sort_key ties (60-bit space)
+    * break by id in the writer, so the layout stays total-ordered. */
+  def shuffleKeys(df: DataFrame, id: Column, shards: Int,
+                  seed: Long = 42L): DataFrame = {
+    requireIntegralId(df, id)
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = conv(substring(md5(
+      concat(lit(s"shuf:$seed:"), id.cast("string"))), 1, 15), 16, 10).cast("long")
+    df.withColumn("sort_key", h)
+      .withColumn("shard", pmod(col("sort_key"), lit(shards.toLong)).cast("int"))
+  }
+
+  /** Materialize the deterministic shuffle: one shuffle to co-locate each
+    * shard, in-task sort by (sort_key, id), one parquet directory per
+    * shard via partitionBy. Returns the written row count. */
+  def writeShuffled(df: DataFrame, id: Column, shards: Int, dir: String,
+                    seed: Long = 42L): Long = {
+    val keyed = shuffleKeys(df, id, shards, seed)
+    keyed.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("sort_key"), id)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    keyed.sparkSession.read.parquet(dir).count()
+  }
+
   /** Deterministic per-stratum Bernoulli thinning for mixture WEIGHTS:
     * keep a row iff xxhash64(id, seed) lands below its stratum's fraction
     * of the hash space. Reproducible run-to-run and engine-neutral (no

@@ -78,6 +78,33 @@ class DsirSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("writeShuffled: one dir per shard, in-shard order = sort_key, reproducible") {
+    import graft.operators.Curation
+    val docs = (0L until 200L).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-shuf").toString
+    try {
+      val n = Curation.writeShuffled(docs, col("doc_id"), shards = 4, dir)
+      assert(n == 200)
+      val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+      assert(shardDirs.length == 4)
+      // in-file order matches the deterministic sort_key order per shard
+      val back = spark.read.parquet(dir)
+      val keys = Curation.shuffleKeys(docs, col("doc_id"), 4)
+      (0 until 4).foreach { sh =>
+        val onDisk = back.filter($"shard" === sh).collect().map(_.getLong(0)).toSeq
+        val expected = keys.filter($"shard" === sh)
+          .orderBy($"sort_key", $"doc_id").collect().map(_.getLong(0)).toSeq
+        assert(onDisk.sorted == expected.sorted, s"shard $sh membership")
+      }
+      // the permutation actually permutes (not identity order overall)
+      val all = keys.orderBy($"sort_key").collect().map(_.getLong(0)).toSeq
+      assert(all != (0L until 200L).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: model join is BROADCAST, no global rank window, no cartesian") {
     val p = SparkEntry.queries("q_dsir")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
