@@ -15,8 +15,51 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Currently injects [[RangeJoinRewrite]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => RangeJoinRewrite(s))
+    GraftExtensions.sqlFunctions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name),
+        (args: Seq[Expression]) => builder.applyOrElse(args, (as: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name: unsupported argument list (${as.length} args) — $usage"))))
+    }
+  }
+}
+
+/** The native kernels, exposed to SQL users: `spark.sql("SELECT
+  * vec_dot(a, b) ...")` reaches the same codegen'd expressions the Scala
+  * operators use. Literal-int parameters (ngram size, morton bits) must be
+  * literals at the call site — fail-loud otherwise. */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[plans] val sqlFunctions
+      : Seq[(String, String, PartialFunction[Seq[Expression], Expression])] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays",
+      { case Seq(a, b) => graft.expressions.VecDotProduct(a, b) }),
+    ("vec_dot_int", "vec_dot_int(a, b) - integer dot product of two int8-quantized vectors",
+      { case Seq(a, b) => graft.expressions.VecDotProductInt(a, b) }),
+    ("quantize_int8", "quantize_int8(v) - one-pass int8 vector quantization",
+      { case Seq(v) => graft.expressions.QuantizeInt8Vec(v) }),
+    ("morton", "morton(x, y) - z-order interleave of two normalized ints",
+      { case Seq(x, y) => graft.expressions.MortonCode(x, y) }),
+    ("epoch_micros", "epoch_micros(ts) - NTZ-safe microseconds since epoch",
+      { case Seq(ts) => graft.expressions.EpochMicrosExpr(ts) }),
+    ("char_ngram_counts", "char_ngram_counts(s, n) - map of char n-gram -> count (n literal, <= 3)",
+      { case Seq(s, n) => graft.expressions.CharNgramCounts(s, litInt(n, "n")) }),
+    ("word_ngram_counts", "word_ngram_counts(s) - map of word unigram+bigram -> count (pre-lowered)",
+      { case Seq(s) => graft.expressions.WordNgramCounts(s) }),
+    ("word_shingles", "word_shingles(s, n) - distinct word n-gram shingles (n literal)",
+      { case Seq(s, n) => graft.expressions.WordShingles(s, litInt(n, "n")) }))
 }
 
 /** Auto-rewrite of naive point-in-interval range joins.

@@ -74,6 +74,28 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("SQL users reach the native kernels: vec_dot / word_ngram_counts / morton / epoch_micros") {
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(dot == 11.0)
+    val wc = spark.sql(
+      "SELECT word_ngram_counts('the cat the') AS m").head()
+      .getMap[String, Long](0)
+    assert(wc("the") == 2L && wc("the cat") == 1L && wc("cat the") == 1L)
+    val sh = spark.sql("SELECT word_shingles('a b c', 2) AS s").head()
+      .getSeq[String](0)
+    assert(sh == Seq("a b", "b c"))
+    assert(spark.sql("SELECT epoch_micros(TIMESTAMP '1970-01-01 00:00:01') AS e")
+      .head().getLong(0) == 1000000L)
+    assert(spark.sql("SELECT morton(0L, 0L) AS m").head().getLong(0) == 0L)
+    // literal-parameter contract fails loud
+    val e = intercept[Exception] {
+      spark.sql("SELECT s, n FROM (SELECT 'x' AS s, 2 AS n)")
+        .selectExpr("char_ngram_counts(s, n)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("rule is idempotent across optimizer fixpoint (results stable, one rewrite)") {
     spark.conf.set(WidthConf, "16")
     try {
