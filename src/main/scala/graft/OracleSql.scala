@@ -1184,6 +1184,81 @@ object OracleSql {
         |                            ELSE -1 END AS BIGINT) AS det_kept
         |FROM events GROUP BY 1""".stripMargin,
 
+    // domain-mix: target_tok and full_epochs are pure corpus arithmetic —
+    // integer weights over wsum=100 (exact in double, order-independent),
+    // budget = 3/2 the observed token mass (integer division) — replayed
+    // bit-for-bit; the achieved-mass 5σ band stays a Spark-checked boolean
+    "q_domain_mix" ->
+      """WITH nt AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS t
+        |            FROM documents),
+        |tot AS (SELECT (CAST(sum(t) AS BIGINT) * 3) // 2 AS budget FROM nt),
+        |m AS (SELECT lang, CAST(sum(t) AS BIGINT) AS mass FROM nt GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 50.0), ('de', 20.0), ('fr', 15.0),
+        |                       ('es', 10.0), ('zh', 5.0))
+        |SELECT m.lang,
+        |       CAST(floor(w.wt / 100.0 * tot.budget) AS BIGINT) AS target_tok,
+        |       CAST(floor(CAST(floor(w.wt / 100.0 * tot.budget) AS BIGINT)
+        |                  * 1.0 / m.mass) AS BIGINT) AS full_epochs,
+        |       true AS mass_ok
+        |FROM m JOIN w ON m.lang = w.lang CROSS JOIN tot""".stripMargin,
+
+    // hash-split contract: three splits, 5σ rate bands + exact coverage
+    "q_hash_split" ->
+      """SELECT * FROM (VALUES ('test', true, true), ('train', true, true),
+        |                      ('val', true, true))
+        |       AS t(split, rate_ok, coverage_ok)""".stripMargin,
+
+    // incremental MinHash-LSH: full relational replay — same min-md5 band
+    // signatures as q_dedup_minhash, store from the %5<>0 corpus, verdict
+    // joins for the %5=0 batch (shingle-less docs keep by the left joins)
+    "q_minhash_incr" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |sig AS (SELECT doc_id, b.band AS band, min(md5(b.band || ':' || s)) AS minhash
+        |        FROM sh, (VALUES (0), (1), (2), (3)) AS b(band) GROUP BY 1, 2),
+        |store AS (SELECT band, minhash, min(doc_id) AS corpus_rep
+        |          FROM sig WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |bsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+        |vs_corpus AS (SELECT bsig.doc_id AS doc_id, min(store.corpus_rep) AS corpus_cand
+        |              FROM bsig JOIN store USING (band, minhash) GROUP BY 1),
+        |breps AS (SELECT band, minhash, min(doc_id) AS bucket_rep FROM bsig GROUP BY 1, 2),
+        |vs_batch AS (SELECT bsig.doc_id AS doc_id, min(breps.bucket_rep) AS batch_cand
+        |             FROM bsig JOIN breps USING (band, minhash)
+        |             WHERE breps.bucket_rep < bsig.doc_id GROUP BY 1)
+        |SELECT d.doc_id, vc.corpus_cand, vb.batch_cand,
+        |       (vc.corpus_cand IS NULL AND vb.batch_cand IS NULL) AS keep
+        |FROM documents d
+        |LEFT JOIN vs_corpus vc ON vc.doc_id = d.doc_id
+        |LEFT JOIN vs_batch vb ON vb.doc_id = d.doc_id
+        |WHERE d.doc_id % 5 = 0""".stripMargin,
+
+    // corpus report: GROUP BY ROLLUP replayed exactly at all three grains
+    "q_corpus_report" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tok,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    // JL projection contract: dims, determinism, exact 2x homogeneity,
+    // norm preservation — all Spark-checked booleans; n_vecs replayed
+    "q_rand_proj" ->
+      """SELECT count(*) AS n_vecs, true AS dim_ok, true AS det_ok,
+        |       true AS scale2_ok, true AS mean_ok, true AS max_ok
+        |FROM embeddings""".stripMargin,
+
+    // outlier screen contract: threshold-cut separation per cell, global
+    // flag rate, cosine-distance range; n_total replayed
+    "q_embed_outliers" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS sep_ok,
+        |       true AS rate_ok, true AS range_ok
+        |FROM embeddings""".stripMargin,
+
     // weighted-sample contract: exact size, distinct members, and the
     // token-share bias footprint (sample mean tokens > corpus mean)
     "q_weighted_sample" ->

@@ -1614,4 +1614,160 @@ object Queries {
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     sources.TfExampleIO.decodeBytes(sources.TfExampleIO.encodeRows(docs), docs.schema)
   }
+
+  /** Whitespace token count, the exact formula the DuckDB oracles replay
+    * (`len(regexp_split_to_array(trim(text),'\s+'))`, 0 for blank). */
+  private def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Mixture-targeted domain resampling (Mixing.mixToWeights): resample the
+    * corpus so per-lang token mass matches integer target weights under a
+    * budget of 3/2 the observed mass — upsampling scarce langs by whole +
+    * fractional epochs, thinning abundant ones. `target_tok` and
+    * `full_epochs` are DETERMINISTIC corpus arithmetic the DuckDB oracle
+    * replays exactly (integer weights, wsum = 100 exact, so the doubles
+    * agree bit-for-bit); `mass_ok` is the achieved-mass contract — the
+    * realized token mass of each lang within 5σ of its target (σ from the
+    * fractional-epoch Bernoulli over per-doc token counts, + 2 for the
+    * floor truncations). */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nt = wsTokens(col("text"))
+    val weights = Map("en" -> 50.0, "de" -> 20.0, "fr" -> 15.0,
+      "es" -> 10.0, "zh" -> 5.0)
+    val total = docs.agg(sum(nt)).head.getLong(0)
+    val budget = total * 3 / 2
+    val plan = Mixing.epochPlan(docs, col("lang"), nt, weights, budget)
+    val mixed = Mixing.mixToWeights(docs, col("lang"), col("doc_id"), nt,
+      weights, budget, seed = 7L)
+    val sSess = s; import sSess.implicits._
+    val planDf = plan.toDF("lang", "__full", "__frac", "target_tok")
+    val stats = docs.groupBy(col("lang"))
+      .agg(sum(nt).as("__m"), sum(nt * nt).as("__sq"))
+    val achieved = mixed.groupBy(col("lang"))
+      .agg(sum(wsTokens(col("text"))).as("__ach"))
+    planDf.join(stats, Seq("lang")).join(achieved, Seq("lang"), "left")
+      .select(col("lang"), col("target_tok"),
+        col("__full").cast("long").as("full_epochs"),
+        (abs(coalesce(col("__ach"), lit(0L)) - col("target_tok")) <=
+          lit(5.0) * sqrt(col("__frac") * (lit(1.0) - col("__frac")) *
+            col("__sq").cast("double")) + lit(2.0)).as("mass_ok"))
+  }
+
+  /** Deterministic hash train/val/test split (Mixing.hashSplit): every doc
+    * lands in exactly one split (interval partition — total + disjoint by
+    * construction, `coverage_ok` asserts it), per-split rates within 5σ of
+    * the fractions. Append-stable by design (a doc's split never changes as
+    * the corpus grows) — the property per-split `sample()` calls lack;
+    * MixingSpec pins it under corpus growth. */
+  def qHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fractions = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val split = Mixing.hashSplit(docs, col("doc_id"), fractions, seed = 5L)
+    val n = docs.count()
+    val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("split") === lit(k), lit(v)).otherwise(acc)
+    }
+    split.groupBy(col("split")).agg(count(lit(1)).as("__n"))
+      .select(col("split"),
+        (abs(col("__n").cast("double") / lit(n.toDouble) - f) <=
+          lit(5.0) * sqrt(f * (lit(1.0) - f) / lit(n.toDouble)) + lit(2.0) / lit(n.toDouble))
+          .as("rate_ok"),
+        // 3-row frame post-aggregation — the unpartitioned window is fine
+        (sum(col("__n")).over() === lit(n)).as("coverage_ok"))
+  }
+
+  /** Incremental MinHash-LSH dedup (Dedup.minHashIncremental): batch =
+    * every 5th doc, corpus store = the rest's band buckets
+    * (Dedup.minHashStore). FULL DuckDB replay — signatures are min-md5 per
+    * band over word 3-shingles exactly as q_dedup_minhash, then the
+    * store/batch verdict joins are replayed relationally. Docs with no
+    * shingles (< 3 words) have no signature and keep=true by the left-join
+    * contract in BOTH engines. */
+  def qMinhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val store = Dedup.minHashStore(corpus, col("text"), col("doc_id"),
+      shingleN = 3, bands = 4)
+    Dedup.minHashIncremental(batch, col("text"), col("doc_id"), store,
+      shingleN = 3, bands = 4)
+  }
+
+  /** Corpus composition report — ROLLUP(lang, source) in one scan: doc
+    * counts, token mass and char mass at every grain (lang × source, lang,
+    * grand total), the dashboard a corpus owner reads before fixing
+    * mixture weights. Spark `rollup` = partial aggregation + a single
+    * Exchange reused across all grouping sets (never one scan per grain);
+    * DuckDB replays GROUP BY ROLLUP exactly. */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.rollup(col("lang"), col("source"))
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text"))).as("sum_tok"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(
+        when(col("__gid").bitwiseAND(2) === 2, lit("ALL"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("__gid").bitwiseAND(1) === 1, lit("ALL"))
+          .otherwise(col("source")).as("source"),
+        col("n_docs"), col("sum_tok"), col("sum_chars"))
+  }
+
+  /** JL random-projection contract (Similarity.randomProject, native
+    * seeded-Rademacher kernel): projecting sf embeddings to k=32 dims.
+    * Checks computed in-query, pinned by the oracle: output dim == k for
+    * every row (`dim_ok`); bit-identical across two independent
+    * evaluations (`det_ok` — the implicit matrix really is a pure function
+    * of the seed); exact 2x homogeneity (`scale2_ok` — doubling the input
+    * doubles the output BIT-EXACTLY, power-of-two scaling is rounding-free,
+    * so any data-dependent branch in the kernel breaks it); norm
+    * preservation in the mean (`mean_ok`, E‖y‖²=‖x‖², band ±0.5 — a
+    * missing 1/√k scale reads ~k, a broken sign hash collapses to a rank-1
+    * projection, both far outside) and bounded worst case (`max_ok`). */
+  def qRandProj(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorExpressions.randomProjectVec
+    val e = t(s, dir, "embeddings")
+    val k = 32
+    val base = e.select(col("vec_id"), col("embedding"),
+      randomProjectVec(col("embedding"), k, 42L).as("p1"),
+      randomProjectVec(col("embedding"), k, 42L).as("p2"),
+      randomProjectVec(transform(col("embedding"), x => x * lit(2.0f)), k, 42L).as("p2x"))
+    val r2 = base.select(col("vec_id"), size(col("p1")).as("__dim"),
+      (col("p1") === col("p2")).as("__det"),
+      (col("p2x") === transform(col("p1"), x => x * lit(2.0))).as("__sc"),
+      (aggregate(col("p1"), lit(0.0d), (a, x) => a + x * x) /
+        aggregate(col("embedding"), lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double")))
+        .as("__r2"))
+    r2.agg(count(lit(1)).as("n_vecs"),
+      (min(col("__dim")) === k && max(col("__dim")) === k).as("dim_ok"),
+      min(col("__det")).as("det_ok"),
+      min(col("__sc")).as("scale2_ok"),
+      (abs(avg(col("__r2")) - 1.0) < 0.5).as("mean_ok"),
+      (max(col("__r2")) < 8.0).as("max_ok"))
+  }
+
+  /** Embedding outlier screen contract (Similarity.centroidOutliers, k=8
+    * cells, 1 Lloyd round, flag the top ~10% cosine-farthest per cell):
+    * `sep_ok` — in every cell the flagged rows are strictly farther than
+    * every kept row (the threshold cut's defining invariant); `range_ok` —
+    * cosine distance stays in [0, 2]; `rate_ok` — the global flag rate is
+    * near the target (the percentile sketch can smear per-cell, never 2.5×
+    * global). n_total is replayed from the embeddings table. */
+  def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val out = Similarity.centroidOutliers(e, col("vec_id"), col("embedding"),
+      k = 8, iters = 1, flagFraction = 0.1)
+    val perCell = out.groupBy(col("cell")).agg(
+      min(when(col("outlier"), col("dist"))).as("__minf"),
+      max(when(!col("outlier"), col("dist"))).as("__maxk"),
+      count(lit(1)).as("__n"), sum(when(col("outlier"), 1L).otherwise(0L)).as("__nf"))
+    perCell.agg(
+      sum(col("__n")).as("n_total"),
+      min(coalesce(col("__minf") > col("__maxk"), lit(true))).as("sep_ok"),
+      (sum(col("__nf")) <= lit(0.25) * sum(col("__n"))).as("rate_ok"))
+      .crossJoin(out.agg((min(col("dist")) >= -1e-9 && max(col("dist")) <= 2.0 + 1e-9)
+        .as("range_ok")))
+  }
 }

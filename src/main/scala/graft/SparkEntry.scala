@@ -130,6 +130,12 @@ object SparkEntry {
     "q_stratified_sample" -> Queries.qStratifiedSample _,
     "q_weighted_sample"   -> Queries.qWeightedSample _,
     "q_stratified_thin"   -> Queries.qStratifiedThin _,
+    "q_domain_mix"        -> Queries.qDomainMix _,
+    "q_hash_split"        -> Queries.qHashSplit _,
+    "q_minhash_incr"      -> Queries.qMinhashIncr _,
+    "q_corpus_report"     -> Queries.qCorpusReport _,
+    "q_rand_proj"         -> Queries.qRandProj _,
+    "q_embed_outliers"    -> Queries.qEmbedOutliers _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,

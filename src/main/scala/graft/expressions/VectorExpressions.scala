@@ -350,6 +350,92 @@ case class PqEncodeVec(child: Expression, codebooks: Array[Array[Array[Double]]]
     copy(child = newChild)
 }
 
+/** One-pass Johnson–Lindenstrauss random projection: y_j = (1/√k) ·
+  * Σ_i sign(h(seed, j, i)) · x_i — a Rademacher (±1) projection matrix
+  * materialized NOWHERE: each sign is recomputed from a splitmix64 mix of
+  * (seed, j, i), so the "matrix" ships as 12 bytes of parameters to every
+  * executor instead of a d×k broadcast, and any two calls with the same
+  * seed project into the SAME space (the property that makes projected
+  * corpora comparable across runs and increments). Achlioptas 2003 shows
+  * ±1 entries satisfy the JL lemma with the same distortion bounds as
+  * Gaussians.
+  *
+  * Why a native expression: the HOF formulation (transform over a
+  * k-sequence of aggregates over d) is interpreted and allocates per
+  * element — O(k·d) lambda dispatches per row. This is one virtual call
+  * around two primitive loops ([[PqEncodeVec]] precedent). NULL input or
+  * NULL element → NULL (the family's null-poisoning convention);
+  * non-finite elements fail loud like [[QuantizeInt8Vec]]. */
+case class RandomProjectVec(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(outDim > 0, s"random_project: outDim must be > 0, got $outDim")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "random_project"
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a float/double array input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      xs(i) = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other      => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      if (xs(i).isNaN || xs(i).isInfinite)
+        throw new IllegalArgumentException(
+          s"random_project: non-finite element ${xs(i)} at index $i")
+      i += 1
+    }
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        if ((RandomProjectVec.mix(seed, j, i) & 1L) == 0L) acc += xs(i)
+        else acc -= xs(i)
+        i += 1
+      }
+      out(j) = acc * inv
+      j += 1
+    }
+    new GenericArrayData(out.map(d => d: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RandomProjectVec {
+  /** splitmix64 finalizer over a combined (seed, j, i) key — full 64-bit
+    * avalanche so adjacent (j, i) cells decorrelate. */
+  def mix(seed: Long, j: Int, i: Int): Long = {
+    var z = seed ^ (j.toLong * 0x9E3779B97F4A7C15L) ^ (i.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 object VectorExpressions {
   /** Dot product of two numeric array columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
@@ -369,4 +455,8 @@ object VectorExpressions {
   def vecDotInt(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotProductInt(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** JL random projection to `outDim` dims (native, seeded Rademacher). */
+  def randomProjectVec(v: Column, outDim: Int, seed: Long): Column =
+    ColumnBridge.column(RandomProjectVec(ColumnBridge.expression(v), outDim, seed))
 }

@@ -116,6 +116,54 @@ object Dedup {
       .select(col("doc_id"), col("sig.band").as("band"), col("sig.minhash").as("minhash"))
   }
 
+  /** Corpus-side state for [[minHashIncremental]]: the persisted band-bucket
+    * store (band, minhash, corpus_rep) — one row per occupied LSH bucket,
+    * corpus_rep = min corpus doc id in it. The LSH sibling of
+    * [[exactIncremental]]'s digest store / `Similarity.semDedupStore`.
+    * Persist BUCKETED on (band, minhash) ([[graft.sources.IO.writeBucketed]])
+    * so increments probe it with no store-side Exchange; append each
+    * increment's kept docs' signatures the same way. */
+  def minHashStore(docs: DataFrame, text: Column, id: Column,
+                   shingleN: Int = 3, bands: Int = 8): DataFrame =
+    minHashSignatures(docs, text, id, shingleN, bands)
+      .groupBy(col("band"), col("minhash"))
+      .agg(min(col("doc_id")).as("corpus_rep"))
+
+  /** Incremental MinHash-LSH near-dup verdicts: a NEW batch of documents
+    * against a persisted [[minHashStore]], WITHOUT recomputing corpus
+    * signatures — the daily-increment shape of [[minHashCandidates]].
+    * Per batch doc: `corpus_cand` = min corpus rep sharing any band
+    * bucket (NULL if none), `batch_cand` = min smaller batch id sharing
+    * one, `keep` = both NULL (no near-dup candidate in corpus or batch —
+    * same min-id-representative policy as the whole Dedup family). LSH
+    * candidates are recall-oriented; post-verify survivors' candidate
+    * pairs with [[ngramJaccardPairs]] when precision matters, exactly as
+    * in the batch pipeline.
+    *
+    * 100 TB shape: per increment the corpus contributes only the bucket
+    * rows the batch actually touches (an equi-join on the bucketed store —
+    * no store-side shuffle, no corpus text ever read); batch-side work is
+    * |batch| × bands signature rows. */
+  def minHashIncremental(batch: DataFrame, text: Column, id: Column,
+                         store: DataFrame, shingleN: Int = 3,
+                         bands: Int = 8): DataFrame = {
+    val sigs = minHashSignatures(batch, text, id, shingleN, bands)
+    val vsCorpus = sigs
+      .join(store.select(col("band"), col("minhash"), col("corpus_rep")),
+        Seq("band", "minhash"))
+      .groupBy(col("doc_id")).agg(min(col("corpus_rep")).as("corpus_cand"))
+    val batchReps = sigs.groupBy(col("band"), col("minhash"))
+      .agg(min(col("doc_id")).as("bucket_rep"))
+    val vsBatch = sigs.join(batchReps, Seq("band", "minhash"))
+      .filter(col("bucket_rep") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("bucket_rep")).as("batch_cand"))
+    batch.select(id.as("doc_id"))
+      .join(vsCorpus, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_cand"), col("batch_cand"),
+        (col("corpus_cand").isNull && col("batch_cand").isNull).as("keep"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each shingle votes its
     * hash bits; fingerprint bit i is the sign of the vote sum. Near-dups have
     * small Hamming distance. xxhash64 is Spark-native and codegen'd.

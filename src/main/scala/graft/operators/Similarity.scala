@@ -458,6 +458,62 @@ object Similarity {
       throw new IllegalArgumentException("kmeans on an empty corpus"))
       .select(col("id"), col("cell"))
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDim` dims via the native seeded-Rademacher kernel
+    * ([[graft.expressions.RandomProjectVec]]): (id, proj). The projection
+    * matrix is IMPLICIT — recomputed from (seed, j, i) hashes on every
+    * executor — so nothing is broadcast and two corpora (or two
+    * increments) projected with the same seed land in the same space,
+    * directly composable with every ANN/SemDeDup op here as a
+    * dimensionality-reduction front end (distances preserved within the
+    * JL distortion bound, E‖y‖² = ‖x‖²).
+    *
+    * 100 TB story: row-local, zero shuffle, O(d·outDim) per row with no
+    * allocation beyond the output array; reducing d early shrinks every
+    * downstream shuffle/store by d/outDim. */
+  def randomProject(embs: DataFrame, id: Column, vec: Column,
+                    outDim: Int, seed: Long = 0L): DataFrame = {
+    requireIntegralId(embs, id)
+    embs.select(id.cast("long").as("id"),
+      graft.expressions.VectorExpressions.randomProjectVec(vec, outDim, seed).as("proj"))
+  }
+
+  /** Embedding-space outlier flags: cosine distance to the assigned
+    * spherical-k-means centroid, flagged when above the cell's
+    * (1 − flagFraction) approximate quantile — the standard
+    * distance-to-centroid screen for corrupt/off-distribution embeddings
+    * before they pollute dedup clusters or ANN training. Returns
+    * (id, cell, dist, outlier).
+    *
+    * 100 TB story: one narrow assignment pass (the [[assignToCentroids]]
+    * machinery — literal centroids ≤64, broadcast beyond), one per-cell
+    * aggregate whose state is a bounded percentile_approx sketch (never
+    * the cell's rows), and a broadcast threshold re-join (k rows). No
+    * all-pairs, no per-cell sort. */
+  def centroidOutliers(embs: DataFrame, id: Column, vec: Column,
+                       k: Int, iters: Int = 1, flagFraction: Double = 0.05,
+                       sketchAccuracy: Int = 10000): DataFrame = {
+    require(flagFraction > 0.0 && flagFraction < 1.0,
+      s"flagFraction must be in (0,1), got $flagFraction")
+    val s = embs.sparkSession
+    import s.implicits._
+    val centroids = kmeansCentroids(embs, id, vec, k, iters)
+    val centDf = broadcast(centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("cell", "cvec", "c_nrm"))
+    val scored = assignToCentroids(embs, id, vec, centroids)
+      .join(centDf, Seq("cell"))
+      .select(col("id"), col("cell"),
+        round(lit(1.0) - dotProduct(col("vec"), col("cvec")) /
+          (col("nrm") * col("c_nrm")), 9).as("dist"))
+    val thresholds = scored.groupBy(col("cell"))
+      .agg(percentile_approx(col("dist"), lit(1.0 - flagFraction),
+        lit(sketchAccuracy)).as("__thr"))
+    scored.join(broadcast(thresholds), Seq("cell"))
+      .select(col("id"), col("cell"), col("dist"),
+        (col("dist") > col("__thr")).as("outlier"))
+  }
+
   /** Auto cluster count for [[semDedup]]: clusters sized ~`targetClusterSize`
     * keep the within-cell self-join bounded as the corpus grows — under a
     * FIXED nlist, cell occupancy (and with it pairwise work) grows linearly

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Mixing, Similarity}
+
+/** Round-10 session-3 operators: mixture-targeted domain resampling,
+  * deterministic hash splits, incremental MinHash-LSH, JL random
+  * projection, and the centroid-distance outlier screen. */
+class MixingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 domains with token masses 60 / 30 / 10 (6 docs of 10 tokens, etc.)
+  private lazy val docs = {
+    val rows = (0 until 6).map(i => (i.toLong, "a", 10L)) ++
+      (6 until 9).map(i => (i.toLong, "b", 10L)) ++
+      Seq((9L, "c", 10L))
+    rows.toDF("doc_id", "domain", "tok")
+  }
+
+  test("epochPlan: exact targets, floors, and fractional parts") {
+    // budget 100, weights a=50 b=30 c=20 → targets 50/30/20 over masses
+    // 60/30/10 → rates 0.8333 / 1.0 / 2.0
+    val plan = Mixing.epochPlan(docs, col("domain"), col("tok"),
+      Map("a" -> 50.0, "b" -> 30.0, "c" -> 20.0), budgetTokens = 100L)
+      .sortBy(_._1)
+    assert(plan.map(p => (p._1, p._2, p._4)) ==
+      Seq(("a", 0, 50L), ("b", 1, 30L), ("c", 2, 20L)))
+    assert(math.abs(plan(0)._3 - 50.0 / 60.0) < 1e-12) // frac a
+    assert(math.abs(plan(1)._3 - 0.0) < 1e-12)         // b exactly 1 epoch
+    assert(math.abs(plan(2)._3 - 0.0) < 1e-12)         // c exactly 2 epochs
+  }
+
+  test("epochPlan: unlisted domains dropped; absurd upsampling fails loud") {
+    val plan = Mixing.epochPlan(docs, col("domain"), col("tok"),
+      Map("a" -> 1.0), budgetTokens = 30L)
+    assert(plan.map(_._1) == Seq("a"))
+    val e = intercept[IllegalArgumentException] {
+      Mixing.epochPlan(docs, col("domain"), col("tok"),
+        Map("c" -> 1.0), budgetTokens = 10000L) // rate 1000 on domain c
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
+  test("applyPlan: whole epochs are exact copies, epoch numbered 1..n") {
+    // frac = 0 everywhere → deterministic copy counts regardless of seed
+    val plan = Seq(("a", 2, 0.0, 120L), ("b", 1, 0.0, 30L)) // c absent → dropped
+    val out = Mixing.applyPlan(docs, col("domain"), col("doc_id"), plan)
+    val byDomain = out.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("a" -> 12L, "b" -> 3L))
+    val epochs = out.filter(col("doc_id") === 0L).select(col("epoch"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(epochs == Seq(1, 2))
+  }
+
+  test("mixToWeights: deterministic across runs; achieved mass near target") {
+    val weights = Map("a" -> 40.0, "b" -> 40.0, "c" -> 20.0)
+    def run() = Mixing.mixToWeights(docs, col("domain"), col("doc_id"),
+      col("tok"), weights, budgetTokens = 90L, seed = 3L)
+      .select(col("doc_id"), col("domain"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(run() == run())
+  }
+
+  test("hashSplit: total, disjoint, deterministic, append-stable") {
+    val many = (0L until 500L).map(i => Tuple1(i)).toDF("id")
+    val s1 = Mixing.hashSplit(many, col("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 5L)
+    assert(s1.count() == 500L) // exactly one split per row (total)
+    val m1 = s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.size == 500)
+    // append-stability: doubling the corpus never changes an old doc's split
+    val bigger = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
+    val m2 = Mixing.hashSplit(bigger, col("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 500L).forall(i => m1(i) == m2(i)))
+    // rates in the right ballpark on 500 rows
+    val counts = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 330 && counts("val") < 110 && counts("test") < 110)
+    // fractions must sum to 1
+    val e = intercept[IllegalArgumentException] {
+      Mixing.hashSplit(many, col("id"), Seq(("a", 0.5), ("b", 0.4)))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
+  test("minHashIncremental: corpus dup, intra-batch dup, fresh + short docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus content about spark engines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // = corpus 1
+      (11L, "brand new unseen web document with novel words entirely"),
+      (12L, "brand new unseen web document with novel words entirely"), // = 11
+      (13L, "too short") // < 3 words → no shingles → keep
+    ).toDF("doc_id", "text")
+    val store = Dedup.minHashStore(corpus, col("text"), col("doc_id"), 3, 4)
+    val out = Dedup.minHashIncremental(batch, col("text"), col("doc_id"), store, 3, 4)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, Some(1L), None, false),
+      (11L, None, None, true),
+      (12L, None, Some(11L), false),
+      (13L, None, None, true)))
+  }
+
+  test("randomProject: dims, seed determinism, exact 2x homogeneity, " +
+       "different seed → different space, null element poisons the row") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(-1.0f, 0.5f, 0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProject(vs, col("vec_id"), col("embedding"), 8, 9L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1.values.forall(_.length == 8))
+    val p1b = Similarity.randomProject(vs, col("vec_id"), col("embedding"), 8, 9L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p1b)
+    val pOther = Similarity.randomProject(vs, col("vec_id"), col("embedding"), 8, 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 != pOther)
+    // exact homogeneity: scaling input by 2 scales output by exactly 2
+    val doubled = vs.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val p2 = Similarity.randomProject(doubled, col("vec_id"), col("embedding"), 8, 9L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p2(1L) == p1(1L).map(_ * 2.0))
+    // null element → null projection (family convention)
+    val withNull = Seq((3L, Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val pn = Similarity.randomProject(withNull, col("vec_id"), col("embedding"), 4, 9L)
+      .collect()
+    assert(pn.length == 1 && pn(0).isNullAt(1))
+  }
+
+  test("randomProject: non-finite element fails loud") {
+    val bad = Seq((1L, Seq(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProject(bad, col("vec_id"), col("embedding"), 4, 1L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("centroidOutliers: planted far point flagged, separation invariant holds") {
+    // one tight cluster + one far-off-axis point
+    val rows = (0L until 40L).map { i =>
+      val eps = 0.002f * (i % 7)
+      (i, Seq(1.0f, eps, 0.0f))
+    } :+ (99L, Seq(0.1f, 1.0f, 0.5f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, col("vec_id"), col("embedding"),
+      k = 1, iters = 1, flagFraction = 0.05)
+    val rowsOut = out.collect().map(r =>
+      (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(rowsOut.length == 41)
+    val planted = rowsOut.find(_._1 == 99L).get
+    assert(planted._3, s"planted outlier not flagged: $planted")
+    // separation: every flagged dist > every kept dist within the one cell
+    val (flagged, kept) = rowsOut.partition(_._3)
+    assert(flagged.map(_._2).min > kept.map(_._2).max)
+    // dist is a cosine distance
+    assert(rowsOut.forall(r => r._2 >= -1e-9 && r._2 <= 2.0 + 1e-9))
+  }
+}

@@ -373,4 +373,67 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"singleton side input must broadcast:\n${p.take(2500)}")
   }
+
+  test("domain-mix apply: the epoch-rate table joins as a BROADCAST; the corpus never " +
+       "shuffles and no window appears") {
+    // Mixing.applyPlan's 100 TB claim: the only join is corpus ⋈ broadcast
+    // (|domains| rows); a SortMergeJoin here would shuffle the whole corpus
+    // to meet a 5-row table
+    import org.apache.spark.sql.functions._
+    val docs = GraftSession.table(spark, dir, "documents")
+    val plan5 = Seq(("en", 1, 0.5, 100L), ("de", 0, 0.25, 50L))
+    val out = graft.operators.Mixing.applyPlan(
+      docs, col("lang"), col("doc_id"), plan5, seed = 7L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window "),
+      s"corpus must not shuffle against the tiny rate table:\n${p.take(2500)}")
+  }
+
+  test("q_corpus_report: ROLLUP is one Expand + one Exchange (never a scan per grain)") {
+    val p = plan("q_corpus_report")
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n${p.take(2500)}")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"all grouping sets must share a single shuffle:\n${p.take(2500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial+final aggregation expected:\n${p.take(2500)}")
+  }
+
+  test("randomProject: row-local — zero Exchange, native kernel in the projection") {
+    import org.apache.spark.sql.functions._
+    val embs = GraftSession.table(spark, dir, "embeddings")
+    val out = graft.operators.Similarity.randomProject(
+      embs, col("vec_id"), col("embedding"), 16, 42L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n${p.take(2000)}")
+    assert(p.contains("random_project"), s"native kernel expected:\n${p.take(2000)}")
+  }
+
+  test("minHashIncremental against a BUCKETED band store: store side never re-shuffles") {
+    // same 100 TB contract as the digest/vector stores: persist the band
+    // buckets bucketed on (band, minhash) and an increment probes them
+    // with no Exchange above the store scan
+    import org.apache.spark.sql.functions._
+    val docs = GraftSession.table(spark, dir, "documents")
+    val store = graft.operators.Dedup.minHashStore(
+      docs.filter(col("doc_id") < 400), col("text"), col("doc_id"), 3, 4)
+    graft.sources.IO.writeBucketed(store, "b_mhstore", Seq("band", "minhash"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.operators.Dedup.minHashIncremental(
+        docs.filter(col("doc_id") >= 400), col("text"), col("doc_id"),
+        spark.table("b_mhstore"), 3, 4)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"store must be read bucket-aware:\n${p.take(2500)}")
+      // value sanity vs the unbucketed formulation
+      val plain = graft.operators.Dedup.minHashIncremental(
+        docs.filter(col("doc_id") >= 400), col("text"), col("doc_id"), store, 3, 4)
+      assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_mhstore")
+    }
+  }
 }
