@@ -1259,6 +1259,41 @@ object OracleSql {
         |       true AS rate_ok, true AS range_ok
         |FROM embeddings""".stripMargin,
 
+    // Misra–Gries: word/freq are exact corpus arithmetic; the theorem
+    // booleans (presence of every true heavy hitter, ≤ N/(cap+1)
+    // undercount) hold under ANY processing order and are pinned true
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |           FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |cnt AS (SELECT word, count(*) AS freq FROM w GROUP BY 1)
+        |SELECT word, freq, true AS present_ok, true AS err_ok
+        |FROM cnt CROSS JOIN tot WHERE freq > n / 31.0""".stripMargin,
+
+    // key-skew profile: full replay — exact counts, 6-dp shares/entropy,
+    // (cnt DESC, key ASC) total-order top-10
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS n_keys FROM c),
+        |ent AS (SELECT round(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
+        |        FROM c CROSS JOIN tot)
+        |SELECT key, cnt, round(cnt / n, 6) AS share, n_keys, entropy
+        |FROM c CROSS JOIN tot CROSS JOIN ent
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+
+    // snapshot diff: full replay of the digest-join classification
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h <> n.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
     // weighted-sample contract: exact size, distinct members, and the
     // token-share bias footprint (sample mean tokens > corpus mean)
     "q_weighted_sample" ->

@@ -1748,6 +1748,57 @@ object Queries {
       (max(col("__r2")) < 8.0).as("max_ok"))
   }
 
+  /** Misra–Gries heavy hitters (MisraGriesFn, capacity 30 over a 31-word
+    * vocabulary — threshold N/31 = the mean share, so about half the
+    * vocabulary qualifies at every SF and the decrement/truncation paths
+    * still fire). Counter values are processing-order-dependent, so the
+    * output carries only the THEOREM guarantees, checked per TRUE heavy
+    * hitter (exact freq > N/(capacity+1), computed in both engines):
+    * `present_ok` — the item is in the summary (guaranteed for every true
+    * heavy hitter under any order); `err_ok` — its estimate undercounts by
+    * at most N/(capacity+1). `word`/`freq` are exact corpus arithmetic the
+    * oracle replays. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val capacity = 30
+    def wordsOf = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+    val fn = new graft.functions.MisraGriesFn[String](capacity)
+    val summary = wordsOf.as[String]
+      .select(fn.asAggregator.toColumn.name("__mg"))
+      .select(explode(col("__mg")).as("e"))
+      .select(col("e._1").as("word"), col("e._2").as("est"))
+    val exact = wordsOf.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val n = exact.agg(sum(col("freq"))).head().getLong(0)
+    val bound = n.toDouble / (capacity + 1)
+    exact.filter(col("freq") > bound)
+      .join(summary, Seq("word"), "left")
+      .select(col("word"), col("freq"),
+        col("est").isNotNull.as("present_ok"),
+        (coalesce(col("est"), lit(0L)) <= col("freq") &&
+          (col("freq") - coalesce(col("est"), lit(0L))) <= lit(bound)).as("err_ok"))
+  }
+
+  /** Key-skew profile (Aggregates.keySkewProfile) over events.user_id —
+    * top-10 heaviest users with 6-dp shares, distribution entropy and key
+    * count; FULL DuckDB replay (total-order tiebreak, exact counts). */
+  def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    Aggregates.keySkewProfile(t(s, dir, "events"), col("user_id"), topN = 10)
+
+  /** Snapshot diff (Dedup.snapshotDiff): old = docs with id % 7 ≠ 0, new =
+    * docs with id % 5 ≠ 0 where every id % 3 = 0 doc's text is amended —
+    * yields all four verdicts (added / removed / changed / unchanged);
+    * FULL DuckDB replay of the digest-join classification. */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+  }
+
   /** Embedding outlier screen contract (Similarity.centroidOutliers, k=8
     * cells, 1 Lloyd round, flag the top ~10% cosine-farthest per cell):
     * `sep_ok` — in every cell the flagged rows are strictly farther than

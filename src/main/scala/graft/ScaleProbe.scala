@@ -71,6 +71,9 @@ object ScaleProbe {
     // run only the round-10 probes (DSIR / BPE learning / kmeans /
     // tf.Example / incremental semdedup)
     if (sys.env.get("SPARK_GRAFT_R10_ONLY").contains("1")) { r10OpsProbe(factor); return }
+    // run only the round-10 session-3 probes (domain mix / incremental
+    // minhash / JL projection / outlier screen)
+    if (sys.env.get("SPARK_GRAFT_S3_ONLY").contains("1")) { s3OpsProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -1062,6 +1065,99 @@ object ScaleProbe {
     println(f"""{"sdi_pairs_base":$pB,"sdi_pairs_x$factor":$pN,""" +
       f""""sdi_pair_ratio":${pN.toDouble / math.max(pB, 1)}%.2f,""" +
       f""""sdi_nlist_base":$nlB,"sdi_nlist_x$factor":$nlN}""")
+    spark.stop()
+  }
+
+  /** Round-10 session-3 probes (domain mixing / incremental MinHash / JL
+    * projection / outlier screen): each measures its scale-critical
+    * quantity — plan/threshold row counts that must stay FLAT as the
+    * corpus grows, and the per-batch work of the incremental path, which
+    * must track the BATCH, not the store. */
+  private def s3OpsProbe(factor: Int): Unit = {
+    import graft.operators.{Dedup, Mixing, Similarity}
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_s3"
+    val spark = GraftSession.getOrCreate()
+
+    Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+      .foreach { case (name, ids) =>
+        val t = GraftSession.table(spark, base, name)
+        (0 until factor).map { i =>
+          val rekeyed = ids.foldLeft(t)((d, c) =>
+            d.withColumn(c, col(c) + lit(i * 1000000000L)))
+          if (name == "documents" && i > 0)
+            rekeyed.withColumn("text",
+              concat(col("text"), lit(s" copyvariant$i")))
+          else rekeyed
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+
+    def docsAt(dir: String) = GraftSession.table(spark, dir, "documents")
+    def embsAt(dir: String) = GraftSession.table(spark, dir, "embeddings")
+    val nt = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val weights = Map("en" -> 50.0, "de" -> 20.0, "fr" -> 15.0,
+      "es" -> 10.0, "zh" -> 5.0)
+
+    // 1. domain mix: plan rows = |domains| (broadcast bound, flat) + wall
+    def mixRun(dir: String): Long = {
+      val d = docsAt(dir)
+      val budget = d.agg(sum(nt)).head().getLong(0) * 3 / 2
+      val plan = Mixing.epochPlan(d, col("lang"), nt, weights, budget)
+      Mixing.applyPlan(d, col("lang"), col("doc_id"), plan, seed = 7L)
+        .write.format("noop").mode("overwrite").save()
+      plan.length.toLong
+    }
+    mixRun(base); mixRun(out) // warm
+    var planRowsB = 0L; var planRowsN = 0L
+    val mB = timed("domain_mix_base") { planRowsB = mixRun(base) }
+    val mN = timed(s"domain_mix_x$factor") { planRowsN = mixRun(out) }
+    println(f"""{"mix_plan_rows_base":$planRowsB,"mix_plan_rows_x$factor":$planRowsN,""" +
+      f""""mix_wall_ratio":${mN / mB}%.2f}""")
+
+    // 2. incremental MinHash: FIXED batch (base docs ending in 0) probed
+    // against a base store vs a ×factor store — per-batch wall must track
+    // the batch, not the store (bucket equi-join); store rows grow ~linear
+    // but are persisted state, not per-increment work
+    def mhStore(dir: String) = Dedup.minHashStore(
+      docsAt(dir), col("text"), col("doc_id"), 3, 4)
+    val batch = docsAt(base).filter(pmod(col("doc_id"), lit(10)) === 0)
+    def mhRun(store: org.apache.spark.sql.DataFrame): Unit =
+      Dedup.minHashIncremental(batch, col("text"), col("doc_id"), store, 3, 4)
+        .write.format("noop").mode("overwrite").save()
+    val storeB = mhStore(base).cache(); val storeN = mhStore(out).cache()
+    val srB = storeB.count(); val srN = storeN.count() // materialize + size
+    mhRun(storeB); mhRun(storeN) // warm
+    val hB = timed("minhash_incr_smallstore")(mhRun(storeB))
+    val hN = timed(s"minhash_incr_x${factor}store")(mhRun(storeN))
+    println(f"""{"mh_store_rows_base":$srB,"mh_store_rows_x$factor":$srN,""" +
+      f""""mh_fixed_batch_wall_ratio":${hN / hB}%.2f}""")
+    storeB.unpersist(); storeN.unpersist()
+
+    // 3. JL projection: row-local — wall tracks rows, nothing broadcast
+    def rpRun(dir: String): Unit =
+      Similarity.randomProject(embsAt(dir), col("vec_id"), col("embedding"),
+        outDim = 32, seed = 42L).write.format("noop").mode("overwrite").save()
+    rpRun(base); rpRun(out) // warm
+    val rB = timed("randproj_base")(rpRun(base))
+    val rN = timed(s"randproj_x$factor")(rpRun(out))
+    println(f"""{"randproj_wall_ratio":${rN / rB}%.2f}""")
+
+    // 4. outlier screen: threshold rows = k (broadcast bound, flat) + wall
+    def outlierRun(dir: String): Long = {
+      val o = Similarity.centroidOutliers(embsAt(dir), col("vec_id"),
+        col("embedding"), k = 8, iters = 1, flagFraction = 0.1)
+      o.write.format("noop").mode("overwrite").save()
+      o.select(col("cell")).distinct().count()
+    }
+    outlierRun(base); outlierRun(out) // warm
+    var cellsB = 0L; var cellsN = 0L
+    val oB = timed("outliers_base") { cellsB = outlierRun(base) }
+    val oN = timed(s"outliers_x$factor") { cellsN = outlierRun(out) }
+    println(f"""{"outlier_threshold_rows_base":$cellsB,""" +
+      f""""outlier_threshold_rows_x$factor":$cellsN,""" +
+      f""""outlier_wall_ratio":${oN / oB}%.2f}""")
     spark.stop()
   }
 }

@@ -136,6 +136,9 @@ object SparkEntry {
     "q_corpus_report"     -> Queries.qCorpusReport _,
     "q_rand_proj"         -> Queries.qRandProj _,
     "q_embed_outliers"    -> Queries.qEmbedOutliers _,
+    "q_heavy_hitters"     -> Queries.qHeavyHitters _,
+    "q_key_skew"          -> Queries.qKeySkew _,
+    "q_corpus_diff"       -> Queries.qCorpusDiff _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,

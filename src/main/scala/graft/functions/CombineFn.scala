@@ -209,6 +209,62 @@ class ApproximateUniqueFn[T](sampleSize: Int,
   * Output: `numQuantiles` values from min to max (Beam's N-tiles shape,
   * ApproximateQuantiles.java:59).
   */
+/** Misra–Gries heavy-hitters summary (Misra & Gries 1982), the mergeable
+  * formulation of Agarwal et al. 2013 ("Mergeable Summaries", PODS) —
+  * at most `capacity` counters; on overflow every counter decrements
+  * (add path) or all counters shrink by the (capacity+1)-th largest
+  * (merge path). Guarantees, under ANY processing/merge order (the only
+  * properties a caller may rely on — counter values themselves are
+  * order-dependent):
+  *  - every item with true frequency > N/(capacity+1) is present;
+  *  - each estimate is an UNDERCOUNT by at most N/(capacity+1).
+  * Complements [[graft.operators.Aggregates.cmsFrequencies]] (CMS:
+  * overestimates, fixed-size matrix, point queries) with the dual sketch
+  * (undercounts, top-item enumeration). Beam ships CMS in
+  * extensions/sketching; MG is the natural missing sibling.
+  *
+  * 100 TB story: accumulator ≤ `capacity` entries regardless of input
+  * (map-side partial aggregation ships ≤ capacity counters per task) —
+  * the same bounded-state discipline as TopKCombineFn.
+  */
+class MisraGriesFn[T](capacity: Int)(implicit ord: Ordering[T])
+    extends CombineFn[T, Map[T, Long], Seq[(T, Long)]] {
+  require(capacity >= 1, s"MisraGriesFn needs capacity >= 1, got $capacity")
+
+  override def createAccumulator(): Map[T, Long] = Map.empty
+
+  override def addInput(acc: Map[T, Long], in: T): Map[T, Long] =
+    acc.get(in) match {
+      case Some(c) => acc.updated(in, c + 1L)
+      case None if acc.size < capacity => acc.updated(in, 1L)
+      case None => // classic MG decrement-all step (drops zeroed counters)
+        acc.iterator.map { case (k, c) => (k, c - 1L) }
+          .filter(_._2 > 0L).toMap
+    }
+
+  override def mergeAccumulators(a: Map[T, Long], b: Map[T, Long]): Map[T, Long] = {
+    val combined = b.foldLeft(a) { case (m, (k, c)) =>
+      m.updated(k, m.getOrElse(k, 0L) + c)
+    }
+    if (combined.size <= capacity) combined
+    else {
+      // Agarwal et al. merge: subtract the (capacity+1)-th largest count
+      // from every counter — keeps ≤ capacity entries, error stays
+      // ≤ N_combined/(capacity+1)
+      val d = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+        .apply(capacity)
+      combined.iterator.map { case (k, c) => (k, c - d) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
+  /** (item, estimate) sorted estimate-desc then item-asc; estimates are
+    * order-dependent — downstream contracts should use only the theorem
+    * guarantees above. */
+  override def extractOutput(acc: Map[T, Long]): Seq[(T, Long)] =
+    acc.toSeq.sortBy { case (k, c) => (-c, k) }
+}
+
 class ApproximateQuantilesFn(numQuantiles: Int, bufferSize: Int = 256, maxBuffers: Int = 32)
     extends CombineFn[Double, (List[Double], Int, List[(Int, List[Double])], Double, Double), List[Double]] {
   // accumulator = (unsorted level-0 staging, staging count, leveled sorted

@@ -363,4 +363,33 @@ object Aggregates {
       .agg(sum(value).as("__partial"))
       .groupBy(col("key"))
       .agg(sum(col("__partial")).as("sum_value"))
+
+  /** Key-distribution skew profile — the diagnosis pass you run BEFORE
+    * picking salting/fanout knobs on a new corpus: the `topN` heaviest
+    * keys with their share of all rows, plus the distribution's Shannon
+    * entropy (nats; ln(n_keys) = perfectly uniform, → 0 = one key owns
+    * everything) and key count as constant columns. Deterministic:
+    * (cnt DESC, key ASC) total order, 6-dp shares.
+    *
+    * 100 TB shape: one count aggregate (map-side combined — the profile's
+    * shuffle carries one row per key per task), two scalar aggregates over
+    * the |keys|-row counts frame, and a bounded TakeOrdered for the top-N
+    * — never a global sort of the raw rows. */
+  def keySkewProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"keySkewProfile needs topN >= 1, got $topN")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val Array(n, nKeys) = counts
+      .agg(sum(col("cnt")).cast("double"), count(lit(1)))
+      .head().toSeq.toArray
+    val nd = n.asInstanceOf[Double]
+    val entropy = counts
+      .agg(round(-sum((col("cnt") / nd) * log(col("cnt") / nd)), 6))
+      .head().getDouble(0)
+    counts
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / nd, 6).as("share"),
+        lit(nKeys.asInstanceOf[Long]).as("n_keys"),
+        lit(entropy).as("entropy"))
+      .orderBy(desc("cnt"), asc("key")).limit(topN)
+  }
 }

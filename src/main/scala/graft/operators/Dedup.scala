@@ -51,6 +51,32 @@ object Dedup {
         (col("corpus_rep").isNull && col("doc_id") === col("batch_rep")).as("keep"))
   }
 
+  /** Corpus snapshot diff by content digest: per-id verdicts between two
+    * snapshots of the same corpus — `added` (id only in the new snapshot),
+    * `removed` (only in the old), `changed` (both, digests differ),
+    * `unchanged`. The data-versioning primitive a recurring-crawl pipeline
+    * runs between increments (what actually changed since the last
+    * snapshot → feed only `added`+`changed` into the incremental dedup/
+    * index stores, retire `removed`).
+    *
+    * 100 TB shape: each side reduces to a narrow (id, md5) frame BEFORE
+    * the full-outer join — the shuffle carries 40-byte digest rows, never
+    * documents; persist both snapshots bucketed on the id
+    * ([[graft.sources.IO.writeBucketed]]) and neither side shuffles at
+    * all. Ids must be unique per snapshot (it's a keyed diff); enforce
+    * upstream with [[exact]] if in doubt. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   id: Column, text: Column): DataFrame = {
+    val o = oldSnap.select(id.as("doc_id"), md5(text).as("__old"))
+    val n = newSnap.select(id.as("doc_id"), md5(text).as("__new"))
+    o.join(n, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") =!= col("__new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Word n-gram shingles, normalized (lowercase, whitespace-split):
     * the codegen'd native kernel (graft.expressions.WordShingles — one
     * imperative pass per document inside WholeStageCodegen). */

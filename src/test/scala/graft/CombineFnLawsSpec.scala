@@ -161,4 +161,47 @@ class CombineFnLawsSpec extends SparkSpec {
       .collect().toMap
     assert(out == Map("a" -> 20.0, "b" -> 50.0))
   }
+
+  test("MisraGriesFn: exact (= shard/order-insensitive) when distinct ≤ capacity") {
+    // below capacity no decrement/truncation ever fires, so the summary is
+    // the exact count map — the strong law holds and lawCheck applies
+    lawCheck(new MisraGriesFn[Int](10), rnd => rnd.nextInt(8))
+  }
+
+  test("MisraGriesFn: theorem invariants under 100 adversarial shard/merge plans") {
+    // capacity far below distinct count — decrement (add path) and
+    // (k+1)-th-largest truncation (merge path) both fire constantly.
+    // Counter values are order-dependent BY DESIGN; what must hold under
+    // every plan: ≤ capacity counters, every true heavy hitter present,
+    // undercount-only error ≤ N/(capacity+1).
+    val capacity = 4
+    val fn = new MisraGriesFn[Int](capacity)
+    val rnd = new Random(20260814L)
+    // skewed universe: item i drawn with weight ~ 1/(i+1)
+    def draw(r: Random): Int = {
+      val u = r.nextDouble()
+      if (u < 0.35) 0 else if (u < 0.55) 1 else if (u < 0.68) 2
+      else 3 + r.nextInt(17)
+    }
+    (1 to 100).foreach { i =>
+      val xs = List.fill(200 + rnd.nextInt(200))(draw(rnd))
+      val n = xs.size
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n.toDouble / (capacity + 1)
+      val shards = 1 + rnd.nextInt(8)
+      val summary = run(fn, rnd.shuffle(xs), shards).toMap
+      assert(summary.size <= capacity, s"case $i: ${summary.size} > capacity")
+      exact.foreach { case (item, freq) =>
+        if (freq > bound)
+          assert(summary.contains(item),
+            s"case $i: true heavy hitter $item (freq $freq > $bound) missing from $summary")
+      }
+      summary.foreach { case (item, est) =>
+        val freq = exact.getOrElse(item, 0L)
+        assert(est <= freq, s"case $i: overestimate $item: $est > $freq")
+        assert(freq - est <= bound,
+          s"case $i: undercount ${freq - est} > bound $bound for $item")
+      }
+    }
+  }
 }

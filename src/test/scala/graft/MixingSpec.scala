@@ -146,6 +146,32 @@ class MixingSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("keySkewProfile: exact counts, shares, entropy; top-N total order") {
+    import graft.operators.Aggregates
+    // 6×a, 3×b, 1×c → shares .6/.3/.1, entropy = -(.6 ln .6 + .3 ln .3 + .1 ln .1)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map(_.swap).toDF("i", "k")
+    val rows = Aggregates.keySkewProfile(df, col("k"), topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    val expEntropy = BigDecimal(-(0.6 * math.log(0.6) + 0.3 * math.log(0.3)
+      + 0.1 * math.log(0.1))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.toSeq == Seq(("a", 6L, 0.6, 3L, expEntropy),
+      ("b", 3L, 0.3, 3L, expEntropy)))
+  }
+
+  test("snapshotDiff: all four verdicts from a keyed digest join") {
+    import graft.operators.Dedup
+    val oldSnap = Seq((1L, "same"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "new text"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("centroidOutliers: planted far point flagged, separation invariant holds") {
     // one tight cluster + one far-off-axis point
     val rows = (0L until 40L).map { i =>

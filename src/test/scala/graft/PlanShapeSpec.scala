@@ -409,6 +409,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("random_project"), s"native kernel expected:\n${p.take(2000)}")
   }
 
+  test("q_key_skew: top-N is a bounded TakeOrdered over the counts frame, never a global Sort") {
+    val p = plan("q_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Sort "), s"profile must not globally sort:\n${p.take(2000)}")
+  }
+
+  test("q_corpus_diff: both sides reduce to digest frames before the join — no text in the shuffle") {
+    // the Exchange inputs must carry (doc_id, md5) projections, not text
+    val p = plan("q_corpus_diff")
+    assert(p.contains("md5"), p.take(2500))
+    assert(!p.linesIterator.filter(_.contains("Exchange")).mkString.contains("text"),
+      s"digest-only shuffle expected:\n${p.take(2500)}")
+  }
+
   test("minHashIncremental against a BUCKETED band store: store side never re-shuffles") {
     // same 100 TB contract as the digest/vector stores: persist the band
     // buckets bucketed on (band, minhash) and an increment probes them
