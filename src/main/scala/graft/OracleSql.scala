@@ -1281,6 +1281,13 @@ object OracleSql {
         |FROM c CROSS JOIN tot CROSS JOIN ent
         |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
 
+    // distributed zipWithIndex: full replay via row_number over the same
+    // total order
+    "q_seq_ids" ->
+      """SELECT doc_id, n_chars,
+        |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
+        |FROM documents""".stripMargin,
+
     // snapshot diff: full replay of the digest-join classification
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),

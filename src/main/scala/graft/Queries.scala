@@ -1799,6 +1799,17 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** Distributed zipWithIndex (Aggregates.sequentialIds): global dense
+    * 0-based ids over documents ordered by (n_chars, doc_id) — real
+    * reordering, total order. FULL DuckDB replay via row_number(); the
+    * Spark plan is range-partitioned with a per-PARTITION offset table,
+    * pinned to contain NO single-partition rank window. */
+  def qSeqIds(s: SparkSession, dir: String): DataFrame =
+    Aggregates.sequentialIds(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars"), col("doc_id")))
+      .select(col("doc_id"), col("n_chars"), col("seq_id"))
+
   /** Embedding outlier screen contract (Similarity.centroidOutliers, k=8
     * cells, 1 Lloyd round, flag the top ~10% cosine-farthest per cell):
     * `sep_ok` — in every cell the flagged rows are strictly farther than

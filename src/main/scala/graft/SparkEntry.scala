@@ -139,6 +139,7 @@ object SparkEntry {
     "q_heavy_hitters"     -> Queries.qHeavyHitters _,
     "q_key_skew"          -> Queries.qKeySkew _,
     "q_corpus_diff"       -> Queries.qCorpusDiff _,
+    "q_seq_ids"           -> Queries.qSeqIds _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,

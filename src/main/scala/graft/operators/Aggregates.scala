@@ -291,6 +291,59 @@ object Aggregates {
     }
   }
 
+  /** Global 0-based dense sequential ids in total `order` — the
+    * distributed zipWithIndex, exposed first-class (training pipelines
+    * need it for deterministic sample numbering and sharded-array
+    * alignment; the naive `row_number() OVER (ORDER BY …)` is a
+    * SINGLE-PARTITION window funnel, the exact plan this operator
+    * exists to avoid). `order` must be a total order (append a unique
+    * id as the last column) or ids within a tie are partition-dependent.
+    *
+    * Shape: range-partition by `order` (parallel global sort), ONE
+    * per-partition count pass collected to a numPartitions-entry offset
+    * table (driver state is per PARTITION, never per row/key — the
+    * same prefix-sum construction as [[groupIntoBatches]]'s ranged
+    * path), then a narrow second pass attaches offsets + running index.
+    * Construction is eager; the result is localCheckpointed and the
+    * internal cache released. */
+  def sequentialIds(df: DataFrame, order: Seq[Column],
+                    idName: String = "seq_id"): DataFrame = {
+    require(order.nonEmpty, "sequentialIds needs at least one order column")
+    require(!df.columns.contains(idName),
+      s"sequentialIds: input already has a column named '$idName'")
+    val spark = df.sparkSession
+    // persisted so the count pass and the index pass see the SAME range
+    // partitions (recomputation would re-sample the range bounds)
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = {
+      var cum = 0L
+      counts.sortBy(_._1).map { case (pid, c) =>
+        val off = cum; cum += c; pid -> off
+      }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idName, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = bOff.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        i += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val out = indexed.localCheckpoint(true)
+    sorted.unpersist()
+    bOff.destroy()
+    out
+  }
+
   /** Combine.groupedValues (reference: Combine.java:2073): combine AFTER an
     * explicit GBK — the input is (key, values array); fold the array with a
     * Catalyst lambda, no second shuffle. */
@@ -377,7 +430,11 @@ object Aggregates {
     * — never a global sort of the raw rows. */
   def keySkewProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
     require(topN >= 1, s"keySkewProfile needs topN >= 1, got $topN")
+    // three consumers (totals, entropy, top-N) — localCheckpoint the
+    // |keys|-row counts frame once so the raw corpus is scanned ONCE
+    // (the assignToCentroids precedent), not three times
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val Array(n, nKeys) = counts
       .agg(sum(col("cnt")).cast("double"), count(lit(1)))
       .head().toSeq.toArray

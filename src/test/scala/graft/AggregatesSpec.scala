@@ -180,4 +180,23 @@ class AggregatesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("sequentialIds: dense 0-based global ids in total order, across many partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = rnd.shuffle((0L until 5000L).toList).map(i => (i, i % 17))
+    val df = rows.toDF("id", "grp").repartition(16)
+    val out = Aggregates.sequentialIds(df, Seq(col("grp"), col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 5000)
+    // expected: rank in (grp, id) order
+    val expected = rows.sortBy { case (id, g) => (g, id) }
+      .zipWithIndex.map { case ((id, g), i) => (id, g, i.toLong) }.toSet
+    assert(out.toSet == expected)
+    // fail-loud on a clobbered output column
+    val e = intercept[IllegalArgumentException] {
+      Aggregates.sequentialIds(df.withColumn("seq_id", lit(1)), Seq(col("id")))
+    }
+    assert(e.getMessage.contains("seq_id"))
+  }
 }

@@ -423,6 +423,12 @@ class PlanShapeSpec extends SparkSpec {
       s"digest-only shuffle expected:\n${p.take(2500)}")
   }
 
+  test("q_seq_ids: distributed zipWithIndex — range exchange, NO single-partition rank window") {
+    val p = plan("q_seq_ids")
+    assert(!p.contains("Window "),
+      s"global row_number window funnel must not appear:\n${p.take(2000)}")
+  }
+
   test("minHashIncremental against a BUCKETED band store: store side never re-shuffles") {
     // same 100 TB contract as the digest/vector stores: persist the band
     // buckets bucketed on (band, minhash) and an increment probes them

@@ -607,4 +607,50 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("streamStaticJoin"))
   }
+
+  test("MisraGriesFn as a streaming aggregation: bounded state, theorem holds across batches") {
+    // the CombineFn⇄Aggregator bridge in Structured Streaming: the MG
+    // summary is the per-key STATE (≤ capacity counters — bounded
+    // regardless of stream length), updated batch-by-batch; after every
+    // batch the theorem guarantees must hold against exact counts of
+    // everything ingested so far
+    import spark.implicits._
+    val capacity = 4
+    val fn = new graft.functions.MisraGriesFn[String](capacity)
+    val input = MemoryStream[String](spark)
+    val agg = input.toDS().groupByKey(_ => 0)
+      .agg(fn.asAggregator.toColumn.name("hh"))
+    // complete mode: the memory table holds exactly the current summary row
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    val seen = collection.mutable.ArrayBuffer.empty[String]
+    def checkTheorem(): Unit = {
+      val summary = spark.table("mg_stream")
+        .collect().head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = seen.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = seen.size.toDouble / (capacity + 1)
+      assert(summary.size <= capacity)
+      exact.foreach { case (item, freq) =>
+        if (freq > bound) assert(summary.contains(item),
+          s"true heavy hitter $item (freq $freq > $bound) missing from $summary")
+      }
+      summary.foreach { case (item, est) =>
+        val freq = exact.getOrElse(item, 0L)
+        assert(est <= freq && freq - est <= bound,
+          s"estimate $est outside [${freq - bound}, $freq] for $item")
+      }
+    }
+    try {
+      val b1 = Seq.fill(30)("a") ++ Seq.fill(12)("b") ++
+        (1 to 10).map(i => s"x$i")
+      input.addData(b1: _*); seen ++= b1
+      q.processAllAvailable(); checkTheorem()
+      // second batch shifts the distribution: c surges, a stops
+      val b2 = Seq.fill(40)("c") ++ Seq.fill(8)("b") ++
+        (1 to 10).map(i => s"y$i")
+      input.addData(b2: _*); seen ++= b2
+      q.processAllAvailable(); checkTheorem()
+    } finally q.stop()
+  }
 }
