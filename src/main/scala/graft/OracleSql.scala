@@ -1288,6 +1288,59 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // KMV corpus Jaccard: the bottom-k estimator is md5-deterministic —
+    // replay BOTH the estimate and the exact shingle-set Jaccard
+    "q_corpus_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |ka AS (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 2 = 0
+        |       ORDER BY 1 LIMIT 256),
+        |kb AS (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 2 <> 0
+        |       ORDER BY 1 LIMIT 256),
+        |merged AS (SELECT coalesce(ka.h, kb.h) AS h,
+        |                  (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS in_both
+        |           FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+        |           ORDER BY 1 LIMIT 256),
+        |est AS (SELECT round(sum(CASE WHEN in_both THEN 1 ELSE 0 END) * 1.0
+        |                     / count(*), 6) AS j_est,
+        |               count(*) AS k_used FROM merged),
+        |sa AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+        |sb AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 <> 0),
+        |ex AS (SELECT sum(CASE WHEN sa.s IS NOT NULL AND sb.s IS NOT NULL
+        |                       THEN 1 ELSE 0 END) * 1.0 / count(*) AS j
+        |       FROM sa FULL OUTER JOIN sb ON sa.s = sb.s)
+        |SELECT est.j_est, est.k_used,
+        |       (abs(est.j_est - ex.j) <= 0.2) AS err_ok
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+    // increment pipeline: diff → added/changed → incremental exact dedup
+    // against the old snapshot's digest store — full composed replay
+    "q_increment_pipeline" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 0),
+        |diff AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |                CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                     WHEN n.doc_id IS NULL THEN 'removed'
+        |                     WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |                     ELSE 'unchanged' END AS status
+        |         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |store AS (SELECT md5(text) AS h, min(doc_id) AS corpus_rep
+        |          FROM o GROUP BY 1),
+        |w AS (SELECT n.doc_id, md5(n.text) AS h
+        |      FROM n JOIN diff ON n.doc_id = diff.doc_id
+        |      WHERE diff.status IN ('added', 'changed')),
+        |reps AS (SELECT h, min(doc_id) AS batch_rep FROM w GROUP BY 1),
+        |v AS (SELECT w.doc_id,
+        |             (s.corpus_rep IS NULL AND w.doc_id = r.batch_rep) AS keep
+        |      FROM w LEFT JOIN store s ON w.h = s.h
+        |      JOIN reps r ON w.h = r.h)
+        |SELECT diff.doc_id, diff.status, coalesce(v.keep, false) AS ingest
+        |FROM diff LEFT JOIN v ON diff.doc_id = v.doc_id""".stripMargin,
+
     // snapshot diff: full replay of the digest-join classification
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),

@@ -1799,6 +1799,58 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** Corpus-level Jaccard from KMV sketches (Dedup.kmvSketch/kmvJaccard):
+    * even/odd doc_id halves compared WITHOUT a cross-corpus join — each
+    * side reduces to a 256-hash bottom-k signature. md5 ordering is
+    * engine-neutral, so DuckDB replays the estimate EXACTLY; `err_ok`
+    * additionally pins the estimate against the true shingle-set Jaccard
+    * (both engines compute both numbers identically). */
+  def qCorpusJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val k = 256
+    val est = Dedup.kmvJaccard(
+      Dedup.kmvSketch(a, col("text"), col("doc_id"), 3, k),
+      Dedup.kmvSketch(b, col("text"), col("doc_id"), 3, k), k)
+    def shingleSet(df: DataFrame, tag: String) = df
+      .select(explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .distinct().withColumn("__t", lit(tag))
+    val exact = shingleSet(a, "a").union(shingleSet(b, "b"))
+      .groupBy(col("s")).agg(count(lit(1)).as("__n"))
+      .agg((sum(when(col("__n") === 2, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("__j"))
+    est.crossJoin(exact)
+      .select(col("j_est"), col("k_used"),
+        (abs(col("j_est") - col("__j")) <= lit(0.2)).as("err_ok"))
+  }
+
+  /** End-to-end increment pipeline — the composed daily-crawl shape the
+    * incremental stores exist for: snapshotDiff classifies the new crawl
+    * vs the previous snapshot; only `added`+`changed` docs proceed to
+    * exactIncremental against the previous corpus digest store; `ingest` =
+    * the content survives both the corpus store and within-batch dedup
+    * (unchanged/removed docs never re-ingest). Every stage is
+    * md5-deterministic — FULL DuckDB replay of the whole composition. */
+  def qIncrementPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    val diff = Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+    val work = newSnap.join(
+      diff.filter(col("status").isin("added", "changed")).select(col("doc_id")),
+      Seq("doc_id"))
+    val store = Dedup.exact(oldSnap, col("text"), col("doc_id"))
+      .select(col("content_hash"), col("rep_id").as("corpus_rep"))
+    val verdicts = Dedup.exactIncremental(work, col("text"), col("doc_id"), store)
+    diff.join(verdicts.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("keep"), lit(false)).as("ingest"))
+  }
+
   /** Distributed zipWithIndex (Aggregates.sequentialIds): global dense
     * 0-based ids over documents ordered by (n_chars, doc_id) — real
     * reordering, total order. FULL DuckDB replay via row_number(); the

@@ -140,6 +140,8 @@ object SparkEntry {
     "q_key_skew"          -> Queries.qKeySkew _,
     "q_corpus_diff"       -> Queries.qCorpusDiff _,
     "q_seq_ids"           -> Queries.qSeqIds _,
+    "q_corpus_jaccard"    -> Queries.qCorpusJaccard _,
+    "q_increment_pipeline" -> Queries.qIncrementPipeline _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,

@@ -190,6 +190,45 @@ object Dedup {
         (col("corpus_cand").isNull && col("batch_cand").isNull).as("keep"))
   }
 
+  /** K-minimum-values sketch of a corpus's distinct shingle set: the k
+    * lexicographically smallest md5 hex digests over word `shingleN`-grams
+    * — a bounded, MERGEABLE content signature of an entire corpus
+    * (Beyer et al. 2007; the same bottom-k construction as the KMV
+    * distinct-count CombineFn, here keyed on content shingles and kept
+    * deterministic for cross-engine replay). One dedup-shaped pass; the
+    * result is k rows regardless of corpus size. */
+  def kmvSketch(docs: DataFrame, text: Column, id: Column,
+                shingleN: Int = 3, k: Int = 256): DataFrame = {
+    require(k >= 1, s"kmvSketch needs k >= 1, got $k")
+    docs.select(explode(shingles(text, shingleN)).as("s"))
+      .select(md5(col("s")).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Corpus-level Jaccard similarity estimated from two [[kmvSketch]]es —
+    * compare two corpora WITHOUT ever joining them: merge the sketches,
+    * take the bottom k of the union, and count how many of those hashes
+    * appear in BOTH sketches; J_est = that fraction (the classic KMV
+    * set-resemblance estimator, ±O(1/√k)). Output one row:
+    * (j_est, k_used). Deterministic — md5 ordering is engine-neutral, so
+    * the DuckDB oracle replays the estimate EXACTLY, and at small scale
+    * also replays the true shingle-set Jaccard to pin the error bound.
+    *
+    * 100 TB story: each corpus is reduced independently (one pass each,
+    * possibly on different days/clusters); the comparison itself touches
+    * 2k hashes. This is the "did crawl B add anything new vs corpus A"
+    * triage that runs BEFORE committing to a full cross-corpus dedup. */
+  def kmvJaccard(sketchA: DataFrame, sketchB: DataFrame, k: Int = 256): DataFrame = {
+    val a = sketchA.select(col("h"), lit(1).as("__a"))
+    val b = sketchB.select(col("h"), lit(1).as("__b"))
+    val merged = a.join(b, Seq("h"), "full")
+      .orderBy(col("h")).limit(k)
+    merged.agg(
+      round(sum(when(col("__a").isNotNull && col("__b").isNotNull, 1)
+        .otherwise(0)).cast("double") / count(lit(1)), 6).as("j_est"),
+      count(lit(1)).as("k_used"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each shingle votes its
     * hash bits; fingerprint bit i is the sign of the vote sum. Near-dups have
     * small Hamming distance. xxhash64 is Spark-native and codegen'd.

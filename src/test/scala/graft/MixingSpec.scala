@@ -172,6 +172,26 @@ class MixingSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("kmvSketch/kmvJaccard: identical corpora → 1, disjoint → 0, bounded size") {
+    import graft.operators.Dedup
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val c = Seq((20L, "totally different words with zero overlap here")).toDF("doc_id", "text")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Dedup.kmvSketch(df, col("text"), col("doc_id"), 3, 16)
+    assert(sk(a).count() <= 16)
+    // b's shingles ⊂ a's: J(a,b) = |b|/|a| over shingle sets (4 of 9)
+    val jab = Dedup.kmvJaccard(sk(a), sk(b), 16).collect().head
+    assert(jab.getLong(1) <= 16)
+    assert(math.abs(jab.getDouble(0) - 4.0 / 9.0) < 1e-6, // j_est is 6-dp rounded
+      s"small sets fit in k → estimate is exact, got ${jab.getDouble(0)}")
+    val jac = Dedup.kmvJaccard(sk(a), sk(c), 16).collect().head
+    assert(jac.getDouble(0) == 0.0)
+    val jaa = Dedup.kmvJaccard(sk(a), sk(a), 16).collect().head
+    assert(jaa.getDouble(0) == 1.0)
+  }
+
   test("centroidOutliers: planted far point flagged, separation invariant holds") {
     // one tight cluster + one far-off-axis point
     val rows = (0L until 40L).map { i =>
