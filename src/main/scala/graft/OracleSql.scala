@@ -1288,6 +1288,35 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // TPC-H Q3/Q5 shapes: exact-cents revenue, total-order top-k
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
     // KMV corpus Jaccard: the bottom-k estimator is md5-deterministic —
     // replay BOTH the estimate and the exact shingle-set Jaccard
     "q_corpus_jaccard" ->

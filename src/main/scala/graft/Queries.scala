@@ -1799,6 +1799,47 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** TPC-H Q3 shape (shipping-priority): 3-way join with filters on every
+    * input, revenue aggregation, bounded top-10 — the classic composed
+    * analytic plan (pushdown on all three scans, broadcast dim, partial
+    * aggregation, TakeOrdered — audited in PlanAudit). Revenue is per-row
+    * cents-rounded then summed as exact integers (the catalog's money
+    * discipline), so the DuckDB replay hash-matches. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("o_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): 6-way snowflake join —
+    * region→nation→(customer ⋈ supplier co-nationality)→orders→lineitem —
+    * with a year filter, grouped revenue per nation. The deepest composed
+    * join in the catalog; the tiny dims broadcast, the fact joins shuffle
+    * on their keys, AQE re-plans at runtime. Exact-cents replay. */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+  }
+
   /** Corpus-level Jaccard from KMV sketches (Dedup.kmvSketch/kmvJaccard):
     * even/odd doc_id halves compared WITHOUT a cross-corpus join — each
     * side reduces to a 256-hash bottom-k signature. md5 ordering is

@@ -141,6 +141,8 @@ object SparkEntry {
     "q_corpus_diff"       -> Queries.qCorpusDiff _,
     "q_seq_ids"           -> Queries.qSeqIds _,
     "q_corpus_jaccard"    -> Queries.qCorpusJaccard _,
+    "q_tpch_q3"           -> Queries.qTpchQ3 _,
+    "q_tpch_q5"           -> Queries.qTpchQ5 _,
     "q_increment_pipeline" -> Queries.qIncrementPipeline _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,

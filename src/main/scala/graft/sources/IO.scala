@@ -165,6 +165,43 @@ object IO {
       .saveAsTable(table)
   }
 
+  /** Size-targeted parquet write — the small-files/fat-files fixer: pick
+    * the output file count from the data's MEASURED bytes-per-row (sampled
+    * from `sampleRows` rows encoded through the actual parquet writer is
+    * overkill; the in-memory row size × a parquet compression factor is
+    * the standard estimate) so each output file lands near `targetBytes`.
+    * At 100 TB both failure modes are expensive: thousands of KB-sized
+    * files per partition drown the namenode and the scan scheduler;
+    * multi-GB single files serialize retries and stragglers.
+    *
+    * The estimate costs one count + one tiny sample collect; pass
+    * `bytesPerRowHint` to skip both when the table's row size is known
+    * (the SCALING.md knob discipline). Returns the file count used. */
+  def writeSized(df: DataFrame, dir: String, targetBytes: Long = 128L << 20,
+                 sampleRows: Int = 1000, compressionFactor: Double = 0.35,
+                 bytesPerRowHint: Option[Double] = None): Int = {
+    require(targetBytes > 0, s"writeSized needs targetBytes > 0, got $targetBytes")
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = persisted.count()
+      if (n == 0L) { persisted.write.mode(SaveMode.Overwrite).parquet(dir); return 1 }
+      val bpr = bytesPerRowHint.getOrElse {
+        val sample = persisted.limit(sampleRows).collect()
+        val raw = sample.map(r => r.toSeq.map {
+          case null => 4L
+          case s: String => s.length.toLong + 4L
+          case b: Array[Byte] => b.length.toLong + 4L
+          case q: Seq[_] => q.size.toLong * 8L + 4L
+          case _ => 8L
+        }.sum).sum.toDouble / sample.length
+        raw * compressionFactor
+      }
+      val files = math.max(1, math.ceil(n * bpr / targetBytes).toInt)
+      persisted.repartition(files).write.mode(SaveMode.Overwrite).parquet(dir)
+      files
+    } finally persisted.unpersist()
+  }
+
   // ------------------------------------------------------------------ jdbc
 
   /** JdbcIO.read (reference: JdbcIO.java:145): query or table read;

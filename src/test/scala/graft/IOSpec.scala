@@ -108,4 +108,25 @@ class IOSpec extends SparkSpec {
       "topic" -> "out",
       "kafka.compression.type" -> "lz4"), write.toString)
   }
+
+  test("writeSized: file count tracks target bytes; content survives; hint skips the sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 2000L).map(i => (i, "x" * 100)).toDF("id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sized").toString
+    // ~2000 rows × 100B payload × 0.35 ≈ 73 KB → 8 KB target → ~9 files
+    val files = graft.sources.IO.writeSized(df, s"$dir/a", targetBytes = 8L << 10)
+    val onDisk = new java.io.File(s"$dir/a").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == onDisk, s"reported $files, on disk $onDisk")
+    assert(files >= 4 && files <= 20, s"expected ~9 files for the estimate, got $files")
+    val back = spark.read.parquet(s"$dir/a")
+    assert(back.count() == 2000 && back.agg(sum(col("id"))).head.getLong(0) == 1999000L)
+    // explicit hint: exact arithmetic, no sampling pass
+    val f2 = graft.sources.IO.writeSized(df, s"$dir/b", targetBytes = 1000L,
+      bytesPerRowHint = Some(10.0)) // 2000×10/1000 = 20 files
+    assert(f2 == 20)
+    // empty frame → single file dir, no crash
+    val f0 = graft.sources.IO.writeSized(df.limit(0), s"$dir/c")
+    assert(f0 == 1 && spark.read.parquet(s"$dir/c").count() == 0)
+  }
 }

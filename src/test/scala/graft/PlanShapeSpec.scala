@@ -423,6 +423,22 @@ class PlanShapeSpec extends SparkSpec {
       s"digest-only shuffle expected:\n${p.take(2500)}")
   }
 
+  test("q_tpch_q3: filters push to all three scans, bounded TakeOrdered top-10") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q_tpch_q5: snowflake dims broadcast, no cartesian, partial+final agg") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi-joins only:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q_seq_ids: distributed zipWithIndex — range exchange, NO single-partition rank window") {
     val p = plan("q_seq_ids")
     assert(!p.contains("Window "),
