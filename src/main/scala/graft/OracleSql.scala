@@ -1288,6 +1288,20 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // NFC: DuckDB nfc_normalize over the SAME decomposed planted suffix
+    // (combining marks) -- real composition replay, not identity
+    "q_text_nfc" ->
+      ("SELECT doc_id, nfc_normalize(text || ' café naïve Ångström') AS nfc, " +
+      "true AS changed FROM documents"),
+
+    // BPE encode: roundtrip/count/id-range contracts are Spark-checked
+    // booleans (the iterated merge fixpoint is not SQL-replayable);
+    // n_docs replayed
+    "q_bpe_encode" ->
+      """SELECT count(*) AS n_docs, true AS roundtrip_ok,
+        |       true AS count_ok, true AS ids_ok
+        |FROM documents""".stripMargin,
+
     // TPC-H Q3/Q5 shapes: exact-cents revenue, total-order top-k
     "q_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,

@@ -1799,6 +1799,52 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** Unicode NFC normalization (expressions.UnicodeNormalize): the ASCII
+    * corpus carries no decomposed sequences, so combining-mark text
+    * (e+U+0301, i+U+0308, A+U+030A) is PLANTED deterministically in both
+    * engines and the oracle replays real composition via DuckDB's
+    * nfc_normalize — not identity. `changed` pins that normalization
+    * actually fired on every row. */
+  def qTextNfc(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TextExpressions.unicodeNormalize
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" café naïve Ångström")).as("raw"))
+    raw.select(col("doc_id"),
+      unicodeNormalize(col("raw"), "NFC").as("nfc"),
+      (unicodeNormalize(col("raw"), "NFC") =!= col("raw")).as("changed"))
+  }
+
+  /** BPE encode to input_ids (Bpe.encode over a 6-round learned merge
+    * table + corpus-derived vocabulary — the full train→vocab→encode
+    * tokenizer pipeline). Contracts computed in-query, pinned by the
+    * oracle: `roundtrip_ok` — decoding every doc's ids through the vocab
+    * reproduces its pretoken concatenation EXACTLY (a single wrong id
+    * breaks it); `count_ok` — n_tokens agrees with the independent
+    * tokenCount operator; `ids_ok` — every id within [0, |vocab|).
+    * n_docs is replayed from the documents table. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.learnMerges(docs, col("text"), rounds = 6)
+      .map(m => (m._2, m._3))
+    val vocab = Bpe.vocabFromCorpus(docs, col("text"), merges)
+    val enc = Bpe.encode(docs, col("text"), col("doc_id"), merges, vocab)
+    val vocabArr = array(vocab.map(lit): _*)
+    val counts = Bpe.tokenCount(docs, col("text"), col("doc_id"), merges)
+    enc.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(counts, Seq("doc_id"))
+      .select(
+        (concat_ws("", transform(col("input_ids"),
+          i => element_at(vocabArr, i + 1))) ===
+          concat_ws("", regexp_extract_all(col("text"),
+            lit(Bpe.pretokenPattern), lit(0)))).as("__rt"),
+        (col("n_tokens") === col("bpe_tokens")).as("__cnt"),
+        forall(col("input_ids"),
+          i => i >= 0 && i < lit(vocab.length)).as("__ids"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__rt")).as("roundtrip_ok"),
+        min(col("__cnt")).as("count_ok"), min(col("__ids")).as("ids_ok"))
+  }
+
   /** TPC-H Q3 shape (shipping-priority): 3-way join with filters on every
     * input, revenue aggregation, bounded top-10 — the classic composed
     * analytic plan (pushdown on all three scans, broadcast dim, partial

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_token_count"     -> Queries.qTokenCount _,
     "q_bpe_count"       -> Queries.qBpeCount _,
     "q_bpe_learn"       -> Queries.qBpeLearn _,
+    "q_bpe_encode"      -> Queries.qBpeEncode _,
     "q_fingerprint"     -> Queries.qFingerprint _,
     "q_tfexample"       -> Queries.qTfExample _,
     "q_mm_decode"       -> Queries.qMultimodalDecode _,
@@ -150,6 +151,7 @@ object SparkEntry {
     // composed examples
     "q_spammy_users"      -> Queries.qSpammyUsers _,
     "q_text_clean"        -> Queries.qTextClean _,
+    "q_text_nfc"          -> Queries.qTextNfc _,
     "q_quality_rep"       -> Queries.qQualityRepetition _,
     "q_decontaminate"     -> Queries.qDecontaminate _,
   )

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -352,6 +352,55 @@ case class WordNgramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization (java.text.Normalizer) as a Catalyst expression —
+  * the canonicalization step every multilingual corpus needs BEFORE
+  * hashing/dedup/tokenization (the same logical text arrives from
+  * different sources as precomposed é vs e+U+0301; without NFC the exact
+  * dedup digests differ and near-dup shingles fragment). Forms: NFC
+  * (default, canonical compose), NFD, NFKC, NFKD — compatibility forms
+  * also fold ligatures/width variants, the aggressive cleaning choice.
+  * CodegenFallback: Normalizer is a JDK library call, one virtual call
+  * per row around it (the QuantizeInt8Vec precedent); ASCII fast-path
+  * skips the Normalizer entirely (the overwhelmingly common case in web
+  * corpora). NULL in → NULL out. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  private val normForm = form.toUpperCase match {
+    case "NFC"  => java.text.Normalizer.Form.NFC
+    case "NFD"  => java.text.Normalizer.Form.NFD
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other  => throw new IllegalArgumentException(
+      s"unicode_normalize: unknown form '$other' (want NFC/NFD/NFKC/NFKD)")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    // ASCII is closed under every normalization form — skip the JDK call
+    if (s.isFullAscii) s
+    else {
+      val j = s.toString
+      if (java.text.Normalizer.isNormalized(j, normForm)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(j, normForm))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a string column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =
@@ -366,4 +415,9 @@ object TextExpressions {
     * pass pre-lowered text). */
   def wordNgramCounts(text: Column): Column =
     ColumnBridge.column(WordNgramCounts(ColumnBridge.expression(text)))
+
+  /** Unicode-normalize a string column (NFC/NFD/NFKC/NFKD; ASCII
+    * fast-path). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
 }

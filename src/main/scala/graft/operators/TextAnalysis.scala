@@ -234,6 +234,10 @@ object Bpe {
   private val pretoken = java.util.regex.Pattern.compile(
     "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")
 
+  /** The pretokenizer regex source, for callers replaying pretokenization
+    * through Catalyst (`regexp_extract_all`) or an external engine. */
+  def pretokenPattern: String = pretoken.pattern()
+
   /** Demonstration merges, rank = position (lower merges first). Pairs over
     * lowercase ASCII; words that hit no pair simply stay at one symbol per
     * character — exactly how a real table treats out-of-vocabulary text. */
@@ -329,6 +333,70 @@ object Bpe {
         it.map { case (d, t) => (d, countString(t, ranks, cache)) }
       }
       .toDF("doc_id", "bpe_tokens")
+  }
+
+  /** Deterministic token vocabulary for [[encode]]: the corpus's base
+    * character alphabet (one distinct-chars aggregate, sorted) followed by
+    * each merge's output symbol in learned order — the standard BPE vocab
+    * construction (base bytes first, merges appended), so ids are stable
+    * given (corpus alphabet, merge table). Bounded by |alphabet| +
+    * |merges| rows regardless of corpus size. */
+  def vocabFromCorpus(docs: DataFrame, text: Column,
+                      merges: Seq[(String, String)]): Seq[String] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select(explode(regexp_extract_all(text.cast("string"),
+        lit(pretoken.pattern()), lit(0))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().as[String].collect().sorted.toSeq
+    val merged = merges.map { case (a, b) => a + b }
+    (base ++ merged).distinct
+  }
+
+  /** BPE ENCODE to token ids — the missing middle of the tokenizer story
+    * (learnMerges trains, tokenCount counts, this EMITS `input_ids`):
+    * per doc, pretokenize, apply the merge table to fixpoint
+    * ([[tokenizeWord]], same greedy-rank semantics as tokenCount), map
+    * each subword through the vocabulary → (doc_id, input_ids, n_tokens).
+    * Feed the result straight into `Curation.packTokens` for training
+    * sequences. Out-of-vocabulary symbols fail LOUD naming the symbol
+    * (an encode with a mismatched vocab must never silently emit garbage
+    * ids). Row-local, zero shuffle; the merge table + vocab ship once per
+    * task. */
+  def encode(docs: DataFrame, text: Column, id: Column,
+             merges: Seq[(String, String)], vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "encode needs a non-empty vocabulary")
+    require(vocab.distinct.length == vocab.length, "vocabulary has duplicate symbols")
+    val ranks = merges.zipWithIndex.toMap
+    val ids = vocab.zipWithIndex.toMap
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Array[Int]]
+        it.map { case (d, t) =>
+          val m = pretoken.matcher(if (t == null) "" else t)
+          val out = Array.newBuilder[Int]
+          while (m.find()) {
+            val w = m.group()
+            val enc = if (cache.containsKey(w)) cache.get(w) else {
+              val e = tokenizeWord(w, ranks).map { sym =>
+                ids.getOrElse(sym, throw new IllegalArgumentException(
+                  s"BPE encode: symbol '$sym' (from word '$w') not in the " +
+                  s"${ids.size}-entry vocabulary — vocab and corpus alphabet mismatch"))
+              }.toArray
+              if (cache.size >= 65536) cache.clear()
+              cache.put(w, e)
+              e
+            }
+            out ++= enc
+          }
+          val arr = out.result()
+          (d, arr.toSeq, arr.length.toLong)
+        }
+      }
+      .toDF("doc_id", "input_ids", "n_tokens")
   }
 
   /** One simultaneous merge sweep: replace every adjacent (a, b) by a+b,

@@ -55,4 +55,30 @@ class BpeLearnSpec extends SparkSpec {
     val merges = Bpe.learnMerges(docs, col("text"), rounds = 4)
     assert(merges.isEmpty)
   }
+
+  test("encode: ids decode back to the pretoken stream; agrees with tokenCount; OOV fails loud") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "new newer")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val vocab = Bpe.vocabFromCorpus(docs, col("text"), merges)
+    assert(vocab.containsSlice(Seq("lo", "low", "er")) == false ||
+      vocab.takeRight(3) == Seq("lo", "low", "er")) // merges appended in learned order
+    val enc = Bpe.encode(docs, col("text"), col("doc_id"), merges, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).sortBy(_._1)
+    val idToSym = vocab.zipWithIndex.map(_.swap).toMap
+    // roundtrip: symbol concat == whitespace-stripped text
+    assert(enc(0)._2.map(idToSym).mkString == "lowlowerlowest")
+    assert(enc(1)._2.map(idToSym).mkString == "newnewer")
+    // "low" → [low]; "lower" → [low, er]; "lowest" → [low, e, s, t]
+    assert(enc(0)._3 == 1 + 2 + 4, enc(0).toString)
+    // agreement with the counting operator
+    val counts = Bpe.tokenCount(docs, col("text"), col("doc_id"), merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(enc.forall { case (id, _, n) => counts(id).toLong == n })
+    // OOV symbol fails loud naming the symbol
+    val e = intercept[Exception] {
+      Bpe.encode(docs, col("text"), col("doc_id"), merges,
+        vocab.filterNot(_ == "s")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

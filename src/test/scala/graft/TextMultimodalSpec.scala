@@ -379,4 +379,25 @@ class TextMultimodalSpec extends SparkSpec {
     val got = cases.map(_._1).toDF("t").select(Clean.clean(col("t"))).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e, s"got [$g]") }
   }
+
+  test("unicodeNormalize: NFC composes combining marks, NFKC folds compatibility, " +
+       "ASCII fast-path, NULL in -> NULL out, bad form fails loud") {
+    import graft.expressions.TextExpressions.unicodeNormalize
+    val rows = Seq(
+      "cafe\u0301",   // e + combining acute -> precomposed e-acute
+      "A\u030A",      // A + combining ring -> precomposed Angstrom A
+      "\uFB01le",     // fi ligature: NFC keeps, NFKC folds to "fi"
+      "plain ascii",
+      null
+    ).toDF("t")
+    val nfc = rows.select(unicodeNormalize(col("t"), "NFC")).as[String].collect()
+    assert(nfc(0) == "caf\u00E9" && nfc(1) == "\u00C5")
+    assert(nfc(2) == "\uFB01le" && nfc(3) == "plain ascii" && nfc(4) == null)
+    val nfkc = rows.select(unicodeNormalize(col("t"), "NFKC")).as[String].collect()
+    assert(nfkc(2) == "file", s"NFKC must fold the ligature, got ${nfkc(2)}")
+    val e = intercept[Exception] {
+      rows.select(unicodeNormalize(col("t"), "NFX")).collect()
+    }
+    assert(e.getMessage.contains("NFX") || e.getCause != null)
+  }
 }
