@@ -19,7 +19,14 @@ object PlanAudit {
         // tf.Example round-trip (q_bpe_learn is driver-iterative — its
         // per-round plans are the vocab aggregates, audited via DsirSpec-
         // style pins instead)
-        "q_dsir", "q_kmeans", "q_semdedup_incr", "q_tfexample").foreach { name =>
+        "q_dsir", "q_kmeans", "q_semdedup_incr", "q_tfexample",
+        // round-10 session 3: mixing/splits, incremental LSH, JL + outliers,
+        // rollup report, heavy hitters, skew profile, snapshot diff,
+        // distributed zipWithIndex, KMV jaccard, TPC-H shapes, NFC
+        "q_domain_mix", "q_minhash_incr", "q_rand_proj", "q_embed_outliers",
+        "q_corpus_report", "q_heavy_hitters", "q_key_skew", "q_corpus_diff",
+        "q_seq_ids", "q_corpus_jaccard", "q_increment_pipeline",
+        "q_tpch_q3", "q_tpch_q5", "q_text_nfc").foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3000))
     }

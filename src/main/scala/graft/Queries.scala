@@ -1639,8 +1639,7 @@ object Queries {
     val total = docs.agg(sum(nt)).head.getLong(0)
     val budget = total * 3 / 2
     val plan = Mixing.epochPlan(docs, col("lang"), nt, weights, budget)
-    val mixed = Mixing.mixToWeights(docs, col("lang"), col("doc_id"), nt,
-      weights, budget, seed = 7L)
+    val mixed = Mixing.applyPlan(docs, col("lang"), col("doc_id"), plan, seed = 7L)
     val sSess = s; import sSess.implicits._
     val planDf = plan.toDF("lang", "__full", "__frac", "target_tok")
     val stats = docs.groupBy(col("lang"))

@@ -219,6 +219,8 @@ object Dedup {
     * 2k hashes. This is the "did crawl B add anything new vs corpus A"
     * triage that runs BEFORE committing to a full cross-corpus dedup. */
   def kmvJaccard(sketchA: DataFrame, sketchB: DataFrame, k: Int = 256): DataFrame = {
+    Seq(sketchA, sketchB).foreach(s => require(s.columns.contains("h"),
+      s"kmvJaccard expects kmvSketch frames (an `h` column), got ${s.columns.toSeq}"))
     val a = sketchA.select(col("h"), lit(1).as("__a"))
     val b = sketchB.select(col("h"), lit(1).as("__b"))
     val merged = a.join(b, Seq("h"), "full")

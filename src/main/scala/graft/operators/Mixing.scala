@@ -75,6 +75,11 @@ object Mixing {
     * copies vanish. The plan joins in via broadcast (≤ |domains| rows). */
   def applyPlan(docs: DataFrame, domain: Column, id: Column,
                 plan: Seq[(String, Int, Double, Long)], seed: Long = 0L): DataFrame = {
+    val reserved = Seq("__d", "__full", "__frac", "__copies", "epoch")
+    reserved.filter(docs.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"applyPlan: input already has a column named '$c' (reserved: $reserved)")
+    }
     val s = docs.sparkSession
     import s.implicits._
     val planDf = plan.map { case (d, f, fr, _) => (d, f, fr) }
@@ -107,6 +112,8 @@ object Mixing {
     * within 1e-9 (fail-loud). Row-local, zero shuffle. */
   def hashSplit(docs: DataFrame, id: Column, fractions: Seq[(String, Double)],
                 seed: Long = 0L): DataFrame = {
+    require(!docs.columns.contains("split"),
+      "hashSplit: input already has a column named 'split'")
     require(fractions.nonEmpty, "fractions must be non-empty")
     fractions.foreach { case (n, f) =>
       require(f >= 0.0 && f <= 1.0, s"fraction $f for split '$n' outside [0,1]") }
