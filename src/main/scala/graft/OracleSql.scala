@@ -1288,6 +1288,43 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // per-row sessionization: full replay of lag-gap-flag + running sum
+    "q_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |                  lag(ts) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |                       OR ts - prev > INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // first-touch funnel: full replay of the three keyed stages
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |       (SELECT count(*) FROM c) AS n_click_users,
+        |       (SELECT count(*) FROM p) AS n_purchase_users,
+        |       round((SELECT count(*) FROM c) * 1.0
+        |             / (SELECT count(*) FROM v), 6) AS click_rate,
+        |       round((SELECT count(*) FROM p) * 1.0
+        |             / greatest((SELECT count(*) FROM c), 1), 6) AS purchase_rate""".stripMargin,
+
     // NFC: DuckDB nfc_normalize over the SAME decomposed planted suffix
     // (combining marks) -- real composition replay, not identity
     "q_text_nfc" ->

@@ -1798,6 +1798,47 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** Per-row sessionization (Windows.sessionize, 30-min inactivity gap,
+    * event_id tiebreak for a total order) rolled up to per-session stats —
+    * the event-analytics sibling of the Sessions window aggregations.
+    * FULL DuckDB replay of the lag-gap-flag + running-sum construction. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Windows.sessionize(ev, col("user_id"), col("ts"), gapSeconds = 1800L,
+      order = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+  }
+
+  /** First-touch conversion funnel over events: first view per user →
+    * first click within 1h of it → first purchase within 1h of that
+    * click. Three keyed aggregates + two keyed joins (never a per-user
+    * event-list materialization); FULL DuckDB replay. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").as("e2")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+      .select(col("n_view_users"), col("n_click_users"), col("n_purchase_users"),
+        round(col("n_click_users").cast("double") / col("n_view_users"), 6)
+          .as("click_rate"),
+        round(col("n_purchase_users").cast("double") /
+          greatest(col("n_click_users"), lit(1L)), 6).as("purchase_rate"))
+  }
+
   /** Unicode NFC normalization (expressions.UnicodeNormalize): the ASCII
     * corpus carries no decomposed sequences, so combining-mark text
     * (e+U+0301, i+U+0308, A+U+030A) is PLANTED deterministically in both

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_window_fixed"    -> Queries.qWindowFixed _,
     "q_window_sliding"  -> Queries.qWindowSliding _,
     "q_window_session"  -> Queries.qWindowSession _,
+    "q_sessionize"      -> Queries.qSessionize _,
+    "q_funnel"          -> Queries.qFunnel _,
     "q_window_calendar" -> Queries.qWindowCalendar _,
     "q_window_weekly"   -> Queries.qWindowWeekly _,
     "q_weekly_team_score" -> Queries.qWeeklyTeamScore _,

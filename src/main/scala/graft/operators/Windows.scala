@@ -307,4 +307,34 @@ object Windows {
     def earliest(ts: Column): Column = min(ts)
     def latest(ts: Column): Column = max(ts)
   }
+
+  /** Per-ROW session assignment — the analytic sibling of Sessions
+    * windows (which only exist at aggregation time): every row gains a
+    * 0-based `session_idx` within its key, where a new session starts
+    * whenever the gap since the key's previous event exceeds
+    * `gapSeconds`. The classic lag-gap-flag + running-sum formulation:
+    * two window passes over the SAME (key × time) ordering — one
+    * shuffle, parallel across keys, per-group state is a single counter
+    * (WindowExec streams frames, nothing materializes per group).
+    *
+    * `order` must totally order rows within a key (pass a unique
+    * tiebreak column after the timestamp) or session boundaries on
+    * equal timestamps are partition-dependent. 100 TB: the shuffle is
+    * by key — the same partitioning any per-user analysis needs; skewed
+    * single users are bounded by the counter-only window state. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+                 order: Seq[Column] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"sessionize needs gapSeconds > 0, got $gapSeconds")
+    require(!df.columns.contains("session_idx"),
+      "sessionize: input already has a column named 'session_idx'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy((ts +: order): _*)
+    val prev = lag(ts, 1).over(w)
+    val newSession = when(prev.isNull ||
+      GraftSession.epochMicros(ts) - GraftSession.epochMicros(prev) >
+        lit(gapSeconds * 1000000L), 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(newSession).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) - 1L)
+  }
 }

@@ -216,4 +216,25 @@ class WindowsSpec extends SparkSpec {
     assert(got(0L) == Seq((3L, 1L), (1L, 4L), (4L, 1L), (1L, 5L)))
     assert(got(1L).isEmpty && got(2L).isEmpty)
   }
+
+  test("sessionize: gap starts a new session; boundary gap stays; per-key independent") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(40), 3L), // 30-min gap = SAME session (strict >)
+      (1L, ts(45), 4L),
+      (2L, ts(0), 5L), (2L, ts(31), 6L),                    // 31 min → new session
+      (3L, ts(5), 7L)                                        // singleton
+    ).toDF("user_id", "ts", "event_id")
+    val got = Windows.sessionize(rows, col("user_id"), col("ts"),
+        gapSeconds = 1800L, order = Seq(col("event_id")))
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 1L, 7L -> 0L), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Windows.sessionize(rows.withColumn("session_idx", lit(0)),
+        col("user_id"), col("ts"), 1800L)
+    }
+    assert(e.getMessage.contains("session_idx"))
+  }
 }
