@@ -1288,6 +1288,27 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // one-scan quality gate: every metric recomputed exactly in SQL
+    "q_data_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(count(event_id) - count(DISTINCT event_id) AS DOUBLE) AS unique_dups,
+        |  round(CAST(count(user_id) AS DOUBLE) / count(*), 6) AS user_ratio,
+        |  round(CAST(count(props) AS DOUBLE) / count(*), 6) AS props_ratio,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |        ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS set_viol,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND (value < -1e6 OR value > 1e6)
+        |        THEN 1 ELSE 0 END) AS DOUBLE) AS range_viol,
+        |  CAST(count(*) AS DOUBLE) AS n
+        |FROM events)
+        |SELECT 'unique' AS "check", 'event_id' AS "column", unique_dups AS metric,
+        |       unique_dups = 0 AS ok FROM m
+        |UNION ALL SELECT 'not_null', 'user_id', user_ratio, user_ratio >= 1.0 FROM m
+        |UNION ALL SELECT 'not_null', 'props', props_ratio, props_ratio >= 0.5 FROM m
+        |UNION ALL SELECT 'in_set', 'event_type', set_viol, set_viol = 0 FROM m
+        |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
+        |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
+
     // per-row sessionization: full replay of lag-gap-flag + running sum
     "q_sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,

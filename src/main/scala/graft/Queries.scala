@@ -1798,6 +1798,21 @@ object Queries {
     Dedup.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
   }
 
+  /** One-scan declarative data-quality gate (Quality.run): six checks
+    * over events — key uniqueness, completeness, set membership, range,
+    * regex, size — all compiled into ONE aggregate pass; every metric is
+    * exact and the oracle recomputes each in SQL. */
+  def qDataChecks(s: SparkSession, dir: String): DataFrame = {
+    import Quality._
+    Quality.run(t(s, dir, "events"), Seq(
+      Unique("event_id"),
+      NotNull("user_id"),
+      NotNull("props", minRatio = 0.5),
+      InSet("event_type", Seq("click", "view", "purchase", "error", "signup")),
+      InRange("value", -1e6, 1e6),
+      SizeBetween(1L)))
+  }
+
   /** Per-row sessionization (Windows.sessionize, 30-min inactivity gap,
     * event_id tiebreak for a total order) rolled up to per-session stats —
     * the event-analytics sibling of the Sessions window aggregations.

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_window_sliding"  -> Queries.qWindowSliding _,
     "q_window_session"  -> Queries.qWindowSession _,
     "q_sessionize"      -> Queries.qSessionize _,
+    "q_data_checks"     -> Queries.qDataChecks _,
     "q_funnel"          -> Queries.qFunnel _,
     "q_window_calendar" -> Queries.qWindowCalendar _,
     "q_window_weekly"   -> Queries.qWindowWeekly _,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+import graft.operators.Quality._
+
+/** One-scan declarative data-quality checks. */
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), 10.0, "click"),
+    (2L, Some("b"), 20.0, "view"),
+    (3L, None, -5.0, "click"),
+    (3L, Some("d"), 999.0, "bogus") // dup id, out-of-set type
+  ).toDF("id", "tag", "value", "typ")
+
+  test("each check computes the exact metric and verdict") {
+    val got = Quality.run(df, Seq(
+      Unique("id"),                       // 1 dup → fail
+      NotNull("tag", minRatio = 0.9),     // 3/4 = .75 → fail
+      NotNull("tag", minRatio = 0.7),     // .75 → pass
+      InRange("value", -10, 100),         // 999 → 1 violation → fail
+      InSet("typ", Seq("click", "view")), // bogus → 1 violation → fail
+      SizeBetween(4, 4)))                 // exactly 4 → pass
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("unique", "id", 1.0, false),
+      ("not_null", "tag", 0.75, false),
+      ("not_null", "tag", 0.75, true),
+      ("in_range", "value", 1.0, false),
+      ("in_set", "typ", 1.0, false),
+      ("size_between", "*", 4.0, true)), got.mkString("; "))
+  }
+
+  test("matches_regex ratio over non-null values") {
+    val got = Quality.run(df, Seq(MatchesRegex("tag", "^[ab]$", minRatio = 0.6)))
+      .collect().head
+    // a, b match of 3 non-null → 2/3 = 0.666667 ≥ 0.6
+    assert(got.getDouble(2) == 0.666667 && got.getBoolean(3))
+  }
+
+  test("assertAll names every failed check; passes a clean spec") {
+    val e = intercept[IllegalArgumentException] {
+      Quality.assertAll(df, Seq(Unique("id"), SizeBetween(1)))
+    }
+    assert(e.getMessage.contains("unique(id)"), e.getMessage)
+    Quality.assertAll(df, Seq(NotNull("id"), SizeBetween(1, 10)))
+  }
+
+  test("one scan regardless of check count (single-pass contract)") {
+    val plan = SparkEntry.queries("q_data_checks")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"six checks must share ONE scan:\n${plan.take(2500)}")
+  }
+}
