@@ -1288,6 +1288,60 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // one-scan column profile: per-column replay (numeric min/max as
+    // rounded doubles, strings as strings — engine-neutral renderings)
+    "q_profile" ->
+      """WITH m AS (SELECT count(*) AS n FROM customer)
+        |SELECT 'c_custkey' AS "column", m.n AS n_rows,
+        |       (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS n_nulls,
+        |       (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct,
+        |       (SELECT round(CAST(min(c_custkey) AS DOUBLE), 6) FROM customer) AS min_num,
+        |       (SELECT round(CAST(max(c_custkey) AS DOUBLE), 6) FROM customer) AS max_num,
+        |       NULL AS min_str, NULL AS max_str FROM m
+        |UNION ALL SELECT 'c_name', m.n,
+        |       (SELECT count(*) FROM customer WHERE c_name IS NULL),
+        |       (SELECT count(DISTINCT c_name) FROM customer),
+        |       NULL, NULL,
+        |       (SELECT min(c_name) FROM customer),
+        |       (SELECT max(c_name) FROM customer) FROM m
+        |UNION ALL SELECT 'c_nationkey', m.n,
+        |       (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |       (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |       (SELECT round(CAST(min(c_nationkey) AS DOUBLE), 6) FROM customer),
+        |       (SELECT round(CAST(max(c_nationkey) AS DOUBLE), 6) FROM customer),
+        |       NULL, NULL FROM m
+        |UNION ALL SELECT 'c_acctbal', m.n,
+        |       (SELECT count(*) FROM customer WHERE c_acctbal IS NULL),
+        |       (SELECT count(DISTINCT c_acctbal) FROM customer),
+        |       (SELECT round(CAST(min(c_acctbal) AS DOUBLE), 6) FROM customer),
+        |       (SELECT round(CAST(max(c_acctbal) AS DOUBLE), 6) FROM customer),
+        |       NULL, NULL FROM m
+        |UNION ALL SELECT 'c_mktsegment', m.n,
+        |       (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL),
+        |       (SELECT count(DISTINCT c_mktsegment) FROM customer),
+        |       NULL, NULL,
+        |       (SELECT min(c_mktsegment) FROM customer),
+        |       (SELECT max(c_mktsegment) FROM customer) FROM m""".stripMargin,
+
+    // PSI drift: eps-floored shares, per-category contribution + total
+    "q_drift_psi" ->
+      """WITH a AS (SELECT lang AS category, count(*) AS c FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT lang AS category, count(*) AS c FROM documents
+        |      WHERE doc_id % 2 <> 0 GROUP BY 1),
+        |ta AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM a),
+        |tb AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM b),
+        |j AS (SELECT coalesce(a.category, b.category) AS category,
+        |             greatest(coalesce(a.c / ta.t, 0.0), 1e-6) AS pa,
+        |             greatest(coalesce(b.c / tb.t, 0.0), 1e-6) AS pb
+        |      FROM a FULL OUTER JOIN b ON a.category = b.category
+        |      CROSS JOIN ta CROSS JOIN tb),
+        |contrib AS (SELECT category, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |                   round((pa - pb) * ln(pa / pb), 6) AS psi FROM j)
+        |SELECT category, p_a, p_b, psi,
+        |       round(sum(psi) OVER (), 6) AS psi_total
+        |FROM contrib""".stripMargin,
+
     // one-scan quality gate: every metric recomputed exactly in SQL
     "q_data_checks" ->
       """WITH m AS (SELECT

@@ -1813,6 +1813,24 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** One-scan column profile (Quality.profile) over customer — null /
+    * exact-distinct counts and engine-neutral min/max per column from a
+    * single aggregate pass; FULL per-column SQL replay. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Quality.profile(t(s, dir, "customer"))
+
+  /** PSI drift (Quality.psiDrift) between the even- and odd-doc_id halves'
+    * lang distributions — the snapshot-to-snapshot mix-shift metric. Two
+    * |categories|-bounded aggregates + a tiny join; FULL SQL replay of
+    * every contribution and the total. */
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.psiDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+      col("lang"))
+  }
+
   /** Per-row sessionization (Windows.sessionize, 30-min inactivity gap,
     * event_id tiebreak for a total order) rolled up to per-session stats —
     * the event-analytics sibling of the Sessions window aggregations.

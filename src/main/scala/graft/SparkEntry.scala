@@ -76,6 +76,8 @@ object SparkEntry {
     "q_window_session"  -> Queries.qWindowSession _,
     "q_sessionize"      -> Queries.qSessionize _,
     "q_data_checks"     -> Queries.qDataChecks _,
+    "q_profile"         -> Queries.qProfile _,
+    "q_drift_psi"       -> Queries.qDriftPsi _,
     "q_funnel"          -> Queries.qFunnel _,
     "q_window_calendar" -> Queries.qWindowCalendar _,
     "q_window_weekly"   -> Queries.qWindowWeekly _,

@@ -99,6 +99,81 @@ object Quality {
         col("r.metric").as("metric"), col("r.ok").as("ok"))
   }
 
+  /** One-scan column profile: per column — null count, exact distinct
+    * count, min/max (numeric & timestamp columns as doubles — timestamps
+    * as epoch seconds — string columns as strings; engine-neutral
+    * renderings, so the report oracle-replays). The "what am I even
+    * looking at" pass on a new corpus; like [[run]], every column adds
+    * aggregate expressions to ONE agg, never a job. Exact distincts are
+    * the honest default at profile time; swap mentally to
+    * approx_count_distinct when profiling hundreds of columns at 100 TB
+    * (documented in SCALING.md). */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "profile needs at least one column")
+    val numTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+    val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def minMax(c: String): (Column, Column, Column, Column) = schema(c) match {
+      case t if numTypes(t) =>
+        (round(min(col(c)).cast("double"), 6), round(max(col(c)).cast("double"), 6),
+          lit(null).cast("string"), lit(null).cast("string"))
+      case org.apache.spark.sql.types.TimestampType =>
+        (min(unix_timestamp(col(c))).cast("double"),
+          max(unix_timestamp(col(c))).cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+      case org.apache.spark.sql.types.StringType =>
+        (lit(null).cast("double"), lit(null).cast("double"),
+          min(col(c)), max(col(c)))
+      case _ => // arrays/structs/binary: counts only
+        (lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+    }
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      val (mnN, mxN, mnS, mxS) = minMax(c)
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i"),
+        countDistinct(col(c)).as(s"__nd$i"),
+        mnN.as(s"__mnn$i"), mxN.as(s"__mxn$i"), mnS.as(s"__mns$i"), mxS.as(s"__mxs$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__nn$i").as("n_nulls"), col(s"__nd$i").as("n_distinct"),
+          col(s"__mnn$i").as("min_num"), col(s"__mxn$i").as("max_num"),
+          col(s"__mns$i").as("min_str"), col(s"__mxs$i").as("max_str"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Population Stability Index between two frames' categorical
+    * distributions — the standard "did the mix shift between snapshots /
+    * increments" drift metric (PSI < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 major, the conventional bands). Per category:
+    * (p_a − p_b) · ln(p_a / p_b) with `eps` floors so a category present
+    * on one side only contributes finitely; `psi_total` repeats on every
+    * row. Two |categories|-bounded aggregates + one tiny join; 6-dp
+    * rounding → oracle-replayable. */
+  def psiDrift(a: DataFrame, b: DataFrame, cat: Column,
+               eps: Double = 1e-6): DataFrame = {
+    def dist(df: DataFrame, side: String): DataFrame = {
+      val c = df.select(cat.cast("string").as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as(s"__c$side"))
+      val tot = c.agg(sum(col(s"__c$side"))).head().getLong(0).toDouble
+      c.withColumn(s"__p$side", col(s"__c$side") / lit(tot))
+    }
+    val joined = dist(a, "A").join(dist(b, "B"), Seq("category"), "full")
+      .select(col("category"),
+        greatest(coalesce(col("__pA"), lit(0.0)), lit(eps)).as("pa"),
+        greatest(coalesce(col("__pB"), lit(0.0)), lit(eps)).as("pb"))
+    val contrib = joined.select(col("category"),
+      round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+      round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6).as("psi"))
+    contrib.withColumn("psi_total",
+      round(sum(col("psi")).over(), 6)) // |categories| rows — the window is fine
+  }
+
   /** Fail loud (naming every violated check) unless all checks pass —
     * the pipeline-gate form. */
   def assertAll(df: DataFrame, checks: Seq[Check]): Unit = {

@@ -55,10 +55,21 @@ object PlanLint {
       node match {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty =>
-          out += Finding("error", w.nodeName,
-            "window with no PARTITION BY — every row funnels through ONE " +
-            "task; use a keyed window, the salted two-phase top-k, or " +
-            "Aggregates.sequentialIds for global numbering")
+          // over PRE-AGGREGATED data the frame is group-cardinality-sized —
+          // the library's own post-aggregation idiom (coverage sums over a
+          // 3-row split table, PSI totals over |categories|); over raw rows
+          // it is the classic full-corpus funnel
+          val postAgg = w.child.find(_.nodeName.contains("Aggregate")).isDefined
+          if (postAgg)
+            out += Finding("info", w.nodeName,
+              "unpartitioned window over aggregated data — fine when the " +
+              "aggregate's group count is small; re-check if groups are " +
+              "high-cardinality")
+          else
+            out += Finding("error", w.nodeName,
+              "window with no PARTITION BY over un-aggregated rows — every " +
+              "row funnels through ONE task; use a keyed window, the salted " +
+              "two-phase top-k, or Aggregates.sequentialIds for global numbering")
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => ()
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if e.outputPartitioning.numPartitions == 1 &&

@@ -49,6 +49,35 @@ class QualitySpec extends SparkSpec {
     Quality.assertAll(df, Seq(NotNull("id"), SizeBetween(1, 10)))
   }
 
+  test("profile: per-column nulls/distincts/min-max, typed rendering, one scan") {
+    val p = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(2) == 0 && p("id").getLong(3) == 3)       // 0 nulls, 3 distinct
+    assert(p("id").getDouble(4) == 1.0 && p("id").getDouble(5) == 3.0)
+    assert(p("tag").getLong(2) == 1 && p("tag").getLong(3) == 3)
+    assert(p("tag").getString(6) == "a" && p("tag").getString(7) == "d")
+    assert(p("value").getDouble(4) == -5.0 && p("value").getDouble(5) == 999.0)
+    val plan = Quality.profile(df).queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
+  test("psiDrift: identical distributions → 0; known shift → hand-computed PSI") {
+    val x = Seq("a", "a", "a", "b").toDF("c")
+    val same = Quality.psiDrift(x, x, col("c")).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // a: .75 vs .25, b: .25 vs .75 → psi = 2 * (.5 * ln(3)) = ln(3)
+    val y = Seq("a", "b", "b", "b").toDF("c")
+    val got = Quality.psiDrift(x, y, col("c")).collect()
+    val half = BigDecimal(0.5 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall(r => r.getDouble(3) == half), got.mkString("; "))
+    assert(math.abs(got.head.getDouble(4) - 2 * half) < 1e-9)
+    // category on one side only: finite contribution via the eps floor
+    val z = Seq("a", "zz").toDF("c")
+    val f = Quality.psiDrift(x, z, col("c")).collect()
+    assert(f.forall(r => !r.getDouble(3).isInfinite && !r.getDouble(3).isNaN))
+  }
+
   test("one scan regardless of check count (single-pass contract)") {
     val plan = SparkEntry.queries("q_data_checks")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
