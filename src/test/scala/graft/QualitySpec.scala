@@ -59,6 +59,11 @@ class QualitySpec extends SparkSpec {
     assert(p("value").getDouble(4) == -5.0 && p("value").getDouble(5) == 999.0)
     val plan = Quality.profile(df).queryExecution.executedPlan.toString
     assert("LocalTableScan".r.findAllIn(plan).size == 1, plan.take(1500))
+    // timestamp columns render as epoch seconds in the numeric slot
+    val ts = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00")).toDF("t")
+    val tp = Quality.profile(ts).collect().head
+    assert(tp.getDouble(5) - tp.getDouble(4) == 86400.0, tp.toString)
   }
 
   test("psiDrift: identical distributions → 0; known shift → hand-computed PSI") {

@@ -608,6 +608,39 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("streamStaticJoin"))
   }
 
+  test("streaming corpus monitor: per-batch quality gate + PSI drift vs a reference mix") {
+    // the ops compose in streaming exactly as in batch: each micro-batch
+    // passes through Quality.assertAll (schema/size contract) and its lang
+    // mix is PSI-scored against a reference distribution via foreachBatch —
+    // the ingest-time monitoring loop of a recurring-crawl pipeline
+    import spark.implicits._
+    import graft.operators.Quality
+    val reference = Seq("en", "en", "en", "de", "fr").toDF("lang")
+    val input = MemoryStream[(Long, String)](spark)
+    val seenPsi = collection.mutable.ArrayBuffer.empty[Double]
+    val q = input.toDF().toDF("doc_id", "lang").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Quality.assertAll(batch, Seq(
+          Quality.NotNull("doc_id"), Quality.Unique("doc_id"),
+          Quality.SizeBetween(1)))
+        val psi = Quality.psiDrift(reference, batch, col("lang"))
+          .select(col("psi_total")).head().getDouble(0)
+        seenPsi.synchronized { seenPsi += psi }
+        () // foreachBatch wants Unit
+      }.start()
+    try {
+      input.addData((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"), (5L, "fr"))
+      q.processAllAvailable()
+      // same mix as the reference → PSI ~ 0
+      assert(seenPsi.nonEmpty && seenPsi.last < 0.01, seenPsi.toString)
+      input.addData((6L, "zh"), (7L, "zh"), (8L, "zh"), (9L, "zh"))
+      q.processAllAvailable()
+      // all-new category → major shift, way over the 0.25 alarm band
+      assert(seenPsi.last > 0.25, seenPsi.toString)
+    } finally q.stop()
+  }
+
   test("MisraGriesFn as a streaming aggregation: bounded state, theorem holds across batches") {
     // the CombineFn⇄Aggregator bridge in Structured Streaming: the MG
     // summary is the per-key STATE (≤ capacity counters — bounded
