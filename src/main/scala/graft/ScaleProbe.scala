@@ -74,6 +74,8 @@ object ScaleProbe {
     // run only the round-10 session-3 probes (domain mix / incremental
     // minhash / JL projection / outlier screen)
     if (sys.env.get("SPARK_GRAFT_S3_ONLY").contains("1")) { s3OpsProbe(factor); return }
+    // run only the one-pass quality-gate duel (single agg vs a job per check)
+    if (sys.env.get("SPARK_GRAFT_QUALITY_ONLY").contains("1")) { qualityDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -1065,6 +1067,31 @@ object ScaleProbe {
     println(f"""{"sdi_pairs_base":$pB,"sdi_pairs_x$factor":$pN,""" +
       f""""sdi_pair_ratio":${pN.toDouble / math.max(pB, 1)}%.2f,""" +
       f""""sdi_nlist_base":$nlB,"sdi_nlist_x$factor":$nlN}""")
+    spark.stop()
+  }
+
+  /** The Quality.run design claim, measured: N checks in ONE aggregate
+    * pass vs the naive one-job-per-check loop every ad-hoc validation
+    * script writes. Same checks, same exact metrics; the single-pass form
+    * reads the table once. */
+  private def qualityDuel(): Unit = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val spark = GraftSession.getOrCreate()
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+    val checks = Seq(
+      Unique("event_id"), NotNull("user_id"), NotNull("props", 0.5),
+      InSet("event_type", Seq("click", "view", "purchase", "error", "signup")),
+      InRange("value", -1e6, 1e6), SizeBetween(1L))
+    def onePass(): Unit = { Quality.run(ev, checks).collect(); () }
+    def perCheck(): Unit = checks.foreach { c =>
+      Quality.run(ev, Seq(c)).collect(); ()
+    }
+    onePass(); perCheck() // warm
+    val one = Seq.fill(3)(timed("quality_one_pass")(onePass())).sorted.apply(1)
+    val per = Seq.fill(3)(timed("quality_job_per_check")(perCheck())).sorted.apply(1)
+    println(f"""{"quality_checks":${checks.size},"one_pass_s":$one%.3f,""" +
+      f""""per_check_s":$per%.3f,"speedup":${per / one}%.2f}""")
     spark.stop()
   }
 
