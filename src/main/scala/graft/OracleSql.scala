@@ -1288,6 +1288,14 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // StreamingWordExtract transform chain: split on non-letters,
+    // uppercase, one row per occurrence (multiset compare)
+    "q_word_extract" ->
+      """SELECT upper(w) AS word
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS w
+        |      FROM documents)
+        |WHERE length(w) > 0""".stripMargin,
+
     // one-scan column profile: per-column replay (numeric min/max as
     // rounded doubles, strings as strings — engine-neutral renderings)
     "q_profile" ->

@@ -1813,6 +1813,22 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** StreamingWordExtract port (reference:
+    * examples/.../complete/StreamingWordExtract.java:57-86 — ExtractWords
+    * splits on ExampleUtils.TOKENIZER_PATTERN `[^\p{L}]+`, Uppercase
+    * uppercases, StringToRowConverter emits one single-column row per
+    * word): the same ParDo chain over documents.text, one row per word
+    * occurrence. The reference's BigQuery streaming sink is the GCP
+    * boundary (out of scope); its TRANSFORMS are fully replayed — the
+    * streaming delivery path is the file-stream + foreachBatch machinery
+    * covered in StreamingSpec. Closes the LAST unported non-GCP example
+    * transform chain. */
+  def qWordExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), "[^\\p{L}]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(upper(col("w")).as("word"))
+
   /** One-scan column profile (Quality.profile) over customer — null /
     * exact-distinct counts and engine-neutral min/max per column from a
     * single aggregate pass; FULL per-column SQL replay. */

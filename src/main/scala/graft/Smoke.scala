@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** End-to-end smoke: drive a representative slice of the public API against
-  * a real scale-factor directory and print row counts + samples. Used by the
-  * project verify recipe (.claude/skills/verify/SKILL.md); the driver's t1
-  * smoke uses SparkEntry.entry instead.
+  * a real scale-factor directory and print row counts + samples — the
+  * quick "does it actually run" pass before the full Verify/oracle cycle;
+  * the driver's t1 smoke uses SparkEntry.entry instead.
   *
   * Usage: sbt "runMain graft.Smoke /root/testdata/sf0.001"
   */

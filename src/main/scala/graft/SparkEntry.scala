@@ -78,6 +78,7 @@ object SparkEntry {
     "q_data_checks"     -> Queries.qDataChecks _,
     "q_profile"         -> Queries.qProfile _,
     "q_drift_psi"       -> Queries.qDriftPsi _,
+    "q_word_extract"    -> Queries.qWordExtract _,
     "q_funnel"          -> Queries.qFunnel _,
     "q_window_calendar" -> Queries.qWindowCalendar _,
     "q_window_weekly"   -> Queries.qWindowWeekly _,
