@@ -111,6 +111,10 @@ object Quality {
   def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"profile: column(s) ${missing.mkString(", ")} not in the frame " +
+      s"(has: ${df.columns.mkString(", ")})")
     val numTypes: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
@@ -160,7 +164,11 @@ object Quality {
     def dist(df: DataFrame, side: String): DataFrame = {
       val c = df.select(cat.cast("string").as("category"))
         .groupBy(col("category")).agg(count(lit(1)).as(s"__c$side"))
-      val tot = c.agg(sum(col(s"__c$side"))).head().getLong(0).toDouble
+      val totRow = c.agg(sum(col(s"__c$side"))).head()
+      require(!totRow.isNullAt(0),
+        s"psiDrift: the '$side' side is empty — PSI against an empty " +
+        "distribution is undefined (gate on SizeBetween first)")
+      val tot = totRow.getLong(0).toDouble
       c.withColumn(s"__p$side", col(s"__c$side") / lit(tot))
     }
     val joined = dist(a, "A").join(dist(b, "B"), Seq("category"), "full")

@@ -66,6 +66,17 @@ class QualitySpec extends SparkSpec {
     assert(tp.getDouble(5) - tp.getDouble(4) == 86400.0, tp.toString)
   }
 
+  test("edge cases fail loud: unknown profile column, empty PSI side") {
+    val e1 = intercept[IllegalArgumentException] {
+      Quality.profile(df, Seq("id", "nope"))
+    }
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.psiDrift(df.limit(0), df, col("typ")).collect()
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("psiDrift: identical distributions → 0; known shift → hand-computed PSI") {
     val x = Seq("a", "a", "a", "b").toDF("c")
     val same = Quality.psiDrift(x, x, col("c")).collect()
