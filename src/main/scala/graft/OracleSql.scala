@@ -1288,6 +1288,14 @@ object OracleSql {
         |       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq_id
         |FROM documents""".stripMargin,
 
+    // packed training sequences: coverage/capacity/span contracts are
+    // Spark-checked booleans (BPE token counts aren't SQL-replayable);
+    // n_docs replays — every doc lands in exactly one span
+    "q_train_sequences" ->
+      """SELECT count(*) AS n_docs, true AS coverage_ok, true AS capacity_ok,
+        |       true AS spans_contiguous_ok, true AS span_lens_ok
+        |FROM documents""".stripMargin,
+
     // StreamingWordExtract transform chain: split on non-letters,
     // uppercase, one row per occurrence (multiset compare)
     "q_word_extract" ->

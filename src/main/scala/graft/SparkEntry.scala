@@ -152,6 +152,7 @@ object SparkEntry {
     "q_tpch_q5"           -> Queries.qTpchQ5 _,
     "q_increment_pipeline" -> Queries.qIncrementPipeline _,
     "q_pack_tokens"       -> Queries.qPackTokens _,
+    "q_train_sequences"   -> Queries.qTrainSequences _,
     "q_shuffle_shards"    -> Queries.qShuffleShards _,
     "q_curation_pipeline" -> Queries.qCurationPipeline _,
     // composed examples

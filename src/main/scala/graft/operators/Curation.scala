@@ -88,6 +88,49 @@ object Curation {
       .toDF("doc", "group", "bin", "tok")
   }
 
+  /** Packed TRAINING SEQUENCES — the artifact trainers actually load:
+    * [[packTokens]]'s bin assignment joined back to each doc's encoded
+    * `input_ids` ([[graft.operators.Bpe.encode]]'s output shape), every
+    * (group, bin) emitting ONE concatenated id sequence plus the
+    * document-boundary spans (doc_id, start, len) an attention mask /
+    * loss mask is built from. Docs concatenate in ascending doc_id — the
+    * same order the packer filled the bin, so spans are contiguous
+    * prefix-sum offsets by construction.
+    *
+    * 100 TB shape: the per-bin collect is bounded by `capacity` TOKENS
+    * (the one place a collect_list is genuinely capacity-bounded — an
+    * oversize single doc still lands alone in its own bin, flagged by
+    * the overflow column); the span walk is a row-local fold over the
+    * bin's ≤capacity contents. */
+  def packSequences(enc: DataFrame, capacity: Long, numGroups: Int,
+                    seed: Long): DataFrame = {
+    require(Seq("doc_id", "input_ids", "n_tokens").forall(enc.columns.contains),
+      s"packSequences expects Bpe.encode's (doc_id, input_ids, n_tokens) " +
+      s"shape, got ${enc.columns.toSeq}")
+    val packed = packTokens(enc, col("doc_id"), col("n_tokens"), capacity,
+      numGroups, seed)
+    packed.join(enc, packed("doc") === enc("doc_id"))
+      .groupBy(col("group"), col("bin"))
+      .agg(sort_array(collect_list(struct(col("doc").as("doc_id"),
+        col("input_ids"), col("tok")))).as("__docs"))
+      .select(col("group"), col("bin"),
+        flatten(transform(col("__docs"), d => d.getField("input_ids")))
+          .as("input_ids"),
+        // spans via a row-local prefix-sum fold over the bin's docs
+        expr("""aggregate(__docs,
+                 struct(CAST(0 AS BIGINT) AS off,
+                        CAST(array() AS array<struct<doc_id: bigint, start: bigint, len: bigint>>) AS spans),
+                 (acc, d) -> struct(acc.off + d.tok AS off,
+                   array_append(acc.spans,
+                     named_struct('doc_id', d.doc_id, 'start', acc.off,
+                                  'len', d.tok)) AS spans),
+                 acc -> acc.spans)""").as("spans"),
+        aggregate(col("__docs"), lit(0L), (a, d) => a + d.getField("tok"))
+          .as("n_tokens"),
+        (aggregate(col("__docs"), lit(0L), (a, d) => a + d.getField("tok"))
+          > capacity).as("overflow"))
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES): keep
     * the n rows with the largest priority ln(u)/w, where u ∈ (0,1) derives
     * from xxhash64(id, seed) — inclusion probability proportional to

@@ -170,4 +170,35 @@ class CurationSpec extends SparkSpec {
     assert(packed(2L) == 1L)             // oversize -> own bin
     assert(packed(3L) == 2L && packed(4L) == 3L) // 60+70 > 100 -> split
   }
+
+  test("packSequences: exact concatenation, prefix-sum spans, oversize flagged") {
+    // numGroups = 1 → every doc in one group, bins fill in doc_id order
+    val enc = Seq(
+      (1L, Seq(10, 11, 12), 3L),
+      (2L, Seq(20, 21), 2L),
+      (3L, Seq(30, 31, 32, 33), 4L),       // 3+2 fit cap 5; doc 3 opens bin 1
+      (4L, (100 to 107).map(identity), 8L) // oversize (8 > 5) → own bin, flagged
+    ).toDF("doc_id", "input_ids", "n_tokens")
+    val out = Curation.packSequences(enc, capacity = 5L, numGroups = 1, seed = 1L)
+      .collect().map { r =>
+        (r.getLong(1),
+          r.getSeq[Int](2),
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))),
+          r.getLong(4), r.getBoolean(5))
+      }.sortBy(_._1)
+    assert(out.length == 3, out.mkString("; "))
+    val (b0, b1, b2) = (out(0), out(1), out(2))
+    assert(b0._2 == Seq(10, 11, 12, 20, 21) &&
+      b0._3 == Seq((1L, 0L, 3L), (2L, 3L, 2L)) && b0._4 == 5L && !b0._5)
+    assert(b1._2 == Seq(30, 31, 32, 33) &&
+      b1._3 == Seq((3L, 0L, 4L)) && !b1._5)
+    assert(b2._2 == (100 to 107).toSeq &&
+      b2._3 == Seq((4L, 0L, 8L)) && b2._5, "oversize singleton must flag overflow")
+    // shape guard
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(enc.drop("n_tokens"), 5L, 1, 1L)
+    }
+    assert(e.getMessage.contains("n_tokens"))
+  }
 }
