@@ -1379,6 +1379,29 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // gap-filled resample: slot assignment, deterministic last-obs,
+    // per-key dense grid, IGNORE NULLS forward fill — all replayed
+    "q_gap_fill" ->
+      """WITH s AS (SELECT user_id AS key,
+        |                  epoch_us(ts) // 21600000000 AS slot,
+        |                  ts, event_id, round(value, 6) AS v
+        |           FROM events),
+        |obs AS (SELECT key, slot, v
+        |        FROM s QUALIFY row_number() OVER (PARTITION BY key, slot
+        |                  ORDER BY ts DESC, event_id DESC) = 1),
+        |spans AS (SELECT key, min(slot) AS lo, max(slot) AS hi FROM s GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS slot FROM spans),
+        |j AS (SELECT g.key, g.slot, o.v
+        |      FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.slot = o.slot),
+        |f AS (SELECT key, slot, v,
+        |             last_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |                 ORDER BY slot ROWS UNBOUNDED PRECEDING) AS value
+        |      FROM j)
+        |SELECT key AS user_id, make_timestamp(slot * 21600000000) AS slot_ts,
+        |       round(value, 6) AS value,
+        |       (v IS NULL AND value IS NOT NULL) AS filled
+        |FROM f""".stripMargin,
+
     // per-row sessionization: full replay of lag-gap-flag + running sum
     "q_sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,

@@ -1813,6 +1813,20 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Gap-filled resample (Windows.resampleFill): per-user 6-hour grid over
+    * events with forward-filled values (event_id tiebreak on same-ts
+    * observations), 6-dp value rounding. FULL DuckDB replay of slot
+    * assignment, deterministic last-observation, per-key grid, and the
+    * IGNORE NULLS forward fill. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Windows.resampleFill(ev, col("user_id"), col("ts"),
+        round(col("value"), 6), stepSeconds = 21600L,
+        order = Seq(col("event_id")))
+      .select(col("key").as("user_id"), col("slot_ts"),
+        round(col("value"), 6).as("value"), col("filled"))
+  }
+
   /** Packed training sequences end-to-end (Bpe.encode with the default
     * merge table → Curation.packSequences at capacity 512): contracts
     * computed in-query, pinned by the oracle — token coverage (packed ids

@@ -322,6 +322,46 @@ object Windows {
     * equal timestamps are partition-dependent. 100 TB: the shuffle is
     * by key — the same partitioning any per-user analysis needs; skewed
     * single users are bounded by the counter-only window state. */
+  /** Time-series resampling with forward fill: per key, a dense grid of
+    * `stepSeconds` slots spanning that key's own [min, max] observations,
+    * each slot carrying the LAST observation at-or-before it (leading
+    * slots before the first observation stay NULL, `filled` marks
+    * carried-forward values). The classic gap-fill/upsample pass an
+    * irregular event stream needs before any fixed-step model.
+    *
+    * Shape: slot assignment is row-local; per-(key, slot) last-observation
+    * is one aggregate with a DETERMINISTIC tiebreak (`order` columns —
+    * pass a unique id); the grid explodes from a per-key (lo, hi) span
+    * pair; the fill is a keyed `last(ignoreNulls)` window — parallel
+    * across keys, counter-only state. `maxSlotsPerKey` fail-louds (at
+    * EXECUTION time, inside the plan) on a span/step combination that
+    * would explode the grid — the knob 100 TB callers must size. */
+  def resampleFill(df: DataFrame, key: Column, ts: Column, value: Column,
+                   stepSeconds: Long, order: Seq[Column] = Nil,
+                   maxSlotsPerKey: Long = 100000L): DataFrame = {
+    require(stepSeconds > 0, s"resampleFill needs stepSeconds > 0, got $stepSeconds")
+    val step = stepSeconds * 1000000L
+    val slotted = df.select(key.as("key"),
+      floor(GraftSession.epochMicros(ts) / step).cast("long").as("slot"),
+      struct((ts +: order): _*).as("__ord"), value.as("__v"))
+    val obs = slotted.groupBy(col("key"), col("slot"))
+      .agg(max_by(col("__v"), col("__ord")).as("__v"))
+    val spans = slotted.groupBy(col("key"))
+      .agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
+    val grid = spans.select(col("key"),
+      explode(sequence(col("__lo"),
+        when(col("__hi") - col("__lo") < maxSlotsPerKey, col("__hi"))
+          .otherwise(raise_error(concat(lit("resampleFill: key "), col("key"),
+            lit(s" spans more than $maxSlotsPerKey slots at step ${stepSeconds}s" +
+              " — raise stepSeconds or maxSlotsPerKey")))))).as("slot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("slot"))
+    grid.join(obs, Seq("key", "slot"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("key"), timestamp_micros(col("slot") * step).as("slot_ts"),
+        col("value"), (col("__v").isNull && col("value").isNotNull).as("filled"))
+  }
+
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                  order: Seq[Column] = Nil): DataFrame = {
     require(gapSeconds > 0, s"sessionize needs gapSeconds > 0, got $gapSeconds")

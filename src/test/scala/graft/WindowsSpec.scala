@@ -217,6 +217,36 @@ class WindowsSpec extends SparkSpec {
     assert(got(1L).isEmpty && got(2L).isEmpty)
   }
 
+  test("resampleFill: dense grid, forward fill, leading nulls, same-slot tiebreak, slot cap") {
+    def ts(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(0, 30), 10.0, 1L),
+      (1L, ts(0, 45), 11.0, 2L),  // same hour slot, later → wins the slot
+      (1L, ts(3, 10), 30.0, 3L),  // slots 1-2 empty → forward-filled 11.0
+      (2L, ts(5, 0), 50.0, 4L)    // singleton key: one slot
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Windows.resampleFill(rows, col("user_id"), col("ts"), col("value"),
+        stepSeconds = 3600L, order = Seq(col("event_id")))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", Some(11.0), false),
+      (1L, "2024-01-01 01:00:00.0", Some(11.0), true),
+      (1L, "2024-01-01 02:00:00.0", Some(11.0), true),
+      (1L, "2024-01-01 03:00:00.0", Some(30.0), false),
+      (2L, "2024-01-01 05:00:00.0", Some(50.0), false)), got.mkString("; "))
+    // span/step blowup fails loud at execution
+    val wide = Seq((1L, ts(0, 0), 1.0, 1L),
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 2.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val e = intercept[Exception] {
+      Windows.resampleFill(wide, col("user_id"), col("ts"), col("value"),
+        stepSeconds = 60L, maxSlotsPerKey = 1000L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("sessionize: gap starts a new session; boundary gap stays; per-key independent") {
     def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val rows = Seq(
