@@ -1379,6 +1379,18 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // rolling z-score: identical trailing ROWS frame, 4-dp rounding
+    "q_rolling_z" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN count(value) OVER w >= 5
+        |                 AND stddev_samp(value) OVER w > 0
+        |            THEN round((value - avg(value) OVER w)
+        |                       / stddev_samp(value) OVER w, 4)
+        |       END AS z
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // gap-filled resample: slot assignment, deterministic last-obs,
     // per-key dense grid, IGNORE NULLS forward fill — all replayed
     "q_gap_fill" ->

@@ -1813,6 +1813,15 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Rolling z-score (Windows.rollingZScore, trailing-10 frame, ≥5 obs)
+    * per user over event values — the spike/outage signal; FULL DuckDB
+    * replay of the identical ROWS frame (4-dp z, the catalog's
+    * double-rounding convention). */
+  def qRollingZ(s: SparkSession, dir: String): DataFrame =
+    Windows.rollingZScore(t(s, dir, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("value"), window = 10)
+      .select(col("event_id"), col("user_id"), col("z"))
+
   /** Gap-filled resample (Windows.resampleFill): per-user 6-hour grid over
     * events with forward-filled values (event_id tiebreak on same-ts
     * observations), 6-dp value rounding. FULL DuckDB replay of slot

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_window_session"  -> Queries.qWindowSession _,
     "q_sessionize"      -> Queries.qSessionize _,
     "q_gap_fill"        -> Queries.qGapFill _,
+    "q_rolling_z"       -> Queries.qRollingZ _,
     "q_data_checks"     -> Queries.qDataChecks _,
     "q_profile"         -> Queries.qProfile _,
     "q_drift_psi"       -> Queries.qDriftPsi _,

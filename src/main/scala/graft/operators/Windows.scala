@@ -362,6 +362,35 @@ object Windows {
         col("value"), (col("__v").isNull && col("value").isNotNull).as("filled"))
   }
 
+  /** Rolling z-score anomaly signal: per key, each observation scored
+    * against the trailing `window` observations' mean/stddev (ROWS frame
+    * including the current row — the streaming-friendly definition with
+    * no lookahead), NULL until `minObs` observations accumulate (a z
+    * against 2 points is noise) or when the frame is constant (stddev 0).
+    * One keyed window pass over a total order — parallel across keys,
+    * frame-bounded state.
+    *
+    * The rolled-up signal a quality pipeline thresholds for spike/outage
+    * detection; emit the score, let the caller pick the cut (|z| > 3 is
+    * the convention). */
+  def rollingZScore(df: DataFrame, key: Column, order: Seq[Column],
+                    value: Column, window: Int, minObs: Int = 5): DataFrame = {
+    require(window >= 2, s"rollingZScore needs window >= 2, got $window")
+    require(minObs >= 2 && minObs <= window,
+      s"minObs must be in [2, window], got $minObs")
+    require(order.nonEmpty, "rollingZScore needs ordering columns (total order)")
+    require(!df.columns.contains("z"),
+      "rollingZScore: input already has a column named 'z'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+      .rowsBetween(-(window - 1), 0)
+    val m = avg(value).over(w)
+    val sd = stddev_samp(value).over(w)
+    val n = count(value).over(w)
+    df.withColumn("z",
+      when(n >= minObs && sd > 0, round((value - m) / sd, 4)))
+  }
+
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                  order: Seq[Column] = Nil): DataFrame = {
     require(gapSeconds > 0, s"sessionize needs gapSeconds > 0, got $gapSeconds")

@@ -217,6 +217,27 @@ class WindowsSpec extends SparkSpec {
     assert(got(1L).isEmpty && got(2L).isEmpty)
   }
 
+  test("rollingZScore: hand-computed frame stats, min-obs null, constant-frame null") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // key 1: values 1..6; at row 6 the trailing-3 frame is {4,5,6}:
+    // mean 5, stddev_samp 1 → z = (6-5)/1 = 1.0
+    val rows = (1 to 6).map(i => (1L, ts(i), i.toDouble, i.toLong)) ++
+      Seq((2L, ts(1), 7.0, 10L), (2L, ts(2), 7.0, 11L),
+        (2L, ts(3), 7.0, 12L), (2L, ts(4), 7.0, 13L)) // constant → stddev 0
+    val got = Windows.rollingZScore(rows.toDF("k", "ts", "v", "id"),
+        col("k"), Seq(col("ts"), col("id")), col("v"), window = 3, minObs = 3)
+      .select(col("id"), col("z")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty, "below minObs → null")
+    assert(got(3L) == Some(1.0) && got(6L) == Some(1.0), got.toString)
+    assert(Seq(12L, 13L).forall(got(_).isEmpty), "constant frame → null")
+    val e = intercept[IllegalArgumentException] {
+      Windows.rollingZScore(rows.toDF("k", "ts", "v", "id"),
+        col("k"), Seq.empty, col("v"), 10)
+    }
+    assert(e.getMessage.contains("ordering"))
+  }
+
   test("resampleFill: dense grid, forward fill, leading nulls, same-slot tiebreak, slot cap") {
     def ts(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val rows = Seq(
