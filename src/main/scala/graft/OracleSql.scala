@@ -1379,6 +1379,13 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // EWMA: the recurrence/bit-exactness contract is Spark-checked (the
+    // sequential scan is not SQL-expressible row-by-row); n_rows replays
+    "q_ewma" ->
+      """SELECT count(*) AS n_rows, true AS recurrence_ok,
+        |       true AS has_first_rows
+        |FROM events""".stripMargin,
+
     // rolling z-score: identical trailing ROWS frame, 4-dp rounding
     "q_rolling_z" ->
       """SELECT event_id, user_id,

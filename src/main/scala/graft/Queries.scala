@@ -1813,6 +1813,30 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** EWMA per user (Windows.ewma through flatMapSortedGroups — the
+    * inherently-sequential recurrence Spark's frame windows can't
+    * express). Self-verifying contract, pinned by the oracle: the
+    * recurrence z_i = α·v_i + (1−α)·z_{i−1} holds BIT-EXACTLY when
+    * recomputed relationally via lag (identical IEEE ops on identical
+    * operands), and every key's first observation passes through
+    * unchanged. n_rows replays from the events table. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.3
+    val e = Windows.ewma(t(s, dir, "events"), col("user_id"), col("ts"),
+      col("event_id"), col("value"), alpha)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ord_ts"), col("ord"))
+    e.withColumn("__prev", lag(col("ewma"), 1).over(w))
+      .select(
+        when(col("__prev").isNull, col("ewma") === col("value"))
+          .otherwise(col("ewma") ===
+            lit(alpha) * col("value") + lit(1 - alpha) * col("__prev"))
+          .as("__ok"),
+        col("__prev").isNull.as("__first"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__ok")).as("recurrence_ok"),
+        (sum(when(col("__first"), 1L).otherwise(0L)) > 0).as("has_first_rows"))
+  }
+
   /** Rolling z-score (Windows.rollingZScore, trailing-10 frame, ≥5 obs)
     * per user over event values — the spike/outage signal; FULL DuckDB
     * replay of the identical ROWS frame (4-dp z, the catalog's

@@ -362,6 +362,41 @@ object Windows {
         col("value"), (col("__v").isNull && col("value").isNotNull).as("filled"))
   }
 
+  /** Exponentially weighted moving average per key:
+    * z_i = α·v_i + (1−α)·z_{i−1} (z_0 = v_0) over the key's observations
+    * in (ts, order) total order — the smoothing pass fixed windows can't
+    * express (every past observation contributes, geometrically decayed).
+    * The recurrence is inherently sequential per key, so it runs through
+    * `flatMapSortedGroups`: Spark sorts each key's rows WITHIN the
+    * shuffle (no per-group materialization — the iterator streams off the
+    * sorter, state is one double), keys proceed in parallel.
+    *
+    * `order` is a LONG tiebreak column (unique id). Returns
+    * (key, ord_ts, ord, value, ewma). At 100 TB: one keyed shuffle +
+    * sort — the same cost as any per-key ordered pass; a single giant key
+    * serializes only its own iterator (spill-backed), never the stage. */
+  def ewma(df: DataFrame, key: Column, ts: Column, order: Column,
+           value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewma needs alpha in (0, 1], got $alpha")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(key.cast("long").as("k"),
+        GraftSession.epochMicros(ts).as("t"),
+        order.cast("long").as("o"), value.cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("t"), col("o")) { (k, it) =>
+        var z = Double.NaN
+        var first = true
+        it.map { case (_, t, o, v) =>
+          z = if (first) { first = false; v } else alpha * v + (1 - alpha) * z
+          (k, t, o, v, z)
+        }
+      }
+      .toDF("key", "ord_ts", "ord", "value", "ewma")
+      .withColumn("ord_ts", timestamp_micros(col("ord_ts")))
+  }
+
   /** Rolling z-score anomaly signal: per key, each observation scored
     * against the trailing `window` observations' mean/stddev (ROWS frame
     * including the current row — the streaming-friendly definition with

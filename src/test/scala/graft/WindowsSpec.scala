@@ -217,6 +217,24 @@ class WindowsSpec extends SparkSpec {
     assert(got(1L).isEmpty && got(2L).isEmpty)
   }
 
+  test("ewma: hand-computed recurrence, per-key independence, order respected") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(1), 10.0, 1L), (1L, ts(2), 20.0, 2L), (1L, ts(3), 0.0, 3L),
+      (2L, ts(1), 100.0, 9L)
+    ).toDF("k", "ts", "v", "id")
+    val got = Windows.ewma(rows, col("k"), col("ts"), col("id"), col("v"), 0.5)
+      .select(col("key"), col("ord"), col("ewma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // key 1: 10; .5*20+.5*10=15; .5*0+.5*15=7.5 — key 2 unaffected
+    assert(got == Map((1L, 1L) -> 10.0, (1L, 2L) -> 15.0,
+      (1L, 3L) -> 7.5, (2L, 9L) -> 100.0), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Windows.ewma(rows, col("k"), col("ts"), col("id"), col("v"), 1.5)
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
+
   test("rollingZScore: hand-computed frame stats, min-obs null, constant-frame null") {
     def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     // key 1: values 1..6; at row 6 the trailing-3 frame is {4,5,6}:
