@@ -1379,6 +1379,17 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // pivot: CASE-column replay (counts may be 0 — Spark emits 0 for
+    // count over an empty pivot bucket)
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
+
     // EWMA: the recurrence/bit-exactness contract is Spark-checked (the
     // sequential scan is not SQL-expressible row-by-row); n_rows replays
     "q_ewma" ->

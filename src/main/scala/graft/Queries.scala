@@ -1813,6 +1813,17 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Pivot / cross-tab (Dataset.pivot with EXPLICIT column values — the
+    * one-pass form; valueless pivot would add a distinct-scan job):
+    * user-decile × event_type count matrix. Spark plans pivot as a single
+    * aggregate with pivot-value projections; DuckDB replays via CASE
+    * columns. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_decile"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(count(lit(1)))
+
   /** EWMA per user (Windows.ewma through flatMapSortedGroups — the
     * inherently-sequential recurrence Spark's frame windows can't
     * express). Self-verifying contract, pinned by the oracle: the
