@@ -59,7 +59,26 @@ object GraftExtensions {
     ("word_ngram_counts", "word_ngram_counts(s) - map of word unigram+bigram -> count (pre-lowered)",
       { case Seq(s) => graft.expressions.WordNgramCounts(s) }),
     ("word_shingles", "word_shingles(s, n) - distinct word n-gram shingles (n literal)",
-      { case Seq(s, n) => graft.expressions.WordShingles(s, litInt(n, "n")) }))
+      { case Seq(s, n) => graft.expressions.WordShingles(s, litInt(n, "n")) }),
+    ("random_project", "random_project(v, k, seed) - seeded-Rademacher JL projection to k dims (k, seed literals)",
+      { case Seq(v, k, seed) => graft.expressions.RandomProjectVec(
+          v, litInt(k, "k"), litLong(seed, "seed")) }),
+    ("unicode_normalize", "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization (form literal string)",
+      { case Seq(s, f) => graft.expressions.UnicodeNormalize(s, litString(f, "form")) }))
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 }
 
 /** Auto-rewrite of naive point-in-interval range joins.

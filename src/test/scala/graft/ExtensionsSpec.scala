@@ -94,6 +94,21 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("char_ngram_counts(s, n)").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // session-3 kernels: JL projection + unicode normalization
+    val rp = spark.sql(
+      "SELECT random_project(array(1.0D, 2.0D, 3.0D), 4, 42) AS p").head()
+      .getSeq[Double](0)
+    assert(rp.length == 4)
+    val rp2 = spark.sql(
+      "SELECT random_project(array(1.0D, 2.0D, 3.0D), 4, 42) AS p").head()
+      .getSeq[Double](0)
+    assert(rp == rp2, "same seed → same projection via SQL")
+    assert(spark.sql("SELECT unicode_normalize('cafe\u0301', 'NFC') AS s")
+      .head().getString(0) == "caf\u00E9")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("rule is idempotent across optimizer fixpoint (results stable, one rewrite)") {
