@@ -76,6 +76,9 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_S3_ONLY").contains("1")) { s3OpsProbe(factor); return }
     // run only the one-pass quality-gate duel (single agg vs a job per check)
     if (sys.env.get("SPARK_GRAFT_QUALITY_ONLY").contains("1")) { qualityDuel(); return }
+    // run only the time-series analytics probes (sessionize / gap fill /
+    // rolling z / ewma at ×factor keys)
+    if (sys.env.get("SPARK_GRAFT_TS_ONLY").contains("1")) { tsProbe(factor); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -1067,6 +1070,46 @@ object ScaleProbe {
     println(f"""{"sdi_pairs_base":$pB,"sdi_pairs_x$factor":$pN,""" +
       f""""sdi_pair_ratio":${pN.toDouble / math.max(pB, 1)}%.2f,""" +
       f""""sdi_nlist_base":$nlB,"sdi_nlist_x$factor":$nlN}""")
+    spark.stop()
+  }
+
+  /** Time-series analytics at ×factor KEYS (the scaling axis that matters
+    * for keyed windows — more keys parallelize; per-key state stays
+    * frame/counter-bounded by construction): wall ratios for sessionize,
+    * resampleFill, rollingZScore, ewma over a key-rekeyed ×factor events
+    * union. Near-linear wall (ratio ≈ factor on a fixed-size box) with NO
+    * superlinear term is the pass condition. */
+  private def tsProbe(factor: Int): Unit = {
+    import graft.operators.Windows
+    val base = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf_scaled_ts"
+    val spark = GraftSession.getOrCreate()
+    val ev = GraftSession.table(spark, base, "events")
+    (0 until factor).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 1000000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    def evAt(dir: String) = GraftSession.table(spark, dir, "events")
+    def run(tag: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+      def go(dir: String): Unit =
+        f(evAt(dir)).write.format("noop").mode("overwrite").save()
+      go(base); go(out) // warm
+      val b = timed(s"${tag}_base")(go(base))
+      val n = timed(s"${tag}_x$factor")(go(out))
+      n / b
+    }
+    val rs = run("sessionize")(d => Windows.sessionize(d, col("user_id"),
+      col("ts"), 1800L, Seq(col("event_id"))))
+    val rg = run("gap_fill")(d => Windows.resampleFill(d, col("user_id"),
+      col("ts"), col("value"), 21600L, Seq(col("event_id"))))
+    val rz = run("rolling_z")(d => Windows.rollingZScore(d, col("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), 10))
+    val re = run("ewma")(d => Windows.ewma(d, col("user_id"), col("ts"),
+      col("event_id"), col("value"), 0.3))
+    println(f"""{"ts_factor":$factor,"sessionize_ratio":$rs%.2f,""" +
+      f""""gap_fill_ratio":$rg%.2f,"rolling_z_ratio":$rz%.2f,""" +
+      f""""ewma_ratio":$re%.2f}""")
     spark.stop()
   }
 
