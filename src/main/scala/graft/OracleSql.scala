@@ -1379,6 +1379,15 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // exact keyed percentiles: both engines interpolate linearly over
+    // the sorted group — identical doubles at 6 dp
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
     // pivot: CASE-column replay (counts may be 0 — Spark emits 0 for
     // count over an empty pivot bucket)
     "q_pivot" ->

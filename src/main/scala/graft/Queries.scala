@@ -1813,6 +1813,17 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Exact keyed percentiles (Spark's sort-based `percentile` aggregate ≡
+    * DuckDB quantile_cont — both linear interpolation over the sorted
+    * group): P50/P90/P99 of event values per type, 6-dp. The exact
+    * latency-grid rollup; at 100 TB swap to percentile_approx (the
+    * q_approx_quant path) — exact keyed percentiles buffer each group. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
   /** Pivot / cross-tab (Dataset.pivot with EXPLICIT column values — the
     * one-pass form; valueless pivot would add a distinct-scan job):
     * user-decile × event_type count matrix. Spark plans pivot as a single

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_rolling_z"       -> Queries.qRollingZ _,
     "q_ewma"            -> Queries.qEwma _,
     "q_pivot"           -> Queries.qPivot _,
+    "q_percentiles"     -> Queries.qPercentiles _,
     "q_data_checks"     -> Queries.qDataChecks _,
     "q_profile"         -> Queries.qProfile _,
     "q_drift_psi"       -> Queries.qDriftPsi _,

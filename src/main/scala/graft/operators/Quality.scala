@@ -182,6 +182,32 @@ object Quality {
       round(sum(col("psi")).over(), 6)) // |categories| rows — the window is fine
   }
 
+  /** Schema contract gate: the frame must carry EXACTLY the expected
+    * columns and types (order-insensitive; nullability ignored by default
+    * — parquet round-trips routinely flip it). Fails loud with the full
+    * diff: missing columns, unexpected extras, and type mismatches — the
+    * zero-cost check (no data touched) every pipeline stage should run
+    * before the data-level gates. */
+  def expectSchema(df: DataFrame,
+                   expected: org.apache.spark.sql.types.StructType,
+                   checkNullability: Boolean = false): Unit = {
+    val got = df.schema.fields.map(f => f.name -> f).toMap
+    val want = expected.fields.map(f => f.name -> f).toMap
+    val missing = want.keySet -- got.keySet
+    val extra = got.keySet -- want.keySet
+    val mismatched = (want.keySet & got.keySet).filter { n =>
+      got(n).dataType != want(n).dataType ||
+        (checkNullability && got(n).nullable != want(n).nullable)
+    }
+    val problems = Seq(
+      if (missing.nonEmpty) Some(s"missing: ${missing.toSeq.sorted.mkString(", ")}") else None,
+      if (extra.nonEmpty) Some(s"unexpected: ${extra.toSeq.sorted.mkString(", ")}") else None,
+      if (mismatched.nonEmpty) Some("type mismatch: " + mismatched.toSeq.sorted.map(n =>
+        s"$n (got ${got(n).dataType.simpleString}, want ${want(n).dataType.simpleString})")
+        .mkString(", ")) else None).flatten
+    require(problems.isEmpty, s"schema contract violated — ${problems.mkString("; ")}")
+  }
+
   /** Fail loud (naming every violated check) unless all checks pass —
     * the pipeline-gate form. */
   def assertAll(df: DataFrame, checks: Seq[Check]): Unit = {

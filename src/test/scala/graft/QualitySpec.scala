@@ -66,6 +66,22 @@ class QualitySpec extends SparkSpec {
     assert(tp.getDouble(5) - tp.getDouble(4) == 86400.0, tp.toString)
   }
 
+  test("expectSchema: exact-match passes; missing/extra/mismatched named in the diff") {
+    import org.apache.spark.sql.types._
+    val want = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType), StructField("value", DoubleType),
+      StructField("typ", StringType)))
+    Quality.expectSchema(df, want) // order-insensitive, nullability ignored
+    val e = intercept[IllegalArgumentException] {
+      Quality.expectSchema(df.drop("tag").withColumn("rogue", lit(1)),
+        StructType(want.fields.map(f =>
+          if (f.name == "value") f.copy(dataType = IntegerType) else f)))
+    }
+    assert(e.getMessage.contains("missing: tag") &&
+      e.getMessage.contains("unexpected: rogue") &&
+      e.getMessage.contains("value (got double, want int)"), e.getMessage)
+  }
+
   test("edge cases fail loud: unknown profile column, empty PSI side") {
     val e1 = intercept[IllegalArgumentException] {
       Quality.profile(df, Seq("id", "nope"))
