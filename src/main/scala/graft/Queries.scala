@@ -1636,7 +1636,7 @@ object Queries {
     val nt = wsTokens(col("text"))
     val weights = Map("en" -> 50.0, "de" -> 20.0, "fr" -> 15.0,
       "es" -> 10.0, "zh" -> 5.0)
-    val total = docs.agg(sum(nt)).head.getLong(0)
+    val total = docs.agg(sum(nt)).head().getLong(0)
     val budget = total * 3 / 2
     val plan = Mixing.epochPlan(docs, col("lang"), nt, weights, budget)
     val mixed = Mixing.applyPlan(docs, col("lang"), col("doc_id"), plan, seed = 7L)

@@ -108,13 +108,18 @@ object Quality {
     * the honest default at profile time; swap mentally to
     * approx_count_distinct when profiling hundreds of columns at 100 TB
     * (documented in SCALING.md). */
-  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              approxDistinct: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"profile: column(s) ${missing.mkString(", ")} not in the frame " +
       s"(has: ${df.columns.mkString(", ")})")
+    // the SCALING.md swap: exact distincts cost one Expand multiplier per
+    // column; at hundreds of columns over 100 TB, HLL sketches instead
+    def distinctAgg(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
     val numTypes: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
@@ -138,7 +143,7 @@ object Quality {
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       val (mnN, mxN, mnS, mxS) = minMax(c)
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i"),
-        countDistinct(col(c)).as(s"__nd$i"),
+        distinctAgg(c).as(s"__nd$i"),
         mnN.as(s"__mnn$i"), mxN.as(s"__mxn$i"), mnS.as(s"__mns$i"), mxS.as(s"__mxs$i"))
     }
     df.agg(aggs.head, aggs.tail: _*)

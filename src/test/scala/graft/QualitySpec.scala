@@ -64,6 +64,10 @@ class QualitySpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-02 00:00:00")).toDF("t")
     val tp = Quality.profile(ts).collect().head
     assert(tp.getDouble(5) - tp.getDouble(4) == 86400.0, tp.toString)
+    // approx mode: HLL distincts within the standard rel error on small n
+    val ap = Quality.profile(df, approxDistinct = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ap("id") == 3L && ap("typ") == 3L, ap.toString)
   }
 
   test("expectSchema: exact-match passes; missing/extra/mismatched named in the diff") {
