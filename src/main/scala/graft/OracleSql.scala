@@ -1379,6 +1379,21 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // cohort retention: full replay (date truncation, first-seen join,
+    // distinct actives, 6-dp retention)
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |sized AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY 1),
+        |act AS (SELECT fs.cohort_day, e.day - fs.cohort_day AS day_offset,
+        |               count(DISTINCT e.user_id) AS active_users
+        |        FROM e JOIN fs ON e.user_id = fs.user_id GROUP BY 1, 2)
+        |SELECT CAST(act.cohort_day AS VARCHAR) AS cohort_day,
+        |       CAST(day_offset AS BIGINT) AS day_offset, active_users,
+        |       cohort_size,
+        |       round(active_users * 1.0 / cohort_size, 6) AS retention
+        |FROM act JOIN sized ON act.cohort_day = sized.cohort_day""".stripMargin,
+
     // exact keyed percentiles: both engines interpolate linearly over
     // the sorted group — identical doubles at 6 dp
     "q_percentiles" ->

@@ -1813,6 +1813,29 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Cohort retention — the classic activation analysis: users cohorted
+    * by first-seen day, then distinct active users per (cohort_day,
+    * day_offset) with 6-dp retention vs the cohort's size. Two keyed
+    * aggregates + one broadcast-size join (first-seen frame is one row
+    * per user); FULL DuckDB replay. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sized = firstSeen.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(sized, Seq("cohort_day"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
   /** Exact keyed percentiles (Spark's sort-based `percentile` aggregate ≡
     * DuckDB quantile_cont — both linear interpolation over the sorted
     * group): P50/P90/P99 of event values per type, 6-dp. The exact
