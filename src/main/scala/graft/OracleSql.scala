@@ -1379,6 +1379,18 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // transition matrix: full replay of the lag pairs + row normalization
+    "q_transitions" ->
+      """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prev,
+        |                  event_type AS next
+        |           FROM events),
+        |c AS (SELECT prev, next, count(*) AS n FROM p
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.n, round(c.n / t.tot, 6) AS p
+        |FROM c JOIN t ON c.prev = t.prev""".stripMargin,
+
     // cohort retention: full replay (date truncation, first-seen join,
     // distinct actives, 6-dp retention)
     "q_cohort_retention" ->

@@ -1813,6 +1813,25 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Event-type transition matrix (first-order Markov estimate): per-user
+    * ordered lag pairs → (prev, next) counts and 6-dp row-normalized
+    * transition probabilities — the behavioral-sequence summary that
+    * feeds next-action models. One keyed lag window + one tiny aggregate;
+    * FULL DuckDB replay. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("__t"))
+    pairs.join(totals, Seq("prev"))
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("p"))
+  }
+
   /** Cohort retention — the classic activation analysis: users cohorted
     * by first-seen day, then distinct active users per (cohort_day,
     * day_offset) with 6-dp retention vs the cohort's size. Two keyed
