@@ -74,10 +74,14 @@ object PlanLint {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if e.outputPartitioning.numPartitions == 1 &&
               // a scalar aggregate's FINAL exchange carries one pre-reduced
-              // row per task — that funnel is the answer, not a problem;
-              // flag only single-partition shuffles of un-aggregated rows
-              // (repartition(1), coalesce-into-one writes)
-              !e.child.nodeName.contains("Aggregate") =>
+              // row per task, and a GlobalLimit's shuffle carries ≤ n rows
+              // per task — those funnels ARE the answer. Flag only
+              // single-partition shuffles with NO aggregate/limit anywhere
+              // below (repartition(1)/coalesce(1) of raw rows). Searching
+              // the whole subtree can miss a funnel sitting far above a
+              // deep aggregate — the lint is a heuristic, not a proof.
+              e.child.find(n => n.nodeName.contains("Aggregate") ||
+                n.nodeName.contains("Limit")).isEmpty =>
           out += Finding("error", e.nodeName,
             "shuffle of un-aggregated rows into a single partition " +
             "(repartition(1)/coalesce(1)) — one task processes everything " +
