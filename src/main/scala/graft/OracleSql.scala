@@ -1379,6 +1379,20 @@ object OracleSql {
         |UNION ALL SELECT 'in_range', 'value', range_viol, range_viol = 0 FROM m
         |UNION ALL SELECT 'size_between', '*', n, n >= 1 FROM m""".stripMargin,
 
+    // co-occurrence: full replay of dedup -> frequency cap -> pair join
+    "q_cooccur" ->
+      """WITH w AS (SELECT DISTINCT doc_id, w
+        |           FROM (SELECT doc_id,
+        |                        unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |                 FROM documents)
+        |           WHERE length(w) > 0),
+        |kept AS (SELECT w.* FROM w
+        |         JOIN (SELECT w, count(*) AS f FROM w GROUP BY 1
+        |               HAVING count(*) <= 100000) k ON w.w = k.w)
+        |SELECT a.w AS word_a, b.w AS word_b, count(*) AS support
+        |FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+        |GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
+
     // transition matrix: full replay of the lag pairs + row normalization
     "q_transitions" ->
       """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id

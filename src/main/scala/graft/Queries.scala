@@ -1813,6 +1813,15 @@ object Queries {
       SizeBetween(1L)))
   }
 
+  /** Word co-occurrence above support (TextAnalysis.cooccurrence — the
+    * market-basket first level over documents-as-baskets): unordered
+    * distinct-word pairs per doc, support ≥ 50, stop-word frequency cap
+    * active. FULL DuckDB replay of the dedup→cap→pair-join→support
+    * pipeline. */
+  def qCooccur(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrence(t(s, dir, "documents"), col("text"),
+      col("doc_id"), minSupport = 50L, maxWordFreq = 100000L)
+
   /** Event-type transition matrix (first-order Markov estimate): per-user
     * ordered lag pairs → (prev, next) counts and 6-dp row-normalized
     * transition probabilities — the behavioral-sequence summary that

@@ -209,6 +209,31 @@ object TextAnalysis {
       normalizeWhitespace(redactPhones(redactIpv4(redactEmails(redactUrls(
         stripHtml(text))))))
   }
+  /** Doc-level word co-occurrence above a support threshold — the
+    * market-basket/apriori FIRST level over documents-as-baskets: distinct
+    * lowercased words per doc, unordered pairs (a < b) counted across
+    * docs, kept when support ≥ `minSupport`. `maxWordFreq` drops
+    * stop-words BEFORE the pair join (a word in every doc contributes
+    * |docs|·|vocab| pairs — the same frequency-cap discipline as
+    * ngramJaccard's stop-shingle cap); with it, per-word fanout is
+    * bounded and the pair shuffle carries (word, doc) ids, never text.
+    * Returns (word_a, word_b, support). */
+  def cooccurrence(docs: DataFrame, text: Column, id: Column,
+                   minSupport: Long = 2L, maxWordFreq: Long = 100000L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val words = docs.select(id.as("doc_id"),
+        explode(array_distinct(split(lower(text), "\\s+"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val kept = words.join(
+      words.groupBy(col("w")).agg(count(lit(1)).as("__f"))
+        .filter(col("__f") <= maxWordFreq).select(col("w")),
+      Seq("w"))
+    kept.as("a").join(kept.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("word_a"), col("b.w").as("word_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }
 
 /** Real byte-pair-encoding token counting: the classic greedy merge loop
