@@ -192,6 +192,28 @@ class MixingSpec extends SparkSpec {
     assert(jaa.getDouble(0) == 1.0)
   }
 
+  test("cooccurrence: distinct-per-doc pairs, support threshold, stop-word cap") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),  // distinct: apple banana cherry
+      (2L, "apple banana"),
+      (3L, "apple cherry the the the"),   // 'the' only here — still under cap
+      (4L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(docs, col("text"), col("doc_id"),
+        minSupport = 2L, maxWordFreq = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // apple+banana in docs 1,2; apple+cherry in 1,3; banana+cherry in 1,4
+    assert(got == Map(("apple", "banana") -> 2L, ("apple", "cherry") -> 2L,
+      ("banana", "cherry") -> 2L), got.toString)
+    // cap = 2: 'apple' (3 docs) and 'cherry' (3 docs) drop BEFORE pairing
+    val capped = TextAnalysis.cooccurrence(docs, col("text"), col("doc_id"),
+        minSupport = 1L, maxWordFreq = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.forall { case (a, b) =>
+      !Set(a, b).contains("apple") && !Set(a, b).contains("cherry") }, capped.toString)
+  }
+
   test("centroidOutliers: planted far point flagged, separation invariant holds") {
     // one tight cluster + one far-off-axis point
     val rows = (0L until 40L).map { i =>
