@@ -1235,6 +1235,44 @@ object OracleSql {
         |LEFT JOIN vs_batch vb ON vb.doc_id = d.doc_id
         |WHERE d.doc_id % 5 = 0""".stripMargin,
 
+    // incremental candidates + exact-Jaccard verification: full replay of
+    // the whole candidates -> verify composition
+    "q_incr_verified" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS s
+        |       FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |sig AS (SELECT doc_id, b.band AS band, min(md5(b.band || ':' || s)) AS minhash
+        |        FROM sh, (VALUES (0), (1), (2), (3)) AS b(band) GROUP BY 1, 2),
+        |store AS (SELECT band, minhash, min(doc_id) AS corpus_rep
+        |          FROM sig WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |bsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+        |vc AS (SELECT bsig.doc_id AS doc_id, min(store.corpus_rep) AS corpus_cand
+        |       FROM bsig JOIN store USING (band, minhash) GROUP BY 1),
+        |breps AS (SELECT band, minhash, min(doc_id) AS bucket_rep FROM bsig GROUP BY 1, 2),
+        |vb AS (SELECT bsig.doc_id AS doc_id, min(breps.bucket_rep) AS batch_cand
+        |       FROM bsig JOIN breps USING (band, minhash)
+        |       WHERE breps.bucket_rep < bsig.doc_id GROUP BY 1),
+        |pairs AS (SELECT DISTINCT doc_id, cand FROM (
+        |            SELECT doc_id, corpus_cand AS cand FROM vc
+        |            UNION ALL SELECT doc_id, batch_cand FROM vb)
+        |          WHERE cand IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT p.doc_id, p.cand, count(*) AS i
+        |          FROM pairs p
+        |          JOIN sh sa ON sa.doc_id = p.doc_id
+        |          JOIN sh sb ON sb.doc_id = p.cand AND sa.s = sb.s
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_id, p.cand,
+        |       round(coalesce(i.i, 0) * 1.0
+        |             / (za.sz + zb.sz - coalesce(i.i, 0)), 6) AS jaccard,
+        |       round(coalesce(i.i, 0) * 1.0
+        |             / (za.sz + zb.sz - coalesce(i.i, 0)), 6) >= 0.8 AS verified
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.doc_id = p.doc_id AND i.cand = p.cand
+        |JOIN sizes za ON za.doc_id = p.doc_id
+        |JOIN sizes zb ON zb.doc_id = p.cand""".stripMargin,
+
     // corpus report: GROUP BY ROLLUP replayed exactly at all three grains
     "q_corpus_report" ->
       """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,

@@ -1694,6 +1694,42 @@ object Queries {
       shingleN = 3, bands = 4)
   }
 
+  /** Incremental near-dup with PRECISION verification — the composition
+    * the Dedup scaladocs prescribe: minHashIncremental's recall-oriented
+    * candidates (batch = every 5th doc vs the corpus store, as
+    * q_minhash_incr) post-verified by exact 3-shingle Jaccard computed
+    * ONLY for candidate pairs (never all-pairs). FULL DuckDB replay of
+    * candidates AND verification. */
+  def qIncrVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val store = Dedup.minHashStore(corpus, col("text"), col("doc_id"), 3, 4)
+    val verdicts = Dedup.minHashIncremental(batch, col("text"), col("doc_id"),
+      store, 3, 4)
+    val pairs = verdicts
+      .select(col("doc_id"), explode(array(col("corpus_cand"), col("batch_cand")))
+        .as("cand"))
+      .filter(col("cand").isNotNull).distinct()
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs.as("p")
+      .join(sh.as("sa"), col("p.doc_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("p.cand") === col("sb.doc_id") &&
+        col("sa.s") === col("sb.s"))
+      .groupBy(col("p.doc_id").as("doc_id"), col("p.cand").as("cand"))
+      .agg(count(lit(1)).as("__i"))
+    pairs.join(inter, Seq("doc_id", "cand"), "left")
+      .join(sizes.select(col("doc_id"), col("sz").as("__sa")), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("cand"), col("sz").as("__sb")), Seq("cand"))
+      .select(col("doc_id"), col("cand"),
+        round(coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__i"), lit(0L))), 6)
+          .as("jaccard"))
+      .withColumn("verified", col("jaccard") >= 0.8)
+  }
+
   /** Corpus composition report — ROLLUP(lang, source) in one scan: doc
     * counts, token mass and char mass at every grain (lang × source, lang,
     * grand total), the dashboard a corpus owner reads before fixing
