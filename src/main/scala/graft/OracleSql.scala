@@ -68,7 +68,7 @@ object OracleSql {
          |  FROM v${r - 1})""".stripMargin
     }
     val union = (1 to rounds).map(r =>
-      s"SELECT $r AS merge_rank, a AS pair_a, b AS pair_b, cnt AS pair_count FROM p$r")
+      s"SELECT $r AS merge_rank, a AS pair_a, b AS pair_b, CAST(cnt AS BIGINT) AS pair_count FROM p$r")
       .mkString("\nUNION ALL\n")
     s"WITH $v0,\n${roundCtes.mkString(",\n")}\n$union"
   }
@@ -1491,7 +1491,7 @@ object OracleSql {
         |       CASE WHEN count(value) OVER w >= 5
         |                 AND stddev_samp(value) OVER w > 0
         |            THEN round((value - avg(value) OVER w)
-        |                       / stddev_samp(value) OVER w, 4)
+        |                       / stddev_samp(value) OVER w, 4) + 0.0
         |       END AS z
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1529,9 +1529,10 @@ object OracleSql {
         |f AS (SELECT *, CASE WHEN prev IS NULL
         |                       OR ts - prev > INTERVAL 30 MINUTE
         |                     THEN 1 ELSE 0 END AS ns FROM l),
-        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
         |                              ORDER BY ts, event_id
-        |                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |                              ROWS UNBOUNDED PRECEDING) - 1
+        |                     AS BIGINT) AS session_idx
         |      FROM f)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts) AS start_ts, max(ts) AS end_ts

@@ -438,6 +438,10 @@ object Aggregates {
     val Array(n, nKeys) = counts
       .agg(sum(col("cnt")).cast("double"), count(lit(1)))
       .head().toSeq.toArray
+    // fail loudly on an empty frame (sum is NULL → n unboxes to 0.0 →
+    // NaN shares and a raw NPE on the entropy collect) — the psiDrift
+    // empty-side convention
+    require(n != null, "keySkewProfile on an empty frame (no keys to profile)")
     val nd = n.asInstanceOf[Double]
     val entropy = counts
       .agg(round(-sum((col("cnt") / nd) * log(col("cnt") / nd)), 6))

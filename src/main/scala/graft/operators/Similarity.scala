@@ -220,7 +220,8 @@ object Similarity {
     (math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
   }
 
-  /** Random-hyperplane sign-bit bucket id (planes ≤ 30). The per-row work
+  /** Random-hyperplane sign-bit bucket id (planes ≤ 62 — bucket bits live
+    * in one Long; planesFor clamps to the same bound). The per-row work
     * is planes × dim multiply-adds — each plane's projection is one
     * codegen'd VecDotProduct against a literal plane array (the round-2
     * zip_with/aggregate lambda chain evaluated interpreted; the native

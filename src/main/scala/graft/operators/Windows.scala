@@ -106,7 +106,15 @@ object Windows {
       // CalendarWindows.DaysWindows:96 aligns to local day) and end =
       // start + 1 unit, so the column shape is the same struct<start,end>
       // that window()/session_window() emit and TimestampCombiners
-      // .endOfWindow composes with any WindowFn.
+      // .endOfWindow composes with any WindowFn. date_trunc aligns to the
+      // SESSION zone's midnight, so the same UTC guard as the general
+      // calendarWindowExpr path applies here — without it a non-UTC
+      // session silently shifts every default day/week/month/year window.
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .getOrElse(throw new IllegalStateException(
+          "calendar windows need an active SparkSession at expression-" +
+            "construction time to verify spark.sql.session.timeZone=UTC"))
+      GraftSession.requireUtc(session, "default calendar windows (date_trunc)")
       val start = date_trunc(cw.unit, ts)
       val end = start + expr(s"INTERVAL 1 ${cw.unit.toUpperCase}")
       Some(struct(start.as("start"), end.as("end")))
@@ -308,20 +316,6 @@ object Windows {
     def latest(ts: Column): Column = max(ts)
   }
 
-  /** Per-ROW session assignment — the analytic sibling of Sessions
-    * windows (which only exist at aggregation time): every row gains a
-    * 0-based `session_idx` within its key, where a new session starts
-    * whenever the gap since the key's previous event exceeds
-    * `gapSeconds`. The classic lag-gap-flag + running-sum formulation:
-    * two window passes over the SAME (key × time) ordering — one
-    * shuffle, parallel across keys, per-group state is a single counter
-    * (WindowExec streams frames, nothing materializes per group).
-    *
-    * `order` must totally order rows within a key (pass a unique
-    * tiebreak column after the timestamp) or session boundaries on
-    * equal timestamps are partition-dependent. 100 TB: the shuffle is
-    * by key — the same partitioning any per-user analysis needs; skewed
-    * single users are bounded by the counter-only window state. */
   /** Time-series resampling with forward fill: per key, a dense grid of
     * `stepSeconds` slots spanning that key's own [min, max] observations,
     * each slot carrying the LAST observation at-or-before it (leading
@@ -362,6 +356,17 @@ object Windows {
         col("value"), (col("__v").isNull && col("value").isNotNull).as("filled"))
   }
 
+  /** The ewma encoder path casts key/order to long — same hazard and same
+    * fail-loud convention as Curation.requireIntegralId. */
+  private def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
+    val dt = df.select(c).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.LongType
+        || dt == org.apache.spark.sql.types.IntegerType
+        || dt == org.apache.spark.sql.types.ShortType,
+      s"$what column must be integral (got $dt); derive a surrogate " +
+        "(e.g. xxhash64) for non-numeric keys")
+  }
+
   /** Exponentially weighted moving average per key:
     * z_i = α·v_i + (1−α)·z_{i−1} (z_0 = v_0) over the key's observations
     * in (ts, order) total order — the smoothing pass fixed windows can't
@@ -378,6 +383,12 @@ object Windows {
   def ewma(df: DataFrame, key: Column, ts: Column, order: Column,
            value: Column, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"ewma needs alpha in (0, 1], got $alpha")
+    // the primitive-tuple encoder path casts key/order to long; a silent
+    // cast of a string/UUID key would null out and die mid-job with an
+    // opaque non-nullable-field error — fail loudly at call time instead
+    // (the Curation/Similarity requireIntegralId convention)
+    requireIntegral(df, key, "ewma key")
+    requireIntegral(df, order, "ewma order")
     val s = df.sparkSession
     import s.implicits._
     df.select(key.cast("long").as("k"),
@@ -422,10 +433,27 @@ object Windows {
     val m = avg(value).over(w)
     val sd = stddev_samp(value).over(w)
     val n = count(value).over(w)
+    // + 0.0 canonicalizes IEEE negative zero (value == trailing mean rounds
+    // to -0.0): equal under float compare but not under cross-engine hash
+    // canonicalization, so the output would not be representation-stable
     df.withColumn("z",
-      when(n >= minObs && sd > 0, round((value - m) / sd, 4)))
+      when(n >= minObs && sd > 0, round((value - m) / sd, 4) + lit(0.0)))
   }
 
+  /** Per-ROW session assignment — the analytic sibling of Sessions
+    * windows (which only exist at aggregation time): every row gains a
+    * 0-based `session_idx` within its key, where a new session starts
+    * whenever the gap since the key's previous event exceeds
+    * `gapSeconds`. The classic lag-gap-flag + running-sum formulation:
+    * two window passes over the SAME (key × time) ordering — one
+    * shuffle, parallel across keys, per-group state is a single counter
+    * (WindowExec streams frames, nothing materializes per group).
+    *
+    * `order` must totally order rows within a key (pass a unique
+    * tiebreak column after the timestamp) or session boundaries on
+    * equal timestamps are partition-dependent. 100 TB: the shuffle is
+    * by key — the same partitioning any per-user analysis needs; skewed
+    * single users are bounded by the counter-only window state. */
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                  order: Seq[Column] = Nil): DataFrame = {
     require(gapSeconds > 0, s"sessionize needs gapSeconds > 0, got $gapSeconds")

@@ -9,7 +9,7 @@ sfDir tables registered as views, and compares: column sets (by name), row
 counts, and values (columns sorted by name, rows sorted, exact compare after
 normalizing ints/floats/timestamps). Dev tool only — NOT part of the library.
 """
-import json, math, sys
+import json, math, re, sys
 from pathlib import Path
 
 import duckdb
@@ -17,6 +17,21 @@ import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+# DuckDB output types Spark can never emit. Any oracle query producing one
+# (even nested inside a LIST/STRUCT) is a latent driver-hash mismatch —
+# e.g. sum() OVER silently promotes BIGINT to HUGEINT (int128), which the
+# driver's canonicalizer renders differently from Spark's int64 even when
+# the values are equal (the round-10 q_sessionize/q_bpe_learn failure).
+BANNED_TYPES = re.compile(r"HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT"
+                          r"|UTINYINT|DECIMAL|INTERVAL|TIME\b|UUID|BIT\b")
+
+
+def lint_types(con, name, sql):
+    """DESCRIBE the oracle query; return the list of banned-type columns."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(c, t) for c, t, *_ in rows if BANNED_TYPES.search(t)]
 
 
 def norm_cell(v):
@@ -27,7 +42,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(v)
+        # repr-strict: -0.0 and 0.0 are equal under float compare but NOT
+        # under the driver's hash canonicalization (round-10 q_rolling_z
+        # failed on exactly one -0.0 cell) — compare the repr instead
+        return repr(v)
     if isinstance(v, int):
         return int(v)
     if hasattr(v, "isoformat"):  # datetime/date — truncate to µs string
@@ -70,6 +88,17 @@ def main():
         tbl = ds.dataset(str(res_dir), format="parquet").to_table()
         s_cols = list(tbl.column_names)
         s_rows = [tuple(d[c] for c in s_cols) for d in tbl.to_pylist()]
+        try:
+            bad_types = lint_types(con, name, oracle[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle emits non-Spark types {bad_types} "
+                  f"(CAST to BIGINT/DOUBLE in the oracle SQL)")
+            n_fail += 1
+            continue
         try:
             cur = con.execute(oracle[name])
             d_cols = [c[0] for c in cur.description]
