@@ -74,7 +74,16 @@ object Bench {
           ",\"recheck_loadavg\":" + f"$loadavg%.2f"
       }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"ncpu":$ncpu""" + recheckJson + "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"ncpu":$ncpu""" + recheckJson + "}"
+    println(line)
+    // also persist to a file: the driver's stdout tail-capture has
+    // truncated the per-query map in past rounds (BENCH_r10 kept 72/144
+    // entries) — a file read can't truncate
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

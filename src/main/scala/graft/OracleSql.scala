@@ -384,6 +384,18 @@ object OracleSql {
          |FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p < iv.hi
          |GROUP BY 1""".stripMargin,
 
+    // Same plain inequality join; the Spark side writes the NAIVE join and
+    // the RangeJoinRewrite optimizer rule rebuilds it into the bucketed plan
+    "q_range_rewrite" ->
+      s"""WITH iv AS (SELECT event_id AS interval_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+         |                   epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS hi
+         |            FROM events WHERE event_type = 'signup' AND event_id % 5 = 0),
+         |pt AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p, ${c("value")} AS cents
+         |       FROM events WHERE event_type = 'click')
+         |SELECT interval_id, count(*) AS n_clicks, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p < iv.hi
+         |GROUP BY 1""".stripMargin,
+
     // Bit-exact replay of the Morton interleave (bits=20) with plain
     // shift/mask SQL — Spark's codegen'd MortonCode vs DuckDB arithmetic.
     "q_zorder_key" -> {
@@ -785,7 +797,7 @@ object OracleSql {
         |  SELECT query_id, corpus_id,
         |         round(list_dot_product(cvec, qvec)
         |               / (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(qvec, qvec))),
-        |               6) AS score
+        |               6) + 0.0 AS score
         |  FROM c, q)
         |SELECT query_id, corpus_id, score FROM (
         |  SELECT query_id, corpus_id, score,
@@ -940,7 +952,7 @@ object OracleSql {
         |cand AS (SELECT c.vec_id AS corpus_id, qv.vec_id AS query_id,
         |                round((c.sc*qv.sc*list_dot_product(c.ql, qv.ql)
         |                       + c.g*qv.t + qv.g*c.t + c.d*c.t*qv.t)
-        |                      / (c.nrm * qv.nrm), 6) AS score
+        |                      / (c.nrm * qv.nrm), 6) + 0.0 AS score
         |         FROM n c, n qv WHERE qv.vec_id < 5)
         |SELECT query_id, corpus_id, score FROM (
         |  SELECT query_id, corpus_id, score,
@@ -958,11 +970,11 @@ object OracleSql {
          |b1 AS (SELECT id, vec, nrm, ${bucketExpr("vec", 6, 43L)} AS bucket FROM n),
          |cand AS (
          |  SELECT q.id AS query_id, c.id AS corpus_id,
-         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) AS score
+         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) + 0.0 AS score
          |  FROM b0 c JOIN b0 q ON c.bucket = q.bucket AND q.id < 5
          |  UNION
          |  SELECT q.id AS query_id, c.id AS corpus_id,
-         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) AS score
+         |         round(list_dot_product(c.vec, q.vec) / (c.nrm * q.nrm), 6) + 0.0 AS score
          |  FROM b1 c JOIN b1 q ON c.bucket = q.bucket AND q.id < 5)
          |SELECT query_id, corpus_id, score FROM (
          |  SELECT query_id, corpus_id, score,
@@ -991,7 +1003,7 @@ object OracleSql {
         |    FROM asgn WHERE id < 5
         |  ) WHERE rn <= 4),
         |cand AS (SELECT p.id AS query_id, c.id AS corpus_id,
-        |                round(list_dot_product(c.vec, p.vec) / (c.nrm * p.nrm), 6) AS score
+        |                round(list_dot_product(c.vec, p.vec) / (c.nrm * p.nrm), 6) + 0.0 AS score
         |         FROM corpus_cell c JOIN probe p ON c.cell = p.cell)
         |SELECT query_id, corpus_id, score FROM (
         |  SELECT query_id, corpus_id, score,
@@ -1028,7 +1040,7 @@ object OracleSql {
         |      FROM v WHERE id < 5)
         |SELECT query_id, corpus_id, score FROM (
         |  SELECT q.query_id, r.corpus_id,
-        |         round(list_dot_product(q.qv, r.xhat) / (q.qnrm * r.xn), 6) AS score,
+        |         round(list_dot_product(q.qv, r.xhat) / (q.qnrm * r.xn), 6) + 0.0 AS score,
         |         row_number() OVER (PARTITION BY q.query_id
         |             ORDER BY round(list_dot_product(q.qv, r.xhat) / (q.qnrm * r.xn), 6) DESC,
         |                      r.corpus_id ASC) AS rn
@@ -1313,7 +1325,7 @@ object OracleSql {
     "q_key_skew" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS n_keys FROM c),
-        |ent AS (SELECT round(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
+        |ent AS (SELECT round(-sum((cnt / n) * ln(cnt / n)), 6) + 0.0 AS entropy
         |        FROM c CROSS JOIN tot)
         |SELECT key, cnt, round(cnt / n, 6) AS share, n_keys, entropy
         |FROM c CROSS JOIN tot CROSS JOIN ent
@@ -1391,9 +1403,9 @@ object OracleSql {
         |      FROM a FULL OUTER JOIN b ON a.category = b.category
         |      CROSS JOIN ta CROSS JOIN tb),
         |contrib AS (SELECT category, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
-        |                   round((pa - pb) * ln(pa / pb), 6) AS psi FROM j)
+        |                   round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi FROM j)
         |SELECT category, p_a, p_b, psi,
-        |       round(sum(psi) OVER (), 6) AS psi_total
+        |       round(sum(psi) OVER (), 6) + 0.0 AS psi_total
         |FROM contrib""".stripMargin,
 
     // one-scan quality gate: every metric recomputed exactly in SQL
@@ -1952,7 +1964,7 @@ object OracleSql {
         |              ln((q_cnt + 1.0)/(qt + 512.0)) AS dlogp
         |       FROM model, tot),
         |w AS (
-        |  SELECT hc.doc_id, round(sum(cnt * dlogp), 6) AS dsir_logw
+        |  SELECT hc.doc_id, round(sum(cnt * dlogp), 6) + 0.0 AS dsir_logw
         |  FROM hc JOIN dl USING (bucket) WHERE NOT is_target GROUP BY 1),
         |k AS (
         |  SELECT doc_id, dsir_logw,
@@ -1960,7 +1972,7 @@ object OracleSql {
         |           (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),1,15))
         |                 AS BIGINT) + 0.5) / 1152921504606846976.0)) AS gk
         |  FROM w)
-        |SELECT doc_id, dsir_logw, round(gk, 6) AS gumbel_key
+        |SELECT doc_id, dsir_logw, round(gk, 6) + 0.0 AS gumbel_key
         |FROM k ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin
   )
 }

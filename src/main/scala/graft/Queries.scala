@@ -505,6 +505,32 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
   }
 
+  /** The same point-in-interval attribution written the NAIVE way —
+    * `points.join(intervals, p >= lo && p < hi)` — to prove the
+    * RangeJoinRewrite optimizer tier end-to-end on real tables: with
+    * `spark.graft.rangeJoin.bucketWidth` set (done here, at build time),
+    * the Catalyst rule rebuilds the BroadcastNestedLoopJoin shape into the
+    * bucketed equi-join; ExtensionsSpec pins THIS query's executed plan
+    * (bin equi-join, no BNL). A different slice than q_range_join (every
+    * 5th signup, 2-hour windows) so the two oracles are independent.
+    * Leaving the conf set for the session is safe: the rule only fires on
+    * the exact 2-predicate integral shape and is semantics-preserving. */
+  def qRangeRewrite(s: SparkSession, dir: String): DataFrame = {
+    val twoHoursUs = 2L * 3600 * 1000000
+    s.conf.set("spark.graft.rangeJoin.bucketWidth", twoHoursUs.toString)
+    val ev = t(s, dir, "events")
+    val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 5 === 0)
+      .select(col("event_id").as("interval_id"),
+        GraftSession.epochMicros(col("ts")).as("lo"),
+        (GraftSession.epochMicros(col("ts")) + twoHoursUs).as("hi"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(GraftSession.epochMicros(col("ts")).as("p"),
+        cents(col("value")).as("click_cents"))
+    points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
+  }
+
   /** Keyless interval-overlap join on the same bucketed path: 2-hour signup
     * sessions × 1-hour error windows, exactly-once pair emission via the
     * first-shared-bin guard, rolled up per session. */

@@ -74,6 +74,19 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("catalog q_range_rewrite: the naive join over real tables hits the rewrite") {
+    // end-to-end on the events table, not a crafted frame: the catalog
+    // query writes `p >= lo && p < hi` and sets the width conf itself
+    val df = Queries.qRangeRewrite(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"expected the bucketed rewrite in the catalog query's plan:\n${p.take(2500)}")
+    assert(p.contains("__bin"), s"expected the bin equi-join:\n${p.take(2500)}")
+    // non-empty at sf0.001 (value correctness is the DuckDB oracle's job)
+    assert(df.count() > 0)
+    spark.conf.unset(WidthConf)
+  }
+
   test("SQL users reach the native kernels: vec_dot / word_ngram_counts / morton / epoch_micros") {
     val dot = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
