@@ -52,6 +52,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_ZORDER_ONLY").contains("1")) { zorderDuel(factor); return }
     // run only the range-join width/guard duel (self-contained, sf0.1)
     if (sys.env.get("SPARK_GRAFT_RANGE_ONLY").contains("1")) { rangeGuardDuel(); return }
+    // naive nested-loop range join vs the RangeJoinRewrite'd bucketed plan
+    if (sys.env.get("SPARK_GRAFT_REWRITE_ONLY").contains("1")) { rewriteDuel(); return }
     // run only the bloom semi-join reduction duel
     if (sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) { bloomDuel(factor); return }
     // run only the quantized-ANN store duel
@@ -564,6 +566,66 @@ object ScaleProbe {
       }
     println(s"""{"probe":"range_guard","pathological_width_rejected":$rejected}""")
     require(rejected, "bin-cap guard failed to reject a pathological bucketWidth")
+  }
+
+  /** RangeJoinRewrite duel: the q_range_rewrite catalog shape — the NAIVE
+    * `points.join(intervals, p >= lo && p < hi)` — executed (a) as written
+    * (conf unset → Spark's BroadcastNestedLoopJoin, O(|P|·|I|) compares)
+    * vs (b) under `spark.graft.rangeJoin.bucketWidth` (the rule rebuilds
+    * it into the bucketed equi-join). Same session, result counts asserted
+    * equal, both at sf0.01 and sf0.1 — the sf0.01→sf0.1 wall GROWTH is the
+    * real verdict: the naive side grows ~quadratically (both inputs ×10),
+    * the rewritten side tracks the data. */
+  private def rewriteDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val widthConf = "spark.graft.rangeJoin.bucketWidth"
+    // ×4 stage: TIME-SHIFTED copies (each copy 400·i days later) — the
+    // 100 TB shape is a LONGER time range at similar density, so matched
+    // pairs grow ×4 while the naive BNL's compare count grows ×16
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "4").toInt
+    val scaledDir = "/root/repo/target/sf_scaled_rewrite"
+    val ev01 = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+    (0 until factor).map { i =>
+      ev01.withColumn("ts", col("ts") + expr(s"INTERVAL ${400 * i} DAY"))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", scaledDir)) {
+      val sf = dir.split('/').last match {
+        case "sf_scaled_rewrite" => s"sf0.1x$factor"
+        case other => other
+      }
+      def naiveDf = {
+        val ev = GraftSession.table(spark, dir, "events")
+        val twoHoursUs = 2L * 3600 * 1000000
+        val intervals = ev
+          .filter(col("event_type") === "signup" && col("event_id") % 5 === 0)
+          .select(col("event_id").as("interval_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + twoHoursUs).as("hi"))
+        val points = ev.filter(col("event_type") === "click")
+          .select(unix_micros(col("ts")).as("p"))
+        points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+          .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+      }
+      spark.conf.unset(widthConf)
+      val naiveRows = naiveDf.count() // warm + row pin
+      val naivePlan = naiveDf.queryExecution.executedPlan.toString
+      require(naivePlan.contains("BroadcastNestedLoopJoin"),
+        s"expected the naive plan to be a BNL:\n${naivePlan.take(1500)}")
+      val naive = timed(s"rewrite_naive_$sf") {
+        naiveDf.write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.set(widthConf, (2L * 3600 * 1000000).toString)
+      val rewrittenRows = naiveDf.count()
+      require(rewrittenRows == naiveRows,
+        s"rewrite changed results: $rewrittenRows vs $naiveRows groups")
+      val rewritten = timed(s"rewrite_bucketed_$sf") {
+        naiveDf.write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.unset(widthConf)
+      println(f"""{"duel":"rewrite_$sf","naive_over_bucketed":${naive / rewritten}%.2f,"groups":$naiveRows}""")
+    }
   }
 
   /** Bloom semi-join reduction duel: the SAME ×factor event table
