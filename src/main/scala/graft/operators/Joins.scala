@@ -353,24 +353,42 @@ object Joins {
     * spanning a hot time range is an ordinary hash-join skew — AQE
     * skew-join splits it.
     *
-    * `pt`, `lo`, `hi` are LONG domain values ([lo, hi) half-open, e.g.
-    * `unix_micros`); `points`/`intervals` must have disjoint column names. */
+    * `pt`, `lo`, `hi` are LONG domain values (default [lo, hi) half-open,
+    * e.g. `unix_micros`); `points`/`intervals` must have disjoint column
+    * names. `lowerInclusive`/`upperInclusive` select the boundary
+    * semantics — [lo, hi] (BETWEEN), (lo, hi), (lo, hi] — with the SAME
+    * bin plan: only the bin span (inclusive hi adds its own bin) and the
+    * exact residual predicate change, no bound arithmetic that could
+    * overflow at the long-domain edges. */
   def pointInIntervalJoin(points: DataFrame, pt: Column,
                           intervals: DataFrame, lo: Column, hi: Column,
                           bucketWidth: Long = 0L, extraKeys: Seq[String] = Nil,
-                          maxBinsPerRow: Int = 4096): DataFrame = {
+                          maxBinsPerRow: Int = 4096,
+                          lowerInclusive: Boolean = true,
+                          upperInclusive: Boolean = false): DataFrame = {
     val w = if (bucketWidth > 0) bucketWidth else medianLength(intervals, lo, hi)
     val p = points.withColumn("__pt", pt.cast("long"))
       .withColumn("__bin", binOf(col("__pt"), w))
-    // hi <= lo is an EMPTY interval: drop it before sequence(), which would
-    // otherwise count DOWN (implicit step -1) and fabricate bins.
+    // Degenerate intervals (empty under the chosen bounds, e.g. hi <= lo
+    // half-open, or hi < lo closed — a closed [x, x] single point is NOT
+    // empty) are dropped before sequence(), which would otherwise count
+    // DOWN (implicit step -1) and fabricate bins. The residual predicate
+    // handles the remaining edge cases exactly (e.g. (x, x] matches
+    // nothing even though it survives the closed-bounds bin filter).
+    val nonDegenerate =
+      if (upperInclusive) col("__hi") >= col("__lo") else col("__hi") > col("__lo")
+    val hiBin = if (upperInclusive) binOf(col("__hi"), w)
+                else binOf(col("__hi") - 1, w)
     val iv = intervals.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
-      .filter(col("__hi") > col("__lo"))
+      .filter(nonDegenerate)
       .withColumn("__lo", binCapGuard(col("__lo"), col("__hi"), w, maxBinsPerRow))
-      .withColumn("__bin", explode(sequence(
-        binOf(col("__lo"), w), binOf(col("__hi") - 1, w))))
+      .withColumn("__bin", explode(sequence(binOf(col("__lo"), w), hiBin)))
+    val lower = if (lowerInclusive) col("__pt") >= col("__lo")
+                else col("__pt") > col("__lo")
+    val upper = if (upperInclusive) col("__pt") <= col("__hi")
+                else col("__pt") < col("__hi")
     p.join(iv, Seq("__bin") ++ extraKeys)
-      .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
+      .filter(lower && upper)
       .drop("__bin", "__pt", "__lo", "__hi")
   }
 

@@ -89,7 +89,9 @@ object GraftExtensions {
   * scale. When `spark.graft.rangeJoin.bucketWidth` is set (> 0), this rule
   * recognizes exactly that shape — an INNER join whose condition is ONE
   * lower and ONE upper bound on the same integral point column against
-  * bounds from the other side, nothing else — and rebuilds it through
+  * bounds from the other side, nothing else; all four boundary
+  * combinations qualify ([lo, hi), [lo, hi] BETWEEN, (lo, hi), (lo, hi]),
+  * carried through as the operator's inclusive flags — and rebuilds it through
   * [[graft.operators.Joins.pointInIntervalJoin]]: bin-bucketed equi-join,
   * shuffle on bin, in-bin residual filter. The original output attributes
   * pass through untouched (same exprIds), so downstream operators resolve
@@ -117,16 +119,31 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** (point, bound, boundIsLower): p >= b / b <= p → lower; p < b / b > p
-    * → upper. Only bare attributes qualify. */
-  private def norm(p: Expression): Option[(AttributeReference, AttributeReference, Boolean)] =
-    p match {
-      case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) => Some((a, b, true))
-      case LessThanOrEqual(b: AttributeReference, a: AttributeReference) => Some((a, b, true))
-      case LessThan(a: AttributeReference, b: AttributeReference) => Some((a, b, false))
-      case GreaterThan(b: AttributeReference, a: AttributeReference) => Some((a, b, false))
-      case _ => None
-    }
+  /** One comparison read as a range bound. Every comparison between two
+    * bare attributes has TWO readings (x < y is "point x below bound y"
+    * or "point y above bound x"); [[matchRange]] tries both and the
+    * shared-point + sideness checks pick the consistent one. Any
+    * consistent reading is semantics-preserving — the rewritten operator
+    * re-applies the exact boundary predicate. */
+  private final case class Bound(point: AttributeReference,
+                                 bound: AttributeReference,
+                                 isLower: Boolean, inclusive: Boolean)
+
+  private def readings(p: Expression): Seq[Bound] = p match {
+    case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) =>
+      Seq(Bound(a, b, isLower = true, inclusive = true),
+          Bound(b, a, isLower = false, inclusive = true))
+    case LessThanOrEqual(a: AttributeReference, b: AttributeReference) =>
+      Seq(Bound(a, b, isLower = false, inclusive = true),
+          Bound(b, a, isLower = true, inclusive = true))
+    case GreaterThan(a: AttributeReference, b: AttributeReference) =>
+      Seq(Bound(a, b, isLower = true, inclusive = false),
+          Bound(b, a, isLower = false, inclusive = false))
+    case LessThan(a: AttributeReference, b: AttributeReference) =>
+      Seq(Bound(a, b, isLower = false, inclusive = false),
+          Bound(b, a, isLower = true, inclusive = false))
+    case _ => Nil
+  }
 
   private def integral(a: AttributeReference): Boolean =
     a.dataType == LongType || a.dataType == IntegerType
@@ -136,12 +153,13 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), _) if rewritable(j, l, r, cond) =>
-        val Some((pt, lo, hi, pointsLeft)) = matchRange(cond, l, r)
+        val Some((pt, lo, hi, pointsLeft, loIncl, hiIncl)) = matchRange(cond, l, r)
         val (pp, ip) = if (pointsLeft) (l, r) else (r, l)
         val out = graft.operators.Joins.pointInIntervalJoin(
           ColumnBridge.ofRows(spark, pp), ColumnBridge.column(pt),
           ColumnBridge.ofRows(spark, ip), ColumnBridge.column(lo),
-          ColumnBridge.column(hi), bucketWidth = w)
+          ColumnBridge.column(hi), bucketWidth = w,
+          lowerInclusive = loIncl, upperInclusive = hiIncl)
         Project(j.output, out.queryExecution.analyzed)
     }
   }
@@ -151,28 +169,34 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     matchRange(cond, l, r).isDefined &&
       !(l.output ++ r.output).exists(a => TempNames(a.name))
 
+  /** (point, lo, hi, pointsOnLeft, lowerInclusive, upperInclusive). */
   private def matchRange(cond: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(AttributeReference, AttributeReference, AttributeReference, Boolean)] = {
+      : Option[(AttributeReference, AttributeReference, AttributeReference,
+                Boolean, Boolean, Boolean)] = {
     val preds = splitConj(cond)
     if (preds.length != 2) return None
-    (norm(preds(0)), norm(preds(1))) match {
-      case (Some((p1, b1, low1)), Some((p2, b2, low2)))
-          if p1.exprId == p2.exprId && low1 != low2 &&
-            Seq(p1, b1, b2).forall(integral) =>
-        val (lo, hi) = if (low1) (b1, b2) else (b2, b1)
-        val inL = l.outputSet
-        val inR = r.outputSet
-        // unambiguous sideness: point on one side, both bounds on the other
-        if (inL.contains(p1) && !inR.contains(p1) &&
-            inR.contains(lo) && inR.contains(hi) &&
-            !inL.contains(lo) && !inL.contains(hi))
-          Some((p1, lo, hi, true))
-        else if (inR.contains(p1) && !inL.contains(p1) &&
-            inL.contains(lo) && inL.contains(hi) &&
-            !inR.contains(lo) && !inR.contains(hi))
-          Some((p1, lo, hi, false))
-        else None
-      case _ => None
+    val pairs = for {
+      c1 <- readings(preds(0))
+      c2 <- readings(preds(1))
+      if c1.point.exprId == c2.point.exprId && c1.isLower != c2.isLower &&
+        Seq(c1.point, c1.bound, c2.bound).forall(integral)
+    } yield {
+      val (loB, hiB) = if (c1.isLower) (c1, c2) else (c2, c1)
+      (c1.point, loB, hiB)
     }
+    pairs.flatMap { case (pt, loB, hiB) =>
+      val inL = l.outputSet
+      val inR = r.outputSet
+      // unambiguous sideness: point on one side, both bounds on the other
+      if (inL.contains(pt) && !inR.contains(pt) &&
+          inR.contains(loB.bound) && inR.contains(hiB.bound) &&
+          !inL.contains(loB.bound) && !inL.contains(hiB.bound))
+        Some((pt, loB.bound, hiB.bound, true, loB.inclusive, hiB.inclusive))
+      else if (inR.contains(pt) && !inL.contains(pt) &&
+          inL.contains(loB.bound) && inL.contains(hiB.bound) &&
+          !inR.contains(loB.bound) && !inR.contains(hiB.bound))
+        Some((pt, loB.bound, hiB.bound, false, loB.inclusive, hiB.inclusive))
+      else None
+    }.headOption
   }
 }

@@ -74,6 +74,27 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("rule ON: BETWEEN and exclusive-lower shapes rewrite with exact boundary semantics") {
+    spark.conf.unset(WidthConf)
+    // defs: a val Dataset caches its optimized plan at first action, so
+    // the expected-side collect would freeze the UNrewritten plan
+    def between = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+    def exclusive = points.join(intervals, $"p" > $"lo" && $"p" < $"hi")
+    def flippedClosed = points.join(intervals, $"lo" <= $"p" && $"hi" >= $"p")
+    val expB = between.collect().map(_.toSeq).toSet
+    val expE = exclusive.collect().map(_.toSeq).toSet
+    spark.conf.set(WidthConf, "16")
+    try {
+      for ((df, exp) <- Seq((between, expB), (exclusive, expE), (flippedClosed, expB))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"expected the bucketed rewrite:\n${p.take(2500)}")
+        assert(df.collect().map(_.toSeq).toSet == exp,
+          "rewrite changed results for an inclusive/exclusive boundary shape")
+      }
+    } finally spark.conf.unset(WidthConf)
+  }
+
   test("catalog q_range_rewrite: the naive join over real tables hits the rewrite") {
     // end-to-end on the events table, not a crafted frame: the catalog
     // query writes `p >= lo && p < hi` and sets the width conf itself

@@ -167,6 +167,36 @@ class JoinsSpec extends SparkSpec {
       Seq(4L, 5L)))
   }
 
+  test("pointInIntervalJoin: inclusive/exclusive boundary combinations") {
+    val points = Seq(5L, 10L, 20L, 25L).toDF("p")
+    val intervals = Seq(
+      (1L, 10L, 20L),   // closed [10,20]: catches 10 AND 20
+      (2L, 20L, 20L),   // closed single point [20,20]: catches exactly 20
+      (3L, 5L, 25L))    // catches per bounds below
+      .toDF("iv", "lo", "hi")
+    // [lo, hi] — BETWEEN
+    assertRows(Joins.pointInIntervalJoin(points, col("p"), intervals,
+        col("lo"), col("hi"), bucketWidth = 10L, upperInclusive = true)
+      .select(col("iv"), col("p")), Seq(
+      Seq(1L, 10L), Seq(1L, 20L),
+      Seq(2L, 20L),
+      Seq(3L, 5L), Seq(3L, 10L), Seq(3L, 20L), Seq(3L, 25L)))
+    // (lo, hi] — exclusive lower, inclusive upper
+    assertRows(Joins.pointInIntervalJoin(points, col("p"), intervals,
+        col("lo"), col("hi"), bucketWidth = 10L,
+        lowerInclusive = false, upperInclusive = true)
+      .select(col("iv"), col("p")), Seq(
+      Seq(1L, 20L),                 // 10 now excluded at the lower edge
+      // (20, 20] is empty — survives the closed-bounds bin filter, the
+      // residual predicate kills it
+      Seq(3L, 10L), Seq(3L, 20L), Seq(3L, 25L)))
+    // (lo, hi) — both exclusive
+    assertRows(Joins.pointInIntervalJoin(points, col("p"), intervals,
+        col("lo"), col("hi"), bucketWidth = 10L, lowerInclusive = false)
+      .select(col("iv"), col("p")), Seq(
+      Seq(3L, 10L), Seq(3L, 20L)))
+  }
+
   test("intervalOverlapJoin: half-open overlap, exactly-once across shared bins, touch ≠ overlap") {
     val a = Seq(
       (1L, 0L, 50L),     // spans 5 bins at width 10 — overlaps b1 (shares bins 1..3) and b2
