@@ -81,30 +81,50 @@ object GraftExtensions {
   }
 }
 
+/** One reading of a comparison as a range bound (see
+  * [[RangeJoinRewrite]].readings). */
+private[plans] final case class Bound(point: AttributeReference,
+                                      bound: AttributeReference,
+                                      isLower: Boolean, inclusive: Boolean)
+
+/** A fully-classified rewritable join condition: the range pair plus every
+  * other conjunct accounted for — side-separable equalities as
+  * (points-side, intervals-side) key pairs, the rest as residual
+  * post-join predicates. */
+private[plans] final case class RangeMatch(
+    pt: AttributeReference, lo: AttributeReference, hi: AttributeReference,
+    pointsLeft: Boolean, loIncl: Boolean, hiIncl: Boolean,
+    keyPairs: Seq[(Expression, Expression)], residual: Seq[Expression])
+
 /** Auto-rewrite of naive point-in-interval range joins.
   *
   * A user who writes the obvious
   * `points.join(intervals, p >= lo && p < hi)` gets a
   * BroadcastNestedLoopJoin — O(|points|×|intervals|) work that dies at
   * scale. When `spark.graft.rangeJoin.bucketWidth` is set (> 0), this rule
-  * recognizes exactly that shape — an INNER join whose condition is ONE
+  * recognizes that shape — an INNER join whose condition contains ONE
   * lower and ONE upper bound on the same integral point column against
-  * bounds from the other side, nothing else; all four boundary
-  * combinations qualify ([lo, hi), [lo, hi] BETWEEN, (lo, hi), (lo, hi]),
+  * bounds from the other side; all four boundary combinations qualify
+  * ([lo, hi), [lo, hi] BETWEEN, (lo, hi), (lo, hi]),
   * carried through as the operator's inclusive flags — and rebuilds it through
   * [[graft.operators.Joins.pointInIntervalJoin]]: bin-bucketed equi-join,
   * shuffle on bin, in-bin residual filter. The original output attributes
   * pass through untouched (same exprIds), so downstream operators resolve
   * unchanged; a final Project restores column order.
   *
-  * Deliberately conservative — the rule SKIPS (leaving the plan as
+  * Extra conjuncts are each accounted for, never lost: a side-separable
+  * equality (`a.key = b.key` — the common KEYED range join) joins
+  * alongside the bin as an extra equi-key; any other deterministic
+  * predicate is applied as a post-join filter (equivalent for an inner
+  * join). Deliberately conservative — the rule SKIPS (leaving the plan as
   * written) when: the width conf is unset (no silent stats job at
   * optimization time), bounds/point are not bare integral attributes,
   * either side already uses the rewrite's temp names, the same attribute
-  * appears on both sides (self-join ambiguity), or extra predicates ride
-  * the condition (they'd be lost). Idempotent by construction: the
-  * rewritten join carries a bin equality, which the 2-predicate matcher
-  * rejects. */
+  * appears on both sides (self-join ambiguity), or a NON-deterministic
+  * predicate rides the condition (re-evaluation could change results).
+  * Idempotent by construction: the rewritten join's condition is
+  * equalities only (bin + keys), in which the matcher finds no range
+  * pair. */
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val WidthConf = "graft.rangeJoin.bucketWidth"
@@ -125,10 +145,6 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * shared-point + sideness checks pick the consistent one. Any
     * consistent reading is semantics-preserving — the rewritten operator
     * re-applies the exact boundary predicate. */
-  private final case class Bound(point: AttributeReference,
-                                 bound: AttributeReference,
-                                 isLower: Boolean, inclusive: Boolean)
-
   private def readings(p: Expression): Seq[Bound] = p match {
     case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) =>
       Seq(Bound(a, b, isLower = true, inclusive = true),
@@ -153,13 +169,26 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), _) if rewritable(j, l, r, cond) =>
-        val Some((pt, lo, hi, pointsLeft, loIncl, hiIncl)) = matchRange(cond, l, r)
-        val (pp, ip) = if (pointsLeft) (l, r) else (r, l)
-        val out = graft.operators.Joins.pointInIntervalJoin(
-          ColumnBridge.ofRows(spark, pp), ColumnBridge.column(pt),
-          ColumnBridge.ofRows(spark, ip), ColumnBridge.column(lo),
-          ColumnBridge.column(hi), bucketWidth = w,
-          lowerInclusive = loIncl, upperInclusive = hiIncl)
+        val Some(m) = matchRange(cond, l, r)
+        val (pp, ip) = if (m.pointsLeft) (l, r) else (r, l)
+        // side-separable equalities become shared-named key columns that
+        // join alongside the bin; original attrs (and their exprIds) pass
+        // through withColumn untouched
+        val keyNames = m.keyPairs.indices.map(i => s"__k$i")
+        val pp2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, pp)) {
+          case (df, ((pe, _), n)) => df.withColumn(n, ColumnBridge.column(pe))
+        }
+        val ip2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, ip)) {
+          case (df, ((_, ie), n)) => df.withColumn(n, ColumnBridge.column(ie))
+        }
+        val joined = graft.operators.Joins.pointInIntervalJoin(
+          pp2, ColumnBridge.column(m.pt),
+          ip2, ColumnBridge.column(m.lo),
+          ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+          lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
+          .drop(keyNames: _*)
+        val out = m.residual.foldLeft(joined)(
+          (df, e) => df.filter(ColumnBridge.column(e)))
         Project(j.output, out.queryExecution.analyzed)
     }
   }
@@ -167,36 +196,66 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewritable(j: Join, l: LogicalPlan, r: LogicalPlan,
                          cond: Expression): Boolean =
     matchRange(cond, l, r).isDefined &&
-      !(l.output ++ r.output).exists(a => TempNames(a.name))
+      !(l.output ++ r.output).exists(a =>
+        TempNames(a.name) || a.name.matches("__k\\d+"))
 
-  /** (point, lo, hi, pointsOnLeft, lowerInclusive, upperInclusive). */
+  /** Finds the first consistent [[RangeMatch]] in the condition's
+    * conjuncts, or None when no reading qualifies. */
   private def matchRange(cond: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(AttributeReference, AttributeReference, AttributeReference,
-                Boolean, Boolean, Boolean)] = {
+      : Option[RangeMatch] = {
     val preds = splitConj(cond)
-    if (preds.length != 2) return None
-    val pairs = for {
-      c1 <- readings(preds(0))
-      c2 <- readings(preds(1))
+    if (preds.length < 2) return None
+    val inL = l.outputSet
+    val inR = r.outputSet
+    val candidates = for {
+      i <- preds.indices.iterator
+      k <- preds.indices.iterator if i < k
+      c1 <- readings(preds(i))
+      c2 <- readings(preds(k))
       if c1.point.exprId == c2.point.exprId && c1.isLower != c2.isLower &&
         Seq(c1.point, c1.bound, c2.bound).forall(integral)
-    } yield {
-      val (loB, hiB) = if (c1.isLower) (c1, c2) else (c2, c1)
-      (c1.point, loB, hiB)
-    }
-    pairs.flatMap { case (pt, loB, hiB) =>
-      val inL = l.outputSet
-      val inR = r.outputSet
+      (loB, hiB) = if (c1.isLower) (c1, c2) else (c2, c1)
       // unambiguous sideness: point on one side, both bounds on the other
-      if (inL.contains(pt) && !inR.contains(pt) &&
-          inR.contains(loB.bound) && inR.contains(hiB.bound) &&
-          !inL.contains(loB.bound) && !inL.contains(hiB.bound))
-        Some((pt, loB.bound, hiB.bound, true, loB.inclusive, hiB.inclusive))
-      else if (inR.contains(pt) && !inL.contains(pt) &&
-          inL.contains(loB.bound) && inL.contains(hiB.bound) &&
-          !inR.contains(loB.bound) && !inR.contains(hiB.bound))
-        Some((pt, loB.bound, hiB.bound, false, loB.inclusive, hiB.inclusive))
-      else None
-    }.headOption
+      pointsLeft <-
+        if (inL.contains(c1.point) && !inR.contains(c1.point) &&
+            inR.contains(loB.bound) && inR.contains(hiB.bound) &&
+            !inL.contains(loB.bound) && !inL.contains(hiB.bound)) Iterator(true)
+        else if (inR.contains(c1.point) && !inL.contains(c1.point) &&
+            inL.contains(loB.bound) && inL.contains(hiB.bound) &&
+            !inR.contains(loB.bound) && !inR.contains(hiB.bound)) Iterator(false)
+        else Iterator.empty
+      rest = preds.indices.filter(x => x != i && x != k).map(preds)
+      (keys, residual) <- classifyExtras(rest, inL, inR, pointsLeft).iterator
+    } yield RangeMatch(c1.point, loB.bound, hiB.bound, pointsLeft,
+      loB.inclusive, hiB.inclusive, keys, residual)
+    candidates.nextOption()
+  }
+
+  /** Every non-range conjunct must be accounted for or the rewrite is
+    * unsound: an `a = b` with one side's references entirely on the
+    * points plan and the other's on the intervals plan joins alongside
+    * the bin (more selective than post-filtering); any other
+    * DETERMINISTIC predicate is applied as a filter on the rewritten
+    * join (equivalent for an inner join); a non-deterministic predicate
+    * aborts the rewrite (re-evaluation could change results). */
+  private def classifyExtras(rest: Seq[Expression], inL: AttributeSet,
+                             inR: AttributeSet, pointsLeft: Boolean)
+      : Option[(Seq[(Expression, Expression)], Seq[Expression])] = {
+    val (ptSide, ivSide) = if (pointsLeft) (inL, inR) else (inR, inL)
+    val keys = Seq.newBuilder[(Expression, Expression)]
+    val residual = Seq.newBuilder[Expression]
+    rest.foreach {
+      case e if !e.deterministic => return None
+      case e @ EqualTo(a, b)
+          if a.references.subsetOf(ptSide) && b.references.subsetOf(ivSide) &&
+            a.references.nonEmpty && b.references.nonEmpty =>
+        keys += ((a, b))
+      case e @ EqualTo(a, b)
+          if b.references.subsetOf(ptSide) && a.references.subsetOf(ivSide) &&
+            a.references.nonEmpty && b.references.nonEmpty =>
+        keys += ((b, a))
+      case e => residual += e
+    }
+    Some((keys.result(), residual.result()))
   }
 }

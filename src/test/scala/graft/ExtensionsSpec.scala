@@ -54,14 +54,40 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
-  test("rule skips what it cannot prove: extra predicate, equi-join, non-integral") {
+  test("rule carries extra conjuncts: keyed range join, residual predicate") {
+    spark.conf.unset(WidthConf)
+    // keyed range join — the common production shape: equality + range
+    def kPoints = points.withColumn("pk", $"point_id" % 4)
+    def kIntervals = intervals.withColumn("ik", $"interval_id" % 4)
+    def keyed = kPoints.join(kIntervals,
+      $"pk" === $"ik" && $"p" >= $"lo" && $"p" < $"hi")
+    // residual: a deterministic non-equality extra must be preserved
+    def residual = points.join(intervals,
+      $"p" >= $"lo" && $"p" < $"hi" && $"point_id" =!= $"interval_id")
+    val expK = keyed.collect().map(_.toSeq).toSet
+    val expR = residual.collect().map(_.toSeq).toSet
     spark.conf.set(WidthConf, "16")
     try {
-      // extra predicate riding the condition → untouched
-      val extra = points.join(intervals,
-        $"p" >= $"lo" && $"p" < $"hi" && $"point_id" =!= $"interval_id")
-      assert(extra.queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin"))
+      for ((df, exp) <- Seq((keyed, expK), (residual, expR))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"expected the bucketed rewrite:\n${p.take(2500)}")
+        assert(df.collect().map(_.toSeq).toSet == exp,
+          "rewrite changed results for a join with extra conjuncts")
+      }
+      // the equality key must ride the hash join, not the post-filter:
+      // the join's key list mentions the derived __k column
+      assert(keyed.queryExecution.executedPlan.toString.contains("__k0"),
+        keyed.queryExecution.executedPlan.toString.take(2500))
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("rule skips what it cannot prove: equi-join, non-integral") {
+    // (a non-deterministic conjunct never reaches the rule — Spark's
+    // analyzer rejects it in a join condition [INVALID_NON_DETERMINISTIC_
+    // EXPRESSIONS]; classifyExtras' determinism guard is defense-in-depth)
+    spark.conf.set(WidthConf, "16")
+    try {
       // plain equi-join → untouched (no bins anywhere)
       val equi = points.join(intervals, $"p" === $"lo")
       assert(!equi.queryExecution.executedPlan.toString.contains("__bin"))
