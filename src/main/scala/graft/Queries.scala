@@ -513,11 +513,14 @@ object Queries {
     * bucketed equi-join; ExtensionsSpec pins THIS query's executed plan
     * (bin equi-join, no BNL). A different slice than q_range_join (every
     * 5th signup, 2-hour windows) so the two oracles are independent.
-    * Leaving the conf set for the session is safe: the rule only fires on
-    * the exact 2-predicate integral shape and is semantics-preserving. */
+    * The width conf is scoped to THIS builder: the optimizer (with the
+    * injected rule) is forced while the conf is set, the rewrite is
+    * require-checked, and the conf is restored — the returned frame
+    * carries the already-rewritten plan, so nothing leaks into the
+    * session and later executions re-optimize a plan that is already
+    * bucketed (idempotent: its join condition is equalities only). */
   def qRangeRewrite(s: SparkSession, dir: String): DataFrame = {
     val twoHoursUs = 2L * 3600 * 1000000
-    s.conf.set("spark.graft.rangeJoin.bucketWidth", twoHoursUs.toString)
     val ev = t(s, dir, "events")
     val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 5 === 0)
       .select(col("event_id").as("interval_id"),
@@ -526,9 +529,22 @@ object Queries {
     val points = ev.filter(col("event_type") === "click")
       .select(GraftSession.epochMicros(col("ts")).as("p"),
         cents(col("value")).as("click_cents"))
-    points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+    val naive = points
+      .join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
+    val widthConf = "spark.graft.rangeJoin.bucketWidth"
+    val prev = s.conf.getOption(widthConf)
+    s.conf.set(widthConf, twoHoursUs.toString)
+    try {
+      val optimized = naive.queryExecution.optimizedPlan
+      require(optimized.toString.contains("__bin"),
+        "q_range_rewrite: RangeJoinRewrite did not fire on the naive plan")
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
+    } finally prev match {
+      case Some(v) => s.conf.set(widthConf, v)
+      case None => s.conf.unset(widthConf)
+    }
   }
 
   /** Keyless interval-overlap join on the same bucketed path: 2-hour signup

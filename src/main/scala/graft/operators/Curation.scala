@@ -18,14 +18,8 @@ object Curation {
     * packing scan). Fail loudly at call time instead — derive a surrogate
     * (e.g. xxhash64) for non-numeric keys. Mirrors the ANN ops' guard
     * (Similarity.requireIntegralId). */
-  private def requireIntegralId(df: DataFrame, id: Column): Unit = {
-    val dt = df.select(id).schema.head.dataType
-    require(dt == org.apache.spark.sql.types.LongType
-        || dt == org.apache.spark.sql.types.IntegerType
-        || dt == org.apache.spark.sql.types.ShortType,
-      s"curation id column must be integral (got $dt); derive a surrogate " +
-        "id (e.g. xxhash64) for non-numeric keys")
-  }
+  private def requireIntegralId(df: DataFrame, id: Column): Unit =
+    Guards.requireIntegralId(df, id, "curation id")
 
   /** Exact-size per-stratum sample: exactly min(n, |stratum|) ids per
     * stratum, deterministic for a seed regardless of partitioning (the

@@ -310,11 +310,17 @@ object Joins {
     * passing width ≪ interval length would otherwise explode each interval
     * by len/W+1 rows with no bound (at 100 TB that is an accidental
     * self-join amplification, not a slow query). Attached to a column the
-    * plan already consumes so Catalyst cannot prune the check. */
-  private def binCapGuard(loC: Column, hiC: Column, w: Long, maxBins: Int): Column = {
-    val nb = binOf(hiC - 1, w) - binOf(loC, w) + lit(1L)
+    * plan already consumes so Catalyst cannot prune the check. The count
+    * must use the SAME upper-bin formula as the explode (a closed hi owns
+    * its bin — one more than the half-open count) or an interval at
+    * exactly the cap escapes the guard. */
+  private def binCapGuard(loC: Column, hiC: Column, w: Long, maxBins: Int,
+                          upperInclusive: Boolean = false): Column = {
+    val hiBin = if (upperInclusive) binOf(hiC, w) else binOf(hiC - 1, w)
+    val nb = hiBin - binOf(loC, w) + lit(1L)
+    val hiBracket = if (upperInclusive) "]" else ")"
     when(nb > lit(maxBins.toLong), raise_error(format_string(
-      s"range join: interval [%s, %s) spans %s bins > maxBinsPerRow=$maxBins " +
+      s"range join: interval [%s, %s$hiBracket spans %s bins > maxBinsPerRow=$maxBins " +
         s"at bucketWidth=$w — raise bucketWidth (or the cap)", loC, hiC, nb)))
       .otherwise(loC)
   }
@@ -381,7 +387,8 @@ object Joins {
                 else binOf(col("__hi") - 1, w)
     val iv = intervals.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
       .filter(nonDegenerate)
-      .withColumn("__lo", binCapGuard(col("__lo"), col("__hi"), w, maxBinsPerRow))
+      .withColumn("__lo",
+        binCapGuard(col("__lo"), col("__hi"), w, maxBinsPerRow, upperInclusive))
       .withColumn("__bin", explode(sequence(binOf(col("__lo"), w), hiBin)))
     val lower = if (lowerInclusive) col("__pt") >= col("__lo")
                 else col("__pt") > col("__lo")
@@ -399,27 +406,43 @@ object Joins {
     * point case, a pair can share SEVERAL bins; emitting it only from the
     * FIRST shared bin — `max(binOf(a.lo), binOf(b.lo))`, the standard
     * dedup-free trick — keeps each pair exactly once without a distinct
-    * pass. Both inputs must have disjoint column names. */
+    * pass. Both inputs must have disjoint column names.
+    *
+    * `inclusive = true` switches to CLOSED-interval overlap
+    * (`a.lo <= b.hi && b.lo <= a.hi`) — touching intervals count, and
+    * single-point intervals [x, x] participate. Same bin plan: only the
+    * degenerate-interval filter, the bin span (a closed hi owns its bin),
+    * and the exact residual predicate change. */
   def intervalOverlapJoin(left: DataFrame, leftLo: Column, leftHi: Column,
                           right: DataFrame, rightLo: Column, rightHi: Column,
                           bucketWidth: Long = 0L, extraKeys: Seq[String] = Nil,
-                          maxBinsPerRow: Int = 4096): DataFrame = {
+                          maxBinsPerRow: Int = 4096,
+                          inclusive: Boolean = false): DataFrame = {
     val w =
       if (bucketWidth > 0) bucketWidth
       else medianLength(
         left.select((leftHi.cast("long") - leftLo.cast("long")).as("len"))
           .unionByName(right.select((rightHi.cast("long") - rightLo.cast("long")).as("len"))),
         lit(0L), col("len"))
-    def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
+    def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame = {
+      val nonDegenerate =
+        if (inclusive) col(s"__${p}hi") >= col(s"__${p}lo")
+        else col(s"__${p}hi") > col(s"__${p}lo")
+      val hiBin = if (inclusive) binOf(col(s"__${p}hi"), w)
+                  else binOf(col(s"__${p}hi") - 1, w)
       df.withColumn(s"__${p}lo", lo.cast("long")).withColumn(s"__${p}hi", hi.cast("long"))
-        .filter(col(s"__${p}hi") > col(s"__${p}lo"))
-        .withColumn(s"__${p}lo", binCapGuard(col(s"__${p}lo"), col(s"__${p}hi"), w, maxBinsPerRow))
-        .withColumn("__bin", explode(sequence(
-          binOf(col(s"__${p}lo"), w), binOf(col(s"__${p}hi") - 1, w))))
+        .filter(nonDegenerate)
+        .withColumn(s"__${p}lo",
+          binCapGuard(col(s"__${p}lo"), col(s"__${p}hi"), w, maxBinsPerRow, inclusive))
+        .withColumn("__bin", explode(sequence(binOf(col(s"__${p}lo"), w), hiBin)))
+    }
     val a = binned(left, leftLo, leftHi, "a")
     val b = binned(right, rightLo, rightHi, "b")
+    val overlap =
+      if (inclusive) col("__alo") <= col("__bhi") && col("__blo") <= col("__ahi")
+      else col("__alo") < col("__bhi") && col("__blo") < col("__ahi")
     a.join(b, Seq("__bin") ++ extraKeys)
-      .filter(col("__alo") < col("__bhi") && col("__blo") < col("__ahi"))
+      .filter(overlap)
       // first-shared-bin guard: exactly-once emission per overlapping pair
       .filter(col("__bin") === greatest(
         binOf(col("__alo"), w), binOf(col("__blo"), w)))

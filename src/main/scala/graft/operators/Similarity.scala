@@ -183,14 +183,8 @@ object Similarity {
     * cast("long") of a string/UUID id would null every id out. Fail loudly
     * instead (use content-hash surrogate ids upstream for non-numeric
     * keys). */
-  private def requireIntegralId(df: DataFrame, id: Column): Unit = {
-    val dt = df.select(id).schema.head.dataType
-    require(dt == org.apache.spark.sql.types.LongType
-        || dt == org.apache.spark.sql.types.IntegerType
-        || dt == org.apache.spark.sql.types.ShortType,
-      s"ANN id column must be integral (got $dt); derive a surrogate id " +
-        "(e.g. xxhash64) for non-numeric keys")
-  }
+  private def requireIntegralId(df: DataFrame, id: Column): Unit =
+    Guards.requireIntegralId(df, id, "ANN id")
 
   /** Shared typed top-k reduction over a (query_id, corpus_id, score) frame. */
   private[graft] def topKByScore(scored: DataFrame, k: Int): DataFrame = {

@@ -110,11 +110,7 @@ object Windows {
       // SESSION zone's midnight, so the same UTC guard as the general
       // calendarWindowExpr path applies here — without it a non-UTC
       // session silently shifts every default day/week/month/year window.
-      val session = org.apache.spark.sql.SparkSession.getActiveSession
-        .getOrElse(throw new IllegalStateException(
-          "calendar windows need an active SparkSession at expression-" +
-            "construction time to verify spark.sql.session.timeZone=UTC"))
-      GraftSession.requireUtc(session, "default calendar windows (date_trunc)")
+      requireUtcActiveSession("default calendar windows (date_trunc)")
       val start = date_trunc(cw.unit, ts)
       val end = start + expr(s"INTERVAL 1 ${cw.unit.toUpperCase}")
       Some(struct(start.as("start"), end.as("end")))
@@ -134,20 +130,26 @@ object Windows {
     * stay contiguous, where the reference's `begin.plusMonths(n)` end
     * computation (CalendarWindows.java:236) leaves a gap after a clamped
     * begin — a deliberate divergence in favor of total coverage. */
+  /** Shared UTC guard for every calendar-window entry point: no active
+    * session at Column-construction time is itself an error (skipping the
+    * check would let a later non-UTC execution double-shift silently);
+    * the zone check is SEMANTIC (GraftSession.isUtcZone — "Etc/UTC" and
+    * friends pass) so the default and general paths agree. */
+  private def requireUtcActiveSession(what: String): Unit = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "calendar windows need an active SparkSession at expression-" +
+          "construction time to verify spark.sql.session.timeZone=UTC"))
+    GraftSession.requireUtc(session, what)
+  }
+
   private[graft] def calendarWindowExpr(cw: CalendarWindows, ts: Column): Column = {
     // local calendar fields are derived via from_utc_timestamp, which only
     // reads local wall time when field extraction runs in UTC. Guarded HERE
     // (not in aggregate()) so every entry point — batch aggregate, the
     // streaming windowedAggregate path, direct expression use — fail-louds
-    // instead of silently double-shifting in a non-UTC session. No active
-    // session at Column-construction time is itself an error: skipping the
-    // check would let a later non-UTC execution double-shift silently.
-    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
-      throw new IllegalStateException(
-        "calendar windows need an active SparkSession at expression-" +
-          "construction time to verify spark.sql.session.timeZone=UTC"))
-    require(session.conf.get("spark.sql.session.timeZone") == "UTC",
-      "calendar windows require spark.sql.session.timeZone=UTC")
+    // instead of silently double-shifting in a non-UTC session.
+    requireUtcActiveSession("calendar windows")
     val local = to_date(from_utc_timestamp(ts, cw.timeZone))
     def midnight(d: Column): Column = call_function("make_timestamp",
       year(d), month(d), dayofmonth(d), lit(0), lit(0), lit(0), lit(cw.timeZone))
@@ -356,17 +358,6 @@ object Windows {
         col("value"), (col("__v").isNull && col("value").isNotNull).as("filled"))
   }
 
-  /** The ewma encoder path casts key/order to long — same hazard and same
-    * fail-loud convention as Curation.requireIntegralId. */
-  private def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
-    val dt = df.select(c).schema.head.dataType
-    require(dt == org.apache.spark.sql.types.LongType
-        || dt == org.apache.spark.sql.types.IntegerType
-        || dt == org.apache.spark.sql.types.ShortType,
-      s"$what column must be integral (got $dt); derive a surrogate " +
-        "(e.g. xxhash64) for non-numeric keys")
-  }
-
   /** Exponentially weighted moving average per key:
     * z_i = α·v_i + (1−α)·z_{i−1} (z_0 = v_0) over the key's observations
     * in (ts, order) total order — the smoothing pass fixed windows can't
@@ -383,12 +374,10 @@ object Windows {
   def ewma(df: DataFrame, key: Column, ts: Column, order: Column,
            value: Column, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"ewma needs alpha in (0, 1], got $alpha")
-    // the primitive-tuple encoder path casts key/order to long; a silent
-    // cast of a string/UUID key would null out and die mid-job with an
-    // opaque non-nullable-field error — fail loudly at call time instead
-    // (the Curation/Similarity requireIntegralId convention)
-    requireIntegral(df, key, "ewma key")
-    requireIntegral(df, order, "ewma order")
+    // the primitive-tuple encoder path casts key/order to long — the
+    // shared fail-loud guard (Guards.requireIntegralId)
+    Guards.requireIntegralId(df, key, "ewma key")
+    Guards.requireIntegralId(df, order, "ewma order")
     val s = df.sparkSession
     import s.implicits._
     df.select(key.cast("long").as("k"),

@@ -168,36 +168,40 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val w = width
     if (w <= 0) return plan
     plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), _) if rewritable(j, l, r, cond) =>
-        val Some(m) = matchRange(cond, l, r)
-        val (pp, ip) = if (m.pointsLeft) (l, r) else (r, l)
-        // side-separable equalities become shared-named key columns that
-        // join alongside the bin; original attrs (and their exprIds) pass
-        // through withColumn untouched
-        val keyNames = m.keyPairs.indices.map(i => s"__k$i")
-        val pp2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, pp)) {
-          case (df, ((pe, _), n)) => df.withColumn(n, ColumnBridge.column(pe))
-        }
-        val ip2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, ip)) {
-          case (df, ((_, ie), n)) => df.withColumn(n, ColumnBridge.column(ie))
-        }
-        val joined = graft.operators.Joins.pointInIntervalJoin(
-          pp2, ColumnBridge.column(m.pt),
-          ip2, ColumnBridge.column(m.lo),
-          ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
-          lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
-          .drop(keyNames: _*)
-        val out = m.residual.foldLeft(joined)(
-          (df, e) => df.filter(ColumnBridge.column(e)))
-        Project(j.output, out.queryExecution.analyzed)
+      // match once: noTempNames is the cheap pre-filter, then the single
+      // matchRange drives both the fire/skip decision and the rebuild
+      case j @ Join(l, r, Inner, Some(cond), _) if noTempNames(l, r) =>
+        matchRange(cond, l, r).fold(j: LogicalPlan)(m => rewrite(j, l, r, m, w))
     }
   }
 
-  private def rewritable(j: Join, l: LogicalPlan, r: LogicalPlan,
-                         cond: Expression): Boolean =
-    matchRange(cond, l, r).isDefined &&
-      !(l.output ++ r.output).exists(a =>
-        TempNames(a.name) || a.name.matches("__k\\d+"))
+  private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
+                      m: RangeMatch, w: Long): LogicalPlan = {
+    val (pp, ip) = if (m.pointsLeft) (l, r) else (r, l)
+    // side-separable equalities become shared-named key columns that
+    // join alongside the bin; original attrs (and their exprIds) pass
+    // through withColumn untouched
+    val keyNames = m.keyPairs.indices.map(i => s"__k$i")
+    val pp2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, pp)) {
+      case (df, ((pe, _), n)) => df.withColumn(n, ColumnBridge.column(pe))
+    }
+    val ip2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, ip)) {
+      case (df, ((_, ie), n)) => df.withColumn(n, ColumnBridge.column(ie))
+    }
+    val joined = graft.operators.Joins.pointInIntervalJoin(
+      pp2, ColumnBridge.column(m.pt),
+      ip2, ColumnBridge.column(m.lo),
+      ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+      lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
+      .drop(keyNames: _*)
+    val out = m.residual.foldLeft(joined)(
+      (df, e) => df.filter(ColumnBridge.column(e)))
+    Project(j.output, out.queryExecution.analyzed)
+  }
+
+  private def noTempNames(l: LogicalPlan, r: LogicalPlan): Boolean =
+    !(l.output ++ r.output).exists(a =>
+      TempNames(a.name) || a.name.matches("__k\\d+"))
 
   /** Finds the first consistent [[RangeMatch]] in the condition's
     * conjuncts, or None when no reading qualifies. */

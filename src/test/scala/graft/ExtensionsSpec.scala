@@ -121,17 +121,22 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
-  test("catalog q_range_rewrite: the naive join over real tables hits the rewrite") {
+  test("catalog q_range_rewrite: the naive join over real tables hits the rewrite, conf scoped") {
     // end-to-end on the events table, not a crafted frame: the catalog
-    // query writes `p >= lo && p < hi` and sets the width conf itself
+    // query writes `p >= lo && p < hi`, scopes the width conf to its own
+    // builder, and returns the already-rewritten plan
+    spark.conf.unset(WidthConf)
     val df = Queries.qRangeRewrite(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(WidthConf).isEmpty,
+      "q_range_rewrite leaked the width conf into the session")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"expected the bucketed rewrite in the catalog query's plan:\n${p.take(2500)}")
     assert(p.contains("__bin"), s"expected the bin equi-join:\n${p.take(2500)}")
-    // non-empty at sf0.001 (value correctness is the DuckDB oracle's job)
+    // non-empty at sf0.001 (value correctness is the DuckDB oracle's job);
+    // count() builds a FRESH QueryExecution with the conf unset — the
+    // shipped plan must stay bucketed on its own
     assert(df.count() > 0)
-    spark.conf.unset(WidthConf)
   }
 
   test("SQL users reach the native kernels: vec_dot / word_ngram_counts / morton / epoch_micros") {

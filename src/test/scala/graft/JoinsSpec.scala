@@ -212,6 +212,19 @@ class JoinsSpec extends SparkSpec {
       b, col("b_lo"), col("b_hi"), bucketWidth = 10L)
     assertRows(out.select(col("a_id"), col("b_id")),
       Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, 11L)))
+    // closed-interval semantics: touching now counts (a2's end 70 meets
+    // b3's start 70), the [80,80] point interval participates (meets
+    // nothing here), and the half-open pairs all remain
+    val closed = Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+      b, col("b_lo"), col("b_hi"), bucketWidth = 10L, inclusive = true)
+    assertRows(closed.select(col("a_id"), col("b_id")),
+      Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, 11L), Seq(2L, 12L)))
+    // two touching POINT intervals pair up exactly once under closed bounds
+    val pa = Seq((21L, 40L, 40L)).toDF("a_id", "a_lo", "a_hi")
+    val pb = Seq((22L, 40L, 40L)).toDF("b_id", "b_lo", "b_hi")
+    assertRows(Joins.intervalOverlapJoin(pa, col("a_lo"), col("a_hi"),
+        pb, col("b_lo"), col("b_hi"), bucketWidth = 10L, inclusive = true)
+      .select(col("a_id"), col("b_id")), Seq(Seq(21L, 22L)))
   }
 
   test("pointInIntervalJoin handles NEGATIVE domain values (floor-div binning)") {
@@ -322,6 +335,18 @@ class JoinsSpec extends SparkSpec {
       Joins.intervalOverlapJoin(intervals, col("lo"), col("hi"),
         b, col("b_lo"), col("b_hi"), bucketWidth = 1L, maxBinsPerRow = 100).collect()
     }
+    // closed-bounds off-by-one: [0, 1000] at width 10 explodes to bins
+    // 0..100 = 101 rows — the guard must count the closed hi's own bin
+    // (the half-open count of 100 would slip under the cap)
+    val atCap = Seq((3L, 0L, 1000L)).toDF("iv", "lo", "hi")
+    val e2 = intercept[Exception] {
+      Joins.pointInIntervalJoin(points, col("p"), atCap, col("lo"), col("hi"),
+        bucketWidth = 10L, maxBinsPerRow = 100, upperInclusive = true).collect()
+    }
+    assert(chain(e2).contains("maxBinsPerRow"), s"closed-bounds interval at cap+1 escaped the guard: ${chain(e2)}")
+    // and the same half-open interval stays under the cap
+    Joins.pointInIntervalJoin(points, col("p"), atCap, col("lo"), col("hi"),
+      bucketWidth = 10L, maxBinsPerRow = 100).collect()
   }
 
   test("asOf matches a brute-force oracle on randomized data (dup ts, sparse keys, null gaps)") {

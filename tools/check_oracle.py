@@ -24,8 +24,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # e.g. sum() OVER silently promotes BIGINT to HUGEINT (int128), which the
 # driver's canonicalizer renders differently from Spark's int64 even when
 # the values are equal (the round-10 q_sessionize/q_bpe_learn failure).
+# TIME\b(?!STAMP| ZONE) bans DuckDB's bare TIME / TIME WITH TIME ZONE
+# (time-of-day, which Spark lacks) without tripping on TIMESTAMP or
+# TIMESTAMP WITH TIME ZONE (both Spark-expressible)
 BANNED_TYPES = re.compile(r"HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT"
-                          r"|UTINYINT|DECIMAL|INTERVAL|TIME\b|UUID|BIT\b")
+                          r"|UTINYINT|DECIMAL|INTERVAL|TIME\b(?!STAMP| ZONE)"
+                          r"|UUID|BIT\b")
 
 
 def lint_types(con, name, sql):
