@@ -399,6 +399,63 @@ object Joins {
       .drop("__bin", "__pt", "__lo", "__hi")
   }
 
+  /** LEFT-OUTER point-in-interval join: every point row survives — matched
+    * points pair with each containing interval (exactly once per pair, as
+    * in [[pointInIntervalJoin]]), unmatched points emit one row with the
+    * interval columns null. The attribution shape that keeps the
+    * unattributed tail ("clicks with no campaign window") without a
+    * driver-side identity column: matched = the inner bucketed join;
+    * unmatched = a hash LEFT ANTI join of the binned points against the
+    * binned intervals on (bin, keys) PLUS the exact residual bounds — a
+    * point sharing a bin but failing the bounds still counts as
+    * unmatched. Both legs shuffle on the same bin key; no
+    * BroadcastNestedLoop anywhere, no point-row dedup assumptions
+    * (duplicate point rows each emit their own null row, exactly like a
+    * plain left-outer join).
+    *
+    * Same argument contract and boundary flags as [[pointInIntervalJoin]];
+    * `intervals` columns must be disjoint from `points` columns. */
+  def pointInIntervalJoinLeft(points: DataFrame, pt: Column,
+                              intervals: DataFrame, lo: Column, hi: Column,
+                              bucketWidth: Long = 0L,
+                              extraKeys: Seq[String] = Nil,
+                              maxBinsPerRow: Int = 4096,
+                              lowerInclusive: Boolean = true,
+                              upperInclusive: Boolean = false): DataFrame = {
+    val w = if (bucketWidth > 0) bucketWidth else medianLength(intervals, lo, hi)
+    val matched = pointInIntervalJoin(points, pt, intervals, lo, hi,
+      w, extraKeys, maxBinsPerRow, lowerInclusive, upperInclusive)
+    // anti leg: rename the interval side's temps so the join condition can
+    // reference both sides' bins explicitly (a USING anti join would
+    // ignore the residual bounds and overcount matches)
+    val p = points.withColumn("__pt", pt.cast("long"))
+      .withColumn("__bin", binOf(col("__pt"), w))
+    val nonDegenerate =
+      if (upperInclusive) col("__rhi") >= col("__rlo") else col("__rhi") > col("__rlo")
+    val hiBin = if (upperInclusive) binOf(col("__rhi"), w)
+                else binOf(col("__rhi") - 1, w)
+    val iv = intervals.withColumn("__rlo", lo.cast("long")).withColumn("__rhi", hi.cast("long"))
+      .filter(nonDegenerate)
+      .withColumn("__rlo",
+        binCapGuard(col("__rlo"), col("__rhi"), w, maxBinsPerRow, upperInclusive))
+      .withColumn("__rbin", explode(sequence(binOf(col("__rlo"), w), hiBin)))
+    val lower = if (lowerInclusive) col("__pt") >= col("__rlo")
+                else col("__pt") > col("__rlo")
+    val upper = if (upperInclusive) col("__pt") <= col("__rhi")
+                else col("__pt") < col("__rhi")
+    val keyCond = extraKeys.map(k => p(k) === iv(k))
+      .foldLeft(col("__bin") === col("__rbin") && lower && upper)(_ && _)
+    // null-extend only the interval-exclusive columns: shared extraKeys
+    // columns already live on the points side (as after a USING join)
+    val ivCols = intervals.schema.fields.toSeq
+      .filterNot(f => extraKeys.contains(f.name))
+    val unmatched = p.join(iv, keyCond, "left_anti")
+      .drop("__pt", "__bin")
+      .select(col("*") +: ivCols.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    matched.unionByName(unmatched)
+  }
+
   /** Interval-overlap join: pairs of intervals with
     * `a.lo < b.hi && b.lo < a.hi` (half-open overlap), same bin-bucketing
     * rewrite as [[pointInIntervalJoin]] (exact integer bins, stats-derived

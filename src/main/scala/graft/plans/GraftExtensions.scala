@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -116,7 +116,11 @@ private[plans] final case class RangeMatch(
   * equality (`a.key = b.key` — the common KEYED range join) joins
   * alongside the bin as an extra equi-key; any other deterministic
   * predicate is applied as a post-join filter (equivalent for an inner
-  * join). Deliberately conservative — the rule SKIPS (leaving the plan as
+  * join). LEFT/RIGHT OUTER range joins rewrite through
+  * [[graft.operators.Joins.pointInIntervalJoinLeft]] when the outer side
+  * is the points side and the condition carries no residual predicate
+  * (outer extras decide null-extension and cannot be post-filtered).
+  * Deliberately conservative — the rule SKIPS (leaving the plan as
   * written) when: the width conf is unset (no silent stats job at
   * optimization time), bounds/point are not bare integral attributes,
   * either side already uses the rewrite's temp names, the same attribute
@@ -171,12 +175,25 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // match once: noTempNames is the cheap pre-filter, then the single
       // matchRange drives both the fire/skip decision and the rebuild
       case j @ Join(l, r, Inner, Some(cond), _) if noTempNames(l, r) =>
-        matchRange(cond, l, r).fold(j: LogicalPlan)(m => rewrite(j, l, r, m, w))
+        matchRange(cond, l, r)
+          .fold(j: LogicalPlan)(m => rewrite(j, l, r, m, w, outer = false))
+      // outer range joins rewrite through pointInIntervalJoinLeft when the
+      // OUTER side is the points side and no residual predicate rides the
+      // condition (an outer join's extra predicates can't be post-filtered
+      // — they decide null-extension; key equalities are fine, they join
+      // in both legs)
+      case j @ Join(l, r, jt @ (LeftOuter | RightOuter), Some(cond), _)
+          if noTempNames(l, r) =>
+        matchRange(cond, l, r) match {
+          case Some(m) if m.residual.isEmpty && (jt == LeftOuter) == m.pointsLeft =>
+            rewrite(j, l, r, m, w, outer = true)
+          case _ => j
+        }
     }
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-                      m: RangeMatch, w: Long): LogicalPlan = {
+                      m: RangeMatch, w: Long, outer: Boolean): LogicalPlan = {
     val (pp, ip) = if (m.pointsLeft) (l, r) else (r, l)
     // side-separable equalities become shared-named key columns that
     // join alongside the bin; original attrs (and their exprIds) pass
@@ -188,11 +205,18 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ip2 = m.keyPairs.zip(keyNames).foldLeft(ColumnBridge.ofRows(spark, ip)) {
       case (df, ((_, ie), n)) => df.withColumn(n, ColumnBridge.column(ie))
     }
-    val joined = graft.operators.Joins.pointInIntervalJoin(
-      pp2, ColumnBridge.column(m.pt),
-      ip2, ColumnBridge.column(m.lo),
-      ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
-      lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
+    val joined = (if (outer)
+      graft.operators.Joins.pointInIntervalJoinLeft(
+        pp2, ColumnBridge.column(m.pt),
+        ip2, ColumnBridge.column(m.lo),
+        ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+        lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
+    else
+      graft.operators.Joins.pointInIntervalJoin(
+        pp2, ColumnBridge.column(m.pt),
+        ip2, ColumnBridge.column(m.lo),
+        ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+        lowerInclusive = m.loIncl, upperInclusive = m.hiIncl))
       .drop(keyNames: _*)
     val out = m.residual.foldLeft(joined)(
       (df, e) => df.filter(ColumnBridge.column(e)))

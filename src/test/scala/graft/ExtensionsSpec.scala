@@ -121,6 +121,37 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("rule ON: outer range joins rewrite when the outer side is the points side") {
+    spark.conf.unset(WidthConf)
+    def leftOuter = points.join(intervals,
+      $"p" >= $"lo" && $"p" < $"hi", "left_outer")
+    def rightOuter = intervals.join(points,
+      $"p" >= $"lo" && $"p" < $"hi", "right_outer")
+    // outer side = intervals → must SKIP (pointInIntervalJoinLeft
+    // preserves points, not intervals)
+    def wrongSide = intervals.join(points,
+      $"p" >= $"lo" && $"p" < $"hi", "left_outer")
+    val expL = leftOuter.collect().map(_.toSeq).toSet
+    val expR = rightOuter.collect().map(_.toSeq).toSet
+    spark.conf.set(WidthConf, "16")
+    try {
+      for ((df, exp) <- Seq((leftOuter, expL), (rightOuter, expR))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"expected the outer rewrite:\n${p.take(2500)}")
+        assert(df.collect().map(_.toSeq).toSet == exp,
+          "outer rewrite changed results")
+      }
+      assert(wrongSide.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "intervals-outer shape must skip")
+      // residual extras can't be post-filtered on an outer join → skip
+      val resid = points.join(intervals,
+        $"p" >= $"lo" && $"p" < $"hi" && $"point_id" =!= $"interval_id", "left_outer")
+      assert(resid.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "outer with residual must skip")
+    } finally spark.conf.unset(WidthConf)
+  }
+
   test("catalog q_range_rewrite: the naive join over real tables hits the rewrite, conf scoped") {
     // end-to-end on the events table, not a crafted frame: the catalog
     // query writes `p >= lo && p < hi`, scopes the width conf to its own

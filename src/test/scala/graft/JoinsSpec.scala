@@ -167,6 +167,32 @@ class JoinsSpec extends SparkSpec {
       Seq(4L, 5L)))
   }
 
+  test("pointInIntervalJoinLeft: unmatched points survive with null interval columns") {
+    val points = Seq((100L, 5L), (101L, 19L), (102L, 99L), (103L, 99L)).toDF("pid", "p")
+    val intervals = Seq((1L, 10L, 20L), (2L, 0L, 6L)).toDF("iv", "lo", "hi")
+    val out = Joins.pointInIntervalJoinLeft(
+      points, col("p"), intervals, col("lo"), col("hi"), bucketWidth = 10L)
+    // 5→[0,6), 19→[10,20); the two 99s each emit their OWN null row
+    // (duplicate point rows behave like a plain left-outer join)
+    assertRows(out.select(col("pid"), col("p"), col("iv")), Seq(
+      Seq(100L, 5L, 2L), Seq(101L, 19L, 1L),
+      Seq(102L, 99L, null), Seq(103L, 99L, null)))
+    // a point in a shared bin that fails the bounds is still unmatched:
+    // 25 shares bin 2 with [26, 28) but is below lo
+    val nearMiss = Seq((110L, 25L)).toDF("pid", "p")
+    val iv2 = Seq((3L, 26L, 28L)).toDF("iv", "lo", "hi")
+    assertRows(Joins.pointInIntervalJoinLeft(nearMiss, col("p"), iv2,
+        col("lo"), col("hi"), bucketWidth = 10L)
+      .select(col("pid"), col("iv")), Seq(Seq(110L, null)))
+    // extra equality keys scope both legs: same span, wrong key → null row
+    val kp = Seq((120L, 15L, "a"), (121L, 15L, "b")).toDF("pid", "p", "k")
+    val ki = Seq((4L, 10L, 20L, "a")).toDF("iv", "lo", "hi", "k")
+    assertRows(Joins.pointInIntervalJoinLeft(kp, col("p"), ki,
+        col("lo"), col("hi"), bucketWidth = 10L, extraKeys = Seq("k"))
+      .select(col("pid"), col("k"), col("iv")),
+      Seq(Seq(120L, "a", 4L), Seq(121L, "b", null)))
+  }
+
   test("pointInIntervalJoin: inclusive/exclusive boundary combinations") {
     val points = Seq(5L, 10L, 20L, 25L).toDF("p")
     val intervals = Seq(
