@@ -375,6 +375,37 @@ class JoinsSpec extends SparkSpec {
       bucketWidth = 10L, maxBinsPerRow = 100).collect()
   }
 
+  test("pointInIntervalJoinLeft matches the naive left-outer join on randomized data") {
+    // 600 points x 120 intervals across a 2000-wide domain, width 50:
+    // bin-crossing intervals, overlapping intervals, duplicate points,
+    // empty intervals, and a spread of unmatched points — compared
+    // row-multiset-exact against Spark's own (nested-loop) left-outer join
+    // for every boundary-flag combination
+    val rnd = new scala.util.Random(20260814L)
+    val points = (0 until 600).map(i => (i.toLong, rnd.nextInt(2000).toLong))
+    val intervals = (0 until 120).map { i =>
+      val lo = rnd.nextInt(2000).toLong
+      (1000L + i, lo, lo + rnd.nextInt(120).toLong) // includes empty (len 0)
+    }
+    val pDf = points.toDF("pid", "p")
+    val iDf = intervals.toDF("iv", "lo", "hi")
+    for (loIncl <- Seq(true, false); hiIncl <- Seq(true, false)) {
+      val lower = if (loIncl) col("p") >= col("lo") else col("p") > col("lo")
+      val upper = if (hiIncl) col("p") <= col("hi") else col("p") < col("hi")
+      val expected = pDf.join(iDf, lower && upper, "left_outer")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val got = Joins.pointInIntervalJoinLeft(pDf, col("p"), iDf,
+          col("lo"), col("hi"), bucketWidth = 50L,
+          lowerInclusive = loIncl, upperInclusive = hiIncl)
+        .select(col("pid"), col("p"), col("iv"), col("lo"), col("hi"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected,
+        s"loIncl=$loIncl hiIncl=$hiIncl: multiset mismatch — " +
+          s"${(expected.keySet -- got.keySet).take(3)} missing, " +
+          s"${(got.keySet -- expected.keySet).take(3)} extra")
+    }
+  }
+
   test("asOf matches a brute-force oracle on randomized data (dup ts, sparse keys, null gaps)") {
     // 40 keys x 1500 lefts x 800 rights: plenty of same-key same-ts
     // collisions, keys with no rights at all, lefts before the first right.
