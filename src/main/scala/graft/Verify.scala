@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same Catalyst extensions as GraftSession (a no-op without the
+      // spark.graft.* confs) — q_range_rewrite's builder require-checks
+      // that the optimizer rule actually fired, which needs the rule
+      // REGISTERED in this session
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()

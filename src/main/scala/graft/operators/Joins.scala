@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -261,32 +262,82 @@ object Joins {
     * values is matched as-is, never stitched column-wise with older rows
     * (a per-column last(ignoreNulls) would do exactly that). Right rows
     * must be unique per (keys, ts) — otherwise which same-timestamp
-    * payload wins is tie-ambiguous. */
+    * payload wins is tie-ambiguous.
+    *
+    * `direction` (pandas merge_asof surface):
+    *  - "backward" (default): latest right with rts <= lts — as above
+    *  - "forward": EARLIEST right with rts >= lts (the mirrored window —
+    *    same shuffle, descending in-partition sort)
+    *  - "nearest": whichever of the two is closer in time, ties to
+    *    backward; both fills run over the SAME keyed partitioning (one
+    *    shuffle, two in-partition sorts), then a row-local pick. The ts
+    *    columns must be numeric or timestamp (the distance compare casts
+    *    to long — epoch micros for timestamps). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightPayload: Seq[String]): DataFrame = {
+           rightPayload: Seq[String],
+           direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOf direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
     require(rightPayload.intersect(leftCols).isEmpty,
       s"rightPayload must not collide with left columns: ${rightPayload.intersect(leftCols)}")
 
+    // the struct carries the right ts internally (first field) so
+    // "nearest" can compare distances; output columns are unchanged.
+    // Timestamps go through epochMicros (a long cast would truncate to
+    // SECONDS and mis-pick the nearest side on sub-second gaps).
+    def tsLong(df: DataFrame, c: String): Column = {
+      val dt = df.select(col(c)).schema.head.dataType
+      dt match {
+        case _: org.apache.spark.sql.types.TimestampType => GraftSession.epochMicros(col(c))
+        case _: org.apache.spark.sql.types.TimestampNTZType => GraftSession.epochMicros(col(c))
+        case _ => col(c).cast("long")
+      }
+    }
     val payloadStructType = right.select(
-      struct(rightPayload.map(col): _*).as("__rp")).schema("__rp").dataType
+      struct(tsLong(right, rightTs).as("__rts") +: rightPayload.map(col): _*)
+        .as("__rp")).schema("__rp").dataType
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         otherLeft.map(col) :+ lit(null).cast(payloadStructType).as("__rp"): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         otherLeft.map(c => lit(null).as(c)) :+
-        struct(rightPayload.map(col): _*).as("__rp"): _*)
+        struct(tsLong(right, rightTs).as("__rts") +: rightPayload.map(col): _*)
+          .as("__rp"): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def frame(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rights (side 0) sort before lefts (side 1) at equal ts under BOTH
+    // orderings, so <= / >= both include the equal-ts right row
+    val wBack = frame(Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc))
+    val wFwd = frame(Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc))
+    val fill = direction match {
+      case "backward" => last(col("__rp"), ignoreNulls = true).over(wBack)
+      case "forward"  => last(col("__rp"), ignoreNulls = true).over(wFwd)
+      case "nearest"  =>
+        val back = last(col("__rp"), ignoreNulls = true).over(wBack)
+        val fwd = last(col("__rp"), ignoreNulls = true).over(wFwd)
+        val tsType = left.select(col(leftTs)).schema.head.dataType
+        val lts = tsType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            GraftSession.epochMicros(col("__ts"))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            GraftSession.epochMicros(col("__ts"))
+          case _ => col("__ts").cast("long")
+        }
+        when(back.isNull, fwd).when(fwd.isNull, back)
+          .when(lts - back.getField("__rts") <= fwd.getField("__rts") - lts, back)
+          .otherwise(fwd)
+    }
     val filled = l.unionByName(r).select(
       (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) :+
-        last(col("__rp"), ignoreNulls = true).over(w).as("__rp")): _*)
+        fill.as("__rp")): _*)
     filled.filter(col("__side") === 1)
       .select((keys.map(col) ++ Seq(col("__ts")) ++ otherLeft.map(col) ++
         rightPayload.map(c => col(s"__rp.$c").as(c))): _*)

@@ -132,6 +132,81 @@ class JoinsSpec extends SparkSpec {
       Seq("b", 7L, "l4", null, null)))        // other key's rows invisible
   }
 
+  test("asOf forward/nearest directions (pandas merge_asof surface)") {
+    val l = Seq(("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"), ("a", 40L, "l4"))
+      .toDF("k", "ts", "lv")
+    val r = Seq(("a", 10L, 100L), ("a", 15L, 150L), ("a", 28L, 280L))
+      .toDF("k", "rts", "price")
+    // forward: EARLIEST right at-or-after; nothing after 28 → null tail
+    assertRows(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "price"),
+        direction = "forward")
+      .select(col("ts"), col("rts"), col("price")), Seq(
+      Seq(5L, 10L, 100L),
+      Seq(10L, 10L, 100L),       // equal ts matches (>= semantics)
+      Seq(20L, 28L, 280L),
+      Seq(40L, null, null)))
+    // nearest: 5→10 (only forward), 10→10 (exact), 20→15 (|5| < |8|),
+    // 40→28 (only backward); and a tie prefers backward
+    assertRows(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "price"),
+        direction = "nearest")
+      .select(col("ts"), col("rts"), col("price")), Seq(
+      Seq(5L, 10L, 100L),
+      Seq(10L, 10L, 100L),
+      Seq(20L, 15L, 150L),
+      Seq(40L, 28L, 280L)))
+    val near = Seq(("a", 21L, "t")).toDF("k", "ts", "lv") // 15 vs 28: 6 < 7
+    assertRows(Joins.asOf(near, r, Seq("k"), "ts", "rts", Seq("rts"),
+        direction = "nearest").select(col("rts")), Seq(Seq(15L)))
+    val exactTie = Seq(("a", 4L, "t")).toDF("k", "ts", "lv")
+    val rTie = Seq(("a", 2L, 20L), ("a", 6L, 60L)).toDF("k", "rts", "price")
+    assertRows(Joins.asOf(exactTie, rTie, Seq("k"), "ts", "rts", Seq("rts"),
+        direction = "nearest").select(col("rts")),
+      Seq(Seq(2L)))              // equidistant → backward wins (documented)
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts"), direction = "sideways")
+    }
+  }
+
+  test("asOf nearest matches a brute-force oracle on randomized data") {
+    val rnd = new scala.util.Random(20260815L)
+    val lefts = (0 until 800).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(3000).toLong))
+    val rights = (0 until 400)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(3000).toLong, rnd.nextInt(1000)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((k, rts), g) => (k, rts, g.map(_._3).max) }.toSeq
+    val byKey = rights.groupBy(_._1)
+    for (dir <- Seq("forward", "nearest")) {
+      val rows = Joins.asOf(
+        lefts.toDF("id", "k", "ts"), rights.toDF("k", "rts", "v"),
+        Seq("k"), "ts", "rts", Seq("rts", "v"), direction = dir)
+        .select(col("id"), col("rts"), col("v")).collect()
+      assert(rows.length == lefts.size)
+      val out = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+      lefts.foreach { case (id, k, ts) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+        val expected = dir match {
+          case "forward" => cands.filter(_._2 >= ts) match {
+            case Seq() => None
+            case cs => val best = cs.minBy(_._2); Some((best._2, best._3))
+          }
+          case "nearest" =>
+            val back = cands.filter(_._2 <= ts).sortBy(_._2).lastOption
+            val fwd = cands.filter(_._2 >= ts).sortBy(_._2).headOption
+            (back, fwd) match {
+              case (None, f) => f.map(b => (b._2, b._3))
+              case (b, None) => b.map(b2 => (b2._2, b2._3))
+              case (Some(b), Some(f)) =>
+                val pick = if (ts - b._2 <= f._2 - ts) b else f
+                Some((pick._2, pick._3))
+            }
+        }
+        assert(out(id) == expected, s"dir=$dir id=$id k=$k ts=$ts: ${out(id)} vs $expected")
+      }
+    }
+  }
+
   test("asOf has WHOLE-ROW semantics: a null payload value is matched as-is, never stitched") {
     val l = Seq(("a", 10L, "l")).toDF("k", "ts", "lv")
     val r = Seq(("a", 1L, Some(5L), Some(7L)), ("a", 2L, None, Some(9L)))
