@@ -33,6 +33,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any result dir from a PREVIOUS run: a stale parquet here
+        // would make the checker silently compare yesterday's output and
+        // mask this failure (observed in-session before this guard)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) rm(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
