@@ -37,8 +37,13 @@ object Verify {
         // would make the checker silently compare yesterday's output and
         // mask this failure (observed in-session before this guard)
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
+          // listFiles() is null on I/O/permission errors — exactly the
+          // degraded conditions this handler runs under; never let the
+          // cleanup NPE out of the catch and kill the remaining queries
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          if (!f.delete())
+            System.err.println(s"[verify] could not remove stale ${f.getPath}")
         }
         val d = new java.io.File(s"$outDir/$name")
         if (d.exists()) rm(d)

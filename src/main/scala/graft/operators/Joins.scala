@@ -284,53 +284,69 @@ object Joins {
     val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
     require(rightPayload.intersect(leftCols).isEmpty,
       s"rightPayload must not collide with left columns: ${rightPayload.intersect(leftCols)}")
+    require(!rightPayload.contains("__rts"),
+      "rightPayload name __rts is reserved (internal ts field of the payload struct)")
 
     // the struct carries the right ts internally (first field) so
     // "nearest" can compare distances; output columns are unchanged.
     // Timestamps go through epochMicros (a long cast would truncate to
-    // SECONDS and mis-pick the nearest side on sub-second gaps).
-    def tsLong(df: DataFrame, c: String): Column = {
-      val dt = df.select(col(c)).schema.head.dataType
-      dt match {
-        case _: org.apache.spark.sql.types.TimestampType => GraftSession.epochMicros(col(c))
-        case _: org.apache.spark.sql.types.TimestampNTZType => GraftSession.epochMicros(col(c))
-        case _ => col(c).cast("long")
+    // SECONDS and mis-pick the nearest side on sub-second gaps); ONE type
+    // dispatch serves both sides so the conversions can never disagree.
+    import org.apache.spark.sql.types._
+    def tsLong(dt: DataType, c: Column): Column = dt match {
+      case _: TimestampType | _: TimestampNTZType => GraftSession.epochMicros(c)
+      case _ => c.cast("long")
+    }
+    val leftTsType = left.select(col(leftTs)).schema.head.dataType
+    val rightTsType = right.select(col(rightTs)).schema.head.dataType
+    if (direction == "nearest") {
+      // the distance compare is exact only for integral/timestamp domains;
+      // a fractional ts would silently truncate and mis-pick the side
+      def nearestSafe(dt: DataType): Boolean = dt match {
+        case _: TimestampType | _: TimestampNTZType => true
+        case LongType | IntegerType | ShortType => true
+        case _ => false
       }
+      require(nearestSafe(leftTsType) && nearestSafe(rightTsType),
+        s"asOf nearest needs integral or timestamp ts columns (got " +
+          s"$leftTsType / $rightTsType); fractional domains would truncate " +
+          "in the distance compare")
     }
     val payloadStructType = right.select(
-      struct(tsLong(right, rightTs).as("__rts") +: rightPayload.map(col): _*)
+      struct(tsLong(rightTsType, col(rightTs)).as("__rts") +: rightPayload.map(col): _*)
         .as("__rp")).schema("__rp").dataType
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         otherLeft.map(col) :+ lit(null).cast(payloadStructType).as("__rp"): _*)
-    val r = right.select(
+    // a null-ts right row satisfies NO comparison in any direction (SQL:
+    // rts <= x / rts >= x are never true) — drop it here; without this it
+    // would sort to a partition edge and back/forward-fill real rows
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         otherLeft.map(c => lit(null).as(c)) :+
-        struct(tsLong(right, rightTs).as("__rts") +: rightPayload.map(col): _*)
+        struct(tsLong(rightTsType, col(rightTs)).as("__rts") +: rightPayload.map(col): _*)
           .as("__rp"): _*)
 
     def frame(w: org.apache.spark.sql.expressions.WindowSpec) =
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // rights (side 0) sort before lefts (side 1) at equal ts under BOTH
-    // orderings, so <= / >= both include the equal-ts right row
+    // orderings, so <= / >= both include the equal-ts right row. Null-ts
+    // LEFT rows must see an empty fill frame in both directions: asc is
+    // NULLS FIRST by default, the desc ordering needs the explicit
+    // desc_nulls_first (plain desc puts nulls last — a null-ts left row
+    // would otherwise frame over the whole partition and match the
+    // earliest right)
     val wBack = frame(Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc))
     val wFwd = frame(Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, col("__side").asc))
+      .orderBy(col("__ts").desc_nulls_first, col("__side").asc))
     val fill = direction match {
       case "backward" => last(col("__rp"), ignoreNulls = true).over(wBack)
       case "forward"  => last(col("__rp"), ignoreNulls = true).over(wFwd)
       case "nearest"  =>
         val back = last(col("__rp"), ignoreNulls = true).over(wBack)
         val fwd = last(col("__rp"), ignoreNulls = true).over(wFwd)
-        val tsType = left.select(col(leftTs)).schema.head.dataType
-        val lts = tsType match {
-          case _: org.apache.spark.sql.types.TimestampType =>
-            GraftSession.epochMicros(col("__ts"))
-          case _: org.apache.spark.sql.types.TimestampNTZType =>
-            GraftSession.epochMicros(col("__ts"))
-          case _ => col("__ts").cast("long")
-        }
+        val lts = tsLong(leftTsType, col("__ts"))
         when(back.isNull, fwd).when(fwd.isNull, back)
           .when(lts - back.getField("__rts") <= fwd.getField("__rts") - lts, back)
           .otherwise(fwd)
@@ -374,6 +390,25 @@ object Joins {
       s"range join: interval [%s, %s$hiBracket spans %s bins > maxBinsPerRow=$maxBins " +
         s"at bucketWidth=$w — raise bucketWidth (or the cap)", loC, hiC, nb)))
       .otherwise(loC)
+  }
+
+  /** Interval side of the bin plan — ONE implementation for all three
+    * range-join forms (inner, left-outer anti leg, interval overlap) so a
+    * boundary-semantics change can never desynchronize them: cast bounds
+    * to long as `loName`/`hiName`, drop degenerate rows, fail-loud bin
+    * cap, explode to one row per overlapped bin as `binName`. */
+  private def binnedIntervals(df: DataFrame, lo: Column, hi: Column,
+                              w: Long, maxBins: Int, upperInclusive: Boolean,
+                              loName: String, hiName: String,
+                              binName: String): DataFrame = {
+    val nonDegenerate =
+      if (upperInclusive) col(hiName) >= col(loName) else col(hiName) > col(loName)
+    val hiBin = if (upperInclusive) binOf(col(hiName), w)
+                else binOf(col(hiName) - 1, w)
+    df.withColumn(loName, lo.cast("long")).withColumn(hiName, hi.cast("long"))
+      .filter(nonDegenerate)
+      .withColumn(loName, binCapGuard(col(loName), col(hiName), w, maxBins, upperInclusive))
+      .withColumn(binName, explode(sequence(binOf(col(loName), w), hiBin)))
   }
 
   /** Median NON-EMPTY interval length — the stats-derived default
@@ -432,15 +467,8 @@ object Joins {
     // DOWN (implicit step -1) and fabricate bins. The residual predicate
     // handles the remaining edge cases exactly (e.g. (x, x] matches
     // nothing even though it survives the closed-bounds bin filter).
-    val nonDegenerate =
-      if (upperInclusive) col("__hi") >= col("__lo") else col("__hi") > col("__lo")
-    val hiBin = if (upperInclusive) binOf(col("__hi"), w)
-                else binOf(col("__hi") - 1, w)
-    val iv = intervals.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
-      .filter(nonDegenerate)
-      .withColumn("__lo",
-        binCapGuard(col("__lo"), col("__hi"), w, maxBinsPerRow, upperInclusive))
-      .withColumn("__bin", explode(sequence(binOf(col("__lo"), w), hiBin)))
+    val iv = binnedIntervals(intervals, lo, hi, w, maxBinsPerRow,
+      upperInclusive, "__lo", "__hi", "__bin")
     val lower = if (lowerInclusive) col("__pt") >= col("__lo")
                 else col("__pt") > col("__lo")
     val upper = if (upperInclusive) col("__pt") <= col("__hi")
@@ -481,15 +509,8 @@ object Joins {
     // ignore the residual bounds and overcount matches)
     val p = points.withColumn("__pt", pt.cast("long"))
       .withColumn("__bin", binOf(col("__pt"), w))
-    val nonDegenerate =
-      if (upperInclusive) col("__rhi") >= col("__rlo") else col("__rhi") > col("__rlo")
-    val hiBin = if (upperInclusive) binOf(col("__rhi"), w)
-                else binOf(col("__rhi") - 1, w)
-    val iv = intervals.withColumn("__rlo", lo.cast("long")).withColumn("__rhi", hi.cast("long"))
-      .filter(nonDegenerate)
-      .withColumn("__rlo",
-        binCapGuard(col("__rlo"), col("__rhi"), w, maxBinsPerRow, upperInclusive))
-      .withColumn("__rbin", explode(sequence(binOf(col("__rlo"), w), hiBin)))
+    val iv = binnedIntervals(intervals, lo, hi, w, maxBinsPerRow,
+      upperInclusive, "__rlo", "__rhi", "__rbin")
     val lower = if (lowerInclusive) col("__pt") >= col("__rlo")
                 else col("__pt") > col("__rlo")
     val upper = if (upperInclusive) col("__pt") <= col("__rhi")
@@ -532,18 +553,9 @@ object Joins {
         left.select((leftHi.cast("long") - leftLo.cast("long")).as("len"))
           .unionByName(right.select((rightHi.cast("long") - rightLo.cast("long")).as("len"))),
         lit(0L), col("len"))
-    def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame = {
-      val nonDegenerate =
-        if (inclusive) col(s"__${p}hi") >= col(s"__${p}lo")
-        else col(s"__${p}hi") > col(s"__${p}lo")
-      val hiBin = if (inclusive) binOf(col(s"__${p}hi"), w)
-                  else binOf(col(s"__${p}hi") - 1, w)
-      df.withColumn(s"__${p}lo", lo.cast("long")).withColumn(s"__${p}hi", hi.cast("long"))
-        .filter(nonDegenerate)
-        .withColumn(s"__${p}lo",
-          binCapGuard(col(s"__${p}lo"), col(s"__${p}hi"), w, maxBinsPerRow, inclusive))
-        .withColumn("__bin", explode(sequence(binOf(col(s"__${p}lo"), w), hiBin)))
-    }
+    def binned(df: DataFrame, lo: Column, hi: Column, p: String): DataFrame =
+      binnedIntervals(df, lo, hi, w, maxBinsPerRow, inclusive,
+        s"__${p}lo", s"__${p}hi", "__bin")
     val a = binned(left, leftLo, leftHi, "a")
     val b = binned(right, rightLo, rightHi, "b")
     val overlap =

@@ -132,7 +132,11 @@ private[plans] final case class RangeMatch(
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val WidthConf = "graft.rangeJoin.bucketWidth"
-  private val TempNames = Set("__pt", "__bin", "__lo", "__hi")
+  // every temp the operators derive — including the outer variant's
+  // anti-leg names — so a user column with one of these names makes the
+  // rule SKIP instead of producing an ambiguous-reference failure
+  private val TempNames =
+    Set("__pt", "__bin", "__lo", "__hi", "__rlo", "__rhi", "__rbin")
 
   private def width: Long =
     spark.conf.getOption(s"spark.$WidthConf")

@@ -167,6 +167,43 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf null timestamps: null-ts lefts never match, null-ts rights never fill") {
+    // SQL comparison semantics: rts <= null / rts >= null are never true
+    val l = Seq(("a", Some(20L), "live"), ("a", None, "nullts"))
+      .toDF("k", "ts", "lv")
+    val r = Seq(("a", Some(10L), 100L), ("a", None, 999L))
+      .toDF("k", "rts", "price")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price"),
+          direction = dir)
+        .select(col("lv"), col("price")).collect()
+        .map(row => row.getString(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      assert(out("nullts").isEmpty,
+        s"dir=$dir: a null-ts left row must stay unmatched, got ${out("nullts")}")
+      // the null-rts right (999) must never be the fill; 20 matches 10
+      // backward/nearest and nothing forward
+      val expectedLive = if (dir == "forward") None else Some(100L)
+      assert(out("live") == expectedLive, s"dir=$dir live: ${out("live")}")
+    }
+  }
+
+  test("asOf guards: nearest rejects fractional ts, __rts payload name reserved") {
+    val l = Seq(("a", 1.5, "x")).toDF("k", "ts", "lv")
+    val r = Seq(("a", 1.0, 10L)).toDF("k", "rts", "price")
+    // fractional domains would truncate in the distance compare → fail-loud
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price"), direction = "nearest")
+    }
+    // backward/forward fills sort on the untruncated ts — doubles are fine
+    assert(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price")).count() == 1)
+    val li = Seq(("a", 1L)).toDF("k", "ts")
+    val ri = Seq(("a", 1L, 2L)).toDF("k", "rts", "__rts")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(li, ri, Seq("k"), "ts", "rts", Seq("__rts"))
+    }
+  }
+
   test("asOf nearest matches a brute-force oracle on randomized data") {
     val rnd = new scala.util.Random(20260815L)
     val lefts = (0 until 800).map(i =>
