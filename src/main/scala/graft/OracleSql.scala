@@ -372,6 +372,42 @@ object OracleSql {
          |FROM clicks c ASOF LEFT JOIN purchases p
          |  ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts""".stripMargin,
 
+    // forward: DuckDB native ASOF with the mirrored (<=) condition
+    "q_asof_forward" ->
+      s"""WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |                FROM events WHERE event_type = 'click'),
+         |purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS asof_ts,
+         |                     max(${c("value")}) AS purchase_cents
+         |              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.click_ts, p.asof_ts, p.purchase_cents
+         |FROM clicks c ASOF LEFT JOIN purchases p
+         |  ON c.user_id = p.user_id AND c.click_ts <= p.asof_ts""".stripMargin,
+
+    // nearest: both native ASOF passes joined on the click id, identical
+    // tie-to-backward pick on epoch-micros distances
+    "q_asof_nearest" ->
+      s"""WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |                FROM events WHERE event_type = 'click'),
+         |purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS asof_ts,
+         |                     max(${c("value")}) AS purchase_cents
+         |              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |b AS (SELECT c.event_id, p.asof_ts AS b_ts, p.purchase_cents AS b_c
+         |      FROM clicks c ASOF LEFT JOIN purchases p
+         |        ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts),
+         |f AS (SELECT c.event_id, p.asof_ts AS f_ts, p.purchase_cents AS f_c
+         |      FROM clicks c ASOF LEFT JOIN purchases p
+         |        ON c.user_id = p.user_id AND c.click_ts <= p.asof_ts)
+         |SELECT c.event_id, c.user_id, c.click_ts,
+         |       CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+         |            WHEN epoch_us(c.click_ts) - epoch_us(b_ts)
+         |                 <= epoch_us(f_ts) - epoch_us(c.click_ts) THEN b_ts
+         |            ELSE f_ts END AS asof_ts,
+         |       CASE WHEN b_ts IS NULL THEN f_c WHEN f_ts IS NULL THEN b_c
+         |            WHEN epoch_us(c.click_ts) - epoch_us(b_ts)
+         |                 <= epoch_us(f_ts) - epoch_us(c.click_ts) THEN b_c
+         |            ELSE f_c END AS purchase_cents
+         |FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
+
     // The oracle runs the PLAIN inequality join (fine at sf0.01); the Spark
     // side runs the bucketed equi-join plan — same result, scale-safe plan.
     "q_range_join" ->

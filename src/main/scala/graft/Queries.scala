@@ -486,6 +486,37 @@ object Queries {
       Seq("asof_ts", "purchase_cents"))
   }
 
+  /** Forward as-of: each click matched to the same user's EARLIEST
+    * purchase at-or-after it (Joins.asOf direction="forward" — the
+    * mirrored window fill). Independent oracle: DuckDB's native ASOF with
+    * a <= condition. Same pre-aggregation contract as q_asof_join. */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("asof_ts"))
+      .agg(max(cents(col("value"))).as("purchase_cents"))
+    Joins.asOf(clicks, purchases, Seq("user_id"), "click_ts", "asof_ts",
+      Seq("asof_ts", "purchase_cents"), direction = "forward")
+  }
+
+  /** Nearest as-of: each click matched to the same user's time-closest
+    * purchase, ties to the earlier one (Joins.asOf direction="nearest" —
+    * both fills over one shuffle, micros distances). Oracle: DuckDB's two
+    * native ASOF passes joined on the click id with the identical
+    * tie-to-backward pick. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("asof_ts"))
+      .agg(max(cents(col("value"))).as("purchase_cents"))
+    Joins.asOf(clicks, purchases, Seq("user_id"), "click_ts", "asof_ts",
+      Seq("asof_ts", "purchase_cents"), direction = "nearest")
+  }
+
   /** Keyless point-in-interval range join on the bucketed path (no
     * BroadcastNestedLoop — PlanShapeSpec pins it): clicks attributed to
     * 4-hour windows opened by every 7th signup; bucketWidth = the interval
