@@ -272,11 +272,19 @@ object Joins {
     *    backward; both fills run over the SAME keyed partitioning (one
     *    shuffle, two in-partition sorts), then a row-local pick. The ts
     *    columns must be numeric or timestamp (the distance compare casts
-    *    to long — epoch micros for timestamps). */
+    *    to long — epoch micros for timestamps).
+    *
+    * `tolerance` (pandas merge_asof): when >= 0, a match farther than this
+    * many long-domain units (epoch MICROS for timestamps) nulls out; for
+    * nearest each side is cut before the pick. `allowExactMatches = false`
+    * makes the comparisons strict (< / >) — implemented purely by flipping
+    * the equal-ts side order in the window sort, no extra pass. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPayload: Seq[String],
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Long = -1L,
+           allowExactMatches: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(Set("backward", "forward", "nearest")(direction),
       s"asOf direction must be backward|forward|nearest, got '$direction'")
@@ -299,18 +307,18 @@ object Joins {
     }
     val leftTsType = left.select(col(leftTs)).schema.head.dataType
     val rightTsType = right.select(col(rightTs)).schema.head.dataType
-    if (direction == "nearest") {
-      // the distance compare is exact only for integral/timestamp domains;
-      // a fractional ts would silently truncate and mis-pick the side
-      def nearestSafe(dt: DataType): Boolean = dt match {
+    if (direction == "nearest" || tolerance >= 0) {
+      // distance arithmetic is exact only for integral/timestamp domains;
+      // a fractional ts would silently truncate and mis-pick/mis-cut
+      def distanceSafe(dt: DataType): Boolean = dt match {
         case _: TimestampType | _: TimestampNTZType => true
         case LongType | IntegerType | ShortType => true
         case _ => false
       }
-      require(nearestSafe(leftTsType) && nearestSafe(rightTsType),
-        s"asOf nearest needs integral or timestamp ts columns (got " +
-          s"$leftTsType / $rightTsType); fractional domains would truncate " +
-          "in the distance compare")
+      require(distanceSafe(leftTsType) && distanceSafe(rightTsType),
+        s"asOf nearest/tolerance needs integral or timestamp ts columns " +
+          s"(got $leftTsType / $rightTsType); fractional domains would " +
+          "truncate in the distance arithmetic")
     }
     val payloadStructType = right.select(
       struct(tsLong(rightTsType, col(rightTs)).as("__rts") +: rightPayload.map(col): _*)
@@ -336,17 +344,34 @@ object Joins {
     // desc_nulls_first (plain desc puts nulls last — a null-ts left row
     // would otherwise frame over the whole partition and match the
     // earliest right)
+    // allowExactMatches = false flips the equal-ts side order: lefts sort
+    // BEFORE rights, so the equal-ts right drops out of the frame and the
+    // comparisons become strict (< / >) — pure sort-order work, no filter
+    val sideOrd =
+      if (allowExactMatches) col("__side").asc else col("__side").desc
     val wBack = frame(Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc))
+      .orderBy(col("__ts").asc, sideOrd))
     val wFwd = frame(Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc_nulls_first, col("__side").asc))
+      .orderBy(col("__ts").desc_nulls_first, sideOrd))
+    val lts = tsLong(leftTsType, col("__ts"))
+    // tolerance (same long units as the ts domain — micros for
+    // timestamps): a fill farther than `tolerance` nulls out; for nearest
+    // each SIDE is cut before the pick (the pandas contract)
+    def withinTol(p: Column, dist: Column): Column =
+      if (tolerance < 0) p
+      else when(p.isNotNull && dist <= lit(tolerance), p)
     val fill = direction match {
-      case "backward" => last(col("__rp"), ignoreNulls = true).over(wBack)
-      case "forward"  => last(col("__rp"), ignoreNulls = true).over(wFwd)
-      case "nearest"  =>
+      case "backward" =>
         val back = last(col("__rp"), ignoreNulls = true).over(wBack)
+        withinTol(back, lts - back.getField("__rts"))
+      case "forward"  =>
         val fwd = last(col("__rp"), ignoreNulls = true).over(wFwd)
-        val lts = tsLong(leftTsType, col("__ts"))
+        withinTol(fwd, fwd.getField("__rts") - lts)
+      case "nearest"  =>
+        val backRaw = last(col("__rp"), ignoreNulls = true).over(wBack)
+        val fwdRaw = last(col("__rp"), ignoreNulls = true).over(wFwd)
+        val back = withinTol(backRaw, lts - backRaw.getField("__rts"))
+        val fwd = withinTol(fwdRaw, fwdRaw.getField("__rts") - lts)
         when(back.isNull, fwd).when(fwd.isNull, back)
           .when(lts - back.getField("__rts") <= fwd.getField("__rts") - lts, back)
           .otherwise(fwd)

@@ -167,6 +167,79 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf tolerance and allowExactMatches (pandas merge_asof surface)") {
+    val l = Seq(("a", 10L, "x"), ("a", 30L, "y")).toDF("k", "ts", "lv")
+    val r = Seq(("a", 10L, 100L), ("a", 12L, 120L)).toDF("k", "rts", "price")
+    def run(dir: String, tol: Long = -1L, exact: Boolean = true) =
+      Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "price"),
+          direction = dir, tolerance = tol, allowExactMatches = exact)
+        .orderBy(col("ts")).select(col("ts"), col("rts")).collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    // tolerance cuts the distant match: 30 is 18 past 12 → null at tol 10
+    assert(run("backward") == Map(10L -> Some(10L), 30L -> Some(12L)))
+    assert(run("backward", tol = 10L) == Map(10L -> Some(10L), 30L -> None))
+    // forward with tolerance: 10 → 10 (dist 0); 30 → nothing ahead
+    assert(run("forward", tol = 1L) == Map(10L -> Some(10L), 30L -> None))
+    // exact matches off: ts=10 skips rts=10, backward finds nothing
+    // strictly before, forward finds 12
+    assert(run("backward", exact = false) == Map(10L -> None, 30L -> Some(12L)))
+    assert(run("forward", exact = false) == Map(10L -> Some(12L), 30L -> None))
+    // nearest + tolerance: at ts=30 the only candidate (12, dist 18) is
+    // outside tol → null; at ts=10 exact match survives any tol
+    assert(run("nearest", tol = 5L) == Map(10L -> Some(10L), 30L -> None))
+    // fractional ts + tolerance → fail-loud (distance truncation)
+    val ld = Seq(("a", 1.5)).toDF("k", "ts")
+    val rd = Seq(("a", 1.0, 1L)).toDF("k", "rts", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(ld, rd, Seq("k"), "ts", "rts", Seq("v"), tolerance = 1L)
+    }
+  }
+
+  test("asOf tolerance/allowExactMatches match a brute-force oracle on randomized data") {
+    val rnd = new scala.util.Random(20260816L)
+    val lefts = (0 until 600).map(i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(2000).toLong))
+    val rights = (0 until 300)
+      .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(2000).toLong, rnd.nextInt(1000)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((k, rts), g) => (k, rts, g.map(_._3).max) }.toSeq
+    val byKey = rights.groupBy(_._1)
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(-1L, 50L); exact <- Seq(true, false)) {
+      val rows = Joins.asOf(
+        lefts.toDF("id", "k", "ts"), rights.toDF("k", "rts", "v"),
+        Seq("k"), "ts", "rts", Seq("rts", "v"),
+        direction = dir, tolerance = tol, allowExactMatches = exact)
+        .select(col("id"), col("rts"), col("v")).collect()
+      assert(rows.length == lefts.size)
+      val out = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+      lefts.foreach { case (id, k, ts) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+        def cut(c: Seq[(Long, Long, Int)]) =
+          if (tol < 0) c else c.filter(t => math.abs(t._2 - ts) <= tol)
+        val backC = cut(cands.filter(t => if (exact) t._2 <= ts else t._2 < ts))
+        val fwdC = cut(cands.filter(t => if (exact) t._2 >= ts else t._2 > ts))
+        val back = backC.sortBy(_._2).lastOption
+        val fwd = fwdC.sortBy(_._2).headOption
+        val expected = dir match {
+          case "backward" => back.map(b => (b._2, b._3))
+          case "forward" => fwd.map(f => (f._2, f._3))
+          case "nearest" => (back, fwd) match {
+            case (None, f) => f.map(t => (t._2, t._3))
+            case (b, None) => b.map(t => (t._2, t._3))
+            case (Some(b), Some(f)) =>
+              val pick = if (ts - b._2 <= f._2 - ts) b else f
+              Some((pick._2, pick._3))
+          }
+        }
+        assert(out(id) == expected,
+          s"dir=$dir tol=$tol exact=$exact id=$id k=$k ts=$ts: ${out(id)} vs $expected")
+      }
+    }
+  }
+
   test("asOf null timestamps: null-ts lefts never match, null-ts rights never fill") {
     // SQL comparison semantics: rts <= null / rts >= null are never true
     val l = Seq(("a", Some(20L), "live"), ("a", None, "nullts"))
