@@ -96,6 +96,40 @@ private[plans] final case class RangeMatch(
     pointsLeft: Boolean, loIncl: Boolean, hiIncl: Boolean,
     keyPairs: Seq[(Expression, Expression)], residual: Seq[Expression])
 
+/** Idempotency marker for [[RangeJoinRewrite]]'s degenerate-row legs: a
+  * predicate that is always TRUE but that the optimizer can neither fold
+  * (foldable = false) nor push out of the join condition (its children
+  * reference BOTH sides), so it survives every fixpoint iteration — the
+  * matcher skips any condition carrying one. A name-based column marker is
+  * NOT enough: predicate pushdown strips single-side conjuncts from the
+  * condition and column pruning then removes the marker column, which
+  * resurrects the rewrite recursion (observed: exponential plan growth). */
+private[plans] final case class RangeRewriteDone(
+    left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RangeRewriteDone =
+    copy(left = newLeft, right = newRight)
+}
+
+/** A classified interval-OVERLAP join condition: `a.lo < b.hi && b.lo <
+  * a.hi` (or the <= pair), bounds oriented to the a/b sides, plus extra
+  * conjuncts classified exactly as [[RangeMatch]]. */
+private[plans] final case class OverlapMatch(
+    aLo: AttributeReference, aHi: AttributeReference,
+    bLo: AttributeReference, bHi: AttributeReference,
+    aLeft: Boolean, inclusive: Boolean,
+    keyPairs: Seq[(Expression, Expression)], residual: Seq[Expression])
+
 /** Auto-rewrite of naive point-in-interval range joins.
   *
   * A user who writes the obvious
@@ -136,7 +170,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   // anti-leg names — so a user column with one of these names makes the
   // rule SKIP instead of producing an ambiguous-reference failure
   private val TempNames =
-    Set("__pt", "__bin", "__lo", "__hi", "__rlo", "__rhi", "__rbin")
+    Set("__pt", "__bin", "__lo", "__hi", "__rlo", "__rhi", "__rbin",
+      "__alo", "__ahi", "__blo", "__bhi", "__degen")
 
   private def width: Long =
     spark.conf.getOption(s"spark.$WidthConf")
@@ -180,7 +215,10 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // matchRange drives both the fire/skip decision and the rebuild
       case j @ Join(l, r, Inner, Some(cond), _) if noTempNames(l, r) =>
         matchRange(cond, l, r)
-          .fold(j: LogicalPlan)(m => rewrite(j, l, r, m, w, outer = false))
+          .map(m => rewrite(j, l, r, m, w, outer = false))
+          .orElse(matchOverlap(cond, l, r)
+            .map(m => rewriteOverlap(j, l, r, cond, m, w)))
+          .getOrElse(j)
       // outer range joins rewrite through pointInIntervalJoinLeft when the
       // OUTER side is the points side and no residual predicate rides the
       // condition (an outer join's extra predicates can't be post-filtered
@@ -229,12 +267,130 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def noTempNames(l: LogicalPlan, r: LogicalPlan): Boolean =
     !(l.output ++ r.output).exists(a =>
-      TempNames(a.name) || a.name.matches("__k\\d+"))
+      TempNames(a.name) || a.name.matches("__k\\d+")) &&
+      // the operators and the rewrite's column plumbing are name-based;
+      // a column name shared across the sides would be ambiguous — skip
+      l.output.map(_.name).intersect(r.output.map(_.name)).isEmpty
+
+  /** Each comparison as (smaller, larger, inclusive) — GreaterThan forms
+    * normalized (`b.hi > a.lo` reads the same as `a.lo < b.hi`). */
+  private def cmpReading(p: Expression)
+      : Option[(AttributeReference, AttributeReference, Boolean)] = p match {
+    case LessThan(a: AttributeReference, b: AttributeReference) => Some((a, b, false))
+    case GreaterThan(a: AttributeReference, b: AttributeReference) => Some((b, a, false))
+    case LessThanOrEqual(a: AttributeReference, b: AttributeReference) => Some((a, b, true))
+    case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) => Some((b, a, true))
+    case _ => None
+  }
+
+  /** Finds the interval-OVERLAP shape: two same-strictness comparisons
+    * over FOUR distinct integral attributes, criss-crossed between the
+    * sides — `a.lo < b.hi` puts a's lower bound against b's upper, `b.lo
+    * < a.hi` the reverse. Mixed </<= pairs are skipped (the operator has
+    * one inclusive flag). Extra conjuncts classify like the range case. */
+  private def matchOverlap(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[OverlapMatch] = {
+    if (alreadyRewritten(cond)) return None
+    val preds = splitConj(cond)
+    if (preds.length < 2) return None
+    val inL = l.outputSet
+    val inR = r.outputSet
+    def sideOf(a: AttributeReference): Option[Boolean] =
+      if (inL.contains(a) && !inR.contains(a)) Some(true)
+      else if (inR.contains(a) && !inL.contains(a)) Some(false)
+      else None
+    val candidates = for {
+      i <- preds.indices.iterator
+      k <- preds.indices.iterator if i < k
+      (s1, g1, inc1) <- cmpReading(preds(i)).iterator
+      (s2, g2, inc2) <- cmpReading(preds(k)).iterator
+      if inc1 == inc2 && Seq(s1, g1, s2, g2).forall(integral)
+      if Seq(s1, g1, s2, g2).map(_.exprId).distinct.length == 4
+      // orientation: s1/g2 on one side (a.lo/a.hi), g1/s2 on the other
+      sideS1 <- sideOf(s1).iterator
+      if sideOf(g2).contains(sideS1) &&
+        sideOf(g1).contains(!sideS1) && sideOf(s2).contains(!sideS1)
+      rest = preds.indices.filter(x => x != i && x != k).map(preds)
+      (keys, residual) <- classifyExtras(rest, inL, inR, sideS1).iterator
+    } yield OverlapMatch(aLo = s1, aHi = g2, bLo = s2, bHi = g1,
+      aLeft = sideS1, inclusive = inc1, keyPairs = keys, residual = residual)
+    candidates.nextOption()
+  }
+
+  /** Exact overlap rewrite. The subtlety is DEGENERATE bound pairs
+    * (hi < lo, or hi == lo under strict comparisons): the naive predicate
+    * can still be satisfied for them (a "b strictly covers the inverted
+    * pair" shape) while the bucketed operator drops them — so the pair
+    * space is partitioned exactly:
+    *  - well-formed a × well-formed b → the bucketed operator (the scale
+    *    path; the operator's own residual IS the original predicate for
+    *    well-formed rows)
+    *  - degenerate a × ALL b, and well-formed a × degenerate b → the
+    *    plain join with the ORIGINAL condition, degenerate side
+    *    broadcast (in real data these sides are empty — the legs cost a
+    *    broadcast of nothing plus one scan; degenerate × degenerate is
+    *    provably unsatisfiable, so the legs don't overlap)
+    * All three legs carry the original output attributes; the final
+    * Project restores order. */
+  private def rewriteOverlap(j: Join, l: LogicalPlan, r: LogicalPlan,
+                             cond: Expression, m: OverlapMatch,
+                             w: Long): LogicalPlan = {
+    import org.apache.spark.sql.functions.{broadcast, col, not}
+    val (ap, bp) = if (m.aLeft) (l, r) else (r, l)
+    val aDf = ColumnBridge.ofRows(spark, ap)
+    val bDf = ColumnBridge.ofRows(spark, bp)
+    val (aLoC, aHiC) = (ColumnBridge.column(m.aLo), ColumnBridge.column(m.aHi))
+    val (bLoC, bHiC) = (ColumnBridge.column(m.bLo), ColumnBridge.column(m.bHi))
+    val wellA = if (m.inclusive) aHiC >= aLoC else aHiC > aLoC
+    val wellB = if (m.inclusive) bHiC >= bLoC else bHiC > bLoC
+    val condC = ColumnBridge.column(cond)
+    // main leg: keyed columns ride the bucketed join exactly as in the
+    // point-in-interval rewrite
+    val keyNames = m.keyPairs.indices.map(i => s"__k$i")
+    val a2 = m.keyPairs.zip(keyNames).foldLeft(aDf) {
+      case (df, ((ae, _), n)) => df.withColumn(n, ColumnBridge.column(ae))
+    }
+    val b2 = m.keyPairs.zip(keyNames).foldLeft(bDf) {
+      case (df, ((_, be), n)) => df.withColumn(n, ColumnBridge.column(be))
+    }
+    val main0 = graft.operators.Joins.intervalOverlapJoin(
+      a2, aLoC, aHiC, b2, bLoC, bHiC,
+      bucketWidth = w, extraKeys = keyNames, inclusive = m.inclusive)
+      .drop(keyNames: _*)
+    val main = m.residual.foldLeft(main0)((df, e) => df.filter(ColumnBridge.column(e)))
+    // degenerate legs: the original condition verbatim (range + keys +
+    // residual), degenerate side broadcast. not(wellX) also drops
+    // null-bound rows — they satisfy no comparison, same as the naive
+    // join. The RangeRewriteDone conjunct (always true, unfoldable,
+    // unpushable — see its scaladoc) marks the legs so the matcher never
+    // re-fires on them in later fixpoint iterations
+    val marker = ColumnBridge.column(RangeRewriteDone(m.aLo, m.bLo))
+    val degenALeg = broadcast(aDf.filter(not(wellA)))
+      .join(bDf, condC && marker)
+    val degenBLeg = broadcast(bDf.filter(not(wellB)))
+      .join(aDf.filter(wellA), condC && marker)
+    val out = main.unionByName(degenALeg.select(main.columns.map(col): _*))
+      .unionByName(degenBLeg.select(main.columns.map(col): _*))
+    // the broadcast() hints above become ResolvedHint nodes, but the
+    // optimizer's hint-elimination batch already ran before this rule —
+    // fold them into the Join hints ourselves or physical planning throws
+    Project(j.output,
+      org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
+        out.queryExecution.analyzed))
+  }
+
+  /** True when the condition carries a [[RangeRewriteDone]] marker — the
+    * join is one of this rule's own degenerate legs; BOTH matchers must
+    * skip it or they would re-match the leg's verbatim original condition
+    * every fixpoint iteration. */
+  private def alreadyRewritten(cond: Expression): Boolean =
+    cond.exists(_.isInstanceOf[RangeRewriteDone])
 
   /** Finds the first consistent [[RangeMatch]] in the condition's
     * conjuncts, or None when no reading qualifies. */
   private def matchRange(cond: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[RangeMatch] = {
+    if (alreadyRewritten(cond)) return None
     val preds = splitConj(cond)
     if (preds.length < 2) return None
     val inL = l.outputSet

@@ -152,6 +152,62 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("rule ON: interval-overlap shape rewrites, exactly — including degenerate bound pairs") {
+    spark.conf.unset(WidthConf)
+    val rnd = new scala.util.Random(20260817L)
+    // inverted (hi < lo) and zero-length pairs PLANTED: the naive
+    // predicate can still match them ("b covers the inverted pair"), so
+    // the rewrite's degenerate legs must reproduce those rows exactly
+    def mkIv(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      val kind = rnd.nextInt(10)
+      val hi = if (kind == 0) lo - 1 - rnd.nextInt(50) // inverted
+               else if (kind == 1) lo                  // zero-length
+               else lo + 1 + rnd.nextInt(80)           // well-formed
+      (idBase + i, lo, hi)
+    }
+    val aIv = mkIv(300, 0L).toDF("a_id", "a_lo", "a_hi")
+    val bIv = mkIv(200, 10000L).toDF("b_id", "b_lo", "b_hi")
+    def strictJ = aIv.join(bIv, $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+    def closedJ = aIv.join(bIv, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+    def flippedJ = aIv.join(bIv, $"b_hi" > $"a_lo" && $"a_hi" > $"b_lo")
+    def mixedJ = aIv.join(bIv, $"a_lo" < $"b_hi" && $"b_lo" <= $"a_hi")
+    val expS = strictJ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val expC = closedJ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    spark.conf.set(WidthConf, "64")
+    try {
+      for ((df, exp, tag) <- Seq((strictJ, expS, "strict"), (closedJ, expC, "closed"),
+                                 (flippedJ, expS, "flipped"))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("__bin"), s"$tag: expected the bucketed main leg:\n${p.take(2000)}")
+        val got = df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        assert(got == exp, s"$tag: overlap rewrite changed results — " +
+          s"${(exp.keySet -- got.keySet).take(2)} missing, ${(got.keySet -- exp.keySet).take(2)} extra")
+      }
+      // mixed </<= strictness → operator can't express it → untouched
+      assert(mixedJ.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "mixed strictness must skip")
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("rule ON: keyed interval-overlap rides the equality through the bucketed join") {
+    spark.conf.unset(WidthConf)
+    val aIv = (0 until 200).map(i => (i.toLong, i % 3L, (i * 7 % 500).toLong, (i * 7 % 500 + 30).toLong))
+      .toDF("a_id", "ak", "a_lo", "a_hi")
+    val bIv = (0 until 150).map(i => (1000L + i, i % 3L, (i * 11 % 500).toLong, (i * 11 % 500 + 25).toLong))
+      .toDF("b_id", "bk", "b_lo", "b_hi")
+    def keyed = aIv.join(bIv,
+      $"ak" === $"bk" && $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+    val exp = keyed.collect().map(_.toSeq).toSet
+    spark.conf.set(WidthConf, "64")
+    try {
+      val p = keyed.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("__k0"),
+        s"expected the keyed bucketed overlap:\n${p.take(2500)}")
+      assert(keyed.collect().map(_.toSeq).toSet == exp)
+    } finally spark.conf.unset(WidthConf)
+  }
+
   test("catalog q_range_rewrite: the naive join over real tables hits the rewrite, conf scoped") {
     // end-to-end on the events table, not a crafted frame: the catalog
     // query writes `p >= lo && p < hi`, scopes the width conf to its own
