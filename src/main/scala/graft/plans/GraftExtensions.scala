@@ -171,7 +171,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   // rule SKIP instead of producing an ambiguous-reference failure
   private val TempNames =
     Set("__pt", "__bin", "__lo", "__hi", "__rlo", "__rhi", "__rbin",
-      "__alo", "__ahi", "__blo", "__bhi", "__degen")
+      "__alo", "__ahi", "__blo", "__bhi")
 
   private def width: Long =
     spark.conf.getOption(s"spark.$WidthConf")
@@ -217,6 +217,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         matchRange(cond, l, r)
           .map(m => rewrite(j, l, r, m, w, outer = false))
           .orElse(matchOverlap(cond, l, r)
+            .filter(_ => disjointNames(l, r))
             .map(m => rewriteOverlap(j, l, r, cond, m, w)))
           .getOrElse(j)
       // outer range joins rewrite through pointInIntervalJoinLeft when the
@@ -225,7 +226,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // — they decide null-extension; key equalities are fine, they join
       // in both legs)
       case j @ Join(l, r, jt @ (LeftOuter | RightOuter), Some(cond), _)
-          if noTempNames(l, r) =>
+          if noTempNames(l, r) && disjointNames(l, r) =>
         matchRange(cond, l, r) match {
           case Some(m) if m.residual.isEmpty && (jt == LeftOuter) == m.pointsLeft =>
             rewrite(j, l, r, m, w, outer = true)
@@ -265,12 +266,26 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(j.output, out.queryExecution.analyzed)
   }
 
+  /** Name checks follow the session's resolution: under the default
+    * case-INSENSITIVE resolver a user column "__BIN" (or "Start" vs
+    * "start" across sides) collides just like an exact match would. */
+  private def normName(n: String): String =
+    if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) n
+    else n.toLowerCase(java.util.Locale.ROOT)
+
   private def noTempNames(l: LogicalPlan, r: LogicalPlan): Boolean =
-    !(l.output ++ r.output).exists(a =>
-      TempNames(a.name) || a.name.matches("__k\\d+")) &&
-      // the operators and the rewrite's column plumbing are name-based;
-      // a column name shared across the sides would be ambiguous — skip
-      l.output.map(_.name).intersect(r.output.map(_.name)).isEmpty
+    !(l.output ++ r.output).exists { a =>
+      val n = normName(a.name)
+      TempNames(n) || n.matches("__k\\d+")
+    }
+
+  /** The OVERLAP and OUTER rewrites union legs and select by NAME, so the
+    * sides must not share any column name (the inner point-in-interval
+    * path is exprId-based and tolerates shared names — this gate is
+    * deliberately NOT part of [[noTempNames]]). */
+  private def disjointNames(l: LogicalPlan, r: LogicalPlan): Boolean =
+    l.output.map(a => normName(a.name))
+      .intersect(r.output.map(a => normName(a.name))).isEmpty
 
   /** Each comparison as (smaller, larger, inclusive) — GreaterThan forms
     * normalized (`b.hi > a.lo` reads the same as `a.lo < b.hi`). */
@@ -326,16 +341,16 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     *    path; the operator's own residual IS the original predicate for
     *    well-formed rows)
     *  - degenerate a × ALL b, and well-formed a × degenerate b → the
-    *    plain join with the ORIGINAL condition, degenerate side
-    *    broadcast (in real data these sides are empty — the legs cost a
-    *    broadcast of nothing plus one scan; degenerate × degenerate is
-    *    provably unsatisfiable, so the legs don't overlap)
+    *    plain join with the ORIGINAL condition (build side left to the
+    *    planner's size estimate; in well-formed data these legs are
+    *    empty; degenerate × degenerate is provably unsatisfiable, so
+    *    the legs don't overlap)
     * All three legs carry the original output attributes; the final
     * Project restores order. */
   private def rewriteOverlap(j: Join, l: LogicalPlan, r: LogicalPlan,
                              cond: Expression, m: OverlapMatch,
                              w: Long): LogicalPlan = {
-    import org.apache.spark.sql.functions.{broadcast, col, not}
+    import org.apache.spark.sql.functions.not
     val (ap, bp) = if (m.aLeft) (l, r) else (r, l)
     val aDf = ColumnBridge.ofRows(spark, ap)
     val bDf = ColumnBridge.ofRows(spark, bp)
@@ -359,24 +374,20 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .drop(keyNames: _*)
     val main = m.residual.foldLeft(main0)((df, e) => df.filter(ColumnBridge.column(e)))
     // degenerate legs: the original condition verbatim (range + keys +
-    // residual), degenerate side broadcast. not(wellX) also drops
-    // null-bound rows — they satisfy no comparison, same as the naive
-    // join. The RangeRewriteDone conjunct (always true, unfoldable,
+    // residual). not(wellX) also drops null-bound rows — they satisfy no
+    // comparison, same as the naive join.
+    // The RangeRewriteDone conjunct (always true, unfoldable,
     // unpushable — see its scaladoc) marks the legs so the matcher never
     // re-fires on them in later fixpoint iterations
+    // no broadcast HINT on the legs: strict-mode data can have MANY
+    // zero-length bound pairs (instantaneous events), and a forced
+    // broadcast of that side would fail where the planner's own
+    // build-side choice (by size estimate) runs — let it choose
     val marker = ColumnBridge.column(RangeRewriteDone(m.aLo, m.bLo))
-    val degenALeg = broadcast(aDf.filter(not(wellA)))
-      .join(bDf, condC && marker)
-    val degenBLeg = broadcast(bDf.filter(not(wellB)))
-      .join(aDf.filter(wellA), condC && marker)
-    val out = main.unionByName(degenALeg.select(main.columns.map(col): _*))
-      .unionByName(degenBLeg.select(main.columns.map(col): _*))
-    // the broadcast() hints above become ResolvedHint nodes, but the
-    // optimizer's hint-elimination batch already ran before this rule —
-    // fold them into the Join hints ourselves or physical planning throws
-    Project(j.output,
-      org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-        out.queryExecution.analyzed))
+    val degenALeg = aDf.filter(not(wellA)).join(bDf, condC && marker)
+    val degenBLeg = bDf.filter(not(wellB)).join(aDf.filter(wellA), condC && marker)
+    val out = main.unionByName(degenALeg).unionByName(degenBLeg)
+    Project(j.output, out.queryExecution.analyzed)
   }
 
   /** True when the condition carries a [[RangeRewriteDone]] marker — the

@@ -198,13 +198,16 @@ class ExtensionsSpec extends SparkSpec {
       .toDF("b_id", "bk", "b_lo", "b_hi")
     def keyed = aIv.join(bIv,
       $"ak" === $"bk" && $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
-    val exp = keyed.collect().map(_.toSeq).toSet
+    // multiset compare: a toSet would hide duplicate pair emission (the
+    // first-shared-bin guard's failure mode)
+    val exp = keyed.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
     spark.conf.set(WidthConf, "64")
     try {
       val p = keyed.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("__k0"),
         s"expected the keyed bucketed overlap:\n${p.take(2500)}")
-      assert(keyed.collect().map(_.toSeq).toSet == exp)
+      assert(keyed.collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap == exp)
     } finally spark.conf.unset(WidthConf)
   }
 
