@@ -626,6 +626,34 @@ object ScaleProbe {
       spark.conf.unset(widthConf)
       println(f"""{"duel":"rewrite_$sf","naive_over_bucketed":${naive / rewritten}%.2f,"groups":$naiveRows}""")
     }
+    // interval-OVERLAP shape: the same naive-vs-rule duel for the second
+    // rewritable form (2h signup sessions × 1h error windows, sf0.1)
+    {
+      def overlapDf = {
+        val ev = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+        val hourUs = 3600L * 1000000
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_lo"),
+            (unix_micros(col("ts")) + 2 * hourUs).as("a_hi"))
+        val b = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_lo"),
+            (unix_micros(col("ts")) + hourUs).as("b_hi"))
+        a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n"))
+      }
+      spark.conf.unset(widthConf)
+      val naiveRows = overlapDf.count()
+      val naive = timed("overlap_naive_sf0.1") {
+        overlapDf.write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.set(widthConf, (3600L * 1000000).toString)
+      require(overlapDf.count() == naiveRows, "overlap rewrite changed results")
+      val rewritten = timed("overlap_bucketed_sf0.1") {
+        overlapDf.write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.unset(widthConf)
+      println(f"""{"duel":"overlap_sf0.1","naive_over_bucketed":${naive / rewritten}%.2f,"groups":$naiveRows}""")
+    }
   }
 
   /** Bloom semi-join reduction duel: the SAME ×factor event table
