@@ -453,6 +453,19 @@ object OracleSql {
         |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
         |GROUP BY 1""".stripMargin,
 
+    // the Spark side writes the NAIVE overlap join; the optimizer rule
+    // rebuilds it into the bucketed plan (q_range_rewrite's sibling)
+    "q_overlap_rewrite" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS a_lo,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS a_hi
+        |           FROM events WHERE event_type = 'signup' AND event_id % 9 = 0),
+        |b AS (SELECT event_id AS b_id, epoch_us(CAST(ts AS TIMESTAMP)) AS b_lo,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS b_hi
+        |      FROM events WHERE event_type = 'error' AND event_id % 7 = 0)
+        |SELECT a_id, count(*) AS n_overlaps, min(b_id) AS first_b
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+        |GROUP BY 1""".stripMargin,
+
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,

@@ -596,6 +596,39 @@ object Queries {
       .agg(count(lit(1)).as("n_overlaps"), min(col("b_id")).as("first_b"))
   }
 
+  /** The interval-overlap attribution written the NAIVE way — `a.join(b,
+    * a_lo < b_hi && b_lo < a_hi)` — proving the rule's SECOND rewritable
+    * form end-to-end on real tables, same conf-scoped pattern as
+    * q_range_rewrite (optimizer forced under the flag, rewrite
+    * require-checked, conf restored, the returned frame carries the
+    * rewritten plan). A different slice than q_interval_join (every 9th
+    * signup × every 7th error) so the oracles are independent. */
+  def qOverlapRewrite(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("event_type") === "signup" && col("event_id") % 9 === 0)
+      .select(col("event_id").as("a_id"), GraftSession.epochMicros(col("ts")).as("a_lo"),
+        (GraftSession.epochMicros(col("ts")) + 2 * hourUs).as("a_hi"))
+    val b = ev.filter(col("event_type") === "error" && col("event_id") % 7 === 0)
+      .select(col("event_id").as("b_id"), GraftSession.epochMicros(col("ts")).as("b_lo"),
+        (GraftSession.epochMicros(col("ts")) + hourUs).as("b_hi"))
+    val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_overlaps"), min(col("b_id")).as("first_b"))
+    val widthConf = "spark.graft.rangeJoin.bucketWidth"
+    val prev = s.conf.getOption(widthConf)
+    s.conf.set(widthConf, (2 * hourUs).toString)
+    try {
+      val optimized = naive.queryExecution.optimizedPlan
+      require(optimized.toString.contains("__bin"),
+        "q_overlap_rewrite: RangeJoinRewrite did not fire on the naive overlap plan")
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
+    } finally prev match {
+      case Some(v) => s.conf.set(widthConf, v)
+      case None => s.conf.unset(widthConf)
+    }
+  }
+
   /** Z-order (Morton) clustering key over (user_id, event_id mod 2^20) —
     * the sort key graft.sources.Layout.zorderWrite clusters files by; the
     * oracle replays the bit interleave with plain shift/mask SQL. */
