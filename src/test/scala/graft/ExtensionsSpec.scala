@@ -229,6 +229,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("catalog q_overlap_rewrite: the naive overlap join over real tables hits the rewrite, conf scoped") {
+    spark.conf.unset(WidthConf)
+    val df = Queries.qOverlapRewrite(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(WidthConf).isEmpty,
+      "q_overlap_rewrite leaked the width conf into the session")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__bin"), s"expected the bucketed overlap main leg:\n${p.take(2500)}")
+    assert(df.count() > 0)
+  }
+
   test("SQL users reach the native kernels: vec_dot / word_ngram_counts / morton / epoch_micros") {
     val dot = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
