@@ -536,6 +536,28 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
   }
 
+  /** Build-time scope for the RangeJoinRewrite width conf (shared by the
+    * q_range_rewrite / q_overlap_rewrite builders): force the optimizer on
+    * `naive` with the conf set, require the rewrite fired (the plan
+    * carries the bucketed __bin join), restore the conf, and return the
+    * frame carrying the already-rewritten plan — nothing leaks into the
+    * session, and later executions re-optimize an already-bucketed plan. */
+  private def withBucketWidth(s: SparkSession, widthUs: Long,
+                              naive: DataFrame, tag: String): DataFrame = {
+    val widthConf = "spark.graft.rangeJoin.bucketWidth"
+    val prev = s.conf.getOption(widthConf)
+    s.conf.set(widthConf, widthUs.toString)
+    try {
+      val optimized = naive.queryExecution.optimizedPlan
+      require(optimized.toString.contains("__bin"),
+        s"$tag: RangeJoinRewrite did not fire on the naive plan")
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
+    } finally prev match {
+      case Some(v) => s.conf.set(widthConf, v)
+      case None => s.conf.unset(widthConf)
+    }
+  }
+
   /** The same point-in-interval attribution written the NAIVE way —
     * `points.join(intervals, p >= lo && p < hi)` — to prove the
     * RangeJoinRewrite optimizer tier end-to-end on real tables: with
@@ -564,18 +586,7 @@ object Queries {
       .join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
-    val widthConf = "spark.graft.rangeJoin.bucketWidth"
-    val prev = s.conf.getOption(widthConf)
-    s.conf.set(widthConf, twoHoursUs.toString)
-    try {
-      val optimized = naive.queryExecution.optimizedPlan
-      require(optimized.toString.contains("__bin"),
-        "q_range_rewrite: RangeJoinRewrite did not fire on the naive plan")
-      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
-    } finally prev match {
-      case Some(v) => s.conf.set(widthConf, v)
-      case None => s.conf.unset(widthConf)
-    }
+    withBucketWidth(s, twoHoursUs, naive, "q_range_rewrite")
   }
 
   /** Keyless interval-overlap join on the same bucketed path: 2-hour signup
@@ -615,18 +626,7 @@ object Queries {
     val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("n_overlaps"), min(col("b_id")).as("first_b"))
-    val widthConf = "spark.graft.rangeJoin.bucketWidth"
-    val prev = s.conf.getOption(widthConf)
-    s.conf.set(widthConf, (2 * hourUs).toString)
-    try {
-      val optimized = naive.queryExecution.optimizedPlan
-      require(optimized.toString.contains("__bin"),
-        "q_overlap_rewrite: RangeJoinRewrite did not fire on the naive overlap plan")
-      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
-    } finally prev match {
-      case Some(v) => s.conf.set(widthConf, v)
-      case None => s.conf.unset(widthConf)
-    }
+    withBucketWidth(s, 2 * hourUs, naive, "q_overlap_rewrite")
   }
 
   /** Z-order (Morton) clustering key over (user_id, event_id mod 2^20) —

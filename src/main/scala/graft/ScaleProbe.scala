@@ -642,17 +642,26 @@ object ScaleProbe {
           .groupBy(col("a_id")).agg(count(lit(1)).as("n"))
       }
       spark.conf.unset(widthConf)
-      val naiveRows = overlapDf.count()
+      // full (a_id, n) multiset, not the group count: with width (1h) <
+      // interval length (2h) every a-interval spans 3 bins, and duplicate
+      // pair emission — the exact failure mode this configuration
+      // stresses — would inflate n while leaving the group count intact
+      val naiveGroups = overlapDf.collect().map(_.toSeq).sortBy(_.toString)
+      require(overlapDf.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "expected the naive BNL baseline")
       val naive = timed("overlap_naive_sf0.1") {
         overlapDf.write.format("noop").mode("overwrite").save()
       }
       spark.conf.set(widthConf, (3600L * 1000000).toString)
-      require(overlapDf.count() == naiveRows, "overlap rewrite changed results")
+      require(overlapDf.queryExecution.executedPlan.toString.contains("__bin"),
+        "expected the bucketed overlap rewrite to fire")
+      require(overlapDf.collect().map(_.toSeq).sortBy(_.toString)
+        .sameElements(naiveGroups), "overlap rewrite changed results")
       val rewritten = timed("overlap_bucketed_sf0.1") {
         overlapDf.write.format("noop").mode("overwrite").save()
       }
       spark.conf.unset(widthConf)
-      println(f"""{"duel":"overlap_sf0.1","naive_over_bucketed":${naive / rewritten}%.2f,"groups":$naiveRows}""")
+      println(f"""{"duel":"overlap_sf0.1","naive_over_bucketed":${naive / rewritten}%.2f,"groups":${naiveGroups.length}}""")
     }
   }
 
