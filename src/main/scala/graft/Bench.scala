@@ -78,12 +78,25 @@ object Bench {
     println(line)
     // also persist to a file: the driver's stdout tail-capture has
     // truncated the per-query map in past rounds (BENCH_r10 kept 72/144
-    // entries) — a file read can't truncate
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    // entries) — a file read can't truncate. Anchor the path at the repo
+    // root (a relative path silently lands wherever the driver's CWD is):
+    // SPARK_GRAFT_REPO overrides, else user.dir, and the absolute path is
+    // logged either way.
+    val benchFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", sys.props("user.dir")),
+      "target", "bench_last.json").toAbsolutePath
+    try {
+      java.nio.file.Files.createDirectories(benchFile.getParent)
+      java.nio.file.Files.writeString(benchFile, line + "\n")
+      System.err.println(s"[bench] full per-query map written to $benchFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $benchFile write failed: ${e.getMessage}")
     }
+    // LAST stdout line is a SHORT summary the driver's tail-capture can
+    // never truncate (the full long line above has been head-truncated in
+    // past rounds' artifacts — BENCH_r11 kept 72/148 entries)
+    val nOk = results.count(_._2 >= 0)
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n":$nOk,"total":$total%.3f,"pace":${if (nOk > 0) total / nOk else -1.0}%.3f,"sf":"$sfDir","loadavg":$load%.2f,"file":"$benchFile"}""")
     spark.stop()
   }
 }

@@ -432,6 +432,19 @@ object OracleSql {
          |FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p < iv.hi
          |GROUP BY 1""".stripMargin,
 
+    // The TIMESTAMP-typed naive range join (the Spark side writes raw
+    // `ts` comparisons, no epoch conversion; the rule threads epochMicros
+    // itself) — DuckDB compares the timestamps directly
+    "q_range_rewrite_ts" ->
+      s"""WITH iv AS (SELECT event_id AS interval_id, CAST(ts AS TIMESTAMP) AS lo_ts,
+         |                   CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR AS hi_ts
+         |            FROM events WHERE event_type = 'signup' AND event_id % 3 = 0),
+         |pt AS (SELECT CAST(ts AS TIMESTAMP) AS p_ts, ${c("value")} AS cents
+         |       FROM events WHERE event_type = 'click')
+         |SELECT interval_id, count(*) AS n_clicks, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM iv JOIN pt ON pt.p_ts >= iv.lo_ts AND pt.p_ts < iv.hi_ts
+         |GROUP BY 1""".stripMargin,
+
     // Bit-exact replay of the Morton interleave (bits=20) with plain
     // shift/mask SQL — Spark's codegen'd MortonCode vs DuckDB arithmetic.
     "q_zorder_key" -> {

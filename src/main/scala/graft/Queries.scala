@@ -549,8 +549,18 @@ object Queries {
     s.conf.set(widthConf, widthUs.toString)
     try {
       val optimized = naive.queryExecution.optimizedPlan
-      require(optimized.toString.contains("__bin"),
-        s"$tag: RangeJoinRewrite did not fire on the naive plan")
+      // STRUCTURAL fired-check, not a plan-string grep: walk for a Join
+      // whose equi-condition references a `__bin`-named attribute (the
+      // rewrite's bucketed key). A rename of the temp column fails this
+      // require loudly instead of silently weakening it.
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val fired = optimized.collect {
+        case j: Join if j.condition.exists(_.references.exists(
+          _.name.startsWith("__bin"))) => j
+      }.nonEmpty
+      require(fired,
+        s"$tag: RangeJoinRewrite did not fire on the naive plan " +
+          s"(no join keyed on a __bin attribute):\n${optimized.toString.take(2000)}")
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
     } finally prev match {
       case Some(v) => s.conf.set(widthConf, v)
@@ -587,6 +597,29 @@ object Queries {
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
     withBucketWidth(s, twoHoursUs, naive, "q_range_rewrite")
+  }
+
+  /** The naive range join as a REAL naive user writes it — directly on the
+    * raw TimestampType `ts` column, `p_ts >= lo_ts && p_ts < hi_ts`, no
+    * epoch conversion anywhere in the query text. Proves the
+    * RangeJoinRewrite timestamp path end-to-end: the rule recognizes bare
+    * timestamp attributes, threads epochMicros through the bin/bound
+    * columns itself (µs-domain bucketWidth), and the DuckDB oracle
+    * verifies values. A different slice than q_range_rewrite (every 3rd
+    * signup, 3-hour windows) so the oracles are independent. */
+  def qRangeRewriteTs(s: SparkSession, dir: String): DataFrame = {
+    val threeHoursUs = 3L * 3600 * 1000000
+    val ev = t(s, dir, "events")
+    val intervals = ev.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+      .select(col("event_id").as("interval_id"), col("ts").as("lo_ts"),
+        (col("ts") + expr("INTERVAL 3 HOURS")).as("hi_ts"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("p_ts"), cents(col("value")).as("click_cents"))
+    val naive = points
+      .join(intervals, col("p_ts") >= col("lo_ts") && col("p_ts") < col("hi_ts"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("click_cents")).as("sum_cents"))
+    withBucketWidth(s, threeHoursUs, naive, "q_range_rewrite_ts")
   }
 
   /** Keyless interval-overlap join on the same bucketed path: 2-hour signup

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`, registered by default in GraftSession): whole-plan
@@ -137,8 +137,12 @@ private[plans] final case class OverlapMatch(
   * BroadcastNestedLoopJoin — O(|points|×|intervals|) work that dies at
   * scale. When `spark.graft.rangeJoin.bucketWidth` is set (> 0), this rule
   * recognizes that shape — an INNER join whose condition contains ONE
-  * lower and ONE upper bound on the same integral point column against
-  * bounds from the other side; all four boundary combinations qualify
+  * lower and ONE upper bound on the same integral-or-timestamp point
+  * column against bounds from the other side (timestamps — the common
+  * naive spelling `ts BETWEEN w.start AND w.end` — thread through
+  * epochMicros, so the width conf is in MICROS for them; TIMESTAMP_NTZ
+  * requires a UTC session or the rule skips); all four boundary
+  * combinations qualify
   * ([lo, hi), [lo, hi] BETWEEN, (lo, hi), (lo, hi]),
   * carried through as the operator's inclusive flags — and rebuilds it through
   * [[graft.operators.Joins.pointInIntervalJoin]]: bin-bucketed equi-join,
@@ -156,7 +160,8 @@ private[plans] final case class OverlapMatch(
   * (outer extras decide null-extension and cannot be post-filtered).
   * Deliberately conservative — the rule SKIPS (leaving the plan as
   * written) when: the width conf is unset (no silent stats job at
-  * optimization time), bounds/point are not bare integral attributes,
+  * optimization time), bounds/point are not bare integral/timestamp
+  * attributes,
   * either side already uses the rewrite's temp names, the same attribute
   * appears on both sides (self-join ambiguity), or a NON-deterministic
   * predicate rides the condition (re-evaluation could change results).
@@ -204,8 +209,34 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
-  private def integral(a: AttributeReference): Boolean =
-    a.dataType == LongType || a.dataType == IntegerType
+  /** Domains the rewrite can bin exactly: integral attributes as-is, and
+    * both timestamp flavors through [[graft.GraftSession.epochMicros]]
+    * (µs-since-epoch is the internal long of BOTH flavors, so the
+    * conversion is a zero-cost identity inside codegen, strictly monotone
+    * and injective — every comparison in the original condition holds on
+    * the converted longs iff it held on the timestamps; `bucketWidth` is
+    * then in MICROS). TIMESTAMP_NTZ only under a UTC session — anywhere
+    * else [[graft.expressions.EpochMicrosExpr]] fails analysis by
+    * contract, and an optimizer rule must SKIP, never break, a valid
+    * plan. Fractional types stay excluded: their comparisons (and NaN)
+    * don't survive a long cast. */
+  private def integral(a: AttributeReference): Boolean = a.dataType match {
+    case LongType | IntegerType | TimestampType => true
+    case TimestampNTZType =>
+      graft.GraftSession.isUtcZone(spark.conf.get("spark.sql.session.timeZone"))
+    case _ => false
+  }
+
+  /** The matched attribute as a LONG-domain Column for the bucketed
+    * operators (they `.cast("long")` internally — which on a raw timestamp
+    * would read SECONDS, a 10^6 error, hence the explicit µs extraction
+    * here). */
+  private def longDomain(a: AttributeReference): org.apache.spark.sql.Column =
+    a.dataType match {
+      case TimestampType | TimestampNTZType =>
+        graft.GraftSession.epochMicros(ColumnBridge.column(a))
+      case _ => ColumnBridge.column(a)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
@@ -250,15 +281,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val joined = (if (outer)
       graft.operators.Joins.pointInIntervalJoinLeft(
-        pp2, ColumnBridge.column(m.pt),
-        ip2, ColumnBridge.column(m.lo),
-        ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+        pp2, longDomain(m.pt),
+        ip2, longDomain(m.lo),
+        longDomain(m.hi), bucketWidth = w, extraKeys = keyNames,
         lowerInclusive = m.loIncl, upperInclusive = m.hiIncl)
     else
       graft.operators.Joins.pointInIntervalJoin(
-        pp2, ColumnBridge.column(m.pt),
-        ip2, ColumnBridge.column(m.lo),
-        ColumnBridge.column(m.hi), bucketWidth = w, extraKeys = keyNames,
+        pp2, longDomain(m.pt),
+        ip2, longDomain(m.lo),
+        longDomain(m.hi), bucketWidth = w, extraKeys = keyNames,
         lowerInclusive = m.loIncl, upperInclusive = m.hiIncl))
       .drop(keyNames: _*)
     val out = m.residual.foldLeft(joined)(
@@ -321,6 +352,16 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       (s2, g2, inc2) <- cmpReading(preds(k)).iterator
       if inc1 == inc2 && Seq(s1, g1, s2, g2).forall(integral)
       if Seq(s1, g1, s2, g2).map(_.exprId).distinct.length == 4
+      // one shared bin domain: each COMPARISON is same-typed (bare attrs),
+      // but the two comparisons could mix families across the quadruple —
+      // a timestamp (aLo, bHi) pair with an integral (bLo, aHi) pair would
+      // bin µs against raw longs and compare a timestamp hi to a long lo
+      // in the well-formed filter. All four timestamps or all four
+      // integrals; Int/Long width mixes stay fine (the operator casts).
+      if Seq(s1, g1, s2, g2).forall(a =>
+        a.dataType == TimestampType || a.dataType == TimestampNTZType) ||
+        Seq(s1, g1, s2, g2).forall(a =>
+          a.dataType == LongType || a.dataType == IntegerType)
       // orientation: s1/g2 on one side (a.lo/a.hi), g1/s2 on the other
       sideS1 <- sideOf(s1).iterator
       if sideOf(g2).contains(sideS1) &&
@@ -369,7 +410,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case (df, ((_, be), n)) => df.withColumn(n, ColumnBridge.column(be))
     }
     val main0 = graft.operators.Joins.intervalOverlapJoin(
-      a2, aLoC, aHiC, b2, bLoC, bHiC,
+      a2, longDomain(m.aLo), longDomain(m.aHi),
+      b2, longDomain(m.bLo), longDomain(m.bHi),
       bucketWidth = w, extraKeys = keyNames, inclusive = m.inclusive)
       .drop(keyNames: _*)
     val main = m.residual.foldLeft(main0)((df, e) => df.filter(ColumnBridge.column(e)))

@@ -211,6 +211,76 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset(WidthConf)
   }
 
+  test("rule ON: TimestampType range join rewrites — µs boundary exactness, NTZ under UTC") {
+    spark.conf.unset(WidthConf)
+    // interval [1s, 2s) in µs; points planted ±1µs around both edges —
+    // the rewrite's epochMicros threading must keep [inclusive-lo,
+    // exclusive-hi) exact at microsecond resolution
+    def tsIv = Seq((1L, 1000000L, 2000000L)).toDF("interval_id", "lo_us", "hi_us")
+      .select($"interval_id", timestamp_micros($"lo_us").as("lo_ts"),
+        timestamp_micros($"hi_us").as("hi_ts"))
+    def tsPts = Seq(999999L, 1000000L, 1000001L, 1999999L, 2000000L)
+      .toDF("p_us").select($"p_us", timestamp_micros($"p_us").as("p_ts"))
+    def j = tsPts.join(tsIv, $"p_ts" >= $"lo_ts" && $"p_ts" < $"hi_ts")
+    // larger randomized frame for full value parity vs the naive plan
+    // data drawn ONCE into vals (a def would re-draw per evaluation and
+    // the expected/actual sides would see different frames); only the
+    // JOINED Dataset stays a def so the conf change is visible
+    val rnd = new scala.util.Random(20260814L)
+    val bigIvRows = (0 until 80).map { i =>
+      val lo = rnd.nextInt(1000000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(200000))
+    }
+    val bigPtRows = (0 until 1500).map(i => (i.toLong, rnd.nextInt(1200000).toLong))
+    def bigIv = bigIvRows.toDF("interval_id", "lo_us", "hi_us")
+      .select($"interval_id", timestamp_micros($"lo_us").as("lo_ts"),
+        timestamp_micros($"hi_us").as("hi_ts"))
+    def bigPts = bigPtRows
+      .toDF("point_id", "p_us").select($"point_id", timestamp_micros($"p_us").as("p_ts"))
+    def bigJ = bigPts.join(bigIv, $"p_ts" >= $"lo_ts" && $"p_ts" < $"hi_ts")
+    val expBig = bigJ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    spark.conf.set(WidthConf, "500000") // µs domain: 0.5s bins
+    try {
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"expected the timestamp rewrite:\n${p.take(2500)}")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(1000000L, 1000001L, 1999999L),
+        "µs boundary semantics drifted through the timestamp rewrite")
+      val gotBig = bigJ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(gotBig == expBig, "timestamp rewrite changed results on the randomized frame")
+      // NTZ flavor fires too (session is UTC in tests)
+      def ntzJ = tsPts.withColumn("p_ts", $"p_ts".cast("timestamp_ntz"))
+        .join(tsIv.withColumn("lo_ts", $"lo_ts".cast("timestamp_ntz"))
+          .withColumn("hi_ts", $"hi_ts".cast("timestamp_ntz")),
+          $"p_ts" >= $"lo_ts" && $"p_ts" < $"hi_ts")
+      val pNtz = ntzJ.queryExecution.executedPlan.toString
+      assert(!pNtz.contains("BroadcastNestedLoopJoin"),
+        s"NTZ under UTC must rewrite:\n${pNtz.take(2000)}")
+      assert(ntzJ.collect().map(_.getLong(0)).sorted.toSeq == Seq(1000000L, 1000001L, 1999999L))
+      // mixed-family overlap quadruple (timestamp pair × long pair) must
+      // SKIP — binning µs against raw longs would be incoherent
+      def mixedFam = tsIv.select($"interval_id", $"lo_ts".as("a_lo"), $"hi_ts".as("a_hi"))
+        .join(Seq((1L, 500000L, 2500000L)).toDF("b_id", "b_lo", "b_hi"),
+          graft.GraftSession.epochMicros($"a_lo") < $"b_hi" &&
+            $"b_lo" < graft.GraftSession.epochMicros($"a_hi"))
+      // (epochMicros wrapping makes the bounds non-bare attrs → skip path)
+      assert(mixedFam.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "non-bare-attr bounds must skip")
+    } finally spark.conf.unset(WidthConf)
+  }
+
+  test("catalog q_range_rewrite_ts: naive TIMESTAMP comparisons over real tables hit the rewrite") {
+    spark.conf.unset(WidthConf)
+    val df = Queries.qRangeRewriteTs(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(WidthConf).isEmpty,
+      "q_range_rewrite_ts leaked the width conf into the session")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"expected the bucketed rewrite in the catalog query's plan:\n${p.take(2500)}")
+    assert(p.contains("__bin"), s"expected the bin equi-join:\n${p.take(2500)}")
+    assert(df.count() > 0)
+  }
+
   test("catalog q_range_rewrite: the naive join over real tables hits the rewrite, conf scoped") {
     // end-to-end on the events table, not a crafted frame: the catalog
     // query writes `p >= lo && p < hi`, scopes the width conf to its own
