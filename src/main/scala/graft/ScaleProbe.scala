@@ -609,7 +609,12 @@ object ScaleProbe {
           .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
       }
       spark.conf.unset(widthConf)
-      val naiveRows = naiveDf.count() // warm + row pin
+      // full (interval_id, n) MULTISET pin, not just the group count: an
+      // n-inflating duplicate-emission bug in the bucketed plan would
+      // keep the count identical while every n is wrong
+      val naiveGroups = naiveDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naiveRows = naiveGroups.size.toLong
       val naivePlan = naiveDf.queryExecution.executedPlan.toString
       require(naivePlan.contains("BroadcastNestedLoopJoin"),
         s"expected the naive plan to be a BNL:\n${naivePlan.take(1500)}")
@@ -617,9 +622,11 @@ object ScaleProbe {
         naiveDf.write.format("noop").mode("overwrite").save()
       }
       spark.conf.set(widthConf, (2L * 3600 * 1000000).toString)
-      val rewrittenRows = naiveDf.count()
-      require(rewrittenRows == naiveRows,
-        s"rewrite changed results: $rewrittenRows vs $naiveRows groups")
+      val rewrittenGroups = naiveDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      require(rewrittenGroups == naiveGroups,
+        s"rewrite changed results: ${rewrittenGroups.size} vs $naiveRows groups, " +
+          s"first diff ${naiveGroups.zip(rewrittenGroups).find(p => p._1 != p._2)}")
       val rewritten = timed(s"rewrite_bucketed_$sf") {
         naiveDf.write.format("noop").mode("overwrite").save()
       }

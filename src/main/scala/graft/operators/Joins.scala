@@ -278,7 +278,15 @@ object Joins {
     * many long-domain units (epoch MICROS for timestamps) nulls out; for
     * nearest each side is cut before the pick. `allowExactMatches = false`
     * makes the comparisons strict (< / >) — implemented purely by flipping
-    * the equal-ts side order in the window sort, no extra pass. */
+    * the equal-ts side order in the window sort, no extra pass.
+    *
+    * Null and NaN ts rows follow SQL comparison semantics exactly: they
+    * match nothing (NaN would sort as the LARGEST value and fabricate
+    * fills without the explicit guards — right-side NaN rows are dropped,
+    * left-side NaN rows survive with a null fill). Distance arithmetic is
+    * overflow-SATURATING: ts domains straddling zero by more than 2^63
+    * (e.g. a Long.MinValue sentinel) read as "infinitely far", never as a
+    * wrapped negative distance. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPayload: Seq[String],
@@ -328,8 +336,17 @@ object Joins {
         otherLeft.map(col) :+ lit(null).cast(payloadStructType).as("__rp"): _*)
     // a null-ts right row satisfies NO comparison in any direction (SQL:
     // rts <= x / rts >= x are never true) — drop it here; without this it
-    // would sort to a partition edge and back/forward-fill real rows
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // would sort to a partition edge and back/forward-fill real rows.
+    // A NaN ts on a FRACTIONAL domain is the same hazard with the same
+    // fix: SQL comparison semantics make rts <= x / rts >= x false for
+    // NaN, but Spark's SORT treats NaN as the largest value, so an
+    // unfiltered NaN right row would sit at the partition edge and
+    // forward-fill real left rows
+    def isFrac(dt: DataType) = dt == DoubleType || dt == FloatType
+    val rightTsLive =
+      if (isFrac(rightTsType)) col(rightTs).isNotNull && !isnan(col(rightTs))
+      else col(rightTs).isNotNull
+    val r = right.filter(rightTsLive).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         otherLeft.map(c => lit(null).as(c)) :+
         struct(tsLong(rightTsType, col(rightTs)).as("__rts") +: rightPayload.map(col): _*)
@@ -360,25 +377,46 @@ object Joins {
     def withinTol(p: Column, dist: Column): Column =
       if (tolerance < 0) p
       else when(p.isNotNull && dist <= lit(tolerance), p)
+    // saturating a−b for a >= b (true by construction: backward fills have
+    // rts <= lts, forward rts >= lts): the subtraction overflows Long when
+    // the operands straddle zero by more than 2^63 — e.g. a MinValue
+    // sentinel ts against a positive domain — which under ANSI mode kills
+    // the query and under non-ANSI wraps NEGATIVE, beating every honest
+    // distance in the nearest pick and slipping under any tolerance.
+    // try_subtract nulls on overflow; saturate that to MaxValue —
+    // "farther than everything", which is the truth.
+    def distSat(a: Column, b: Column): Column =
+      coalesce(try_subtract(a, b), lit(Long.MaxValue))
     val fill = direction match {
       case "backward" =>
         val back = last(col("__rp"), ignoreNulls = true).over(wBack)
-        withinTol(back, lts - back.getField("__rts"))
+        withinTol(back, distSat(lts, back.getField("__rts")))
       case "forward"  =>
         val fwd = last(col("__rp"), ignoreNulls = true).over(wFwd)
-        withinTol(fwd, fwd.getField("__rts") - lts)
+        withinTol(fwd, distSat(fwd.getField("__rts"), lts))
       case "nearest"  =>
         val backRaw = last(col("__rp"), ignoreNulls = true).over(wBack)
         val fwdRaw = last(col("__rp"), ignoreNulls = true).over(wFwd)
-        val back = withinTol(backRaw, lts - backRaw.getField("__rts"))
-        val fwd = withinTol(fwdRaw, fwdRaw.getField("__rts") - lts)
+        val back = withinTol(backRaw, distSat(lts, backRaw.getField("__rts")))
+        val fwd = withinTol(fwdRaw, distSat(fwdRaw.getField("__rts"), lts))
         when(back.isNull, fwd).when(fwd.isNull, back)
-          .when(lts - back.getField("__rts") <= fwd.getField("__rts") - lts, back)
+          .when(distSat(lts, back.getField("__rts")) <=
+            distSat(fwd.getField("__rts"), lts), back)
           .otherwise(fwd)
     }
+    // a NaN LEFT ts on a fractional domain sorts to the partition extreme
+    // and would frame over every right row, fabricating a fill where SQL
+    // comparison semantics (rts <= NaN is false) say no match — null it
+    // out row-locally (the row itself still survives: left-outer contract,
+    // same treatment as a null left ts)
+    val fillNanSafe =
+      if (isFrac(leftTsType))
+        when(col("__side") === 1 && isnan(col("__ts")),
+          lit(null).cast(payloadStructType)).otherwise(fill)
+      else fill
     val filled = l.unionByName(r).select(
       (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) :+
-        fill.as("__rp")): _*)
+        fillNanSafe.as("__rp")): _*)
     filled.filter(col("__side") === 1)
       .select((keys.map(col) ++ Seq(col("__ts")) ++ otherLeft.map(col) ++
         rightPayload.map(c => col(s"__rp.$c").as(c))): _*)

@@ -261,6 +261,48 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf NaN timestamps on fractional domains follow SQL comparison semantics") {
+    // NaN sorts as the LARGEST value in Spark — without the guards a NaN
+    // left row would frame over every right and a NaN right row would
+    // forward-fill real lefts; SQL comparison semantics say both match
+    // nothing
+    val l = Seq(("a", 20.0, "live"), ("a", Double.NaN, "nan"))
+      .toDF("k", "ts", "lv")
+    val r = Seq(("a", 10.0, 100L), ("a", Double.NaN, 999L))
+      .toDF("k", "rts", "price")
+    for (dir <- Seq("backward", "forward")) {
+      val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price"),
+          direction = dir)
+        .select(col("lv"), col("price")).collect()
+        .map(row => row.getString(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      assert(out.size == 2, s"dir=$dir: left-outer contract — NaN left survives")
+      assert(out("nan").isEmpty,
+        s"dir=$dir: a NaN-ts left row must stay unmatched, got ${out("nan")}")
+      // the NaN-rts right (999) must never fill; 20 matches 10 backward only
+      val expectedLive = if (dir == "forward") None else Some(100L)
+      assert(out("live") == expectedLive, s"dir=$dir live: ${out("live")}")
+    }
+  }
+
+  test("asOf nearest/tolerance distances saturate instead of overflowing Long") {
+    // Long.MinValue sentinel right ts against a positive left ts: the raw
+    // distance wraps negative (lts - rts overflows), which would beat the
+    // honest forward candidate in the nearest pick and slip under any
+    // tolerance. Saturating arithmetic reads it as "infinitely far".
+    val l = Seq(("a", 100L, "x")).toDF("k", "ts", "lv")
+    val r = Seq(("a", Long.MinValue, 1L), ("a", 200L, 2L)).toDF("k", "rts", "v")
+    val near = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"),
+      direction = "nearest").select(col("v")).head()
+    assert(near.getLong(0) == 2L,
+      s"nearest must pick the honest candidate (dist 100), not the wrapped sentinel")
+    // tolerance: the sentinel's saturated distance can never pass the cut
+    val tol = Joins.asOf(l, r.filter(col("v") === 1L), Seq("k"), "ts", "rts",
+      Seq("v"), direction = "backward", tolerance = 1000L).select(col("v")).head()
+    assert(tol.isNullAt(0),
+      "a wrapped-negative distance must not slip under the tolerance")
+  }
+
   test("asOf guards: nearest rejects fractional ts, __rts payload name reserved") {
     val l = Seq(("a", 1.5, "x")).toDF("k", "ts", "lv")
     val r = Seq(("a", 1.0, 10L)).toDF("k", "rts", "price")
