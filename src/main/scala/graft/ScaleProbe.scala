@@ -81,6 +81,8 @@ object ScaleProbe {
     // run only the time-series analytics probes (sessionize / gap fill /
     // rolling z / ewma at ×factor keys)
     if (sys.env.get("SPARK_GRAFT_TS_ONLY").contains("1")) { tsProbe(factor); return }
+    // run only the hot-BIN range-join skew duel (AQE skew-split on/off + salt)
+    if (sys.env.get("SPARK_GRAFT_SKEWBIN_ONLY").contains("1")) { skewBinDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -576,6 +578,95 @@ object ScaleProbe {
     * equal, both at sf0.01 and sf0.1 — the sf0.01→sf0.1 wall GROWTH is the
     * real verdict: the naive side grows ~quadratically (both inputs ×10),
     * the rewritten side tracks the data. */
+  /** Hot-BIN skew duel for the bucketed range join: the scaladoc claims "a
+    * bin spanning a hot time range is ordinary hash-join skew — AQE splits
+    * it" (Joins.scala pointInIntervalJoin); this measures that claim once
+    * instead of asserting it. Synthetic frame: 50% of 6M points land in
+    * ONE bin (the hot time range), the rest uniform over 512 bins; 2
+    * interval rows per bin; broadcast disabled so the join must shuffle on
+    * the bin key (the 100 TB shape — an intervals side too big to
+    * broadcast). Three legs, median-of-3 walls:
+    *  - aqe_skew_on: skew-split enabled, thresholds lowered to local scale
+    *    (the 256 MB default is sized for real executors); the executed
+    *    plan is REQUIRED to show the skew-split AQEShuffleRead
+    *  - aqe_skew_off: the hot bin funnels one task
+    *  - salted: skew off + the operator's extraKeys carrying an explicit
+    *    16-way salt (points hash-salted, intervals ×16) — the documented
+    *    fallback when a runtime has no AQE
+    * Recorded in BASELINE.md. */
+  private def skewBinDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val W = 1000L
+    val nBins = 512L
+    val nPts = 6000000L
+    val dir = "/root/repo/target/hotbin" // NB: no "skew" in the path — the plan pin greps for it
+    // hot bin 7 gets every even id; odd ids spread via a Knuth-hash
+    spark.range(nPts).select(
+      when(col("id") % 2 === 0, lit(7L * W) + pmod(col("id"), lit(W)))
+        .otherwise(pmod(col("id") * 2654435761L, lit(nBins * W))).as("p"),
+      col("id").as("point_id"))
+      .write.mode("overwrite").parquet(s"$dir/points.parquet")
+    spark.range(nBins * 2).select(
+      (pmod(col("id"), lit(nBins)) * W).as("lo"),
+      ((pmod(col("id"), lit(nBins)) + 1) * W).as("hi"),
+      col("id").as("interval_id"))
+      .write.mode("overwrite").parquet(s"$dir/intervals.parquet")
+    val pts = spark.read.parquet(s"$dir/points.parquet")
+    val ivs = spark.read.parquet(s"$dir/intervals.parquet")
+
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def run(tag: String, skewOn: Boolean, salt: Int): Double = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        def df =
+          if (salt <= 1)
+            graft.operators.Joins.pointInIntervalJoin(
+              pts, col("p"), ivs, col("lo"), col("hi"), bucketWidth = W)
+          else {
+            val sp = pts.withColumn("__salt", pmod(xxhash64(col("point_id")), lit(salt.toLong)))
+            val si = ivs.withColumn("__salt",
+              explode(sequence(lit(0L), lit(salt.toLong - 1))))
+            graft.operators.Joins.pointInIntervalJoin(
+              sp, col("p"), si, col("lo"), col("hi"), bucketWidth = W,
+              extraKeys = Seq("__salt")).drop("__salt")
+          }
+        val walls = (1 to 3).map(_ => timed(s"skewbin_$tag") {
+          df.write.format("noop").mode("overwrite").save()
+        }).sorted
+        // plan pin AFTER execution (AQE final plan). The execution must go
+        // through THIS DataFrame's own QueryExecution — df.write builds a
+        // fresh one, whose AdaptiveSparkPlan would print the never-executed
+        // INITIAL plan (observed: no AQE nodes at all)
+        val planStr = {
+          val d = df
+          d.queryExecution.toRdd.foreach(_ => ())
+          d.queryExecution.executedPlan.toString
+        }
+        // OptimizeSkewedJoin marks the join node "skew=true" and the
+        // AQEShuffleRead "skewed" in the final adaptive plan
+        val skewed = planStr.toLowerCase.contains("skew")
+        if (skewOn) require(skewed,
+          s"AQE skew-join did not engage on the hot bin:\n${planStr.take(3000)}")
+        println(f"""{"duel":"skewbin_$tag","median_sec":${walls(1)}%.3f,"skew_split_in_plan":$skewed}""")
+        walls(1)
+      }
+      val off = run("aqe_off", skewOn = false, salt = 1)
+      val on = run("aqe_on", skewOn = true, salt = 1)
+      val salted = run("salted", skewOn = false, salt = 16)
+      println(f"""{"duel":"skewbin_summary","aqe_off":$off%.3f,"aqe_on":$on%.3f,"salted":$salted%.3f,"off_over_on":${off / on}%.2f}""")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def rewriteDuel(): Unit = {
     val spark = GraftSession.getOrCreate()
     val widthConf = "spark.graft.rangeJoin.bucketWidth"
