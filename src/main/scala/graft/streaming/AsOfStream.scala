@@ -149,6 +149,113 @@ object AsOfStream {
     }
   }
 
+  /** Forward counterpart of [[AsOfProcessor]]: for each left event, the
+    * EARLIEST right with `rts >= lts` within `lts + tolMs` — the mirrored
+    * buffer, with the roles of finality inverted:
+    *
+    *  - a pending left's best-so-far candidate `c` (min rts in
+    *    [lts, lts+tol]) is FINAL once `c.rts <= watermark` — any
+    *    later-admitted right has rts > watermark >= c.rts and cannot beat
+    *    it;
+    *  - a candidate-less left is FINAL-unmatched once
+    *    `lts + tol <= watermark` — a future right (rts > watermark) lands
+    *    outside its window;
+    *  - GC needs NO dominant row (unlike backward): once the watermark
+    *    passes, rights at-or-before it serve nobody — a future left has
+    *    lts > watermark and looks only forward — so the whole
+    *    at-or-before-watermark history drops. State is pending lefts
+    *    (≤ tol past their ts) + in-flight rights (> watermark): bounded.
+    *
+    * The tolerance is REQUIRED, not optional, and that is the narrowing:
+    * an UNBOUNDED forward as-of is not watermark-finalizable — a
+    * candidate-less left can be matched by a right arbitrarily far in the
+    * future, so no watermark ever proves "unmatched", and every
+    * unmatched left would buffer forever. Batch asOf has no such
+    * constraint (the data ends); the streaming form makes the bound
+    * explicit instead of leaking unbounded state.
+    *
+    * Late-left completeness mirrors the backward argument, simpler: an
+    * admitted left has lts > previous-batch watermark, and every right
+    * GC'd in earlier batches had rts <= that watermark < lts — below the
+    * left's window, never needed. */
+  private class AsOfForwardProcessor[K, L, R](tolMs: Long)(
+      implicit bufEnc: Encoder[(Long, L)], rEnc: Encoder[R])
+      extends StatefulProcessor[K, Tagged[K, L, R], AsOfJoined[K, L, R]] {
+
+    @transient private var pendingLeft: ListState[(Long, L)] = _
+    @transient private var rights: MapState[Long, R] = _
+
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      pendingLeft = getHandle.getListState[(Long, L)]("pending_left_fwd", bufEnc, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, R]("rights_fwd", Encoders.scalaLong, rEnc, TTLConfig.NONE)
+    }
+
+    private def sortedHistory(): Array[(Long, R)] =
+      rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+
+    /** Smallest right ts >= lts in the sorted history, None if it falls
+      * past lts + tolMs. */
+    private def candidate(lts: Long, hist: Array[(Long, R)]): Option[(Long, R)] = {
+      var lo = 0; var hi = hist.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (hist(mid)._1 >= lts) { best = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      if (best < 0 || hist(best)._1 - lts > tolMs) None else Some(hist(best))
+    }
+
+    private def isFinal(lts: Long, c: Option[(Long, R)], wm: Long): Boolean =
+      c match {
+        case Some((rts, _)) => rts <= wm
+        case None => lts + tolMs <= wm
+      }
+
+    /** Watermark at which this left's answer could next become final
+      * (its candidate's ts, or its window end). */
+    private def decisionTs(lts: Long, c: Option[(Long, R)]): Long =
+      c.map(_._1).getOrElse(lts + tolMs)
+
+    private def emitReady(key: K, wm: Long): Iterator[AsOfJoined[K, L, R]] = {
+      val hist = sortedHistory()
+      val all = pendingLeft.get().toList
+      val (ripe, still) = all.partition { case (t, _) =>
+        isFinal(t, candidate(t, hist), wm) }
+      pendingLeft.clear()
+      still.foreach(pendingLeft.appendValue)
+      if (still.nonEmpty)
+        getHandle.registerTimer(still.map { case (t, _) =>
+          decisionTs(t, candidate(t, hist)) }.min)
+      // forward GC: everything at-or-before the watermark serves nobody
+      val stale = hist.takeWhile(_._1 <= wm)
+      stale.foreach { case (ts, _) => rights.removeKey(ts) }
+      if (hist.length > stale.length && still.isEmpty)
+        getHandle.registerTimer(wm + 1) // in-flight rights need a future GC
+      ripe.sortBy(_._1).iterator.map { case (t, l) =>
+        candidate(t, hist) match {
+          case Some((rts, r)) => AsOfJoined(key, t, l, Some(rts), Some(r))
+          case None => AsOfJoined(key, t, l, None, None)
+        }
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Tagged[K, L, R]],
+                                 tv: TimerValues): Iterator[AsOfJoined[K, L, R]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var sawAny = false
+      rows.foreach {
+        case (_, ts, 0, _, Some(r)) => rights.updateValue(ts.getTime, r); sawAny = true
+        case (_, ts, 1, Some(l), _) => pendingLeft.appendValue((ts.getTime, l)); sawAny = true
+        case _ => ()
+      }
+      if (!sawAny) Iterator.empty
+      else emitReady(key, wm) // resolves already-final lefts (incl. late ones) now
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfJoined[K, L, R]] =
+      emitReady(key, tv.getCurrentWatermarkInMs())
+  }
+
   /** Join two keyed, timestamped streams as-of. Each side gets
     * `withWatermark(lateness)` before the union (Spark advances the global
     * watermark to the union's minimum). Output rows are FINAL (append
@@ -173,6 +280,36 @@ object AsOfStream {
       (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
     l.union(r).groupByKey(_._1)
       .transformWithState(new AsOfProcessor[K, L, R],
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** FORWARD streaming as-of: for each left event, the EARLIEST right with
+    * `left.ts <= right.ts <= left.ts + toleranceMs` on the same key,
+    * emitted once the watermark proves the answer final (see
+    * [[AsOfForwardProcessor]] for the finality/GC argument). The tolerance
+    * is REQUIRED: unbounded forward is not watermark-finalizable — an
+    * unmatched left could be matched by a right arbitrarily far in the
+    * future, so it would buffer forever. State stays bounded: pending
+    * lefts live at most `toleranceMs` past their ts, rights at most until
+    * the watermark passes them. */
+  def asOfJoinForward[K, L, R](left: Dataset[(K, java.sql.Timestamp, L)],
+                               right: Dataset[(K, java.sql.Timestamp, R)],
+                               toleranceMs: Long,
+                               lateness: String = "0 seconds")(
+      implicit tagEnc: Encoder[Tagged[K, L, R]],
+      kEnc: Encoder[K], bufEnc: Encoder[(Long, L)], rEnc: Encoder[R],
+      outEnc: Encoder[AsOfJoined[K, L, R]]): Dataset[AsOfJoined[K, L, R]] = {
+    require(toleranceMs >= 0,
+      "asOfJoinForward requires a finite toleranceMs >= 0: without a " +
+        "look-ahead bound, an unmatched left is never watermark-final and " +
+        "would buffer forever")
+    Stateful.requireRocksDBStateStore(left.sparkSession)
+    val l = left.map { case (k, ts, v) =>
+      (k, ts, 1, Some(v): Option[L], None: Option[R]) }.withWatermark("_2", lateness)
+    val r = right.map { case (k, ts, v) =>
+      (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
+    l.union(r).groupByKey(_._1)
+      .transformWithState(new AsOfForwardProcessor[K, L, R](toleranceMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
