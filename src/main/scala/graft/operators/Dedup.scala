@@ -190,6 +190,47 @@ object Dedup {
         (col("corpus_cand").isNull && col("batch_cand").isNull).as("keep"))
   }
 
+  /** Compaction for the incremental dedup/index stores (digest, LSH band,
+    * SemDeDup cell): keep only rows whose OWNING doc id is in `liveIds` —
+    * the live-corpus id frame, e.g. `snapshotDiff`'s non-`removed` ids.
+    * Returns the compacted frame; persist it with
+    * [[graft.sources.IO.writeBucketed]] on the store's bucket columns to
+    * restore the no-Exchange increment probes.
+    *
+    * Why owner-id semi-join is EXACT under the keep discipline: every
+    * store row is owned by exactly one live doc. The incremental keepers
+    * admit a doc only when it shares NO digest/bucket/cell-duplicate with
+    * the existing corpus ([[exactIncremental]] / [[minHashIncremental]] /
+    * `Similarity.semDedupIncremental` all define keep = no candidate), so
+    * each digest row's `corpus_rep` and each band-bucket's `corpus_rep`
+    * IS its unique owner — retiring that doc retires the content, and
+    * dropping the row is the correct forgetting. For a store built by the
+    * BATCH builders over a corpus that retained duplicates, min-id reps
+    * are not unique owners — re-run the builder on the live corpus
+    * instead (one job, same cost as the original build).
+    *
+    * 100 TB shape: one job; the shuffle carries the two NARROW id frames
+    * (the store's ~40-byte rows and the live-id column) — corpus text is
+    * never read. A year of daily increments without compaction is a slow
+    * leak ([[compactStoreTtl]] is the rolling-window variant); with it the
+    * store stays O(live corpus) — probed in MixingSpec across N
+    * increments with retirements. */
+  def compactStore(store: DataFrame, ownerId: Column,
+                   liveIds: DataFrame, liveId: Column): DataFrame =
+    store.join(liveIds.select(liveId.as("__live_id")),
+      ownerId === col("__live_id"), "left_semi")
+
+  /** TTL compaction for ROLLING-WINDOW corpora: keep store rows stamped
+    * at-or-after `minStamp`. Requires the increment-append discipline to
+    * stamp rows (`.withColumn("appended_at", lit(batchStamp))` at append
+    * time); the filter is row-local — zero shuffle — and a bucketed
+    * rewrite afterwards needs no Exchange either (bucketed writes
+    * hash-route rows to bucket files within each task). Correct when doc
+    * retirement IS age (the rolling-window contract); for arbitrary
+    * retirement use [[compactStore]] with the live-id frame. */
+  def compactStoreTtl(store: DataFrame, stamp: Column, minStamp: Long): DataFrame =
+    store.filter(stamp >= minStamp)
+
   /** K-minimum-values sketch of a corpus's distinct shingle set: the k
     * lexicographically smallest md5 hex digests over word `shingleN`-grams
     * — a bounded, MERGEABLE content signature of an entire corpus

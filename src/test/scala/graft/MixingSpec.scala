@@ -109,6 +109,82 @@ class MixingSpec extends SparkSpec {
       (13L, None, None, true)))
   }
 
+  test("compactStore: the digest store stays O(live corpus) across increments " +
+      "with retirements, and retired content is correctly forgotten") {
+    // N-increment lifecycle probe (r11 verdict item 5): each round admits
+    // a batch against the store, appends the keepers' digest rows, then
+    // retires some docs and compacts. Invariants per round:
+    //  1. store rows == live unique contents (O(live), not O(ever-seen))
+    //  2. a new doc duplicating LIVE content is rejected
+    //  3. a new doc duplicating RETIRED content is ADMITTED (forgotten)
+    def digestsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    var live = (0 until 6).map(i => (i.toLong, s"seed document number $i unique content")).toMap
+    var store = digestsOf(live.toSeq.toDF("doc_id", "text"))
+      .select(col("content_hash"), col("doc_id").as("corpus_rep"))
+    var retiredContent: Option[String] = None // one content retired LAST round
+    for (round <- 1 to 4) {
+      val base = round * 100L
+      val someLiveText = live(live.keys.min)
+      val batch = Seq(
+        (base, s"fresh content of round $round entirely new"),
+        (base + 1, someLiveText), // dup of LIVE content → reject
+        (base + 2, s"fresh content of round $round entirely new") // intra-batch dup
+      ) ++ retiredContent.map(t => (base + 3, t)).toSeq // retired last round → admit
+      val verdicts = Dedup.exactIncremental(
+        batch.toDF("doc_id", "text"), col("text"), col("doc_id"), store)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(!verdicts(base + 1), s"round $round: live-content dup must be rejected")
+      assert(!verdicts(base + 2), s"round $round: intra-batch dup must be rejected")
+      assert(verdicts(base), s"round $round: fresh content must be admitted")
+      if (retiredContent.nonEmpty) assert(verdicts(base + 3),
+        s"round $round: RETIRED content must be admitted again (forgetting works)")
+      // append keepers, then retire: the previous round's fresh doc AND
+      // one seed doc leave the corpus
+      val kept = batch.filter { case (id, _) => verdicts(id) }
+      live = live ++ kept.toMap
+      store = store.unionByName(digestsOf(kept.toDF("doc_id", "text"))
+        .select(col("content_hash"), col("doc_id").as("corpus_rep")))
+      val retire: Set[Long] = Set(live.keys.min)
+      retiredContent = Some(live(live.keys.min))
+      live = live -- retire
+      store = Dedup.compactStore(store, col("corpus_rep"),
+        live.keys.toSeq.toDF("id"), col("id"))
+      // invariant 1: O(live) — one row per live unique content
+      val liveContents = live.values.toSet.size
+      assert(store.count() == liveContents,
+        s"round $round: store ${store.count()} rows vs $liveContents live contents")
+    }
+    // TTL variant: stamped rows at-or-after the cutoff survive, zero-shuffle
+    val stamped = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("corpus_rep", "content_hash", "appended_at")
+    val ttl = Dedup.compactStoreTtl(stamped, col("appended_at"), 20L)
+    assert(ttl.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(!ttl.queryExecution.executedPlan.toString.contains("Exchange"),
+      "TTL compaction must be a row-local filter (no shuffle)")
+  }
+
+  test("compactStore on the LSH band store: retiring a doc frees its buckets") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus content about spark engines here")
+    ).toDF("doc_id", "text")
+    val store = Dedup.minHashStore(corpus, col("text"), col("doc_id"), 3, 4)
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // against the full store: near-dup of doc 1 → rejected
+    val before = Dedup.minHashIncremental(batch, col("text"), col("doc_id"), store, 3, 4)
+      .collect().head
+    assert(!before.getBoolean(3))
+    // retire doc 1, compact on the owner id, re-probe: admitted
+    val compacted = Dedup.compactStore(store, col("corpus_rep"),
+      Seq(2L).toDF("id"), col("id"))
+    val after = Dedup.minHashIncremental(batch, col("text"), col("doc_id"), compacted, 3, 4)
+      .collect().head
+    assert(after.getBoolean(3),
+      "a near-dup of a RETIRED doc must be admitted after compaction")
+  }
+
   test("randomProject: dims, seed determinism, exact 2x homogeneity, " +
        "different seed → different space, null element poisons the row") {
     val vs = Seq(
