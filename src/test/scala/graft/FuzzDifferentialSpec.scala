@@ -102,7 +102,13 @@ class FuzzDifferentialSpec extends SparkSpec {
   /** join a (filtered, possibly aggregated) second pipeline on
     * leftKey % m = rightKey % m; right columns arrive suffixed `_r`. */
   private case class JoinSt(rightBase: String, rightStages: Seq[Stage],
-                            leftKey: String, rightKey: String, m: Long) extends Stage
+                            leftKey: String, rightKey: String, m: Long,
+                            how: String) extends Stage // inner | left
+  /** UNION ALL of two differently-filtered slices of the base — only
+    * valid as the FIRST stage (schema must still be the base schema). */
+  private case class UnionSelfSt(p1: Pred, p2: Pred) extends Stage
+  /** CASE WHEN numCol > k THEN 'hi' ELSE 'lo' END — a derived string. */
+  private case class CaseSt(name: String, c: String, k: Long) extends Stage
 
   private case class PlanSpec(base: String, stages: Seq[Stage])
 
@@ -165,7 +171,8 @@ class FuzzDifferentialSpec extends SparkSpec {
       } else {
         val c = s(rnd.nextInt(s.size))
         if (c._2 == 'S') {
-          val vs = strValues.getOrElse(c._1, Seq("click", "A", "O", "x"))
+          val vs = strValues.getOrElse(c._1,
+            if (c._1.startsWith("__c")) Seq("hi", "lo") else Seq("click", "A", "O", "x"))
           if (rnd.nextBoolean()) StrEq(c._1, vs(rnd.nextInt(vs.size)), rnd.nextBoolean())
           else StrIn(c._1, rnd.shuffle(vs).take(1 + rnd.nextInt(vs.size)))
         } else {
@@ -180,6 +187,9 @@ class FuzzDifferentialSpec extends SparkSpec {
       val base = if (rnd.nextBoolean()) "ev" else "li"
       var schema = baseSchema(base)
       val stages = Seq.newBuilder[Stage]
+      // ~1 in 5 plans starts with UNION ALL of two filtered slices
+      if (rnd.nextInt(5) == 0)
+        stages += UnionSelfSt(pred(schema, 1), pred(schema, 1))
       var nStages = 1 + rnd.nextInt(4)
       var joined = false
       var boundedSinceJoin = true
@@ -188,9 +198,19 @@ class FuzzDifferentialSpec extends SparkSpec {
         rnd.nextInt(6) match {
           case 0 | 1 => stages += FilterSt(pred(schema, rnd.nextInt(3)))
           case 2 =>
-            val (name, d, range) = derive(schema)
-            stages += DeriveSt(name, d)
-            schema = schema :+ ((name, 'L', range))
+            if (rnd.nextInt(4) == 0 && schema.exists(_._2 == 'L')) {
+              // CASE derive: a new low-cardinality string column
+              val ls = schema.filter(_._2 == 'L')
+              val c = ls(rnd.nextInt(ls.size))
+              val k = c._3._1 + (c._3._2 - c._3._1) / 2
+              val name = fresh("c")
+              stages += CaseSt(name, c._1, k)
+              schema = schema :+ ((name, 'S', (0L, 0L)))
+            } else {
+              val (name, d, range) = derive(schema)
+              stages += DeriveSt(name, d)
+              schema = schema :+ ((name, 'L', range))
+            }
           case 3 if !joined && schema.exists(_._2 == 'L') =>
             val rb = if (rnd.nextBoolean()) "ev" else "li"
             var rSchema = baseSchema(rb)
@@ -207,11 +227,14 @@ class FuzzDifferentialSpec extends SparkSpec {
             val lk = lks(rnd.nextInt(lks.size))._1
             val rk = rks(rnd.nextInt(rks.size))._1
             val m = Seq(499L, 997L, 1499L)(rnd.nextInt(3))
-            stages += JoinSt(rb, rStages.result(), lk, rk, m)
+            val how = if (rnd.nextInt(3) == 0) "left" else "inner"
+            stages += JoinSt(rb, rStages.result(), lk, rk, m, how)
             schema = schema ++ rSchema.map { case (n, t, r) => (s"${n}_r", t, r) }
             joined = true; boundedSinceJoin = false
           case 3 | 4 =>
-            val keys = rnd.shuffle(schema).take(1 + rnd.nextInt(2))
+            // 0 keys = GLOBAL aggregate (one row even on empty input —
+            // its own differential surface)
+            val keys = rnd.shuffle(schema).take(rnd.nextInt(3))
             val aggs = mkAggs(schema, keys)
             stages += AggSt(keys.map(_._1), aggs)
             schema = keys ++ aggs.map(a => aggOutMeta(schema, a))
@@ -291,13 +314,18 @@ class FuzzDifferentialSpec extends SparkSpec {
       case WinSt(part, _, c, out) =>
         df.withColumn(out, sum(col(c)).over(Window.partitionBy(col(part))))
       case DistinctSt(cols0) => df.select(cols0.map(col): _*).distinct()
-      case JoinSt(rb, rStages, lk, rk, m) =>
+      case UnionSelfSt(p1, p2) =>
+        df.filter(sparkPred(p1)).unionAll(df.filter(sparkPred(p2)))
+      case CaseSt(n, c, k) =>
+        df.withColumn(n, when(col(c) > k, lit("hi")).otherwise(lit("lo")))
+      case JoinSt(rb, rStages, lk, rk, m, how) =>
         val right0 = sparkPlan(PlanSpec(rb, rStages))
         val right = right0.select(right0.columns.toSeq.map(c =>
           col(c).as(s"${c}_r")): _*)
         df.withColumn("__jkl", col(lk) % m)
           .join(right.withColumn("__jkr", col(s"${rk}_r") % m),
-            col("__jkl") === col("__jkr"))
+            col("__jkl") === col("__jkr"),
+            if (how == "left") "left_outer" else "inner")
           .drop("__jkl", "__jkr")
     }}
   }
@@ -333,8 +361,9 @@ class FuzzDifferentialSpec extends SparkSpec {
       case FilterSt(pr) => s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(pr)}"
       case DeriveSt(n, d) => s"SELECT *, ${sqlDerive(d)} AS $n FROM ($prev) ${t()}"
       case AggSt(keys, aggs) =>
-        s"SELECT ${(keys ++ aggs.map(sqlAgg)).mkString(", ")} FROM ($prev) ${t()} " +
-          s"GROUP BY ${keys.mkString(", ")}"
+        val groupBy = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+        s"SELECT ${(keys ++ aggs.map(sqlAgg)).mkString(", ")} FROM ($prev) ${t()}" +
+          groupBy
       case WinSt(part, "cnt", _, out) =>
         s"SELECT *, CAST(count(*) OVER (PARTITION BY $part) AS BIGINT) AS $out " +
           s"FROM ($prev) ${t()}"
@@ -343,12 +372,19 @@ class FuzzDifferentialSpec extends SparkSpec {
           s"FROM ($prev) ${t()}"
       case DistinctSt(cols0) =>
         s"SELECT DISTINCT ${cols0.mkString(", ")} FROM ($prev) ${t()}"
-      case JoinSt(rb, rStages, lk, rk, m) =>
+      case UnionSelfSt(p1, p2) =>
+        s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p1)} UNION ALL " +
+          s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
+      case CaseSt(n, c, k) =>
+        s"SELECT *, CASE WHEN $c > $k THEN 'hi' ELSE 'lo' END AS $n " +
+          s"FROM ($prev) ${t()}"
+      case JoinSt(rb, rStages, lk, rk, m, how) =>
         val rightSql = sqlPlan(PlanSpec(rb, rStages))
         // right columns suffixed _r BEFORE the join so names never collide
         val rCols = "SELECT " + rightColNames(rb, rStages)
           .map(c => s"$c AS ${c}_r").mkString(", ") + s" FROM ($rightSql) rr"
-        s"SELECT lt.*, rt.* FROM ($prev) lt JOIN ($rCols) rt " +
+        val joinKw = if (how == "left") "LEFT JOIN" else "JOIN"
+        s"SELECT lt.*, rt.* FROM ($prev) lt $joinKw ($rCols) rt " +
           s"ON lt.$lk % $m = rt.${rk}_r % $m"
     }}
   }
@@ -359,6 +395,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     var cols = (if (base == "ev") evSchema else liSchema).map(_._1)
     stages.foreach {
       case DeriveSt(n, _) => cols = cols :+ n
+      case CaseSt(n, _, _) => cols = cols :+ n
       case AggSt(keys, aggs) => cols = keys ++ aggs.map(_.out)
       case WinSt(_, _, _, out) => cols = cols :+ out
       case DistinctSt(cs) => cols = cs
