@@ -85,10 +85,30 @@ class FuzzStreamBatchSpec extends SparkSpec {
       val q = streamed.writeStream.format("memory").queryName(sink)
         .outputMode("append").option("checkpointLocation", ckpt()).start()
       try {
-        events.grouped(60).foreach { chunk =>
+        // with a nonzero lateness, displace eligible events one batch
+        // LATER — genuinely late cross-batch arrivals (ts below the
+        // previous batch's max) that the watermark delay must still
+        // admit, exercising the open-state late path. Eligible = within
+        // 20s of its chunk's max ts (< the 30s lateness, so admission
+        // `ts > prevMax - lateness` is guaranteed).
+        val chunks = events.grouped(60).toSeq
+        val delivered: Seq[Seq[(String, Timestamp, Long)]] =
+          if (cfg.lateness == "0 seconds") chunks
+          else {
+            val moved = Array.fill(chunks.size)(List.empty[(String, Timestamp, Long)])
+            val kept = chunks.zipWithIndex.map { case (chunk, ci) =>
+              val chunkMax = chunk.map(_._2.getTime).max
+              val (late, onTime) = chunk.partition(e =>
+                ci < chunks.size - 1 && chunkMax - e._2.getTime <= 20000 &&
+                  e._2.getTime != chunkMax && rnd.nextInt(3) == 0)
+              if (late.nonEmpty) moved(ci + 1) = late.toList
+              onTime
+            }
+            kept.zipWithIndex.map { case (c, ci) => moved(ci) ++ c }
+          }
+        delivered.foreach { chunk =>
           // shuffle WITHIN the batch: intra-batch order must not matter
-          in.addData(rnd.shuffle(chunk): _*)
-          q.processAllAvailable()
+          if (chunk.nonEmpty) { in.addData(rnd.shuffle(chunk): _*); q.processAllAvailable() }
         }
         in.addData(("zzz_sentinel", sentinelTs, 0L)) // close every window
         q.processAllAvailable()
