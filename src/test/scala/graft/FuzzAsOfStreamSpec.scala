@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.streaming.{AsOfStream, Stateful}
+
+/** Streaming↔batch as-of EQUIVALENCE fuzzer: AsOfStream's processors
+  * (watermark-finality conditions, dominance GC, the forward candidate
+  * logic) are the most intricate state machines in the engine, and their
+  * contract is exactly "converge to the batch asOf answer once the
+  * watermark closes every row". This spec runs randomized keyed,
+  * timestamped (left, right) corpora through BOTH paths and compares
+  * exhaustively:
+  *
+  *  - backward: AsOfStream.asOfJoin vs Joins.asOf(direction=backward) —
+  *    latest right at-or-before each left;
+  *  - forward: AsOfStream.asOfJoinForward(tol) vs
+  *    Joins.asOf(direction=forward, tolerance=tol µs) — earliest right
+  *    within the tolerance window.
+  *
+  * Feeding is round-based and time-ordered per source (each round covers
+  * a later time range; both sources advance together, so the global
+  * min-of-sources watermark admits every row); rights are unique per
+  * (key, ts) per the batch contract; a far-future sentinel on both
+  * sources closes every pending row. The stream's output (sentinel
+  * excluded) must equal the batch result EXACTLY — per left row: the
+  * matched right ts and payload, or unmatched.
+  */
+class FuzzAsOfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Seed = 20260814L
+  private val Rounds = 4
+  private val PerRound = 30
+  private val RoundSpanS = 120
+
+  private def mkCorpus(rnd: scala.util.Random, nKeys: Int)
+      : (Seq[(String, Long, String)], Seq[(String, Long, Long)]) = {
+    // per round r: ts drawn in [r*span, (r+1)*span) — time-ordered rounds
+    val lefts = Seq.newBuilder[(String, Long, String)]
+    val rights = Seq.newBuilder[(String, Long, Long)]
+    for (r <- 0 until Rounds; i <- 0 until PerRound) {
+      val ts = (r * RoundSpanS + rnd.nextInt(RoundSpanS)).toLong
+      val k = s"k${rnd.nextInt(nKeys)}"
+      if (rnd.nextBoolean()) lefts += ((k, ts, s"L$r-$i"))
+      else rights += ((k, ts, rnd.nextInt(1000).toLong))
+    }
+    // rights unique per (key, ts): the batch contract (tie-ambiguous
+    // otherwise) — keep the max value like the catalog queries do
+    val uniqRights = rights.result().groupBy(t => (t._1, t._2))
+      .map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
+    (lefts.result(), uniqRights)
+  }
+
+  private def feedAndCollect(
+      lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
+      forward: Boolean, tolS: Long, sink: String): Set[(String, Long, Option[Long], Option[Long])] = {
+    Stateful.requireRocksDBStateStore(spark)
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val joined =
+      if (forward) AsOfStream.asOfJoinForward(leftIn.toDS(), rightIn.toDS(),
+        toleranceMs = tolS * 1000)
+      else AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS())
+    val out = joined.map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000), j.right))
+    val q = out.toDF("k", "lts", "rts", "v")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      for (r <- 0 until Rounds) {
+        val lo = r * RoundSpanS; val hi = lo + RoundSpanS
+        val lc = lefts.filter(e => e._2 >= lo && e._2 < hi)
+        val rc = rights.filter(e => e._2 >= lo && e._2 < hi)
+        if (lc.nonEmpty) leftIn.addData(lc.map(e => (e._1, ts(e._2), e._3)): _*)
+        if (rc.nonEmpty) rightIn.addData(rc.map(e => (e._1, ts(e._2), e._3)): _*)
+        q.processAllAvailable()
+      }
+      val sentinel = (Rounds * RoundSpanS + 100000).toLong
+      leftIn.addData(("zzz_sentinel", ts(sentinel), "S"))
+      rightIn.addData(("zzz_sentinel", ts(sentinel), 0L))
+      q.processAllAvailable()
+      spark.table(sink).collect()
+        .map(r2 => (r2.getString(0), r2.getLong(1),
+          Option(r2.get(2)).map(_.asInstanceOf[Long]),
+          Option(r2.get(3)).map(_.asInstanceOf[Long])))
+        .filter(_._1 != "zzz_sentinel").toSet
+    } finally q.stop()
+  }
+
+  private def batchExpected(
+      lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
+      forward: Boolean, tolS: Long): Set[(String, Long, Option[Long], Option[Long])] = {
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val l = lefts.map(e => (e._1, ts(e._2), e._3)).toDF("k", "lts", "label")
+    val r = rights.map(e => (e._1, ts(e._2), e._3)).toDF("k", "rts", "v")
+    val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rts", "v"),
+      direction = if (forward) "forward" else "backward",
+      tolerance = if (forward) tolS * 1000000L else -1L) // µs for timestamps
+    out.select(col("k"), col("lts").cast("long"), col("rts").cast("long"), col("v"))
+      .collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1),
+        Option(r2.get(2)).map(_.asInstanceOf[Long]),
+        Option(r2.get(3)).map(_.asInstanceOf[Long]))).toSet
+  }
+
+  test(s"randomized streaming asOf (backward + forward) == batch asOf (seed=$Seed)") {
+    val rnd = new scala.util.Random(Seed)
+    for (trial <- 0 until 3) {
+      val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + trial)
+      val back = feedAndCollect(lefts, rights, forward = false, 0L, s"asof_fz_b$trial")
+      val backExp = batchExpected(lefts, rights, forward = false, 0L)
+      assert(back == backExp,
+        s"trial $trial backward diverged: stream-only ${(back -- backExp).take(3)}, " +
+          s"batch-only ${(backExp -- back).take(3)}")
+      val tolS = 30L + rnd.nextInt(60)
+      val fwd = feedAndCollect(lefts, rights, forward = true, tolS, s"asof_fz_f$trial")
+      val fwdExp = batchExpected(lefts, rights, forward = true, tolS)
+      assert(fwd == fwdExp,
+        s"trial $trial forward(tol=${tolS}s) diverged: " +
+          s"stream-only ${(fwd -- fwdExp).take(3)}, batch-only ${(fwdExp -- fwd).take(3)}")
+      assert(backExp.exists(_._3.nonEmpty) && backExp.exists(_._3.isEmpty),
+        s"trial $trial: corpus too trivial (need both matched and unmatched lefts)")
+    }
+  }
+}
