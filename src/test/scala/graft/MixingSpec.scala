@@ -164,6 +164,35 @@ class MixingSpec extends SparkSpec {
       "TTL compaction must be a row-local filter (no shuffle)")
   }
 
+  test("incremental exact dedup over ordered chunks converges to the batch exact() answer") {
+    // equivalence property tying the incremental family to its batch
+    // semantics: processing an id-ordered corpus chunk by chunk through
+    // exactIncremental (appending each chunk's keepers to the store) must
+    // keep exactly the docs batch exact() elects as representatives
+    // (min-id per content — first arrival under id-ordered chunks)
+    val rnd = new scala.util.Random(20260814L)
+    val pool = (0 until 80).map(i => s"unique document body number $i with words")
+    val corpus = (0 until 200).map(i => (i.toLong, pool(rnd.nextInt(pool.size))))
+    val batchReps = graft.operators.Dedup.exact(
+      corpus.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .select(col("rep_id")).collect().map(_.getLong(0)).toSet
+    var store = Seq.empty[(String, Long)].toDF("content_hash", "corpus_rep")
+    val incKept = scala.collection.mutable.Set.empty[Long]
+    corpus.grouped(50).foreach { chunk =>
+      val verdicts = graft.operators.Dedup.exactIncremental(
+        chunk.toDF("doc_id", "text"), col("text"), col("doc_id"), store)
+        .select(col("doc_id"), col("content_hash"), col("keep")).collect()
+      val keepers = verdicts.filter(_.getBoolean(2))
+      incKept ++= keepers.map(_.getLong(0))
+      store = store.unionByName(keepers.map(r =>
+        (r.getString(1), r.getLong(0))).toSeq.toDF("content_hash", "corpus_rep"))
+    }
+    assert(incKept.toSet == batchReps,
+      s"incremental kept ${incKept.size} vs batch ${batchReps.size}; " +
+        s"inc-only ${(incKept.toSet -- batchReps).take(5)}, " +
+        s"batch-only ${(batchReps -- incKept).take(5)}")
+  }
+
   test("compactStore on the LSH band store: retiring a doc frees its buckets") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
