@@ -83,6 +83,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_TS_ONLY").contains("1")) { tsProbe(factor); return }
     // run only the hot-BIN range-join skew duel (AQE skew-split on/off + salt)
     if (sys.env.get("SPARK_GRAFT_SKEWBIN_ONLY").contains("1")) { skewBinDuel(); return }
+    // run only the incremental-store compaction probe (4M-row store)
+    if (sys.env.get("SPARK_GRAFT_COMPACT_ONLY").contains("1")) { compactProbe(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -665,6 +667,39 @@ object ScaleProbe {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  /** Store-compaction wall-clock probe (r11 verdict item 5's 100 TB
+    * story): a 4M-row digest store compacted against a 2.4M-row live-id
+    * frame (60% survival — a year of retirements). The claim under test:
+    * compaction is ONE job over narrow frames (40-byte digest rows + the
+    * id column), cost independent of corpus text; the TTL variant is a
+    * row-local filter (zero shuffle). */
+  private def compactProbe(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val n = 4000000L
+    val dir = "/root/repo/target/compact_probe"
+    spark.range(n).select(md5(col("id").cast("string")).as("content_hash"),
+        col("id").as("corpus_rep"),
+        (col("id") % 365).as("appended_at"))
+      .write.mode("overwrite").parquet(s"$dir/store.parquet")
+    spark.range(n).filter(col("id") % 5 < 3).select(col("id"))
+      .write.mode("overwrite").parquet(s"$dir/live.parquet")
+    val store = spark.read.parquet(s"$dir/store.parquet")
+    val live = spark.read.parquet(s"$dir/live.parquet")
+    val walls = (1 to 3).map(_ => timed("compact_live") {
+      graft.operators.Dedup.compactStore(store, col("corpus_rep"), live, col("id"))
+        .write.format("noop").mode("overwrite").save()
+    }).sorted
+    val kept = graft.operators.Dedup.compactStore(
+      store, col("corpus_rep"), live, col("id")).count()
+    val ttlWalls = (1 to 3).map(_ => timed("compact_ttl") {
+      graft.operators.Dedup.compactStoreTtl(store, col("appended_at"), 100L)
+        .write.format("noop").mode("overwrite").save()
+    }).sorted
+    val ttlKept = graft.operators.Dedup.compactStoreTtl(
+      store, col("appended_at"), 100L).count()
+    println(f"""{"duel":"compact_summary","store_rows":$n,"live_rows":${n * 3 / 5},"kept":$kept,"median_sec":${walls(1)}%.3f,"ttl_kept":$ttlKept,"ttl_median_sec":${ttlWalls(1)}%.3f}""")
   }
 
   private def rewriteDuel(): Unit = {
