@@ -249,14 +249,22 @@ class FuzzDifferentialSpec extends SparkSpec {
               val part = rnd.shuffle(schema).head._1
               val out = fresh("w")
               val sumCands = schema.filter(c => c._2 == 'L' && c._3._2 <= SumSafeHi)
-              if (rnd.nextBoolean() && sumCands.nonEmpty) {
-                val c = sumCands(rnd.nextInt(sumCands.size))
-                stages += WinSt(part, "sum", c._1, out)
-                schema = schema :+
-                  ((out, 'L', (0L, math.min(Long.MaxValue / 4, c._3._2 * MaxRows))))
-              } else {
-                stages += WinSt(part, "cnt", "", out)
-                schema = schema :+ ((out, 'L', (0L, MaxRows)))
+              val lCands = schema.filter(_._2 == 'L')
+              rnd.nextInt(3) match {
+                case 0 if sumCands.nonEmpty =>
+                  val c = sumCands(rnd.nextInt(sumCands.size))
+                  stages += WinSt(part, "sum", c._1, out)
+                  schema = schema :+
+                    ((out, 'L', (0L, math.min(Long.MaxValue / 4, c._3._2 * MaxRows))))
+                case 1 if lCands.nonEmpty =>
+                  // rank() is deterministic under ties (ties share a rank),
+                  // unlike row_number — safe to hash-compare
+                  val c = lCands(rnd.nextInt(lCands.size))
+                  stages += WinSt(part, "rank", c._1, out)
+                  schema = schema :+ ((out, 'L', (0L, MaxRows)))
+                case _ =>
+                  stages += WinSt(part, "cnt", "", out)
+                  schema = schema :+ ((out, 'L', (0L, MaxRows)))
               }
             }
         }
@@ -311,6 +319,9 @@ class FuzzDifferentialSpec extends SparkSpec {
         df.groupBy(keys.map(col): _*).agg(sparkAgg(aggs.head), aggs.tail.map(sparkAgg): _*)
       case WinSt(part, "cnt", _, out) =>
         df.withColumn(out, count(lit(1)).over(Window.partitionBy(col(part))))
+      case WinSt(part, "rank", c, out) =>
+        df.withColumn(out, rank().over(
+          Window.partitionBy(col(part)).orderBy(col(c))).cast("long"))
       case WinSt(part, _, c, out) =>
         df.withColumn(out, sum(col(c)).over(Window.partitionBy(col(part))))
       case DistinctSt(cols0) => df.select(cols0.map(col): _*).distinct()
@@ -367,6 +378,11 @@ class FuzzDifferentialSpec extends SparkSpec {
       case WinSt(part, "cnt", _, out) =>
         s"SELECT *, CAST(count(*) OVER (PARTITION BY $part) AS BIGINT) AS $out " +
           s"FROM ($prev) ${t()}"
+      case WinSt(part, "rank", c, out) =>
+        // NULLS FIRST explicitly: Spark's asc default — DuckDB defaults to
+        // NULLS LAST, a silent divergence on nullable left-join columns
+        s"SELECT *, CAST(rank() OVER (PARTITION BY $part ORDER BY $c NULLS FIRST) " +
+          s"AS BIGINT) AS $out FROM ($prev) ${t()}"
       case WinSt(part, _, c, out) =>
         s"SELECT *, CAST(sum($c) OVER (PARTITION BY $part) AS BIGINT) AS $out " +
           s"FROM ($prev) ${t()}"
