@@ -58,24 +58,36 @@ class FuzzAsOfStreamSpec extends SparkSpec {
 
   private def feedAndCollect(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
-      forward: Boolean, tolS: Long, sink: String): Set[(String, Long, Option[Long], Option[Long])] = {
+      forward: Boolean, tolS: Long, sink: String,
+      latenessS: Long = 0L): Set[(String, Long, Option[Long], Option[Long])] = {
     Stateful.requireRocksDBStateStore(spark)
     def ts(s: Long) = new Timestamp(s * 1000)
     val leftIn = MemoryStream[(String, Timestamp, String)](spark)
     val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val lateness = s"$latenessS seconds"
     val joined =
       if (forward) AsOfStream.asOfJoinForward(leftIn.toDS(), rightIn.toDS(),
-        toleranceMs = tolS * 1000)
-      else AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS())
+        toleranceMs = tolS * 1000, lateness = lateness)
+      else AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS(), lateness = lateness)
     val out = joined.map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000), j.right))
     val q = out.toDF("k", "lts", "rts", "v")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt()).start()
     try {
+      // under a nonzero lateness, events within (lateness - 10s) of their
+      // round's end are (ts-hash-deterministically) displaced one round
+      // LATER — genuinely late cross-batch arrivals the watermark delay
+      // must admit, hitting the pre-GC late-resolve path on both sides
+      def deliveryRound(t: Long): Int = {
+        val natural = (t / RoundSpanS).toInt
+        val hi = (natural + 1) * RoundSpanS
+        val displace = latenessS > 0 && natural < Rounds - 1 &&
+          hi - t <= latenessS - 10 && (t * 2654435761L) % 3 == 0
+        if (displace) natural + 1 else natural
+      }
       for (r <- 0 until Rounds) {
-        val lo = r * RoundSpanS; val hi = lo + RoundSpanS
-        val lc = lefts.filter(e => e._2 >= lo && e._2 < hi)
-        val rc = rights.filter(e => e._2 >= lo && e._2 < hi)
+        val lc = lefts.filter(e => deliveryRound(e._2) == r)
+        val rc = rights.filter(e => deliveryRound(e._2) == r)
         if (lc.nonEmpty) leftIn.addData(lc.map(e => (e._1, ts(e._2), e._3)): _*)
         if (rc.nonEmpty) rightIn.addData(rc.map(e => (e._1, ts(e._2), e._3)): _*)
         q.processAllAvailable()
@@ -126,5 +138,21 @@ class FuzzAsOfStreamSpec extends SparkSpec {
       assert(backExp.exists(_._3.nonEmpty) && backExp.exists(_._3.isEmpty),
         s"trial $trial: corpus too trivial (need both matched and unmatched lefts)")
     }
+  }
+
+  test("lateness trial: displaced (genuinely late) arrivals still converge to the batch answer") {
+    // the dominance-GC-under-laggards path: a 60s watermark delay admits
+    // rows arriving one round late; pending rows must resolve against the
+    // pre-GC history and the GC must retain exactly what laggards need
+    val rnd = new scala.util.Random(Seed + 7)
+    val (lefts, rights) = mkCorpus(rnd, nKeys = 3)
+    val back = feedAndCollect(lefts, rights, forward = false, 0L,
+      "asof_fz_late_b", latenessS = 60L)
+    assert(back == batchExpected(lefts, rights, forward = false, 0L),
+      "late-arrival backward diverged from batch")
+    val fwd = feedAndCollect(lefts, rights, forward = true, 45L,
+      "asof_fz_late_f", latenessS = 60L)
+    assert(fwd == batchExpected(lefts, rights, forward = true, 45L),
+      "late-arrival forward diverged from batch")
   }
 }
