@@ -23,6 +23,14 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     queries = json.loads(Path(qfile).read_text())
     con = duckdb.connect()
+    # optional extra views: a views.json next to the queries file maps
+    # view name -> parquet path (used by FuzzRangeRewriteSpec's synthetic
+    # frames; name/path are caller-controlled dev inputs)
+    views = Path(qfile).parent / "views.json"
+    if views.exists():
+        for name, path in json.loads(views.read_text()).items():
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/*.parquet')")
     # canonical views: all-BIGINT/VARCHAR, cents via the proven oracle
     # formula, timestamps as epoch micros — keep IN LOCKSTEP with
     # FuzzDifferentialSpec.evBase/liBase
@@ -44,7 +52,13 @@ def main():
     for name, sql in queries.items():
         path = out / f"{name}.txt"
         try:
-            rel = con.execute(sql)
+            # materialize through a table first: duckdb 1.0's streaming
+            # fetchall() can HANG on inequality-only LEFT JOIN results
+            # (reproduced: pts LEFT JOIN ivs ON p >= lo AND p <= hi spins
+            # forever, while the same query materialized via CTAS returns
+            # in milliseconds)
+            con.execute(f"CREATE OR REPLACE TABLE __fuzz_result AS {sql}")
+            rel = con.execute("SELECT * FROM __fuzz_result")
             cols = [d[0] for d in rel.description]
             rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001 — report, spec fails loudly
