@@ -209,6 +209,68 @@ object StreamProbe {
         if (states.isEmpty) -1 else states.last)
     }
 
+    // -------- FORWARD streaming as-of: same round scheme; the claimed
+    // bound is STRONGER than backward's — no dominant-row retention at
+    // all: quiescent state = pending lefts (none once resolved) +
+    // in-flight rights (> watermark; none after the far ride). Final
+    // state must be O(1) (sentinel rows), independent of keys AND of the
+    // 4·rounds rights fed per key.
+    def probeAsOfFwd(nKeys: Int): ProbeResult = {
+      import spark.implicits._
+      val nRounds = 6
+      val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+      val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+      val out = graft.streaming.AsOfStream.asOfJoinForward(
+        leftIn.toDS(), rightIn.toDS(), toleranceMs = 5000L)
+        .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      val name = s"streamprobe_af_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = out.toDF("k", "lts", "rts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var fed = 0L
+      val t0 = System.nanoTime()
+      (0 until nRounds).foreach { r =>
+        val base = r * 60000L
+        // left at +500 looks FORWARD to the right at +1000 (500ms ahead,
+        // inside the 5s tolerance)
+        rightIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000), j.toLong))))
+        leftIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000 + 500), "l"))))
+        q.processAllAvailable()
+        fed += nKeys.toLong * 8
+      }
+      val far = nRounds * 60000L + 300000L
+      rightIn.addData(("__wm", new Timestamp(far), 0L))
+      leftIn.addData(("__wm", new Timestamp(far + 1000), "l"))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      ProbeResult(fed, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    def reportAsOfFwd(base: ProbeResult, big: ProbeResult): Unit = {
+      println(f"""{"probe":"asof_forward","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+        f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
+        f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
+        f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,""" +
+        f""""base_max_state":${base.maxStateRows},"x${factor}_max_state":${big.maxStateRows},""" +
+        f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
+      // O(1) quiescent bound: sentinel keys' rows only — key-count
+      // independent (stricter than backward's one-dominant-per-key)
+      if (base.finalStateRows > 8 || big.finalStateRows > 8) {
+        System.err.println(s"FAIL[asof_forward]: forward GC left state beyond the " +
+          s"sentinel rows (base=${base.finalStateRows}, x$factor=${big.finalStateRows})")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     def reportAsOf(base: ProbeResult, big: ProbeResult,
                    baseKeys: Int, bigKeys: Int): Unit = {
       println(f"""{"probe":"asof_join","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
@@ -315,6 +377,10 @@ object StreamProbe {
     val aBase = probeAsOf(baseKeys)
     val aBig = probeAsOf(baseKeys * factor)
     reportAsOf(aBase, aBig, baseKeys, baseKeys * factor)
+    probeAsOfFwd(baseKeys) // warm
+    val afBase = probeAsOfFwd(baseKeys)
+    val afBig = probeAsOfFwd(baseKeys * factor)
+    reportAsOfFwd(afBase, afBig)
     probeStreamStream(baseKeys) // warm
     val jBase = probeStreamStream(baseKeys)
     val jBig = probeStreamStream(baseKeys * factor)
