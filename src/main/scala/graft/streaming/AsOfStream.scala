@@ -193,6 +193,17 @@ object AsOfStream {
     private def sortedHistory(): Array[(Long, R)] =
       rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
 
+    /** Saturating lts + tolMs / rts − lts: ts domains straddling the Long
+      * edges (sentinel values) must read as "window never ends" /
+      * "infinitely far", never wrap negative — the same guarantee the
+      * batch asOf's distance arithmetic makes. */
+    private def windowEnd(lts: Long): Long = {
+      val e = lts + tolMs; if (e < lts) Long.MaxValue else e
+    }
+    private def distSat(rts: Long, lts: Long): Long = {
+      val d = rts - lts; if (rts >= lts && d < 0) Long.MaxValue else d
+    }
+
     /** Smallest right ts >= lts in the sorted history, None if it falls
       * past lts + tolMs. */
     private def candidate(lts: Long, hist: Array[(Long, R)]): Option[(Long, R)] = {
@@ -201,19 +212,19 @@ object AsOfStream {
         val mid = (lo + hi) >>> 1
         if (hist(mid)._1 >= lts) { best = mid; hi = mid - 1 } else lo = mid + 1
       }
-      if (best < 0 || hist(best)._1 - lts > tolMs) None else Some(hist(best))
+      if (best < 0 || distSat(hist(best)._1, lts) > tolMs) None else Some(hist(best))
     }
 
     private def isFinal(lts: Long, c: Option[(Long, R)], wm: Long): Boolean =
       c match {
         case Some((rts, _)) => rts <= wm
-        case None => lts + tolMs <= wm
+        case None => windowEnd(lts) <= wm
       }
 
     /** Watermark at which this left's answer could next become final
       * (its candidate's ts, or its window end). */
     private def decisionTs(lts: Long, c: Option[(Long, R)]): Long =
-      c.map(_._1).getOrElse(lts + tolMs)
+      c.map(_._1).getOrElse(windowEnd(lts))
 
     private def emitReady(key: K, wm: Long): Iterator[AsOfJoined[K, L, R]] = {
       val hist = sortedHistory()
