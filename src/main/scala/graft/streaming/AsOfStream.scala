@@ -267,6 +267,120 @@ object AsOfStream {
       emitReady(key, tv.getCurrentWatermarkInMs())
   }
 
+  /** NEAREST counterpart: for each left event, the right with the
+    * smallest |rts − lts| within `tolMs`, ties to the BACKWARD side (the
+    * pandas merge_asof contract, same as the batch operator). The
+    * finality argument composes the other two processors' into one clean
+    * condition — a left at t with best-so-far distance d* is FINAL once
+    * `watermark >= t + min(d*, tol)`:
+    *
+    *  - any later-admitted right has rts > watermark >= t, so its
+    *    distance exceeds watermark − t >= min(d*, tol) — it can neither
+    *    beat d* nor land inside the tolerance when none was found;
+    *  - the condition implies watermark >= t, so a late equal-ts BACKWARD
+    *    right (which would win a tie against a forward match) can no
+    *    longer be admitted when a d* = 0 match resolves;
+    *  - tolerance REQUIRED, same narrowing as forward: without it an
+    *    unmatched left is never watermark-final.
+    *
+    * GC is backward's dominance rule (a future left may still look BACK
+    * at the latest right at-or-before the watermark; older rights are
+    * shadowed for every admissible lts > watermark), so quiescent state
+    * is one dominant right per key plus in-flight rows. */
+  private class AsOfNearestProcessor[K, L, R](tolMs: Long)(
+      implicit bufEnc: Encoder[(Long, L)], rEnc: Encoder[R])
+      extends StatefulProcessor[K, Tagged[K, L, R], AsOfJoined[K, L, R]] {
+
+    @transient private var pendingLeft: ListState[(Long, L)] = _
+    @transient private var rights: MapState[Long, R] = _
+
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      pendingLeft = getHandle.getListState[(Long, L)]("pending_left_near", bufEnc, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, R]("rights_near", Encoders.scalaLong, rEnc, TTLConfig.NONE)
+    }
+
+    private def sortedHistory(): Array[(Long, R)] =
+      rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+
+    private def satAdd(a: Long, b: Long): Long = {
+      val s = a + b; if (s < a) Long.MaxValue else s
+    }
+    private def distSat(hi: Long, lo: Long): Long = {
+      val d = hi - lo; if (hi >= lo && d < 0) Long.MaxValue else d
+    }
+
+    /** Best candidate within tolMs: smaller distance wins, ties to the
+      * backward (at-or-before) side. */
+    private def best(lts: Long, hist: Array[(Long, R)]): Option[(Long, R)] = {
+      // largest rts <= lts
+      var lo = 0; var hi = hist.length - 1; var back = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (hist(mid)._1 <= lts) { back = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      val fwd = back + 1 // smallest rts > lts (may be == length)
+      val backOk = back >= 0 && distSat(lts, hist(back)._1) <= tolMs
+      val fwdOk = fwd < hist.length && distSat(hist(fwd)._1, lts) <= tolMs
+      (backOk, fwdOk) match {
+        case (true, true) =>
+          if (distSat(lts, hist(back)._1) <= distSat(hist(fwd)._1, lts))
+            Some(hist(back)) else Some(hist(fwd))
+        case (true, false) => Some(hist(back))
+        case (false, true) => Some(hist(fwd))
+        case _ => None
+      }
+    }
+
+    /** Watermark at which the answer can no longer improve. */
+    private def decisionTs(lts: Long, c: Option[(Long, R)]): Long = {
+      val dStar = c.map { case (rts, _) =>
+        if (rts <= lts) distSat(lts, rts) else distSat(rts, lts) }
+        .getOrElse(Long.MaxValue)
+      satAdd(lts, math.min(dStar, tolMs))
+    }
+
+    private def emitReady(key: K, wm: Long): Iterator[AsOfJoined[K, L, R]] = {
+      val hist = sortedHistory()
+      val all = pendingLeft.get().toList
+      val (ripe, still) = all.partition { case (t, _) =>
+        decisionTs(t, best(t, hist)) <= wm }
+      pendingLeft.clear()
+      still.foreach(pendingLeft.appendValue)
+      if (still.nonEmpty)
+        getHandle.registerTimer(still.map { case (t, _) =>
+          decisionTs(t, best(t, hist)) }.min)
+      // dominance GC (backward's rule): future lefts may look back at the
+      // latest right at-or-before the watermark — keep it, drop older
+      val dominantIdx = hist.lastIndexWhere(_._1 <= wm)
+      if (dominantIdx > 0)
+        hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
+      if (hist.length - math.max(dominantIdx, 0) > 1 && still.isEmpty)
+        getHandle.registerTimer(wm + 1)
+      ripe.sortBy(_._1).iterator.map { case (t, l) =>
+        best(t, hist) match {
+          case Some((rts, r)) => AsOfJoined(key, t, l, Some(rts), Some(r))
+          case None => AsOfJoined(key, t, l, None, None)
+        }
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Tagged[K, L, R]],
+                                 tv: TimerValues): Iterator[AsOfJoined[K, L, R]] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var sawAny = false
+      rows.foreach {
+        case (_, ts, 0, _, Some(r)) => rights.updateValue(ts.getTime, r); sawAny = true
+        case (_, ts, 1, Some(l), _) => pendingLeft.appendValue((ts.getTime, l)); sawAny = true
+        case _ => ()
+      }
+      if (!sawAny) Iterator.empty else emitReady(key, wm)
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfJoined[K, L, R]] =
+      emitReady(key, tv.getCurrentWatermarkInMs())
+  }
+
   /** Join two keyed, timestamped streams as-of. Each side gets
     * `withWatermark(lateness)` before the union (Spark advances the global
     * watermark to the union's minimum). Output rows are FINAL (append
@@ -321,6 +435,35 @@ object AsOfStream {
       (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
     l.union(r).groupByKey(_._1)
       .transformWithState(new AsOfForwardProcessor[K, L, R](toleranceMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** NEAREST streaming as-of: the right with the smallest |rts − lts|
+    * within `toleranceMs`, ties to backward — full direction parity with
+    * the batch `Joins.asOf`. Tolerance REQUIRED (the forward narrowing
+    * applies: without a bound an unmatched left is never
+    * watermark-final); state = pending lefts (≤ tolerance past their ts)
+    * + one dominant right per key + in-flight rights. See
+    * [[AsOfNearestProcessor]] for the single-condition finality
+    * argument. */
+  def asOfJoinNearest[K, L, R](left: Dataset[(K, java.sql.Timestamp, L)],
+                               right: Dataset[(K, java.sql.Timestamp, R)],
+                               toleranceMs: Long,
+                               lateness: String = "0 seconds")(
+      implicit tagEnc: Encoder[Tagged[K, L, R]],
+      kEnc: Encoder[K], bufEnc: Encoder[(Long, L)], rEnc: Encoder[R],
+      outEnc: Encoder[AsOfJoined[K, L, R]]): Dataset[AsOfJoined[K, L, R]] = {
+    require(toleranceMs >= 0,
+      "asOfJoinNearest requires a finite toleranceMs >= 0: without a " +
+        "bound, an unmatched left is never watermark-final and would " +
+        "buffer forever")
+    Stateful.requireRocksDBStateStore(left.sparkSession)
+    val l = left.map { case (k, ts, v) =>
+      (k, ts, 1, Some(v): Option[L], None: Option[R]) }.withWatermark("_2", lateness)
+    val r = right.map { case (k, ts, v) =>
+      (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
+    l.union(r).groupByKey(_._1)
+      .transformWithState(new AsOfNearestProcessor[K, L, R](toleranceMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -20,7 +20,10 @@ import graft.streaming.{AsOfStream, Stateful}
   *    latest right at-or-before each left;
   *  - forward: AsOfStream.asOfJoinForward(tol) vs
   *    Joins.asOf(direction=forward, tolerance=tol µs) — earliest right
-  *    within the tolerance window.
+  *    within the tolerance window;
+  *  - nearest: AsOfStream.asOfJoinNearest(tol) vs
+  *    Joins.asOf(direction=nearest, tolerance=tol µs) — smallest
+  *    |rts − lts| within tolerance, ties to backward.
   *
   * Feeding is round-based and time-ordered per source (each round covers
   * a later time range; both sources advance together, so the global
@@ -58,17 +61,20 @@ class FuzzAsOfStreamSpec extends SparkSpec {
 
   private def feedAndCollect(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
-      forward: Boolean, tolS: Long, sink: String,
+      direction: String, tolS: Long, sink: String,
       latenessS: Long = 0L): Set[(String, Long, Option[Long], Option[Long])] = {
     Stateful.requireRocksDBStateStore(spark)
     def ts(s: Long) = new Timestamp(s * 1000)
     val leftIn = MemoryStream[(String, Timestamp, String)](spark)
     val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
     val lateness = s"$latenessS seconds"
-    val joined =
-      if (forward) AsOfStream.asOfJoinForward(leftIn.toDS(), rightIn.toDS(),
+    val joined = direction match {
+      case "forward" => AsOfStream.asOfJoinForward(leftIn.toDS(), rightIn.toDS(),
         toleranceMs = tolS * 1000, lateness = lateness)
-      else AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS(), lateness = lateness)
+      case "nearest" => AsOfStream.asOfJoinNearest(leftIn.toDS(), rightIn.toDS(),
+        toleranceMs = tolS * 1000, lateness = lateness)
+      case _ => AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS(), lateness = lateness)
+    }
     val out = joined.map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000), j.right))
     val q = out.toDF("k", "lts", "rts", "v")
       .writeStream.format("memory").queryName(sink)
@@ -106,13 +112,13 @@ class FuzzAsOfStreamSpec extends SparkSpec {
 
   private def batchExpected(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
-      forward: Boolean, tolS: Long): Set[(String, Long, Option[Long], Option[Long])] = {
+      direction: String, tolS: Long): Set[(String, Long, Option[Long], Option[Long])] = {
     def ts(s: Long) = new Timestamp(s * 1000)
     val l = lefts.map(e => (e._1, ts(e._2), e._3)).toDF("k", "lts", "label")
     val r = rights.map(e => (e._1, ts(e._2), e._3)).toDF("k", "rts", "v")
     val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rts", "v"),
-      direction = if (forward) "forward" else "backward",
-      tolerance = if (forward) tolS * 1000000L else -1L) // µs for timestamps
+      direction = direction,
+      tolerance = if (direction == "backward") -1L else tolS * 1000000L) // µs
     out.select(col("k"), col("lts").cast("long"), col("rts").cast("long"), col("v"))
       .collect()
       .map(r2 => (r2.getString(0), r2.getLong(1),
@@ -124,17 +130,22 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     val rnd = new scala.util.Random(Seed)
     for (trial <- 0 until 3) {
       val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + trial)
-      val back = feedAndCollect(lefts, rights, forward = false, 0L, s"asof_fz_b$trial")
-      val backExp = batchExpected(lefts, rights, forward = false, 0L)
+      val back = feedAndCollect(lefts, rights, "backward", 0L, s"asof_fz_b$trial")
+      val backExp = batchExpected(lefts, rights, "backward", 0L)
       assert(back == backExp,
         s"trial $trial backward diverged: stream-only ${(back -- backExp).take(3)}, " +
           s"batch-only ${(backExp -- back).take(3)}")
       val tolS = 30L + rnd.nextInt(60)
-      val fwd = feedAndCollect(lefts, rights, forward = true, tolS, s"asof_fz_f$trial")
-      val fwdExp = batchExpected(lefts, rights, forward = true, tolS)
+      val fwd = feedAndCollect(lefts, rights, "forward", tolS, s"asof_fz_f$trial")
+      val fwdExp = batchExpected(lefts, rights, "forward", tolS)
       assert(fwd == fwdExp,
         s"trial $trial forward(tol=${tolS}s) diverged: " +
           s"stream-only ${(fwd -- fwdExp).take(3)}, batch-only ${(fwdExp -- fwd).take(3)}")
+      val near = feedAndCollect(lefts, rights, "nearest", tolS, s"asof_fz_n$trial")
+      val nearExp = batchExpected(lefts, rights, "nearest", tolS)
+      assert(near == nearExp,
+        s"trial $trial nearest(tol=${tolS}s) diverged: " +
+          s"stream-only ${(near -- nearExp).take(3)}, batch-only ${(nearExp -- near).take(3)}")
       assert(backExp.exists(_._3.nonEmpty) && backExp.exists(_._3.isEmpty),
         s"trial $trial: corpus too trivial (need both matched and unmatched lefts)")
     }
@@ -146,13 +157,17 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     // pre-GC history and the GC must retain exactly what laggards need
     val rnd = new scala.util.Random(Seed + 7)
     val (lefts, rights) = mkCorpus(rnd, nKeys = 3)
-    val back = feedAndCollect(lefts, rights, forward = false, 0L,
+    val back = feedAndCollect(lefts, rights, "backward", 0L,
       "asof_fz_late_b", latenessS = 60L)
-    assert(back == batchExpected(lefts, rights, forward = false, 0L),
+    assert(back == batchExpected(lefts, rights, "backward", 0L),
       "late-arrival backward diverged from batch")
-    val fwd = feedAndCollect(lefts, rights, forward = true, 45L,
+    val fwd = feedAndCollect(lefts, rights, "forward", 45L,
       "asof_fz_late_f", latenessS = 60L)
-    assert(fwd == batchExpected(lefts, rights, forward = true, 45L),
+    assert(fwd == batchExpected(lefts, rights, "forward", 45L),
       "late-arrival forward diverged from batch")
+    val near = feedAndCollect(lefts, rights, "nearest", 45L,
+      "asof_fz_late_n", latenessS = 60L)
+    assert(near == batchExpected(lefts, rights, "nearest", 45L),
+      "late-arrival nearest diverged from batch")
   }
 }
