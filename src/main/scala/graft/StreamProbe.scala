@@ -255,6 +255,63 @@ object StreamProbe {
         if (states.isEmpty) -1 else states.last)
     }
 
+    // -------- NEAREST streaming as-of: backward's dominance bound must
+    // hold (one dominant right per key quiescent) — nearest retains for
+    // the backward side of future lefts exactly as the backward join does.
+    def probeAsOfNear(nKeys: Int): ProbeResult = {
+      import spark.implicits._
+      val nRounds = 6
+      val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+      val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+      val out = graft.streaming.AsOfStream.asOfJoinNearest(
+        leftIn.toDS(), rightIn.toDS(), toleranceMs = 5000L)
+        .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      val name = s"streamprobe_an_$nKeys"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
+      val q = out.toDF("k", "lts", "rts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+      val keys = (0 until nKeys).map(i => s"k$i")
+      var fed = 0L
+      val t0 = System.nanoTime()
+      (0 until nRounds).foreach { r =>
+        val base = r * 60000L
+        rightIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000), j.toLong))))
+        leftIn.addData(keys.flatMap(k => (1 to 4).map(j =>
+          (k, new Timestamp(base + j * 1000 + 500), "l"))))
+        q.processAllAvailable()
+        fed += nKeys.toLong * 8
+      }
+      val far = nRounds * 60000L + 300000L
+      rightIn.addData(("__wm", new Timestamp(far), 0L))
+      leftIn.addData(("__wm", new Timestamp(far + 1000), "l"))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      ProbeResult(fed, wall, if (states.isEmpty) -1 else states.max,
+        if (states.isEmpty) -1 else states.last)
+    }
+
+    def reportAsOfNear(base: ProbeResult, big: ProbeResult,
+                       baseKeys: Int, bigKeys: Int): Unit = {
+      println(f"""{"probe":"asof_nearest","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+        f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
+        f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
+        f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,""" +
+        f""""base_max_state":${base.maxStateRows},"x${factor}_max_state":${big.maxStateRows},""" +
+        f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
+      val (bBound, nBound) = (2 * baseKeys + 4, 2 * bigKeys + 4)
+      if (base.finalStateRows > bBound || big.finalStateRows > nBound) {
+        System.err.println(s"FAIL[asof_nearest]: state beyond the dominance bound " +
+          s"(base=${base.finalStateRows}>$bBound or x$factor=${big.finalStateRows}>$nBound)")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     def reportAsOfFwd(base: ProbeResult, big: ProbeResult): Unit = {
       println(f"""{"probe":"asof_forward","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
         f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
@@ -324,13 +381,17 @@ object StreamProbe {
         fed += nKeys.toLong * 2
       }
       // two final advances so the last real round's state is past the GC
-      // horizon AND the eviction batch has run
+      // horizon AND the eviction batch has run. Sentinel keys are DISJOINT
+      // across sides: a shared key with equal timestamps satisfies the
+      // range bound, and whether that self-match is emitted or dropped-late
+      // depends on which micro-batch each side's addData lands in — a
+      // scheduling race the exactly-once assertion below must not inherit.
       val far = nRounds * 60000L + 300000L
-      impIn.addData(("__wm", new Timestamp(far)))
-      clickIn.addData(("__wm", new Timestamp(far)))
+      impIn.addData(("__wma", new Timestamp(far)))
+      clickIn.addData(("__wmb", new Timestamp(far)))
       q.processAllAvailable()
-      impIn.addData(("__wm2", new Timestamp(far + 60000L)))
-      clickIn.addData(("__wm2", new Timestamp(far + 60000L)))
+      impIn.addData(("__wma2", new Timestamp(far + 60000L)))
+      clickIn.addData(("__wmb2", new Timestamp(far + 60000L)))
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val matched = spark.table(name).count()
@@ -381,6 +442,10 @@ object StreamProbe {
     val afBase = probeAsOfFwd(baseKeys)
     val afBig = probeAsOfFwd(baseKeys * factor)
     reportAsOfFwd(afBase, afBig)
+    probeAsOfNear(baseKeys) // warm
+    val anBase = probeAsOfNear(baseKeys)
+    val anBig = probeAsOfNear(baseKeys * factor)
+    reportAsOfNear(anBase, anBig, baseKeys, baseKeys * factor)
     probeStreamStream(baseKeys) // warm
     val jBase = probeStreamStream(baseKeys)
     val jBig = probeStreamStream(baseKeys * factor)

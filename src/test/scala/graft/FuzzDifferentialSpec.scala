@@ -100,13 +100,17 @@ class FuzzDifferentialSpec extends SparkSpec {
   private case class WinSt(part: String, func: String, c: String, out: String) extends Stage
   private case class DistinctSt(cols: Seq[String]) extends Stage
   /** join a (filtered, possibly aggregated) second pipeline on
-    * leftKey % m = rightKey % m; right columns arrive suffixed `_r`. */
+    * leftKey % m = rightKey % m; right columns arrive suffixed `_r` for
+    * inner/left; semi/anti keep the left schema (EXISTS / NOT EXISTS). */
   private case class JoinSt(rightBase: String, rightStages: Seq[Stage],
                             leftKey: String, rightKey: String, m: Long,
-                            how: String) extends Stage // inner | left
+                            how: String) extends Stage // inner|left|semi|anti
   /** UNION ALL of two differently-filtered slices of the base — only
     * valid as the FIRST stage (schema must still be the base schema). */
   private case class UnionSelfSt(p1: Pred, p2: Pred) extends Stage
+  /** INTERSECT / EXCEPT (SQL set semantics: distinct rows, NULLs equal)
+    * of two filtered slices — first stage only, like UnionSelfSt. */
+  private case class SetSelfSt(op: String, p1: Pred, p2: Pred) extends Stage
   /** CASE WHEN numCol > k THEN 'hi' ELSE 'lo' END — a derived string. */
   private case class CaseSt(name: String, c: String, k: Long) extends Stage
 
@@ -187,9 +191,17 @@ class FuzzDifferentialSpec extends SparkSpec {
       val base = if (rnd.nextBoolean()) "ev" else "li"
       var schema = baseSchema(base)
       val stages = Seq.newBuilder[Stage]
-      // ~1 in 5 plans starts with UNION ALL of two filtered slices
-      if (rnd.nextInt(5) == 0)
-        stages += UnionSelfSt(pred(schema, 1), pred(schema, 1))
+      // ~1 in 4 plans starts with a self set-op over two filtered slices:
+      // UNION ALL (bag), or INTERSECT / EXCEPT (distinct set semantics —
+      // their implicit dedup is its own differential surface)
+      if (rnd.nextInt(4) == 0) {
+        val (p1, p2) = (pred(schema, 1), pred(schema, 1))
+        stages += (rnd.nextInt(4) match {
+          case 0 => SetSelfSt("intersect", p1, p2)
+          case 1 => SetSelfSt("except", p1, p2)
+          case _ => UnionSelfSt(p1, p2)
+        })
+      }
       var nStages = 1 + rnd.nextInt(4)
       var joined = false
       var boundedSinceJoin = true
@@ -227,10 +239,20 @@ class FuzzDifferentialSpec extends SparkSpec {
             val lk = lks(rnd.nextInt(lks.size))._1
             val rk = rks(rnd.nextInt(rks.size))._1
             val m = Seq(499L, 997L, 1499L)(rnd.nextInt(3))
-            val how = if (rnd.nextInt(3) == 0) "left" else "inner"
+            val how = rnd.nextInt(6) match {
+              case 0 => "left"
+              case 1 => "semi"
+              case 2 => "anti"
+              case _ => "inner"
+            }
             stages += JoinSt(rb, rStages.result(), lk, rk, m, how)
-            schema = schema ++ rSchema.map { case (n, t, r) => (s"${n}_r", t, r) }
-            joined = true; boundedSinceJoin = false
+            joined = true
+            if (how == "semi" || how == "anti") {
+              // schema unchanged, output ⊆ left — no fan-out to bound
+            } else {
+              schema = schema ++ rSchema.map { case (n, t, r) => (s"${n}_r", t, r) }
+              boundedSinceJoin = false
+            }
           case 3 | 4 =>
             // 0 keys = GLOBAL aggregate (one row even on empty input —
             // its own differential surface)
@@ -327,8 +349,21 @@ class FuzzDifferentialSpec extends SparkSpec {
       case DistinctSt(cols0) => df.select(cols0.map(col): _*).distinct()
       case UnionSelfSt(p1, p2) =>
         df.filter(sparkPred(p1)).unionAll(df.filter(sparkPred(p2)))
+      case SetSelfSt(op, p1, p2) =>
+        val (a, b) = (df.filter(sparkPred(p1)), df.filter(sparkPred(p2)))
+        if (op == "intersect") a.intersect(b) else a.except(b)
       case CaseSt(n, c, k) =>
         df.withColumn(n, when(col(c) > k, lit("hi")).otherwise(lit("lo")))
+      case JoinSt(rb, rStages, lk, rk, m, how)
+          if how == "semi" || how == "anti" =>
+        // keys are non-null here (base columns or total derives), so
+        // left_anti vs NOT EXISTS null-semantics cannot diverge silently
+        val right0 = sparkPlan(PlanSpec(rb, rStages))
+        val right = right0.select((col(rk) % m).as("__jkr"))
+        df.withColumn("__jkl", col(lk) % m)
+          .join(right, col("__jkl") === col("__jkr"),
+            if (how == "semi") "left_semi" else "left_anti")
+          .drop("__jkl")
       case JoinSt(rb, rStages, lk, rk, m, how) =>
         val right0 = sparkPlan(PlanSpec(rb, rStages))
         val right = right0.select(right0.columns.toSeq.map(c =>
@@ -391,9 +426,19 @@ class FuzzDifferentialSpec extends SparkSpec {
       case UnionSelfSt(p1, p2) =>
         s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p1)} UNION ALL " +
           s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
+      case SetSelfSt(op, p1, p2) =>
+        val kw = if (op == "intersect") "INTERSECT" else "EXCEPT"
+        s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p1)} $kw " +
+          s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
       case CaseSt(n, c, k) =>
         s"SELECT *, CASE WHEN $c > $k THEN 'hi' ELSE 'lo' END AS $n " +
           s"FROM ($prev) ${t()}"
+      case JoinSt(rb, rStages, lk, rk, m, how)
+          if how == "semi" || how == "anti" =>
+        val rightSql = sqlPlan(PlanSpec(rb, rStages))
+        val kw = if (how == "anti") "NOT EXISTS" else "EXISTS"
+        s"SELECT * FROM ($prev) lt WHERE $kw (SELECT 1 FROM ($rightSql) rt " +
+          s"WHERE lt.$lk % $m = rt.$rk % $m)"
       case JoinSt(rb, rStages, lk, rk, m, how) =>
         val rightSql = sqlPlan(PlanSpec(rb, rStages))
         // right columns suffixed _r BEFORE the join so names never collide
