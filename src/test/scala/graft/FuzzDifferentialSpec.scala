@@ -546,9 +546,42 @@ class FuzzDifferentialSpec extends SparkSpec {
     (failures.result(), nonEmpty)
   }
 
+  /** Every stage in a plan, join sub-pipelines included — feeds the
+    * shape-coverage require (a generator drift that makes a shape
+    * unreachable would green-wash its differential silently). */
+  private def allStages(p: PlanSpec): Seq[Stage] =
+    p.stages.flatMap {
+      case j @ JoinSt(rb, rStages, _, _, _, _) =>
+        j +: allStages(PlanSpec(rb, rStages))
+      case st => Seq(st)
+    }
+
+  private def requireShapeCoverage(plans: Seq[(String, PlanSpec)]): Unit = {
+    val stages = plans.flatMap(p => allStages(p._2))
+    val shape: Stage => String = {
+      case JoinSt(_, _, _, _, _, how) => s"join_$how"
+      case SetSelfSt(op, _, _) => op
+      case _: UnionSelfSt => "union_all"
+      case _: AggSt => "agg"
+      case _: WinSt => "window"
+      case _: FilterSt => "filter"
+      case _: DeriveSt => "derive"
+      case _: DistinctSt => "distinct"
+      case _: CaseSt => "case"
+    }
+    val counts = stages.groupBy(shape).view.mapValues(_.size).toMap
+    val want = Seq("join_inner", "join_left", "join_semi", "join_anti",
+      "intersect", "except", "union_all", "agg", "window", "filter",
+      "derive", "distinct", "case")
+    val missing = want.filterNot(counts.getOrElse(_, 0) > 0)
+    require(missing.isEmpty,
+      s"fuzz corpus no longer exercises: ${missing.mkString(", ")} — $counts")
+  }
+
   test(s"$N random plans match DuckDB exactly (seed=$Seed)") {
     val gen = new Gen(new scala.util.Random(Seed))
     val plans = (0 until N).map(i => f"q$i%03d" -> gen.plan())
+    requireShapeCoverage(plans)
     val (fs, nonEmpty) = runDifferential(plans)
     assert(fs.isEmpty,
       s"${fs.size}/$N plans diverged (seed=$Seed):\n${fs.take(3).mkString("\n---\n")}")
