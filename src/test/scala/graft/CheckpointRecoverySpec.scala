@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windows.{FixedWindows, WindowingStrategy}
+import graft.streaming.{AsOfStream, StreamingOps}
+
+/** Checkpoint-recovery scenarios: stop a stateful streaming query
+  * mid-stream and restart it from the SAME checkpoint — accumulated state
+  * (watermark, window counts, pending as-of lefts, buffered rights) must
+  * be restored, and every result must surface exactly once across the two
+  * runs. This is the failure-recovery contract a 1000-executor cluster
+  * lives on (an executor or driver loss is a restart-from-checkpoint, not
+  * a rerun) — the reference's equivalent is the runner's checkpoint/
+  * commit protocol (reference:
+  * runners/spark/src/main/java/org/apache/beam/runners/spark/translation/
+  * streaming/Checkpoint.java — checkpointed DStream state + offsets).
+  *
+  * The sink is the exactly-once PARQUET file sink (the memory sink
+  * forbids recovery), so the assertions also cover the sink-side commit
+  * log, not just operator state. Both tests deliberately emit NOTHING
+  * before the stop: everything read back was computed from RECOVERED
+  * state — a loss shows up as a missing/short row, a replay as a
+  * duplicate file surviving the metadata log.
+  */
+class CheckpointRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private def restartable(df: DataFrame, outDir: String, cp: String) =
+    df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp).outputMode("append")
+
+  test("windowed aggregation: counts accumulated before a stop fire once after restart") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val agg = StreamingOps.windowedAggregate(
+      input.toDF().toDF("k", "t"),
+      WindowingStrategy(FixedWindows("1 hour")),
+      col("t"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("long").as("ws"), col("k"), col("n"))
+    val cp = ckpt() // ONE checkpoint, shared by both runs
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("ws LONG, k STRING, n LONG").parquet(outDir)
+
+    // run 1: three elements in the 10:00 window — watermark never reaches
+    // the window end, so nothing is emitted; all three live only in state
+    val h = 3600000L
+    val q1 = restartable(agg, outDir, cp).start()
+    try {
+      input.addData(("a", ts(10 * h)), ("a", ts(10 * h + 600000)),
+        ("b", ts(10 * h + 1200000)))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "window must still be open at the stop point")
+    } finally q1.stop()
+
+    // run 2: same plan, same checkpoint, same sink. The rider advances
+    // the watermark past the 10:00 window's end — the pane must fire with
+    // the FULL pre-stop counts (recovered state), exactly once.
+    val q2 = restartable(agg, outDir, cp).start()
+    try {
+      input.addData(("c", ts(13 * h)))
+      q2.processAllAvailable()
+      val rows = sink.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(rows == Seq((10 * h / 1000, "a", 2L), (10 * h / 1000, "b", 1L)),
+        s"recovered window must fire once with pre-stop counts, got $rows")
+    } finally q2.stop()
+  }
+
+  test("as-of join: a pending left and buffered right survive restart and match a post-restart right") {
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoin(
+      leftIn.toDS(), rightIn.toDS(), lateness = "10 seconds")
+      .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      .toDF("k", "lts", "rts")
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("k STRING, lts LONG, rts LONG").parquet(outDir)
+
+    // run 1: right r1 at t=1s, left at t=5s. Watermark = 5s − 10s < 0, so
+    // the left stays PENDING and r1 stays buffered — state only, no output.
+    val q1 = restartable(out, outDir, cp).start()
+    try {
+      rightIn.addData(("k", ts(1000), 1L))
+      leftIn.addData(("k", ts(5000), "l"))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "left must still be pending at the stop point")
+    } finally q1.stop()
+
+    // run 2: a LATER right r2 at t=3s arrives after the restart — still
+    // ≤ the pending left's ts and closer than r1, so the recovered left
+    // must match r2, not the also-recovered r1. The riders push the
+    // watermark to 50s ≥ 5s, making the left final. Exactly one row.
+    val q2 = restartable(out, outDir, cp).start()
+    try {
+      rightIn.addData(("k", ts(3000), 2L))
+      q2.processAllAvailable()
+      rightIn.addData(("__wmr", ts(60000), 0L))
+      leftIn.addData(("__wml", ts(60000), "l"))
+      q2.processAllAvailable()
+      val rows = sink.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("k", 5000L, 3000L)),
+        s"recovered pending left must resolve once, to the post-restart " +
+          s"closer right, got $rows")
+    } finally q2.stop()
+  }
+}
