@@ -73,6 +73,50 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("merging sessions: two recovered open fragments merge with a post-restart bridge") {
+    val input = MemoryStream[(String, Timestamp, Long)](spark)
+    val events = input.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "30 seconds") // headroom keeps both fragments open
+      .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
+      .as[(String, Long, Long)]
+    val panes = graft.streaming.Triggers.sessionAggregate(
+      events, collectLongsFn, gapMs = 10000L)
+      .toDF("k", "wstart", "wend", "values", "pane_index", "timing", "is_final")
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("k STRING, wstart LONG, wend LONG, " +
+      "values ARRAY<LONG>, pane_index LONG, timing STRING, is_final BOOLEAN")
+      .parquet(outDir)
+    def sec(s: Long) = new Timestamp(s * 1000)
+
+    // run 1: fragments [1,11) and [15,25) — disjoint under gap 10, both
+    // held open by the 30 s watermark headroom; two SessionW entries plus
+    // trigger state live only in RocksDB at the stop.
+    val q1 = restartable(panes, outDir, cp).start()
+    try {
+      input.addData(("a", sec(1), 1L), ("a", sec(15), 15L))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "both fragments must still be open at the stop")
+    } finally q1.stop()
+
+    // run 2: the bridge at t=8 assigns [8,18), intersecting BOTH recovered
+    // fragments — the processor must merge windows, accumulators, and
+    // trigger state it never saw in this run. The rider closes the merged
+    // [1,25) session: exactly one final pane with all three values.
+    val q2 = restartable(panes, outDir, cp).start()
+    try {
+      input.addData(("a", sec(8), 8L))
+      q2.processAllAvailable()
+      input.addData(("__wm", sec(100), 0L))
+      q2.processAllAvailable()
+      val rows = sink.collect().filter(_.getString(0) == "a")
+        .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq,
+          r.getString(5), r.getBoolean(6))).toSeq
+      assert(rows == Seq((1000L, 25000L, Seq(1L, 8L, 15L), "ON_TIME", true)),
+        s"one merged final session from recovered fragments, got $rows")
+    } finally q2.stop()
+  }
+
   test("as-of join: a pending left and buffered right survive restart and match a post-restart right") {
     val leftIn = MemoryStream[(String, Timestamp, String)](spark)
     val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
