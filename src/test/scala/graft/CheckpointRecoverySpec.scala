@@ -7,8 +7,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
 import graft.operators.Windows.{FixedWindows, WindowingStrategy}
-import graft.streaming.{AsOfStream, StreamingOps}
+import graft.streaming.{AsOfStream, Stateful, StreamingOps}
 
 /** Checkpoint-recovery scenarios: stop a stateful streaming query
   * mid-stream and restart it from the SAME checkpoint — accumulated state
@@ -70,6 +73,53 @@ class CheckpointRecoverySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
       assert(rows == Seq((10 * h / 1000, "a", 2L), (10 * h / 1000, "b", 1L)),
         s"recovered window must fire once with pre-stop counts, got $rows")
+    } finally q2.stop()
+  }
+
+  test("stateful ParDo: an event-time timer registered before the stop fires after restart") {
+    Stateful.requireRocksDBStateStore(spark)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val events = input.toDF().toDF("k", "t")
+      .withWatermark("t", "0 seconds").as[(String, Timestamp)]
+    // count elements per key; emit ONLY from the timer set 10 s past the
+    // latest element — so any output at all proves the timer (and the
+    // count it reads) crossed the restart inside the state store
+    val out = Stateful.statefulParDo[String, (String, Timestamp),
+        (String, Long), ValueState[Long]](
+      events.groupByKey(_._1), TimeMode.EventTime(), OutputMode.Append()) {
+        h => h.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      } { case (_, rows, n, h, _) =>
+        var c = if (n.exists()) n.get() else 0L
+        var maxTs = 0L
+        rows.foreach { r => c += 1; maxTs = math.max(maxTs, r._2.getTime) }
+        n.update(c)
+        h.registerTimer(maxTs + 10000)
+        Iterator.empty
+      } { case (k, n, _, _, _) =>
+        Iterator((k, if (n.exists()) n.get() else -1L))
+      }.toDF("k", "n")
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("k STRING, n LONG").parquet(outDir)
+
+    // run 1: two elements for key a; timer parked at t=11 s, watermark 1 s
+    val q1 = restartable(out, outDir, cp).start()
+    try {
+      input.addData(("a", ts(500)), ("a", ts(1000)))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "timer must still be parked at the stop")
+    } finally q1.stop()
+
+    // run 2: the rider's watermark (60 s) expires the RECOVERED timer,
+    // whose callback reads the RECOVERED count — exactly one row (a, 2).
+    // The rider's own timer (70 s) stays parked.
+    val q2 = restartable(out, outDir, cp).start()
+    try {
+      input.addData(("__wm", ts(60000)))
+      q2.processAllAvailable()
+      val rows = sink.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("a", 2L)),
+        s"recovered timer must fire once with the recovered count, got $rows")
     } finally q2.stop()
   }
 

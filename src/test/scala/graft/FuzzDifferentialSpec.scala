@@ -122,6 +122,20 @@ class FuzzDifferentialSpec extends SparkSpec {
     private var derived = 0
     private def fresh(p: String): String = { derived += 1; s"__$p$derived" }
 
+    /** Distinct-value estimate from the tracked range — the fan-out-bound
+      * logic must not accept a near-unique key (tsus, event_id) as
+      * "closing" a join's fan-out: groupBy/distinct on such a key keeps
+      * ~every row. Saturating. */
+    private def cardEst(c: Col): Long = c._2 match {
+      case 'S' => 8L // every string column here has ≤ 8 distinct values
+      case _ => val (lo, hi) = c._3; if (hi <= lo) 1L else hi - lo + 1
+    }
+    private def keysBounded(keys: Seq[Col]): Boolean =
+      keys.foldLeft(1L) { (acc, c) =>
+        val k = cardEst(c)
+        if (acc > MaxRows / math.max(k, 1L)) Long.MaxValue else acc * k
+      } <= MaxRows / 4
+
     private def baseSchema(b: String): Seq[Col] =
       if (b == "ev") evSchema else liSchema
 
@@ -260,13 +274,15 @@ class FuzzDifferentialSpec extends SparkSpec {
             val aggs = mkAggs(schema, keys)
             stages += AggSt(keys.map(_._1), aggs)
             schema = keys ++ aggs.map(a => aggOutMeta(schema, a))
-            boundedSinceJoin = true
+            // a near-unique key (tsus) keeps ~every row: only a genuinely
+            // low-cardinality key set closes a join's fan-out
+            boundedSinceJoin = boundedSinceJoin || keysBounded(keys)
           case 5 =>
             if (rnd.nextBoolean() && schema.size >= 2) {
               val cols = rnd.shuffle(schema).take(1 + rnd.nextInt(2))
               stages += DistinctSt(cols.map(_._1))
               schema = cols
-              boundedSinceJoin = true
+              boundedSinceJoin = boundedSinceJoin || keysBounded(cols)
             } else {
               val part = rnd.shuffle(schema).head._1
               val out = fresh("w")
@@ -291,10 +307,15 @@ class FuzzDifferentialSpec extends SparkSpec {
             }
         }
       }
-      // fan-out bound: a join not followed by an aggregate/distinct could
-      // surface ~|L|·|R|/m rows; close with a rollup
+      // fan-out bound: a join not followed by a BOUNDING aggregate/distinct
+      // could surface ~|L|·|R|/m rows; close with a rollup on a
+      // low-cardinality key (global if none qualifies — a near-unique
+      // closing key would keep the fan-out)
       if (joined && !boundedSinceJoin) {
-        val keys = rnd.shuffle(schema).take(1)
+        val cands = schema.filter(c => cardEst(c) <= 1024L)
+        val keys =
+          if (cands.isEmpty) Seq.empty
+          else Seq(cands(rnd.nextInt(cands.size)))
         stages += AggSt(keys.map(_._1), Seq(Agg("cnt", "", fresh("n"))))
       }
       PlanSpec(base, stages.result())
@@ -470,12 +491,12 @@ class FuzzDifferentialSpec extends SparkSpec {
   private val Sep = "\u001f"
   private val NullCell = "\u0000"
 
-  private def canonical(df: DataFrame): (String, Seq[String]) = {
+  private def canonical(df: DataFrame, tag: String): (String, Seq[String]) = {
     val names = df.columns.toSeq
     val order = names.indices.sortBy(names)
     val rows = df.collect()
-    require(rows.length <= MaxRows, s"fuzz plan surfaced ${rows.length} rows — " +
-      "generator bound bug")
+    require(rows.length <= MaxRows, s"fuzz plan $tag surfaced ${rows.length} " +
+      "rows — generator bound bug")
     val lines = rows.map { r =>
       order.map { i =>
         if (r.isNullAt(i)) NullCell
@@ -529,7 +550,7 @@ class FuzzDifferentialSpec extends SparkSpec {
       else {
         val duckHeader = duckLines.headOption.getOrElse("")
         val duckRows = duckLines.drop(1)
-        val (sparkHeader, sparkRows) = canonical(sparkPlan(p))
+        val (sparkHeader, sparkRows) = canonical(sparkPlan(p), name)
         if (sparkRows.nonEmpty) nonEmpty += 1
         if (sparkHeader != duckHeader)
           failures += s"$name: column sets differ — spark[$sparkHeader] vs " +
