@@ -167,6 +167,41 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream join: a buffered impression survives restart and joins a post-restart click") {
+    val impIn = MemoryStream[(String, Timestamp)](spark)
+    val clickIn = MemoryStream[(String, Timestamp)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      impIn.toDF().toDF("ad_id", "imp_t"), col("imp_t"), "0 seconds",
+      clickIn.toDF().toDF("ad_id", "click_t"), col("click_t"), "0 seconds",
+      keys = Seq("ad_id"),
+      timeBound = (lt, rt) => rt >= lt && rt <= lt + expr("INTERVAL 10 SECONDS"))
+      .select(col("ad_id"), unix_millis(col("imp_t")).as("it"),
+        unix_millis(col("click_t")).as("ct"))
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("ad_id STRING, it LONG, ct LONG").parquet(outDir)
+
+    // run 1: the impression alone — buffered in the join's state, no match
+    val q1 = restartable(joined, outDir, cp).start()
+    try {
+      impIn.addData(("k", ts(1000)))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "impression must still be buffered at the stop")
+    } finally q1.stop()
+
+    // run 2: the in-bound click arrives only after the restart — it must
+    // join the RECOVERED impression, exactly once
+    val q2 = restartable(joined, outDir, cp).start()
+    try {
+      clickIn.addData(("k", ts(3000)))
+      q2.processAllAvailable()
+      val rows = sink.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("k", 1000L, 3000L)),
+        s"recovered impression must join the post-restart click once, got $rows")
+    } finally q2.stop()
+  }
+
   test("as-of join: a pending left and buffered right survive restart and match a post-restart right") {
     val leftIn = MemoryStream[(String, Timestamp, String)](spark)
     val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
