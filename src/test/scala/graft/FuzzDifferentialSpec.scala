@@ -109,8 +109,13 @@ class FuzzDifferentialSpec extends SparkSpec {
     * valid as the FIRST stage (schema must still be the base schema). */
   private case class UnionSelfSt(p1: Pred, p2: Pred) extends Stage
   /** INTERSECT / EXCEPT (SQL set semantics: distinct rows, NULLs equal)
-    * of two filtered slices — first stage only, like UnionSelfSt. */
-  private case class SetSelfSt(op: String, p1: Pred, p2: Pred) extends Stage
+    * of two filtered slices — first stage only, like UnionSelfSt. The
+    * slices are PROJECTED onto low-cardinality columns first: full base
+    * rows are unique (event_id), so without the projection the implicit
+    * dedup — the semantics under test — would never fire (a planted
+    * INTERSECT ALL passed 200 plans before this). */
+  private case class SetSelfSt(op: String, cols: Seq[String],
+                               p1: Pred, p2: Pred) extends Stage
   /** CASE WHEN numCol > k THEN 'hi' ELSE 'lo' END — a derived string. */
   private case class CaseSt(name: String, c: String, k: Long) extends Stage
 
@@ -206,15 +211,24 @@ class FuzzDifferentialSpec extends SparkSpec {
       var schema = baseSchema(base)
       val stages = Seq.newBuilder[Stage]
       // ~1 in 4 plans starts with a self set-op over two filtered slices:
-      // UNION ALL (bag), or INTERSECT / EXCEPT (distinct set semantics —
-      // their implicit dedup is its own differential surface)
+      // UNION ALL (bag, full schema), or INTERSECT / EXCEPT projected
+      // onto low-cardinality columns so duplicate rows exist and the
+      // set-ops' implicit dedup is actually exercised
       if (rnd.nextInt(4) == 0) {
-        val (p1, p2) = (pred(schema, 1), pred(schema, 1))
-        stages += (rnd.nextInt(4) match {
-          case 0 => SetSelfSt("intersect", p1, p2)
-          case 1 => SetSelfSt("except", p1, p2)
-          case _ => UnionSelfSt(p1, p2)
-        })
+        rnd.nextInt(4) match {
+          case k @ (0 | 1) =>
+            val lowCard = schema.filter(c =>
+              (c._3._2 - c._3._1) < 1024 || c._2 == 'S')
+            val cols = rnd.shuffle(lowCard).take(1 + rnd.nextInt(2))
+            if (cols.nonEmpty) {
+              val (p1, p2) = (pred(cols, 1), pred(cols, 1))
+              stages += SetSelfSt(if (k == 0) "intersect" else "except",
+                cols.map(_._1), p1, p2)
+              schema = cols
+            }
+          case _ =>
+            stages += UnionSelfSt(pred(schema, 1), pred(schema, 1))
+        }
       }
       var nStages = 1 + rnd.nextInt(4)
       var joined = false
@@ -288,7 +302,7 @@ class FuzzDifferentialSpec extends SparkSpec {
               val out = fresh("w")
               val sumCands = schema.filter(c => c._2 == 'L' && c._3._2 <= SumSafeHi)
               val lCands = schema.filter(_._2 == 'L')
-              rnd.nextInt(3) match {
+              rnd.nextInt(4) match {
                 case 0 if sumCands.nonEmpty =>
                   val c = sumCands(rnd.nextInt(sumCands.size))
                   stages += WinSt(part, "sum", c._1, out)
@@ -300,6 +314,16 @@ class FuzzDifferentialSpec extends SparkSpec {
                   val c = lCands(rnd.nextInt(lCands.size))
                   stages += WinSt(part, "rank", c._1, out)
                   schema = schema :+ ((out, 'L', (0L, MaxRows)))
+                case 2 if !joined && sumCands.nonEmpty =>
+                  // running sum with a RANGE frame: peers (ties) are all
+                  // included, so it's tie-deterministic — unlike a ROWS
+                  // frame. Pre-join only: every column is provably
+                  // non-null there, sidestepping the engines' divergent
+                  // null-ordering inside RANGE frames.
+                  val c = sumCands(rnd.nextInt(sumCands.size))
+                  stages += WinSt(part, "rsum", c._1, out)
+                  schema = schema :+
+                    ((out, 'L', (0L, math.min(Long.MaxValue / 4, c._3._2 * MaxRows))))
                 case _ =>
                   stages += WinSt(part, "cnt", "", out)
                   schema = schema :+ ((out, 'L', (0L, MaxRows)))
@@ -365,13 +389,18 @@ class FuzzDifferentialSpec extends SparkSpec {
       case WinSt(part, "rank", c, out) =>
         df.withColumn(out, rank().over(
           Window.partitionBy(col(part)).orderBy(col(c))).cast("long"))
+      case WinSt(part, "rsum", c, out) =>
+        df.withColumn(out, sum(col(c)).over(
+          Window.partitionBy(col(part)).orderBy(col(c))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       case WinSt(part, _, c, out) =>
         df.withColumn(out, sum(col(c)).over(Window.partitionBy(col(part))))
       case DistinctSt(cols0) => df.select(cols0.map(col): _*).distinct()
       case UnionSelfSt(p1, p2) =>
         df.filter(sparkPred(p1)).unionAll(df.filter(sparkPred(p2)))
-      case SetSelfSt(op, p1, p2) =>
-        val (a, b) = (df.filter(sparkPred(p1)), df.filter(sparkPred(p2)))
+      case SetSelfSt(op, cols, p1, p2) =>
+        val proj = df.select(cols.map(col): _*)
+        val (a, b) = (proj.filter(sparkPred(p1)), proj.filter(sparkPred(p2)))
         if (op == "intersect") a.intersect(b) else a.except(b)
       case CaseSt(n, c, k) =>
         df.withColumn(n, when(col(c) > k, lit("hi")).otherwise(lit("lo")))
@@ -439,6 +468,10 @@ class FuzzDifferentialSpec extends SparkSpec {
         // NULLS LAST, a silent divergence on nullable left-join columns
         s"SELECT *, CAST(rank() OVER (PARTITION BY $part ORDER BY $c NULLS FIRST) " +
           s"AS BIGINT) AS $out FROM ($prev) ${t()}"
+      case WinSt(part, "rsum", c, out) =>
+        s"SELECT *, CAST(sum($c) OVER (PARTITION BY $part ORDER BY $c " +
+          s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+          s"AS $out FROM ($prev) ${t()}"
       case WinSt(part, _, c, out) =>
         s"SELECT *, CAST(sum($c) OVER (PARTITION BY $part) AS BIGINT) AS $out " +
           s"FROM ($prev) ${t()}"
@@ -447,10 +480,11 @@ class FuzzDifferentialSpec extends SparkSpec {
       case UnionSelfSt(p1, p2) =>
         s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p1)} UNION ALL " +
           s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
-      case SetSelfSt(op, p1, p2) =>
+      case SetSelfSt(op, cols, p1, p2) =>
         val kw = if (op == "intersect") "INTERSECT" else "EXCEPT"
-        s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p1)} $kw " +
-          s"SELECT * FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
+        val cl = cols.mkString(", ")
+        s"SELECT $cl FROM ($prev) ${t()} WHERE ${sqlPred(p1)} $kw " +
+          s"SELECT $cl FROM ($prev) ${t()} WHERE ${sqlPred(p2)}"
       case CaseSt(n, c, k) =>
         s"SELECT *, CASE WHEN $c > $k THEN 'hi' ELSE 'lo' END AS $n " +
           s"FROM ($prev) ${t()}"
@@ -581,10 +615,10 @@ class FuzzDifferentialSpec extends SparkSpec {
     val stages = plans.flatMap(p => allStages(p._2))
     val shape: Stage => String = {
       case JoinSt(_, _, _, _, _, how) => s"join_$how"
-      case SetSelfSt(op, _, _) => op
+      case SetSelfSt(op, _, _, _) => op
       case _: UnionSelfSt => "union_all"
       case _: AggSt => "agg"
-      case _: WinSt => "window"
+      case WinSt(_, f, _, _) => s"window_$f"
       case _: FilterSt => "filter"
       case _: DeriveSt => "derive"
       case _: DistinctSt => "distinct"
@@ -592,7 +626,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     }
     val counts = stages.groupBy(shape).view.mapValues(_.size).toMap
     val want = Seq("join_inner", "join_left", "join_semi", "join_anti",
-      "intersect", "except", "union_all", "agg", "window", "filter",
+      "intersect", "except", "union_all", "agg", "window_sum",
+      "window_rank", "window_rsum", "window_cnt", "filter",
       "derive", "distinct", "case")
     val missing = want.filterNot(counts.getOrElse(_, 0) > 0)
     require(missing.isEmpty,
