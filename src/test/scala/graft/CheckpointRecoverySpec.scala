@@ -76,6 +76,59 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("randomized stop/restart: windowed aggregation equals batch despite a mid-stream restart") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 2).foreach { trial =>
+      val events: Seq[(String, Long, Long)] = (0 until 3).flatMap { ki =>
+        (0 until 30).map { _ =>
+          (s"k$ki", rnd.nextInt(600).toLong, rnd.nextInt(100).toLong)
+        }
+      }
+      // independent expectation: fixed 60 s windows, count + sum per key
+      val expected = events.groupBy(e => (e._1, e._2 / 60 * 60)).map {
+        case ((k, ws), evs) => (k, ws, evs.size.toLong, evs.map(_._3).sum)
+      }.toSet
+
+      val input = MemoryStream[(String, Timestamp, Long)](spark)
+      val agg = StreamingOps.windowedAggregate(
+        input.toDF().toDF("k", "t", "v"),
+        WindowingStrategy(FixedWindows("60 seconds")),
+        col("t"), Seq(col("k")),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+        .select(col("k"), col("window.start").cast("long").as("ws"),
+          col("n"), col("s"))
+      val cp = ckpt()
+      val outDir = Files.createTempDirectory("graft-rec-out").toString
+      def sink = spark.read.schema("k STRING, ws LONG, n LONG, s LONG")
+        .parquet(outDir)
+
+      // time-sorted chunks; KILL the query at a random chunk boundary and
+      // restart from the checkpoint — the final answer must not notice
+      val sorted = events.sortBy(_._2)
+      val chunks = sorted.grouped(math.max(1, sorted.size / 5)).toSeq
+      val stopAt = 1 + rnd.nextInt(chunks.size - 1)
+      var q = restartable(agg, outDir, cp).start()
+      try {
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          if (i == stopAt) { q.stop(); q = restartable(agg, outDir, cp).start() }
+          input.addData(chunk.map { case (k, s, v) =>
+            (k, new Timestamp(s * 1000), v)
+          })
+          q.processAllAvailable()
+        }
+        input.addData(("__wm", new Timestamp(100000L * 1000), 0L))
+        q.processAllAvailable()
+        val got = sink.collect().filter(_.getString(0) != "__wm")
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        assert(got.size == expected.size && got.toSet == expected,
+          s"trial $trial (restart after chunk $stopAt/${chunks.size}): " +
+            s"stream-with-restart ${got.sortBy(t => (t._1, t._2))} vs " +
+            s"batch ${expected.toSeq.sortBy(t => (t._1, t._2))}")
+      } finally q.stop()
+    }
+  }
+
   test("stateful ParDo: an event-time timer registered before the stop fires after restart") {
     Stateful.requireRocksDBStateStore(spark)
     val input = MemoryStream[(String, Timestamp)](spark)
