@@ -220,6 +220,82 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("forward as-of: a pending left recovered from state matches a right that arrives post-restart") {
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoinForward(
+      leftIn.toDS(), rightIn.toDS(), toleranceMs = 10000L)
+      .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      .toDF("k", "lts", "rts")
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("k STRING, lts LONG, rts LONG").parquet(outDir)
+
+    // run 1: the left alone — no forward candidate yet, pending in state
+    val q1 = restartable(out, outDir, cp).start()
+    try {
+      leftIn.addData(("k", ts(5000), "l"))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "left must still be pending at the stop")
+    } finally q1.stop()
+
+    // run 2: the earliest in-window right (t=8 s ∈ [5 s, 15 s]) arrives
+    // only after the restart; riders finalize it — exactly one row
+    val q2 = restartable(out, outDir, cp).start()
+    try {
+      rightIn.addData(("k", ts(8000), 1L))
+      q2.processAllAvailable()
+      rightIn.addData(("__wmr", ts(60000), 0L))
+      leftIn.addData(("__wml", ts(60000), "l"))
+      q2.processAllAvailable()
+      val rows = sink.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("k", 5000L, 8000L)),
+        s"recovered pending left must take the post-restart forward right " +
+          s"once, got $rows")
+    } finally q2.stop()
+  }
+
+  test("nearest as-of: a post-restart closer right beats the recovered pre-stop candidate") {
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoinNearest(
+      leftIn.toDS(), rightIn.toDS(), toleranceMs = 10000L)
+      .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
+      .toDF("k", "lts", "rts")
+    val cp = ckpt()
+    val outDir = Files.createTempDirectory("graft-rec-out").toString
+    def sink = spark.read.schema("k STRING, lts LONG, rts LONG").parquet(outDir)
+
+    // run 1: r1 at t=1 s, left at t=5 s — best distance 4 s, but finality
+    // needs watermark ≥ lts + min(best, tol) = 9 s; watermark is 5 s, so
+    // the left and its current-best candidate live only in state
+    val q1 = restartable(out, outDir, cp).start()
+    try {
+      rightIn.addData(("k", ts(1000), 1L))
+      leftIn.addData(("k", ts(5000), "l"))
+      q1.processAllAvailable()
+      assert(sink.count() == 0, "left must still be pending at the stop")
+    } finally q1.stop()
+
+    // run 2: a CLOSER right (t=7 s, distance 2 s, forward side) arrives
+    // only after the restart — it must beat the recovered backward
+    // candidate; riders finalize. Exactly one row, matched to 7 s.
+    val q2 = restartable(out, outDir, cp).start()
+    try {
+      rightIn.addData(("k", ts(7000), 2L))
+      q2.processAllAvailable()
+      rightIn.addData(("__wmr", ts(60000), 0L))
+      leftIn.addData(("__wml", ts(60000), "l"))
+      q2.processAllAvailable()
+      val rows = sink.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("k", 5000L, 7000L)),
+        s"post-restart closer right must beat the recovered candidate " +
+          s"once, got $rows")
+    } finally q2.stop()
+  }
+
   test("stream-stream join: a buffered impression survives restart and joins a post-restart click") {
     val impIn = MemoryStream[(String, Timestamp)](spark)
     val clickIn = MemoryStream[(String, Timestamp)](spark)
