@@ -253,7 +253,31 @@ object Joins {
     * sort-merge as-of would produce, with no join blow-up at any scale.
     * A hot key serializes into one partition's sort (inherent to per-key
     * ordering); pre-aggregate the right side per (keys, ts) for both
-    * determinism under ties and a smaller sort.
+    * determinism under ties and a smaller sort, and see `sliceWidth`
+    * below for the mitigation when one entity's full history is still
+    * too big for one task.
+    *
+    * `sliceWidth` > 0 (or the session conf `spark.graft.asof.sliceWidth`
+    * when the parameter is left at its -1 default; an explicit 0 forces
+    * the plain plan) switches to the TIME-SLICED two-pass plan —
+    * the hot-key skew mitigation, the batch sibling of AsOfStream's
+    * dominance GC. Rows partition by (keys, floor(ts/width)); pass 1 runs
+    * the same window fill WITHIN each slice (a hot key now spreads over
+    * range/width tasks); pass 2 fixes up the slice boundaries with a
+    * carry: per (keys, slice) the latest/earliest right row is one
+    * bounded aggregate, a per-key window over THOSE rows (#slices rows,
+    * not #data rows) computes each slice's carry-in from earlier (carry
+    * backward) / later (carry forward) slices, and a null-safe equi-join
+    * on (keys, slice) hands it back to pass 1's rows, where
+    * `coalesce(inSliceFill, carryIn)` is exact: an in-slice fill is
+    * always strictly closer than any cross-slice one. Semantics are
+    * IDENTICAL to the plain plan for every direction/tolerance/
+    * allowExactMatches combination (differentially pinned in JoinsSpec);
+    * cost is one extra bounded aggregate + small join, so leave
+    * sliceWidth at 0 unless a key's per-key history outgrows one task —
+    * at 100 TB that's the only shape where the plain plan fails, and the
+    * duel (ScaleProbe SPARK_GRAFT_ASOFSKEW_ONLY) measures the cutover.
+    * Width is in ts-long units (epoch MICROS for timestamps).
     *
     * `left` keeps ALL its columns; `rightPayload` columns (disjoint names
     * from left's) are appended, null where no right row precedes
@@ -292,10 +316,19 @@ object Joins {
            rightPayload: Seq[String],
            direction: String = "backward",
            tolerance: Long = -1L,
-           allowExactMatches: Boolean = true): DataFrame = {
+           allowExactMatches: Boolean = true,
+           sliceWidth: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(Set("backward", "forward", "nearest")(direction),
       s"asOf direction must be backward|forward|nearest, got '$direction'")
+    // sliceWidth: -1 (default) defers to the session conf; 0 is an
+    // explicit "plain plan" override; > 0 slices at that width
+    val width =
+      if (sliceWidth >= 0L) sliceWidth
+      else left.sparkSession.conf.get("spark.graft.asof.sliceWidth", "0").toLong
+    require(width >= 0L,
+      s"spark.graft.asof.sliceWidth must be >= 0, got $width")
+    val sliced = width > 0L
     val leftCols = left.columns.toSeq
     val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
     require(rightPayload.intersect(leftCols).isEmpty,
@@ -366,9 +399,13 @@ object Joins {
     // comparisons become strict (< / >) — pure sort-order work, no filter
     val sideOrd =
       if (allowExactMatches) col("__side").asc else col("__side").desc
-    val wBack = frame(Window.partitionBy(keys.map(col): _*)
+    // sliced mode adds the time-slice id to the fill partitioning — the
+    // in-slice pass; carry columns (joined below) supply the cross-slice fix
+    val partCols: Seq[Column] =
+      if (sliced) keys.map(col) :+ col("__slice") else keys.map(col)
+    val wBack = frame(Window.partitionBy(partCols: _*)
       .orderBy(col("__ts").asc, sideOrd))
-    val wFwd = frame(Window.partitionBy(keys.map(col): _*)
+    val wFwd = frame(Window.partitionBy(partCols: _*)
       .orderBy(col("__ts").desc_nulls_first, sideOrd))
     val lts = tsLong(leftTsType, col("__ts"))
     // tolerance (same long units as the ts domain — micros for
@@ -387,16 +424,30 @@ object Joins {
     // "farther than everything", which is the truth.
     def distSat(a: Column, b: Column): Column =
       coalesce(try_subtract(a, b), lit(Long.MaxValue))
+    // sliced mode: an in-slice fill is strictly closer than any
+    // cross-slice one (a backward in-slice right has ts >= slice start >
+    // every earlier-slice right ts; mirrored forward), so coalescing the
+    // carry under the window fill is exact — and tolerance cuts AFTER the
+    // pick for the same reason (the rejected candidate is the nearer one;
+    // the carry behind it is farther and would fail too)
+    def backFill: Column = {
+      val in = last(col("__rp"), ignoreNulls = true).over(wBack)
+      if (sliced) coalesce(in, col("__carryB")) else in
+    }
+    def fwdFill: Column = {
+      val in = last(col("__rp"), ignoreNulls = true).over(wFwd)
+      if (sliced) coalesce(in, col("__carryF")) else in
+    }
     val fill = direction match {
       case "backward" =>
-        val back = last(col("__rp"), ignoreNulls = true).over(wBack)
+        val back = backFill
         withinTol(back, distSat(lts, back.getField("__rts")))
       case "forward"  =>
-        val fwd = last(col("__rp"), ignoreNulls = true).over(wFwd)
+        val fwd = fwdFill
         withinTol(fwd, distSat(fwd.getField("__rts"), lts))
       case "nearest"  =>
-        val backRaw = last(col("__rp"), ignoreNulls = true).over(wBack)
-        val fwdRaw = last(col("__rp"), ignoreNulls = true).over(wFwd)
+        val backRaw = backFill
+        val fwdRaw = fwdFill
         val back = withinTol(backRaw, distSat(lts, backRaw.getField("__rts")))
         val fwd = withinTol(fwdRaw, distSat(fwdRaw.getField("__rts"), lts))
         when(back.isNull, fwd).when(fwd.isNull, back)
@@ -414,7 +465,50 @@ object Joins {
         when(col("__side") === 1 && isnan(col("__ts")),
           lit(null).cast(payloadStructType)).otherwise(fill)
       else fill
-    val filled = l.unionByName(r).select(
+    val u0 = l.unionByName(r)
+    val u =
+      if (!sliced) u0
+      else {
+        val uTsType = u0.schema("__ts").dataType
+        // ANSI-safe slice id: NaN on a fractional domain must not reach
+        // the long cast (it would throw under ANSI; non-ANSI it lands in
+        // slice 0 and could pick up a carry the NaN guard above can't
+        // null). A null slice joins nothing and carries nothing — exactly
+        // the no-match contract for null/NaN left ts.
+        val sliceTs =
+          if (isFrac(uTsType)) when(isnan(col("__ts")), lit(null)).otherwise(col("__ts"))
+          else col("__ts")
+        val withSlice = u0.withColumn("__slice", binOf(tsLong(uTsType, sliceTs), width))
+        // carry: per (keys, slice) the latest/earliest RIGHT row is one
+        // bounded aggregate (max_by/min_by ignore null ordering values, so
+        // left rows never win); a per-key window over those #slices rows
+        // computes each slice's carry-in; null-SAFE join keys because the
+        // window partitioning groups null keys together and the carry
+        // join must agree (a plain equi-join would drop them)
+        val rightOrd = when(col("__side") === 0, col("__rp").getField("__rts"))
+        val perSlice = withSlice.groupBy((keys :+ "__slice").map(col): _*)
+          .agg(max_by(col("__rp"), rightOrd).as("__lastR"),
+               min_by(col("__rp"), rightOrd).as("__firstR"))
+        val perKey = Window.partitionBy(keys.map(col): _*)
+        val carry = perSlice.select(
+          (keys :+ "__slice").map(col) ++ Seq(
+            last(col("__lastR"), ignoreNulls = true)
+              .over(perKey.orderBy(col("__slice").asc)
+                .rowsBetween(Window.unboundedPreceding, -1)).as("__carryB"),
+            last(col("__firstR"), ignoreNulls = true)
+              .over(perKey.orderBy(col("__slice").desc_nulls_first)
+                .rowsBetween(Window.unboundedPreceding, -1)).as("__carryF")): _*)
+        val joinCols = keys :+ "__slice"
+        val carryK = carry.select(joinCols.zipWithIndex.map {
+          case (c, i) => col(c).as(s"__ck$i")
+        } ++ Seq(col("__carryB"), col("__carryF")): _*)
+        val cond = joinCols.zipWithIndex.map {
+          case (c, i) => withSlice(c) <=> carryK(s"__ck$i")
+        }.reduce(_ && _)
+        withSlice.join(carryK, cond, "left")
+          .drop(joinCols.indices.map(i => s"__ck$i"): _*)
+      }
+    val filled = u.select(
       (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ otherLeft.map(col) :+
         fillNanSafe.as("__rp")): _*)
     filled.filter(col("__side") === 1)

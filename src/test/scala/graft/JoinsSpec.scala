@@ -370,6 +370,83 @@ class JoinsSpec extends SparkSpec {
       Seq(Seq[Any]("a", 10L, null, 9L)))
   }
 
+  test("asOf sliceWidth: time-sliced plan is row-identical to the plain plan " +
+    "(all directions × tolerance × allowExactMatches × widths, null keys/ts in)") {
+    val rnd = new scala.util.Random(20260813L)
+    // the corpus deliberately covers every carry edge: null keys (the
+    // null-SAFE carry join — a plain equi-join would drop their
+    // cross-slice fills), null left ts (null slice → no carry), duplicate
+    // left ts, and right-empty slices the carry must propagate across
+    val lefts = (0 until 500).map { i =>
+      val k = if (rnd.nextInt(20) == 0) None else Some(s"k${rnd.nextInt(8)}")
+      val ts = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(1000).toLong)
+      (i.toLong, k, ts)
+    }
+    val rights = (0 until 250).map { _ =>
+      val k = if (rnd.nextInt(20) == 0) None else Some(s"k${rnd.nextInt(8)}")
+      (k, rnd.nextInt(1000).toLong, rnd.nextInt(100))
+    }.groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
+    val l = lefts.toDF("id", "k", "ts")
+    val r = rights.toDF("k", "rts", "v")
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+      df.collect().toSeq.map(_.toSeq).groupBy(identity).map { case (k, g) => k -> g.size }
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(-1L, 40L); exact <- Seq(true, false)) {
+      val plain = multiset(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "v"),
+        direction = dir, tolerance = tol, allowExactMatches = exact))
+      // width 1 = one slice per distinct ts (maximal carry traffic);
+      // 37 = many part-filled slices; 100000 = everything in one slice
+      // (the carry never fires — degenerates to the plain plan)
+      for (w <- Seq(1L, 37L, 100000L)) {
+        val sliced = multiset(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "v"),
+          direction = dir, tolerance = tol, allowExactMatches = exact, sliceWidth = w))
+        assert(sliced == plain, s"dir=$dir tol=$tol exact=$exact width=$w")
+      }
+    }
+    // the conf gate routes through the same sliced plan; sliceWidth = 0
+    // is the explicit plain-plan override even when the conf is set
+    spark.conf.set("spark.graft.asof.sliceWidth", "37")
+    try {
+      val viaConf = multiset(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "v")))
+      val plain = multiset(Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "v"),
+        sliceWidth = 0L))
+      assert(viaConf == plain)
+    } finally spark.conf.unset("spark.graft.asof.sliceWidth")
+  }
+
+  test("asOf sliceWidth: NaN fractional ts stays a no-match under slicing (ANSI-safe)") {
+    // NaN must not reach the ANSI long cast in the slice id, and a NaN
+    // left row must not pick up a slice-0 carry — same contract as plain
+    val l = Seq(("a", 5.0, "live"), ("a", Double.NaN, "nan")).toDF("k", "ts", "lv")
+    val r = Seq(("a", 1.0, 10L), ("a", Double.NaN, 99L)).toDF("k", "rts", "price")
+    for (dir <- Seq("backward", "forward")) {
+      val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("price"),
+        direction = dir, sliceWidth = 2L).collect()
+        .map(row => row.getString(2) -> (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+      assert(out("nan").isEmpty, s"dir=$dir: NaN left must not match")
+      if (dir == "backward") assert(out("live").contains(10L))
+    }
+  }
+
+  test("asOf sliceWidth: carry crosses right-empty slices and timestamps slice on micros") {
+    import java.sql.Timestamp
+    // rights only in the first slice; lefts many slices later — the carry
+    // must propagate through every empty slice in between
+    val l = Seq(("a", 1000L, 0), ("a", 1L, 1)).toDF("k", "ts", "id")
+    val r = Seq(("a", 2L, 7L)).toDF("k", "rts", "v")
+    val out = Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"), sliceWidth = 3L)
+      .collect().map(row => row.getInt(2) -> (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+    assert(out(0).contains(7L) && out(1).isEmpty)
+    // timestamp domain: width is epoch MICROS (1s slices here)
+    val lt = Seq(("a", Timestamp.valueOf("2024-01-01 00:00:09"), 0))
+      .toDF("k", "ts", "id")
+    val rt = Seq(("a", Timestamp.valueOf("2024-01-01 00:00:01"), 5L))
+      .toDF("k", "rts", "v")
+    val outT = Joins.asOf(lt, rt, Seq("k"), "ts", "rts", Seq("v"),
+      sliceWidth = 1000000L).collect()
+    assert(outT.length == 1 && outT(0).getLong(3) == 5L)
+  }
+
   test("asOf rejects payload names colliding with left columns") {
     val l = Seq(("a", 1L)).toDF("k", "ts")
     val r = Seq(("a", 1L)).toDF("k", "rts")
