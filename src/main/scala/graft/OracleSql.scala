@@ -372,6 +372,18 @@ object OracleSql {
          |FROM clicks c ASOF LEFT JOIN purchases p
          |  ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts""".stripMargin,
 
+    // the time-sliced plan answers the same question as q_asof_join —
+    // the oracle is the same native ASOF (result identity is the point)
+    "q_asof_sliced" ->
+      s"""WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |                FROM events WHERE event_type = 'click'),
+         |purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS asof_ts,
+         |                     max(${c("value")}) AS purchase_cents
+         |              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.click_ts, p.asof_ts, p.purchase_cents
+         |FROM clicks c ASOF LEFT JOIN purchases p
+         |  ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts""".stripMargin,
+
     // forward: DuckDB native ASOF with the mirrored (<=) condition
     "q_asof_forward" ->
       s"""WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts

@@ -517,6 +517,24 @@ object Queries {
       Seq("asof_ts", "purchase_cents"), direction = "nearest")
   }
 
+  /** The TIME-SLICED as-of plan (hot-key skew mitigation, r13): same
+    * semantics as q_asof_join but through the two-pass
+    * (keys, day-slice)-partitioned fill + per-key carry — driver-gated
+    * against the SAME DuckDB native-ASOF oracle, so the sliced plan's
+    * result identity is pinned at all scale factors, not just in-spec.
+    * Width = 1 day of epoch micros (the events table spans ~months, so
+    * the carry genuinely fires across tens of slices). */
+  def qAsofSliced(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("asof_ts"))
+      .agg(max(cents(col("value"))).as("purchase_cents"))
+    Joins.asOf(clicks, purchases, Seq("user_id"), "click_ts", "asof_ts",
+      Seq("asof_ts", "purchase_cents"), sliceWidth = 86400000000L)
+  }
+
   /** Keyless point-in-interval range join on the bucketed path (no
     * BroadcastNestedLoop — PlanShapeSpec pins it): clicks attributed to
     * 4-hour windows opened by every 7th signup; bucketWidth = the interval

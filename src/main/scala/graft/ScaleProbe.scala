@@ -83,6 +83,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_TS_ONLY").contains("1")) { tsProbe(factor); return }
     // run only the hot-BIN range-join skew duel (AQE skew-split on/off + salt)
     if (sys.env.get("SPARK_GRAFT_SKEWBIN_ONLY").contains("1")) { skewBinDuel(); return }
+
+    if (sys.env.get("SPARK_GRAFT_ASOFSKEW_ONLY").contains("1")) { asofSkewDuel(); return }
     // run only the incremental-store compaction probe (4M-row store)
     if (sys.env.get("SPARK_GRAFT_COMPACT_ONLY").contains("1")) { compactProbe(); return }
     val base = "/root/testdata/sf0.1"
@@ -667,6 +669,82 @@ object ScaleProbe {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  /** As-of hot-key skew duel (r12 verdict item 1): ONE key holds 50% of
+    * both sides — the "one hot entity's full history" shape where the
+    * plain union-window plan funnels half the data through a single
+    * task's sort. Three measurements:
+    *
+    *  1. The right-side per-(keys, ts) pre-aggregation factor — the
+    *     contract/determinism mitigation Joins.asOf's scaladoc names
+    *     (rights here carry ~2 duplicates per (k, ts) before pre-agg).
+    *  2. The FUNNEL, measured directly: max rows any single window
+    *     partition sorts — per (k) for the plain plan vs per (k, slice)
+    *     for the time-sliced plan. This is the scale-decisive quantity:
+    *     wall clock at local[32] understates the win on a 1000-executor
+    *     cluster, where the plain plan's hot task is the whole stage.
+    *  3. Median-of-3 walls for plain vs sliced (both on the pre-agged
+    *     rights), with an order-insensitive xxhash64 checksum REQUIRING
+    *     the two plans return identical rows.
+    */
+  private def asofSkewDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/repo/target/asofskew"
+    val nL = 4000000L; val nR = 4000000L
+    val tsRange = 1L << 22
+    val coldKeys = 8192L
+    // even ids → key 0 (hot, 50%); odd ids Knuth-spread over 8192 cold keys
+    def keyOf = when(col("id") % 2 === 0, lit(0L))
+      .otherwise(pmod(col("id") * 2654435761L, lit(coldKeys)) + lit(1L))
+    spark.range(nL).select(col("id").as("lid"), keyOf.as("k"),
+        pmod(col("id") * 1099511628211L, lit(tsRange)).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/left.parquet")
+    // pairs of ids share a ts draw → ~2 right rows per (k, ts) pre pre-agg
+    spark.range(nR).select(col("id").as("rid"), keyOf.as("k"),
+        pmod((col("id") - pmod(col("id"), lit(4L))) * 2654435761L + lit(997L),
+          lit(tsRange)).as("rts"),
+        pmod(col("id"), lit(1000L)).as("price"))
+      .write.mode("overwrite").parquet(s"$dir/right.parquet")
+    val left = spark.read.parquet(s"$dir/left.parquet")
+    val rawRight = spark.read.parquet(s"$dir/right.parquet")
+    val preAgg = rawRight.groupBy(col("k"), col("rts"))
+      .agg(max(col("price")).as("price"))
+    preAgg.write.mode("overwrite").parquet(s"$dir/right_preagg.parquet")
+    val right = spark.read.parquet(s"$dir/right_preagg.parquet")
+    val (rawN, aggN) = (rawRight.count(), right.count())
+    println(f"""{"duel":"asofskew_preagg","raw_right_rows":$rawN,"preagg_rows":$aggN,"reduction":${rawN.toDouble / aggN}%.2f}""")
+
+    // slice width: cuts the hot key's history into 64 slices
+    val width = tsRange / 64
+    // the funnel: max rows one window-sort partition receives
+    def maxPart(groups: Seq[org.apache.spark.sql.Column]): Long = {
+      val l = left.select(col("k"), col("ts"))
+      val r = right.select(col("k"), col("rts").as("ts"))
+      l.unionByName(r).groupBy(groups: _*).count()
+        .agg(max(col("count"))).head().getLong(0)
+    }
+    val plainFunnel = maxPart(Seq(col("k")))
+    val slicedFunnel = maxPart(Seq(col("k"), floor(col("ts") / width)))
+    println(s"""{"duel":"asofskew_funnel","plain_max_sort_rows":$plainFunnel,"sliced_max_sort_rows":$slicedFunnel,"funnel_cut":${plainFunnel / slicedFunnel}}""")
+
+    def run(w: Long): DataFrame = graft.operators.Joins.asOf(
+      left, right, Seq("k"), "ts", "rts", Seq("rts", "price"), sliceWidth = w)
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      // order-insensitive, ANSI-overflow-proof: xor + modular sum + count
+      val row = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)"), sum(pmod(col("h"), lit(1000000007L))), count(lit(1))).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    run(0L).write.format("noop").mode("overwrite").save() // warm
+    run(width).write.format("noop").mode("overwrite").save()
+    val plainW = (1 to 3).map(_ => timed("asofskew_plain") {
+      run(0L).write.format("noop").mode("overwrite").save() }).sorted.apply(1)
+    val slicedW = (1 to 3).map(_ => timed("asofskew_sliced") {
+      run(width).write.format("noop").mode("overwrite").save() }).sorted.apply(1)
+    require(checksum(run(0L)) == checksum(run(width)),
+      "sliced as-of diverged from the plain plan on the skew corpus")
+    println(f"""{"duel":"asofskew_summary","rows":${nL + aggN},"plain_sec":$plainW%.3f,"sliced_sec":$slicedW%.3f,"speedup":${plainW / slicedW}%.2f,"funnel_cut":${plainFunnel / slicedFunnel}}""")
   }
 
   /** Store-compaction wall-clock probe (r11 verdict item 5's 100 TB
