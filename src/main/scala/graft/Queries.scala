@@ -567,16 +567,10 @@ object Queries {
     s.conf.set(widthConf, widthUs.toString)
     try {
       val optimized = naive.queryExecution.optimizedPlan
-      // STRUCTURAL fired-check, not a plan-string grep: walk for a Join
-      // whose equi-condition references a `__bin`-named attribute (the
-      // rewrite's bucketed key). A rename of the temp column fails this
-      // require loudly instead of silently weakening it.
-      import org.apache.spark.sql.catalyst.plans.logical.Join
-      val fired = optimized.collect {
-        case j: Join if j.condition.exists(_.references.exists(
-          _.name.startsWith("__bin"))) => j
-      }.nonEmpty
-      require(fired,
+      // STRUCTURAL fired-check, not a plan-string grep (shared with the
+      // ScaleProbe duels): a rename of the temp column fails this require
+      // loudly instead of silently weakening it.
+      require(graft.plans.PlanLint.binJoinFired(optimized),
         s"$tag: RangeJoinRewrite did not fire on the naive plan " +
           s"(no join keyed on a __bin attribute):\n${optimized.toString.take(2000)}")
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)

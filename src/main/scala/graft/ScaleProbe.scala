@@ -603,7 +603,7 @@ object ScaleProbe {
     val W = 1000L
     val nBins = 512L
     val nPts = 6000000L
-    val dir = "/root/repo/target/hotbin" // NB: no "skew" in the path — the plan pin greps for it
+    val dir = "/root/repo/target/hotbin"
     // hot bin 7 gets every even id; odd ids spread via a Knuth-hash
     spark.range(nPts).select(
       when(col("id") % 2 === 0, lit(7L * W) + pmod(col("id"), lit(W)))
@@ -648,16 +648,18 @@ object ScaleProbe {
         // through THIS DataFrame's own QueryExecution — df.write builds a
         // fresh one, whose AdaptiveSparkPlan would print the never-executed
         // INITIAL plan (observed: no AQE nodes at all)
-        val planStr = {
+        val exec = {
           val d = df
           d.queryExecution.toRdd.foreach(_ => ())
-          d.queryExecution.executedPlan.toString
+          d.queryExecution.executedPlan
         }
-        // OptimizeSkewedJoin marks the join node "skew=true" and the
-        // AQEShuffleRead "skewed" in the final adaptive plan
-        val skewed = planStr.toLowerCase.contains("skew")
+        // STRUCTURAL pin: an AQEShuffleRead with a partial-reducer
+        // (skew-split) spec or an isSkewJoin join in the final adaptive
+        // plan — not a "skew" substring, which any path/conf rendered
+        // into the plan could satisfy (or a node rename defeat)
+        val skewed = graft.plans.PlanLint.skewSplitEngaged(exec)
         if (skewOn) require(skewed,
-          s"AQE skew-join did not engage on the hot bin:\n${planStr.take(3000)}")
+          s"AQE skew-join did not engage on the hot bin:\n${exec.toString.take(3000)}")
         println(f"""{"duel":"skewbin_$tag","median_sec":${walls(1)}%.3f,"skew_split_in_plan":$skewed}""")
         walls(1)
       }
@@ -864,7 +866,8 @@ object ScaleProbe {
         overlapDf.write.format("noop").mode("overwrite").save()
       }
       spark.conf.set(widthConf, (3600L * 1000000).toString)
-      require(overlapDf.queryExecution.executedPlan.toString.contains("__bin"),
+      // structural pin (same walk as the catalog gate), not a string grep
+      require(graft.plans.PlanLint.binJoinFired(overlapDf.queryExecution.optimizedPlan),
         "expected the bucketed overlap rewrite to fire")
       require(overlapDf.collect().map(_.toSeq).sortBy(_.toString)
         .sameElements(naiveGroups), "overlap rewrite changed results")

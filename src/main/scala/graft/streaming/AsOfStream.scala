@@ -287,7 +287,7 @@ object AsOfStream {
     * at the latest right at-or-before the watermark; older rights are
     * shadowed for every admissible lts > watermark), so quiescent state
     * is one dominant right per key plus in-flight rows. */
-  private class AsOfNearestProcessor[K, L, R](tolMs: Long)(
+  private class AsOfNearestProcessor[K, L, R](tolMs: Long, allowExact: Boolean)(
       implicit bufEnc: Encoder[(Long, L)], rEnc: Encoder[R])
       extends StatefulProcessor[K, Tagged[K, L, R], AsOfJoined[K, L, R]] {
 
@@ -310,15 +310,20 @@ object AsOfStream {
     }
 
     /** Best candidate within tolMs: smaller distance wins, ties to the
-      * backward (at-or-before) side. */
+      * backward (at-or-before) side. `allowExact = false` makes both
+      * sides strict (rts < lts / rts > lts — the pandas flag); at most
+      * one right sits at exactly lts (the map is keyed by ts), so the
+      * strict forward candidate just skips that one slot. */
     private def best(lts: Long, hist: Array[(Long, R)]): Option[(Long, R)] = {
-      // largest rts <= lts
+      // largest rts <= lts (allowExact) / rts < lts (strict)
       var lo = 0; var hi = hist.length - 1; var back = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        if (hist(mid)._1 <= lts) { back = mid; lo = mid + 1 } else hi = mid - 1
+        val before = if (allowExact) hist(mid)._1 <= lts else hist(mid)._1 < lts
+        if (before) { back = mid; lo = mid + 1 } else hi = mid - 1
       }
-      val fwd = back + 1 // smallest rts > lts (may be == length)
+      var fwd = back + 1 // smallest rts > lts / >= lts (may be == length)
+      if (!allowExact && fwd < hist.length && hist(fwd)._1 == lts) fwd += 1
       val backOk = back >= 0 && distSat(lts, hist(back)._1) <= tolMs
       val fwdOk = fwd < hist.length && distSat(hist(fwd)._1, lts) <= tolMs
       (backOk, fwdOk) match {
@@ -350,8 +355,17 @@ object AsOfStream {
         getHandle.registerTimer(still.map { case (t, _) =>
           decisionTs(t, best(t, hist)) }.min)
       // dominance GC (backward's rule): future lefts may look back at the
-      // latest right at-or-before the watermark — keep it, drop older
-      val dominantIdx = hist.lastIndexWhere(_._1 <= wm)
+      // latest right at-or-before the watermark — keep it, drop older.
+      // STRICT mode adds one guard: a still-pending left at exactly the
+      // dominant's ts needs the right STRICTLY before it (the equal-ts
+      // dominant is not its candidate), so the keep-threshold also drops
+      // to the latest right strictly below the earliest pending left —
+      // at most a handful of extra retained rows, gone once that left
+      // resolves
+      val wmIdx = hist.lastIndexWhere(_._1 <= wm)
+      val dominantIdx =
+        if (allowExact || still.isEmpty) wmIdx
+        else math.min(wmIdx, hist.lastIndexWhere(_._1 < still.map(_._1).min))
       if (dominantIdx > 0)
         hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
       if (hist.length - math.max(dominantIdx, 0) > 1 && still.isEmpty)
@@ -445,11 +459,15 @@ object AsOfStream {
     * watermark-final); state = pending lefts (≤ tolerance past their ts)
     * + one dominant right per key + in-flight rights. See
     * [[AsOfNearestProcessor]] for the single-condition finality
-    * argument. */
+    * argument. `allowExactMatches = false` makes both comparisons strict
+    * (the pandas flag, matching batch asOf) — candidate selection skips
+    * the equal-ts right and the dominance GC additionally retains the
+    * latest right strictly below the earliest pending left. */
   def asOfJoinNearest[K, L, R](left: Dataset[(K, java.sql.Timestamp, L)],
                                right: Dataset[(K, java.sql.Timestamp, R)],
                                toleranceMs: Long,
-                               lateness: String = "0 seconds")(
+                               lateness: String = "0 seconds",
+                               allowExactMatches: Boolean = true)(
       implicit tagEnc: Encoder[Tagged[K, L, R]],
       kEnc: Encoder[K], bufEnc: Encoder[(Long, L)], rEnc: Encoder[R],
       outEnc: Encoder[AsOfJoined[K, L, R]]): Dataset[AsOfJoined[K, L, R]] = {
@@ -463,7 +481,7 @@ object AsOfStream {
     val r = right.map { case (k, ts, v) =>
       (k, ts, 0, None: Option[L], Some(v): Option[R]) }.withWatermark("_2", lateness)
     l.union(r).groupByKey(_._1)
-      .transformWithState(new AsOfNearestProcessor[K, L, R](toleranceMs),
+      .transformWithState(new AsOfNearestProcessor[K, L, R](toleranceMs, allowExactMatches),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

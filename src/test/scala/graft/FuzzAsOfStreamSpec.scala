@@ -49,8 +49,15 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     for (r <- 0 until Rounds; i <- 0 until PerRound) {
       val ts = (r * RoundSpanS + rnd.nextInt(RoundSpanS)).toLong
       val k = s"k${rnd.nextInt(nKeys)}"
-      if (rnd.nextBoolean()) lefts += ((k, ts, s"L$r-$i"))
-      else rights += ((k, ts, rnd.nextInt(1000).toLong))
+      if (rnd.nextBoolean()) {
+        lefts += ((k, ts, s"L$r-$i"))
+        // ~1 in 6 lefts gets a colliding twin at the SAME (key, ts): both
+        // must emit exactly once (the label keeps them distinct in the Set)
+        if (rnd.nextInt(6) == 0) lefts += ((k, ts, s"L$r-$i-twin"))
+        // ~1 in 6 lefts also plants a right at exactly its ts — the cell
+        // where allowExactMatches true/false must differ
+        if (rnd.nextInt(6) == 0) rights += ((k, ts, rnd.nextInt(1000).toLong))
+      } else rights += ((k, ts, rnd.nextInt(1000).toLong))
     }
     // rights unique per (key, ts): the batch contract (tie-ambiguous
     // otherwise) — keep the max value like the catalog queries do
@@ -62,7 +69,8 @@ class FuzzAsOfStreamSpec extends SparkSpec {
   private def feedAndCollect(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
       direction: String, tolS: Long, sink: String,
-      latenessS: Long = 0L): Set[(String, Long, Option[Long], Option[Long])] = {
+      latenessS: Long = 0L, allowExact: Boolean = true)
+      : Set[(String, Long, String, Option[Long], Option[Long])] = {
     Stateful.requireRocksDBStateStore(spark)
     def ts(s: Long) = new Timestamp(s * 1000)
     val leftIn = MemoryStream[(String, Timestamp, String)](spark)
@@ -72,11 +80,14 @@ class FuzzAsOfStreamSpec extends SparkSpec {
       case "forward" => AsOfStream.asOfJoinForward(leftIn.toDS(), rightIn.toDS(),
         toleranceMs = tolS * 1000, lateness = lateness)
       case "nearest" => AsOfStream.asOfJoinNearest(leftIn.toDS(), rightIn.toDS(),
-        toleranceMs = tolS * 1000, lateness = lateness)
+        toleranceMs = tolS * 1000, lateness = lateness, allowExactMatches = allowExact)
       case _ => AsOfStream.asOfJoin(leftIn.toDS(), rightIn.toDS(), lateness = lateness)
     }
-    val out = joined.map(j => (j.key, j.leftTs / 1000, j.rightTs.map(_ / 1000), j.right))
-    val q = out.toDF("k", "lts", "rts", "v")
+    // the tuple carries j.left (the unique "L$r-$i" label): two left rows
+    // colliding on (key, ts) stay distinct, so a duplicate-emission or
+    // dropped-row bug for colliding lefts cannot vanish into the Set
+    val out = joined.map(j => (j.key, j.leftTs / 1000, j.left, j.rightTs.map(_ / 1000), j.right))
+    val q = out.toDF("k", "lts", "lbl", "rts", "v")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt()).start()
     try {
@@ -103,31 +114,35 @@ class FuzzAsOfStreamSpec extends SparkSpec {
       rightIn.addData(("zzz_sentinel", ts(sentinel), 0L))
       q.processAllAvailable()
       spark.table(sink).collect()
-        .map(r2 => (r2.getString(0), r2.getLong(1),
-          Option(r2.get(2)).map(_.asInstanceOf[Long]),
-          Option(r2.get(3)).map(_.asInstanceOf[Long])))
+        .map(r2 => (r2.getString(0), r2.getLong(1), r2.getString(2),
+          Option(r2.get(3)).map(_.asInstanceOf[Long]),
+          Option(r2.get(4)).map(_.asInstanceOf[Long])))
         .filter(_._1 != "zzz_sentinel").toSet
     } finally q.stop()
   }
 
   private def batchExpected(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
-      direction: String, tolS: Long): Set[(String, Long, Option[Long], Option[Long])] = {
+      direction: String, tolS: Long, allowExact: Boolean = true)
+      : Set[(String, Long, String, Option[Long], Option[Long])] = {
     def ts(s: Long) = new Timestamp(s * 1000)
     val l = lefts.map(e => (e._1, ts(e._2), e._3)).toDF("k", "lts", "label")
     val r = rights.map(e => (e._1, ts(e._2), e._3)).toDF("k", "rts", "v")
     val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rts", "v"),
       direction = direction,
-      tolerance = if (direction == "backward") -1L else tolS * 1000000L) // µs
-    out.select(col("k"), col("lts").cast("long"), col("rts").cast("long"), col("v"))
+      tolerance = if (direction == "backward") -1L else tolS * 1000000L, // µs
+      allowExactMatches = allowExact)
+    out.select(col("k"), col("lts").cast("long"), col("label"),
+        col("rts").cast("long"), col("v"))
       .collect()
-      .map(r2 => (r2.getString(0), r2.getLong(1),
-        Option(r2.get(2)).map(_.asInstanceOf[Long]),
-        Option(r2.get(3)).map(_.asInstanceOf[Long]))).toSet
+      .map(r2 => (r2.getString(0), r2.getLong(1), r2.getString(2),
+        Option(r2.get(3)).map(_.asInstanceOf[Long]),
+        Option(r2.get(4)).map(_.asInstanceOf[Long]))).toSet
   }
 
   test(s"randomized streaming asOf (backward + forward) == batch asOf (seed=$Seed)") {
     val rnd = new scala.util.Random(Seed)
+    var anyStrictDiff = false
     for (trial <- 0 until 3) {
       val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + trial)
       val back = feedAndCollect(lefts, rights, "backward", 0L, s"asof_fz_b$trial")
@@ -146,9 +161,23 @@ class FuzzAsOfStreamSpec extends SparkSpec {
       assert(near == nearExp,
         s"trial $trial nearest(tol=${tolS}s) diverged: " +
           s"stream-only ${(near -- nearExp).take(3)}, batch-only ${(nearExp -- near).take(3)}")
-      assert(backExp.exists(_._3.nonEmpty) && backExp.exists(_._3.isEmpty),
+      // the direction x flag cell the r12 matrix lacked: nearest with
+      // allowExactMatches = false (strict candidates + the strict-mode
+      // dominance-GC guard)
+      val nearS = feedAndCollect(lefts, rights, "nearest", tolS, s"asof_fz_ns$trial",
+        allowExact = false)
+      val nearSExp = batchExpected(lefts, rights, "nearest", tolS, allowExact = false)
+      assert(nearS == nearSExp,
+        s"trial $trial nearest(tol=${tolS}s, strict) diverged: " +
+          s"stream-only ${(nearS -- nearSExp).take(3)}, batch-only ${(nearSExp -- nearS).take(3)}")
+      anyStrictDiff ||= nearSExp != nearExp
+      assert(backExp.exists(_._4.nonEmpty) && backExp.exists(_._4.isEmpty),
         s"trial $trial: corpus too trivial (need both matched and unmatched lefts)")
     }
+    // non-triviality: the planted equal-ts rights must make strict and
+    // exact nearest genuinely disagree somewhere — otherwise the new
+    // cell silently tested nothing
+    assert(anyStrictDiff, "strict-nearest cell vacuous: no trial differed from exact")
   }
 
   test("lateness trial: displaced (genuinely late) arrivals still converge to the batch answer") {

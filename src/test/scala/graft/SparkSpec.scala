@@ -31,7 +31,12 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
+    // local[4, 2]: 4 threads, task maxFailures = 2 — a task that throws
+    // retries once before failing the job. Inert for every suite except
+    // RetryDeterminismSpec (whose planted first-attempt failures need the
+    // retry); suites that assert job failure still fail (the retried
+    // attempt throws the same deterministic error).
+    val s = SparkSession.builder().master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -79,7 +79,10 @@ def main():
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # driver testdata is one file per table; generated scale-ups
+            # (Sf1Gen) are Spark part-file directories — glob those
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
