@@ -258,15 +258,16 @@ object StreamProbe {
     // -------- NEAREST streaming as-of: backward's dominance bound must
     // hold (one dominant right per key quiescent) — nearest retains for
     // the backward side of future lefts exactly as the backward join does.
-    def probeAsOfNear(nKeys: Int): ProbeResult = {
+    def probeAsOfNear(nKeys: Int, allowExact: Boolean = true): ProbeResult = {
       import spark.implicits._
       val nRounds = 6
       val leftIn = MemoryStream[(String, Timestamp, String)](spark)
       val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
       val out = graft.streaming.AsOfStream.asOfJoinNearest(
-        leftIn.toDS(), rightIn.toDS(), toleranceMs = 5000L)
+        leftIn.toDS(), rightIn.toDS(), toleranceMs = 5000L,
+        allowExactMatches = allowExact)
         .map(j => (j.key, j.leftTs, j.rightTs.getOrElse(-1L)))
-      val name = s"streamprobe_an_$nKeys"
+      val name = s"streamprobe_an_${nKeys}_$allowExact"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-streamprobe")
       val q = out.toDF("k", "lts", "rts")
         .writeStream.format("memory").queryName(name)
@@ -297,8 +298,9 @@ object StreamProbe {
     }
 
     def reportAsOfNear(base: ProbeResult, big: ProbeResult,
-                       baseKeys: Int, bigKeys: Int): Unit = {
-      println(f"""{"probe":"asof_nearest","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
+                       baseKeys: Int, bigKeys: Int,
+                       tag: String = "asof_nearest"): Unit = {
+      println(f"""{"probe":"$tag","base_events":${base.events},"base_sec":${base.wallSec}%.2f,""" +
         f""""base_eps":${base.throughput}%.0f,"x${factor}_events":${big.events},""" +
         f""""x${factor}_sec":${big.wallSec}%.2f,"x${factor}_eps":${big.throughput}%.0f,""" +
         f""""wall_ratio":${big.wallSec / base.wallSec}%.2f,""" +
@@ -306,7 +308,7 @@ object StreamProbe {
         f""""base_final_state":${base.finalStateRows},"x${factor}_final_state":${big.finalStateRows}}""")
       val (bBound, nBound) = (2 * baseKeys + 4, 2 * bigKeys + 4)
       if (base.finalStateRows > bBound || big.finalStateRows > nBound) {
-        System.err.println(s"FAIL[asof_nearest]: state beyond the dominance bound " +
+        System.err.println(s"FAIL[$tag]: state beyond the dominance bound " +
           s"(base=${base.finalStateRows}>$bBound or x$factor=${big.finalStateRows}>$nBound)")
         spark.stop(); sys.exit(1)
       }
@@ -446,6 +448,15 @@ object StreamProbe {
     val anBase = probeAsOfNear(baseKeys)
     val anBig = probeAsOfNear(baseKeys * factor)
     reportAsOfNear(anBase, anBig, baseKeys, baseKeys * factor)
+    // strict mode (allowExactMatches=false, r13): its extra GC retention
+    // (latest right strictly below the earliest PENDING left) must vanish
+    // at quiescence — the SAME dominance bound applies, and a leak in the
+    // strict keep-threshold (e.g. retaining per resolved left) would
+    // break it
+    val ansBase = probeAsOfNear(baseKeys, allowExact = false)
+    val ansBig = probeAsOfNear(baseKeys * factor, allowExact = false)
+    reportAsOfNear(ansBase, ansBig, baseKeys, baseKeys * factor,
+      tag = "asof_nearest_strict")
     probeStreamStream(baseKeys) // warm
     val jBase = probeStreamStream(baseKeys)
     val jBig = probeStreamStream(baseKeys * factor)

@@ -486,22 +486,28 @@ object Joins {
         // window partitioning groups null keys together and the carry
         // join must agree (a plain equi-join would drop them)
         val rightOrd = when(col("__side") === 0, col("__rp").getField("__rts"))
+        // only the carry direction(s) this query reads: backward/forward
+        // need one aggregate + one tiny per-key sort each; nearest both
+        val needB = direction != "forward"
+        val needF = direction != "backward"
         val perSlice = withSlice.groupBy((keys :+ "__slice").map(col): _*)
           .agg(max_by(col("__rp"), rightOrd).as("__lastR"),
                min_by(col("__rp"), rightOrd).as("__firstR"))
         val perKey = Window.partitionBy(keys.map(col): _*)
-        val carry = perSlice.select(
-          (keys :+ "__slice").map(col) ++ Seq(
-            last(col("__lastR"), ignoreNulls = true)
-              .over(perKey.orderBy(col("__slice").asc)
-                .rowsBetween(Window.unboundedPreceding, -1)).as("__carryB"),
-            last(col("__firstR"), ignoreNulls = true)
-              .over(perKey.orderBy(col("__slice").desc_nulls_first)
-                .rowsBetween(Window.unboundedPreceding, -1)).as("__carryF")): _*)
+        val carryCols =
+          (if (needB) Seq(last(col("__lastR"), ignoreNulls = true)
+            .over(perKey.orderBy(col("__slice").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)).as("__carryB")) else Nil) ++
+          (if (needF) Seq(last(col("__firstR"), ignoreNulls = true)
+            .over(perKey.orderBy(col("__slice").desc_nulls_first)
+              .rowsBetween(Window.unboundedPreceding, -1)).as("__carryF")) else Nil)
+        val carryNames =
+          (if (needB) Seq("__carryB") else Nil) ++ (if (needF) Seq("__carryF") else Nil)
+        val carry = perSlice.select((keys :+ "__slice").map(col) ++ carryCols: _*)
         val joinCols = keys :+ "__slice"
         val carryK = carry.select(joinCols.zipWithIndex.map {
           case (c, i) => col(c).as(s"__ck$i")
-        } ++ Seq(col("__carryB"), col("__carryF")): _*)
+        } ++ carryNames.map(col): _*)
         val cond = joinCols.zipWithIndex.map {
           case (c, i) => withSlice(c) <=> carryK(s"__ck$i")
         }.reduce(_ && _)
