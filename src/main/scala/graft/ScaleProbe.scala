@@ -87,6 +87,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_ASOFSKEW_ONLY").contains("1")) { asofSkewDuel(); return }
     // run only the incremental-store compaction probe (4M-row store)
     if (sys.env.get("SPARK_GRAFT_COMPACT_ONLY").contains("1")) { compactProbe(); return }
+    // run only the dedup-cluster stage breakdown (sf1 candidate graph)
+    if (sys.env.get("SPARK_GRAFT_DEDUPCLUSTER_ONLY").contains("1")) { dedupClusterProbe(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -780,6 +782,56 @@ object ScaleProbe {
     val ttlKept = graft.operators.Dedup.compactStoreTtl(
       store, col("appended_at"), 100L).count()
     println(f"""{"duel":"compact_summary","store_rows":$n,"live_rows":${n * 3 / 5},"kept":$kept,"median_sec":${walls(1)}%.3f,"ttl_kept":$ttlKept,"ttl_median_sec":${ttlWalls(1)}%.3f}""")
+  }
+
+  /** Stage breakdown for q_dedup_clusters at sf1 (sf1 gate follow-up):
+    * the catalog entry costs ~10 s while the identically-configured
+    * q_ngram_jaccard pair generation alone costs ~1.5 s. Times each stage
+    * of [[graft.operators.Dedup.nearDupClusters]] separately — candidate
+    * pairs, symmetric-distinct edge materialization, the bounded
+    * small-graph collect gate, driver union-find + label frame — to
+    * attribute the gap before optimizing. Requires target/sf1 (Sf1Gen). */
+  private def dedupClusterProbe(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val docs = GraftSession.table(spark, "/root/repo/target/sf1", "documents")
+    def pairs() = graft.operators.Dedup.ngramJaccardPairs(
+      docs, col("text"), col("doc_id"),
+      shingleN = 2, threshold = 0.8, maxShingleFreq = 200)
+    val tPairs = (1 to 3).map(_ => timed("dc_pairs_only") {
+      pairs().write.format("noop").mode("overwrite").save()
+    }).sorted
+    val p = pairs()
+    // OLD formulation (pre-r13): symmetric swap-union — Catalyst computes
+    // the candidate-pair pipeline once per union branch, then distincts 2×
+    // the rows. Kept here as the duel baseline.
+    val edgesSwap = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val tEdgesSwap = timed("dc_edges_swap_union") {
+      edgesSwap.write.format("noop").mode("overwrite").save()
+    }
+    // NEW formulation: undirected distinct pair set (large-star
+    // symmetrizes internally each round).
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tEdges = timed("dc_edges_undirected") {
+      edges.write.format("noop").mode("overwrite").save()
+    }
+    val nEdges = edges.count()
+    import spark.implicits._
+    var collected = 0
+    val tGate = timed("dc_collect_gate") {
+      collected = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].limit(1000001).collect().length
+    }
+    edges.unpersist()
+    val tFull = (1 to 3).map(_ => timed("dc_full") {
+      graft.operators.Dedup.nearDupClusters(pairs(), col("id_a"), col("id_b"))
+        .write.format("noop").mode("overwrite").save()
+    }).sorted
+    println(f"""{"duel":"dedup_cluster_summary","pairs_median_sec":${tPairs(1)}%.3f,"edges_swap_sec":$tEdgesSwap%.3f,"edges_sec":$tEdges%.3f,"edges":$nEdges,"gate_sec":$tGate%.3f,"collected":$collected,"full_median_sec":${tFull(1)}%.3f}""")
   }
 
   private def rewriteDuel(): Unit = {

@@ -354,8 +354,16 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, idA: Column, idB: Column,
                       maxIter: Int = 10, localThreshold: Long = 1000000L): DataFrame = {
+    // UNDIRECTED distinct edge set — not a symmetric union. Large-star
+    // symmetrizes internally every round anyway, so pre-doubling the edge
+    // list only doubles the first round's input; worse, a `pairs ∪
+    // pairs.swap` union makes Catalyst compute the candidate-pair pipeline
+    // (the expensive verified-jaccard join upstream) once PER BRANCH. At
+    // sf1 (7M-edge near-clique candidate graph) the swap-union formulation
+    // cost 5.2 s just to materialize edges vs ~1.4 s for the pair pipeline
+    // itself — measured by ScaleProbe's dedupClusterProbe.
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
-      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Small-graph fast path: near-dup candidate graphs are usually tiny
@@ -412,7 +420,9 @@ object Dedup {
     }
     // All nodes ever seen — the star fixpoint only carries non-root nodes,
     // so roots (component minima) are recovered by a left join at the end.
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Edges are undirected, so both endpoint columns contribute nodes.
+    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Large-star: at each node u with neighbor set N(u), attach every
@@ -455,10 +465,15 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // Fixpoint = edge set unchanged. Two anti-joins on (id, id) pairs —
-      // cheap against the checkpointed frames, and the only sound test: edge
-      // counts can stay equal across a round that still rewires parents.
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      // Fixpoint = edge set unchanged. Edge COUNTS alone can stay equal
+      // across a round that still rewires parents, so count equality is
+      // paired with ONE set-difference: both frames are distinct by
+      // construction (small-star ends in distinct), so |next| = |cur| and
+      // next \ cur = ∅ together imply set equality — the second anti-join
+      // the previous formulation ran added a full shuffle per round for
+      // nothing. Counts over localCheckpoint'd frames are partition-metadata
+      // scans, no shuffle.
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
       cur = next
       i += 1
     }
