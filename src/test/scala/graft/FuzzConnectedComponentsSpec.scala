@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Create, Dedup}
+
+/** Randomized differential for the distributed connected-components loop
+  * (Dedup.nearDupClusters' alternating large-star/small-star rounds —
+  * Kiveris et al., SoCC'14): DedupSimilaritySpec pins a chain, a clique
+  * seed, and the throw contract on hand-picked graphs, but the star
+  * alternation plus its fixpoint test (count equality + one set
+  * difference, both frames distinct by construction) is exactly the kind
+  * of logic a hand corpus under-covers — a wrong convergence test returns
+  * MID-FLIGHT labels, the one failure mode a dedup pipeline can never
+  * detect downstream.
+  *
+  * Each trial builds a random graph from adversarial ingredients (dense
+  * near-cliques like the sf1 candidate graph, long chains that maximize
+  * rounds, stars, random sparse edges, duplicate + swapped + self-loop
+  * edges) and compares the distributed path (localThreshold = 0) against
+  * an independent plain-Scala union-find — per-node labels must match
+  * EXACTLY, cluster id = component minimum. One trial re-checks the
+  * driver union-find fast path and the string-id distributed path against
+  * the same reference.
+  *
+  * Sensitivity proven at bring-up by two ENGINE plants, each caught and
+  * reverted: (1) convergence on count equality alone (except dropped) —
+  * caught at trial 2, a round that rewires parents while holding edge
+  * count constant returns mid-flight labels; (2) large-star's attachment
+  * minimum computed over neighbors only (self dropped from the least) —
+  * caught at trial 0, every node self-labels. Two further candidate
+  * plants turned out NOT to be bugs and were discarded rather than
+  * claimed: relaxing large-star's strict `dst > src` to `>=` and
+  * re-parenting small-star onto the MAX smaller neighbor both still
+  * converge to min-rooted stars (large-star alone drives the minimum,
+  * and min-rooted star forests are the only stable fixpoints), which the
+  * fuzzer correctly reports as equivalent.
+  */
+class FuzzConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Seed = 20260815L
+  private val N = sys.env.getOrElse("SPARK_GRAFT_CCFUZZ_N", "6").toInt
+
+  /** Independent reference: plain union-find with union-by-min root. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+  }
+
+  private def randomGraph(rnd: scala.util.Random): Seq[(Long, Long)] = {
+    val edges = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var nextId = 0L
+    def fresh(n: Int): Seq[Long] = { val ids = (nextId until nextId + n); nextId += n; ids }
+    // 2-4 components of random shape; id ranges interleave via shuffling below
+    (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 => // dense near-clique (the sf1 candidate-graph shape)
+          val ids = fresh(4 + rnd.nextInt(8))
+          for (a <- ids; b <- ids if a < b && rnd.nextDouble() < 0.7) edges += ((a, b))
+          // guarantee connectivity even if the 0.7 coin isolated a node
+          ids.sliding(2).foreach { case Seq(a, b) => edges += ((a, b)); case _ => }
+        case 1 => // chain — maximizes contraction rounds
+          val ids = fresh(8 + rnd.nextInt(40))
+          ids.sliding(2).foreach { case Seq(a, b) => edges += ((a, b)); case _ => }
+        case 2 => // star hub (hot representative)
+          val ids = fresh(5 + rnd.nextInt(15))
+          ids.tail.foreach(x => edges += ((ids.head, x)))
+        case _ => // sparse random connected blob
+          val ids = fresh(6 + rnd.nextInt(12))
+          ids.sliding(2).foreach { case Seq(a, b) => edges += ((a, b)); case _ => }
+          (0 until ids.size).foreach { _ =>
+            val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+            if (a != b) edges += ((a, b))
+          }
+      }
+    }
+    // dirty the edge list: duplicates, swapped orientations, self-loops
+    val clean = edges.toSeq
+    val dirty = clean ++
+      rnd.shuffle(clean).take(clean.size / 4) ++
+      rnd.shuffle(clean).take(clean.size / 4).map(_.swap) ++
+      clean.take(3).map(e => (e._1, e._1))
+    // permute ids so component minima aren't clustered at low ranges
+    val perm = rnd.shuffle((0L until nextId).toVector)
+    rnd.shuffle(dirty.map { case (a, b) => (perm(a.toInt), perm(b.toInt)) })
+  }
+
+  test(s"$N random graphs: distributed star rounds == union-find labels (seed=$Seed)") {
+    val rnd = new scala.util.Random(Seed)
+    (0 until N).foreach { trial =>
+      val edges = randomGraph(rnd)
+      val expected = unionFind(edges)
+      val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+      val got = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+          maxIter = 20, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial=$trial: distributed labels diverge from union-find " +
+        s"(edges=${edges.size}, nodes=${expected.size}); " +
+        s"diff=${(got.toSet diff expected.toSet).take(5)} / ${(expected.toSet diff got.toSet).take(5)}")
+      // non-vacuity: real multi-node components exist
+      assert(expected.values.toSet.size < expected.size)
+    }
+  }
+
+  test("local fast path and string-id distributed path agree with union-find") {
+    val rnd = new scala.util.Random(Seed + 1)
+    val edges = randomGraph(rnd)
+    val expected = unionFind(edges)
+    val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    // string ids skip the integral-only local gate → distributed path;
+    // labels must still be the component minimum under STRING ordering,
+    // which zero-padded rendering makes agree with numeric ordering
+    val spairs = Create.of(spark, edges.map { case (a, b) => (f"d$a%06d", f"d$b%06d") })
+      .toDF("id_a", "id_b")
+    val sgot = Dedup.nearDupClusters(spairs, col("id_a"), col("id_b"), maxIter = 20)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sgot == expected.map { case (k, v) => (f"d$k%06d", f"d$v%06d") })
+  }
+}
