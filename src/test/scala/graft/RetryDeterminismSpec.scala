@@ -113,13 +113,25 @@ class RetryDeterminismSpec extends SparkSpec {
       spark.read.parquet(path).collect().map(_.toSeq.toString).sorted.toSeq
     assert(rows(s"$dir/clean") == rows(s"$dir/retried"),
       "zorderWrite: retry changed the written rows")
-    // z-range disjointness of the retried write (a/b bounds are the same
-    // 0..999 grid in both runs, so morton codes are comparable)
+    // z-range disjointness of the retried write. The codes must be
+    // recomputed under the WRITER'S normalization grid — the data's actual
+    // min/max per dimension, exactly as zorderWrite derives it — not an
+    // assumed 0..999 grid: 2000 hashed draws over pmod(...,1000) miss the
+    // exact endpoints with probability ~1-e^-2 per end, and a mismatched
+    // grid reorders morton codes, turning genuinely-disjoint files into
+    // apparent overlaps depending on where the RDD-id-seeded range sample
+    // put the boundaries (a suite-order-dependent flake, seen once in a
+    // full run).
     val scale = (1 << 16) - 1
-    def norm(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / 999.0 * scale).cast("long")
+    val bounds = input.agg(
+      min(col("a")).cast("double"), max(col("a")).cast("double"),
+      min(col("b")).cast("double"), max(col("b")).cast("double")).collect()(0)
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      floor((c.cast("double") - lo) / (hi - lo) * scale).cast("long")
     val spans = spark.read.parquet(s"$dir/retried")
-      .withColumn("__z", LayoutExpressions.mortonCode(norm(col("a")), norm(col("b")), 16))
+      .withColumn("__z", LayoutExpressions.mortonCode(
+        norm(col("a"), bounds.getDouble(0), bounds.getDouble(1)),
+        norm(col("b"), bounds.getDouble(2), bounds.getDouble(3)), 16))
       .withColumn("__f", input_file_name())
       .groupBy(col("__f")).agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
