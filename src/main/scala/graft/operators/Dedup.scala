@@ -347,6 +347,13 @@ object Dedup {
     * previous formulation here, needed diameter rounds and could run out
     * on adversarial chains). Each round is two shuffles over (node, node)
     * pairs only — at 100 TB the shuffle carries ids, never documents.
+    * Hybrid at both ends: graphs at or under `localThreshold` edges never
+    * leave the driver (union-find), and a distributed run CUTS OVER to the
+    * same union-find once star contraction shrinks the edge set under that
+    * threshold — dense candidate graphs (the near-dup norm) collapse to
+    * ~one edge per non-root node after a round or two, and finishing those
+    * rounds distributed would pay 4 shuffles + a fixpoint check each for
+    * driver-sized data.
     * If `maxIter` rounds pass without reaching the star fixpoint the call
     * THROWS rather than returning mid-flight labels: silently-wrong
     * cluster ids at scale are the one failure mode a dedup pipeline can
@@ -462,9 +469,11 @@ object Dedup {
     var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).localCheckpoint(true)
     var converged = false
+    var localLabels: Option[DataFrame] = None
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && localLabels.isEmpty && i < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCount = next.count()
       // Fixpoint = edge set unchanged. Edge COUNTS alone can stay equal
       // across a round that still rewires parents, so count equality is
       // paired with ONE set-difference: both frames are distinct by
@@ -473,11 +482,45 @@ object Dedup {
       // the previous formulation ran added a full shuffle per round for
       // nothing. Counts over localCheckpoint'd frames are partition-metadata
       // scans, no shuffle.
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      converged = nextCount == cur.count() && next.except(cur).isEmpty
       cur = next
       i += 1
+      // MID-LOOP CUTOVER — the production hybrid's second half. Star rounds
+      // contract a graph geometrically: the sf1 candidate graph's 3.5M
+      // edges drop to ~#non-root-nodes after one round, and paying 4
+      // shuffles + a fixpoint check per round on a tiny contracted graph
+      // is pure overhead. Once the edge set fits the same bound the entry
+      // gate uses, finish with the driver union-find. Sound because each
+      // round preserves (a) component membership (Kiveris et al.'s round
+      // invariant) and (b) every non-root node's presence in the edge set
+      // (a node only drops out when it loses all edges, which the star
+      // emissions never do to a connected non-root), so union-find over
+      // the contracted edges labels every non-root with its component
+      // minimum and the final left-join coalesce self-labels the rest.
+      if (!converged && integralId && nextCount <= localThreshold) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val es = cur.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].collect()
+        val parent = collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        localLabels = Some(
+          es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n))).toSeq
+            .toDF("node", "root")
+            .select(col("node").cast(idType), col("root").cast(idType)))
+      }
     }
-    if (!converged) {
+    if (!converged && localLabels.isEmpty) {
       edges.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
         s"nearDupClusters: connected-components did not reach the star fixpoint " +
@@ -487,11 +530,15 @@ object Dedup {
         s"would silently mis-cluster documents.")
     }
     // At fixpoint `cur` is a star forest: (node → component-min) for every
-    // non-root node. Roots label themselves via the left join. Materialize
-    // the small result eagerly, then release the cached inputs — without
-    // this their partitions stay pinned MEMORY_AND_DISK for the session.
+    // non-root node; after a cutover `localLabels` holds the same mapping
+    // computed by union-find over the contracted edges. Roots label
+    // themselves via the left join. Materialize the small result eagerly,
+    // then release the cached inputs — without this their partitions stay
+    // pinned MEMORY_AND_DISK for the session.
+    val labels = localLabels.getOrElse(
+      cur.select(col("src").as("node"), col("dst").as("root")))
     val out = nodes
-      .join(cur.select(col("src").as("node"), col("dst").as("root")), Seq("node"), "left")
+      .join(labels, Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
     edges.unpersist()

@@ -115,6 +115,24 @@ class FuzzConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("mid-loop cutover: dense graph enters distributed, finishes on the driver, labels exact") {
+    val rnd = new scala.util.Random(Seed + 2)
+    // dense components: initial distinct edge count far exceeds the node
+    // count, so one star round contracts below the threshold and the loop
+    // hands the contracted graph to the driver union-find
+    val edges = (0 until 3).flatMap { c =>
+      val ids = (c * 40L until c * 40L + 30L)
+      for (a <- ids; b <- ids if a < b && rnd.nextDouble() < 0.6) yield (a, b)
+    }
+    val expected = unionFind(edges)
+    val threshold = edges.map(e => Set(e)).reduce(_ ++ _).size / 3 // < initial distinct edges, > ~90 contracted
+    val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+        maxIter = 20, localThreshold = threshold.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("local fast path and string-id distributed path agree with union-find") {
     val rnd = new scala.util.Random(Seed + 1)
     val edges = randomGraph(rnd)
