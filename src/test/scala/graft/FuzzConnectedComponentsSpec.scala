@@ -115,6 +115,39 @@ class FuzzConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test(s"$N random graphs through a forced mid-loop cutover at random contraction points") {
+    // The dense-graph test below pins the cutover's headline shape (one
+    // round contracts under the threshold); this trial set re-runs the
+    // same adversarial shapes — chains contract SLOWLY, so the cutover
+    // fires after several rounds — with a threshold drawn uniformly from
+    // [fixpoint edge count, initial distinct edge count), i.e. every
+    // admissible cutover stage. Labels must match union-find exactly
+    // regardless of which round hands off to the driver.
+    val rnd = new scala.util.Random(Seed + 3)
+    var exercised = 0
+    (0 until N).foreach { trial =>
+      val edges = randomGraph(rnd)
+      val expected = unionFind(edges)
+      // entry gate counts DIRECTED distinct non-self pairs; the star
+      // fixpoint carries exactly (nodes - components) edges
+      val initCount = edges.filter(e => e._1 != e._2).distinct.size
+      val fixCount = expected.size - expected.values.toSet.size
+      if (fixCount < initCount) {
+        val threshold = (fixCount + rnd.nextInt(initCount - fixCount)).toLong
+        val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+        val got = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+            maxIter = 20, localThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"trial=$trial threshold=$threshold (init=$initCount fix=$fixCount): " +
+          s"cutover labels diverge from union-find; " +
+          s"diff=${(got.toSet diff expected.toSet).take(5)} / ${(expected.toSet diff got.toSet).take(5)}")
+        exercised += 1
+      }
+    }
+    assert(exercised > 0, "no trial had room between fixpoint and initial edge counts")
+  }
+
   test("mid-loop cutover: dense graph enters distributed, finishes on the driver, labels exact") {
     val rnd = new scala.util.Random(Seed + 2)
     // dense components: initial distinct edge count far exceeds the node
