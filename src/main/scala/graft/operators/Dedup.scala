@@ -332,6 +332,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Driver-side union-find with union-by-MIN root under `ord` — the
+    * cluster id is the component minimum, the same invariant the
+    * distributed star rounds converge to. Returns (node, root) for every
+    * endpoint of `es`, roots self-labeled. */
+  private def unionFindLabels[T](es: Array[(T, T)])(implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = collection.mutable.Map.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n)))
+  }
+
+  /** Spark's string comparison (UTF8String, default UTF8_BINARY collation):
+    * unsigned byte order over the UTF-8 encoding. java.lang.String's
+    * natural order compares UTF-16 code units instead and DISAGREES for
+    * supplementary characters (U+1F600 encodes as bytes F0 9F 98 80 —
+    * above U+FFFF's EF BF BF — but as code units D83D DE00, below it), and
+    * the driver union-find must rank ids exactly as the cluster's
+    * least()/min() do or the two paths elect different cluster minima.
+    * Pinned by FuzzConnectedComponentsSpec's supplementary-id trial
+    * (sensitivity proven: planting Ordering.String fails it). */
+  private val Utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Connected components over near-dup candidate pairs → dedup clusters:
     * every doc in a connected component gets the component's minimum doc id
     * as its cluster id (the canonical representative). This is the step a
@@ -378,52 +414,54 @@ object Dedup {
     // Below `localThreshold` edges, a driver-side union-find replaces
     // ~4 Spark jobs per propagation round with one collect — the same
     // hybrid a production dedup pipeline uses. The distributed loop below
-    // remains the 100 TB path. Taken only for integral id types, and the
-    // result is cast back to the INPUT id type so both paths produce the
-    // same schema (a silent cast("long") on string ids would null them).
+    // remains the 100 TB path. Taken for integral id types (collected as
+    // Longs, cast back to the INPUT id type so both paths produce the same
+    // schema — a silent cast("long") on string ids would null them) and
+    // for DEFAULT-collation strings (doc ids are as often URLs/UUIDs as
+    // numbers); collated string types stay distributed because the driver
+    // Ordering below matches only UTF8_BINARY semantics.
     val idType = edges.schema("src").dataType
     val integralId = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
-    // Single bounded materialization decides the path: collect at most
-    // threshold+1 edges (≤ ~16 MB at the default threshold); if everything
-    // fit we already hold the whole graph — no separate count() job that
-    // would compute the candidate pipeline a second time.
+    val stringId = idType == org.apache.spark.sql.types.StringType
+    val localCapable = integralId || stringId
     // the gate collects threshold+1 rows on the driver, so the knob is
     // hard-capped below Int.MaxValue — a larger Long would wrap negative
     // in limit() and an Array can't hold it anyway
     require(localThreshold < Int.MaxValue,
       s"localThreshold must be < Int.MaxValue (driver-side gate), got $localThreshold")
-    val smallGraph: Option[Array[(Long, Long)]] =
-      if (!integralId) None
-      else {
-        val spark = pairs.sparkSession
-        import spark.implicits._
-        val limited = edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .as[(Long, Long)].limit(localThreshold.toInt + 1).collect()
-        if (limited.length <= localThreshold) Some(limited) else None
-      }
-    if (smallGraph.isDefined) {
+    // Driver-side finish, shared by the entry gate and the mid-loop
+    // cutover: single bounded materialization — collect at most
+    // threshold+1 edges (≤ ~16 MB at the default threshold; if everything
+    // fit we already hold the whole graph, no separate count() job that
+    // would compute the candidate pipeline a second time), union-find
+    // them (union by MIN root = component minimum, ranked by
+    // [[Utf8ByteOrder]] for strings so the driver agrees with the
+    // cluster's least()/min() on supplementary characters), and return
+    // ("node","root") labels in the input id type. None = didn't fit.
+    def driverFinish(e: DataFrame): Option[DataFrame] = {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = smallGraph.get
-      val parent = collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-        r
+      val cap = localThreshold.toInt + 1
+      if (integralId) {
+        val es = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].limit(cap).collect()
+        if (es.length > localThreshold) None
+        else Some(unionFindLabels(es).toDF("node", "root")
+          .select(col("node").cast(idType), col("root").cast(idType)))
+      } else {
+        val es = e.select(col("src").cast("string"), col("dst").cast("string"))
+          .as[(String, String)].limit(cap).collect()
+        if (es.length > localThreshold) None
+        else Some(unionFindLabels(es)(Utf8ByteOrder).toDF("node", "root"))
       }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN root so the cluster id is the component minimum
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    }
+    val entryLabels = if (localCapable) driverFinish(edges) else None
+    if (entryLabels.isDefined) {
       edges.unpersist()
-      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
-        .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
+      return entryLabels.get
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
     }
     // All nodes ever seen — the star fixpoint only carries non-root nodes,
     // so roots (component minima) are recovered by a left join at the end.
@@ -497,27 +535,8 @@ object Dedup {
       // emissions never do to a connected non-root), so union-find over
       // the contracted edges labels every non-root with its component
       // minimum and the final left-join coalesce self-labels the rest.
-      if (!converged && integralId && nextCount <= localThreshold) {
-        val spark = pairs.sparkSession
-        import spark.implicits._
-        val es = cur.select(col("src").cast("long"), col("dst").cast("long"))
-          .as[(Long, Long)].collect()
-        val parent = collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-          r
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        localLabels = Some(
-          es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n))).toSeq
-            .toDF("node", "root")
-            .select(col("node").cast(idType), col("root").cast(idType)))
+      if (!converged && localCapable && nextCount <= localThreshold) {
+        localLabels = driverFinish(cur)
       }
     }
     if (!converged && localLabels.isEmpty) {

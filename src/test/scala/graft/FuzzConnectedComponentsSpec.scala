@@ -174,13 +174,42 @@ class FuzzConnectedComponentsSpec extends SparkSpec {
     val local = Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == expected)
-    // string ids skip the integral-only local gate → distributed path;
-    // labels must still be the component minimum under STRING ordering,
-    // which zero-padded rendering makes agree with numeric ordering
+    // string ids through all three paths — local entry gate (default
+    // threshold), forced distributed (threshold 0), and a mid-loop cutover
+    // (threshold between fixpoint and initial edge counts); labels must be
+    // the component minimum under STRING ordering, which zero-padded
+    // rendering makes agree with numeric ordering
+    val sExpected = expected.map { case (k, v) => (f"d$k%06d", f"d$v%06d") }
     val spairs = Create.of(spark, edges.map { case (a, b) => (f"d$a%06d", f"d$b%06d") })
       .toDF("id_a", "id_b")
-    val sgot = Dedup.nearDupClusters(spairs, col("id_a"), col("id_b"), maxIter = 20)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(sgot == expected.map { case (k, v) => (f"d$k%06d", f"d$v%06d") })
+    def srun(threshold: Long) =
+      Dedup.nearDupClusters(spairs, col("id_a"), col("id_b"),
+          maxIter = 20, localThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(srun(1000000L) == sExpected, "string local entry gate")
+    assert(srun(0L) == sExpected, "string distributed path")
+    val initCount = edges.filter(e => e._1 != e._2).distinct.size
+    val fixCount = expected.size - expected.values.toSet.size
+    assert(fixCount < initCount, "trial graph leaves no cutover room")
+    assert(srun(fixCount.toLong) == sExpected, "string mid-loop cutover")
+  }
+
+  test("string ids with supplementary characters: driver order matches Spark's byte order") {
+    // U+1F600 encodes as UTF-8 bytes F0 9F 98 80 — ABOVE "￿" (EF BF
+    // BF) in the unsigned byte order Spark's least()/min() use, but BELOW
+    // it as UTF-16 code units (D83D < FFFF), java.lang.String's natural
+    // order. A driver union-find ranking by String order would elect the
+    // emoji as this component's minimum; the distributed path elects
+    // "￿". Both paths must agree — on the byte order.
+    val emoji = "😀"
+    val edges = Seq((emoji, "￿"), ("b", "a"))
+    val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+    def run(threshold: Long) =
+      Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+          maxIter = 10, localThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = Map(emoji -> "￿", "￿" -> "￿", "a" -> "a", "b" -> "a")
+    assert(run(0L) == expected, "distributed path (ground truth: Spark byte order)")
+    assert(run(1000000L) == expected, "driver union-find must match the byte order")
   }
 }
