@@ -32,6 +32,12 @@ import graft.streaming.{AsOfStream, Stateful}
   * sources closes every pending row. The stream's output (sentinel
   * excluded) must equal the batch result EXACTLY — per left row: the
   * matched right ts and payload, or unmatched.
+  *
+  * Each trial's batch reference additionally runs through the TIME-SLICED
+  * batch plan (`sliceWidth` > 0, the hot-key skew mitigation) at a random
+  * width and asserts row identity — so every random corpus checks THREE
+  * independent implementations against each other: streaming processor,
+  * plain window plan, sliced carry plan.
   */
 class FuzzAsOfStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -123,22 +129,45 @@ class FuzzAsOfStreamSpec extends SparkSpec {
 
   private def batchExpected(
       lefts: Seq[(String, Long, String)], rights: Seq[(String, Long, Long)],
-      direction: String, tolS: Long, allowExact: Boolean = true)
+      direction: String, tolS: Long, allowExact: Boolean = true,
+      sliceWidthUs: Long = 0L)
       : Set[(String, Long, String, Option[Long], Option[Long])] = {
     def ts(s: Long) = new Timestamp(s * 1000)
     val l = lefts.map(e => (e._1, ts(e._2), e._3)).toDF("k", "lts", "label")
     val r = rights.map(e => (e._1, ts(e._2), e._3)).toDF("k", "rts", "v")
-    val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rts", "v"),
-      direction = direction,
-      tolerance = if (direction == "backward") -1L else tolS * 1000000L, // µs
-      allowExactMatches = allowExact)
-    out.select(col("k"), col("lts").cast("long"), col("label"),
-        col("rts").cast("long"), col("v"))
-      .collect()
-      .map(r2 => (r2.getString(0), r2.getLong(1), r2.getString(2),
-        Option(r2.get(3)).map(_.asInstanceOf[Long]),
-        Option(r2.get(4)).map(_.asInstanceOf[Long]))).toSet
+    def run(width: Long) = {
+      val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rts", "v"),
+        direction = direction,
+        tolerance = if (direction == "backward") -1L else tolS * 1000000L, // µs
+        allowExactMatches = allowExact, sliceWidth = width)
+      out.select(col("k"), col("lts").cast("long"), col("label"),
+          col("rts").cast("long"), col("v"))
+        .collect()
+        .map(r2 => (r2.getString(0), r2.getLong(1), r2.getString(2),
+          Option(r2.get(3)).map(_.asInstanceOf[Long]),
+          Option(r2.get(4)).map(_.asInstanceOf[Long]))).toSet
+    }
+    val plain = run(0L)
+    // three-way: every trial's batch reference also runs through the
+    // TIME-SLICED plan at a random width (timestamps slice on
+    // epochMicros) — the sliced rewrite is checked against the plain
+    // plan on every random corpus this suite generates, and the stream
+    // comparison below then ties all three implementations together
+    if (sliceWidthUs > 0L) {
+      val sliced = run(sliceWidthUs)
+      assert(sliced == plain,
+        s"sliced(width=${sliceWidthUs}µs, $direction, tol=${tolS}s, " +
+          s"exact=$allowExact) diverged from the plain batch plan: " +
+          s"sliced-only ${(sliced -- plain).take(3)}, plain-only ${(plain -- sliced).take(3)}")
+    }
+    plain
   }
+
+  /** Random slice width in µs: from one-second slices (maximal carry
+    * traffic over a [0, Rounds·span)s corpus) up to wider than the whole
+    * corpus (the carry never fires — degenerates to the plain plan). */
+  private def randWidthUs(rnd: scala.util.Random): Long =
+    (1L + rnd.nextInt(Rounds * RoundSpanS + 60)) * 1000000L
 
   test(s"randomized streaming asOf (backward + forward) == batch asOf (seed=$Seed)") {
     val rnd = new scala.util.Random(Seed)
@@ -146,18 +175,21 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     for (trial <- 0 until 3) {
       val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + trial)
       val back = feedAndCollect(lefts, rights, "backward", 0L, s"asof_fz_b$trial")
-      val backExp = batchExpected(lefts, rights, "backward", 0L)
+      val backExp = batchExpected(lefts, rights, "backward", 0L,
+        sliceWidthUs = randWidthUs(rnd))
       assert(back == backExp,
         s"trial $trial backward diverged: stream-only ${(back -- backExp).take(3)}, " +
           s"batch-only ${(backExp -- back).take(3)}")
       val tolS = 30L + rnd.nextInt(60)
       val fwd = feedAndCollect(lefts, rights, "forward", tolS, s"asof_fz_f$trial")
-      val fwdExp = batchExpected(lefts, rights, "forward", tolS)
+      val fwdExp = batchExpected(lefts, rights, "forward", tolS,
+        sliceWidthUs = randWidthUs(rnd))
       assert(fwd == fwdExp,
         s"trial $trial forward(tol=${tolS}s) diverged: " +
           s"stream-only ${(fwd -- fwdExp).take(3)}, batch-only ${(fwdExp -- fwd).take(3)}")
       val near = feedAndCollect(lefts, rights, "nearest", tolS, s"asof_fz_n$trial")
-      val nearExp = batchExpected(lefts, rights, "nearest", tolS)
+      val nearExp = batchExpected(lefts, rights, "nearest", tolS,
+        sliceWidthUs = randWidthUs(rnd))
       assert(near == nearExp,
         s"trial $trial nearest(tol=${tolS}s) diverged: " +
           s"stream-only ${(near -- nearExp).take(3)}, batch-only ${(nearExp -- near).take(3)}")
@@ -166,7 +198,8 @@ class FuzzAsOfStreamSpec extends SparkSpec {
       // dominance-GC guard)
       val nearS = feedAndCollect(lefts, rights, "nearest", tolS, s"asof_fz_ns$trial",
         allowExact = false)
-      val nearSExp = batchExpected(lefts, rights, "nearest", tolS, allowExact = false)
+      val nearSExp = batchExpected(lefts, rights, "nearest", tolS, allowExact = false,
+        sliceWidthUs = randWidthUs(rnd))
       assert(nearS == nearSExp,
         s"trial $trial nearest(tol=${tolS}s, strict) diverged: " +
           s"stream-only ${(nearS -- nearSExp).take(3)}, batch-only ${(nearSExp -- nearS).take(3)}")
@@ -188,15 +221,15 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     val (lefts, rights) = mkCorpus(rnd, nKeys = 3)
     val back = feedAndCollect(lefts, rights, "backward", 0L,
       "asof_fz_late_b", latenessS = 60L)
-    assert(back == batchExpected(lefts, rights, "backward", 0L),
+    assert(back == batchExpected(lefts, rights, "backward", 0L, sliceWidthUs = randWidthUs(rnd)),
       "late-arrival backward diverged from batch")
     val fwd = feedAndCollect(lefts, rights, "forward", 45L,
       "asof_fz_late_f", latenessS = 60L)
-    assert(fwd == batchExpected(lefts, rights, "forward", 45L),
+    assert(fwd == batchExpected(lefts, rights, "forward", 45L, sliceWidthUs = randWidthUs(rnd)),
       "late-arrival forward diverged from batch")
     val near = feedAndCollect(lefts, rights, "nearest", 45L,
       "asof_fz_late_n", latenessS = 60L)
-    assert(near == batchExpected(lefts, rights, "nearest", 45L),
+    assert(near == batchExpected(lefts, rights, "nearest", 45L, sliceWidthUs = randWidthUs(rnd)),
       "late-arrival nearest diverged from batch")
   }
 }
