@@ -1944,9 +1944,11 @@ object OracleSql {
         |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
         |corp AS (SELECT * FROM n WHERE id < 400),
         |bat AS (SELECT * FROM n WHERE id >= 400),
-        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
-        |                vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
-        |         FROM corp ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+        |kv AS (SELECT least(65536, greatest(1, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS k FROM n),
+        |cent AS (SELECT cell, cvec, cnorm FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |           vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |    FROM corp), kv WHERE cell < kv.k),
         |sa AS (SELECT id, vec, nrm, cell FROM (
         |    SELECT corp.id, corp.vec, corp.nrm, cent.cell,
         |           row_number() OVER (PARTITION BY corp.id ORDER BY

@@ -1708,11 +1708,21 @@ object Queries {
     * vectors < 400 play the already-deduped corpus (clustered store +
     * persisted centroids); vectors >= 400 are the new batch, each getting
     * a keep/dup verdict against corpus AND batch without re-clustering.
-    * Full DuckDB replay (md5 seeds, 9-dp argmin, 6-dp cosine gate). */
+    * Full DuckDB replay (md5 seeds, 9-dp argmin, 6-dp cosine gate).
+    *
+    * Cluster count is OCCUPANCY-DERIVED ([[Similarity.nlistFor]] over the
+    * total population, capped at the corpus size by the seed limit) — at
+    * sf0.1 and below this is exactly the previous k=8, but at sf1/sf3 it
+    * scales (79/235), keeping the within-cell comparison count linear in
+    * data. The r13 sf3 probe caught the frozen-k=8 version superlinear
+    * (3× data → 13× wall, 46.4 s vs 3.1 s at a 51k batch in ScaleProbe's
+    * SPARK_GRAFT_SEMINCR_ONLY duel); production lifecycle for a store
+    * that outgrows its clustering is [[Similarity.semDedupRecluster]]. */
   def qSemDedupIncr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     val corpus = embs.filter(col("vec_id") < 400)
-    val cents = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = 8)
+    val k = Similarity.nlistFor(embs.count(), targetClusterSize = 256L)
+    val cents = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = k)
     val store = Similarity.semDedupStore(corpus, col("vec_id"), col("embedding"), cents)
     Similarity.semDedupIncremental(embs.filter(col("vec_id") >= 400),
         col("vec_id"), col("embedding"), cents, store, threshold = 0.3)

@@ -89,6 +89,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_COMPACT_ONLY").contains("1")) { compactProbe(); return }
     // run only the dedup-cluster stage breakdown (sf1 candidate graph)
     if (sys.env.get("SPARK_GRAFT_DEDUPCLUSTER_ONLY").contains("1")) { dedupClusterProbe(); return }
+    // run only the incremental-semdedup store-lifecycle duel (sf3 follow-up)
+    if (sys.env.get("SPARK_GRAFT_SEMINCR_ONLY").contains("1")) { semincrDuel(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/root/repo/target/sf_scaled"
     val spark = GraftSession.getOrCreate()
@@ -757,6 +759,89 @@ object ScaleProbe {
     * compaction is ONE job over narrow frames (40-byte digest rows + the
     * id column), cost independent of corpus text; the TTL variant is a
     * row-local filter (zero shuffle). */
+  /** Incremental-SemDeDup lifecycle duel (r13 sf3 follow-up). The sf3
+    * probe caught q_semdedup_incr SUPERLINEAR (warm 5.2 s at sf1 → 67 s at
+    * sf3 for 3× data): the catalog query freezes the cluster count at the
+    * original 400-row corpus's k=8 while the batch grows with SF, so the
+    * within-cell comparison count grows quadratically. The operator knob
+    * that prevents it is occupancy-right clustering
+    * ([[graft.operators.Similarity.nlistFor]] / semDedupRecluster). Two
+    * tables:
+    *  - lifecycle: a FIXED 1.6k-row increment against stores grown ×m —
+    *    frozen k=8 pays occupancy ∝ store size; after semDedupRecluster
+    *    the per-increment cost stays flat;
+    *  - big-batch (the catalog/sf3 shape): one m×1.6k-row batch against
+    *    the fixed 400-row store — frozen k=8 is quadratic in m; deriving
+    *    k from the total population is ~linear.
+    * Recall pin: a probe row duplicating a stored vector must be flagged
+    * under every configuration (identical vectors co-locate at any k). */
+  private def semincrDuel(): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val S = graft.operators.Similarity
+    val embs = GraftSession.table(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = embs.filter(col("vec_id") < 400).localCheckpoint()
+    val unit = embs.filter(col("vec_id") >= 400)
+    val cents8 = S.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = 8)
+    def copies(m: Int): DataFrame = (0 until m).map(i =>
+      unit.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    // the next increment: ids above every grown-store id
+    val inc = unit.select((col("vec_id") + lit(900L * 1000000000L)).as("vec_id"),
+      col("embedding")).localCheckpoint()
+    def maxCell(s: DataFrame): Long =
+      s.groupBy("cell").agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    def wall(runs: Int)(body: => Unit): Double = {
+      val ws = (1 to runs).map(_ => timed("semincr_run")(body)).sorted
+      ws(ws.length / 2)
+    }
+    // a duplicate of stored vec_id=123 must be flagged dup everywhere
+    def recallOk(cents: Array[Array[Double]], store: DataFrame): Boolean = {
+      val probe = embs.filter(col("vec_id") === 123L)
+        .select(lit(999000000000L).as("vec_id"), col("embedding"))
+      S.semDedupIncremental(probe, col("vec_id"), col("embedding"), cents, store,
+        threshold = 0.95).filter(!col("keep")).count() == 1
+    }
+    for (m <- Seq(4, 16, 64)) {
+      val grown = corpus.unionByName(copies(m))
+      val storeF = S.semDedupStore(grown, col("vec_id"), col("embedding"), cents8)
+        .localCheckpoint()
+      val (centsK, storeKRaw) = S.semDedupRecluster(storeF, targetClusterSize = 256L)
+      val storeK = storeKRaw.localCheckpoint()
+      val runs = if (m >= 64) 1 else 3
+      val fz = wall(runs) {
+        S.semDedupIncremental(inc, col("vec_id"), col("embedding"), cents8, storeF)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tn = wall(runs) {
+        S.semDedupIncremental(inc, col("vec_id"), col("embedding"), centsK, storeK)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"duel":"semincr_lifecycle","m":$m,"store_rows":${400 + 1600 * m},"k_tuned":${centsK.length},"frozen_sec":$fz%.3f,"tuned_sec":$tn%.3f,"max_cell_frozen":${maxCell(storeF)},"max_cell_tuned":${maxCell(storeK)},"recall_frozen":${recallOk(cents8, storeF)},"recall_tuned":${recallOk(centsK, storeK)}}""")
+    }
+    val store400 = S.semDedupStore(corpus, col("vec_id"), col("embedding"), cents8)
+      .localCheckpoint()
+    for (m <- Seq(4, 16, 32)) {
+      val batch = copies(m).localCheckpoint()
+      val bn = 1600L * m
+      val runs = if (m >= 32) 1 else 3
+      val fz = wall(runs) {
+        S.semDedupIncremental(batch, col("vec_id"), col("embedding"), cents8, store400)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val kB = S.nlistFor(400L + bn, 256L)
+      val centsB = S.kmeansCentroids(corpus.unionByName(batch), col("vec_id"),
+        col("embedding"), kB)
+      val storeB = S.semDedupStore(corpus, col("vec_id"), col("embedding"), centsB)
+        .localCheckpoint()
+      val tn = wall(runs) {
+        S.semDedupIncremental(batch, col("vec_id"), col("embedding"), centsB, storeB)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"duel":"semincr_bigbatch","m":$m,"batch_rows":$bn,"k_tuned":$kB,"frozen_sec":$fz%.3f,"tuned_sec":$tn%.3f,"recall_frozen":${recallOk(cents8, store400)},"recall_tuned":${recallOk(centsB, storeB)}}""")
+    }
+  }
+
   private def compactProbe(): Unit = {
     val spark = GraftSession.getOrCreate()
     val n = 4000000L

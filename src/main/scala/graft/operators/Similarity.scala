@@ -433,6 +433,30 @@ object Similarity {
         (col("corpus_dup").isNull && col("batch_dup").isNull).as("keep"))
   }
 
+  /** Store lifecycle: re-cluster a grown [[semDedupStore]] at the
+    * occupancy-right cluster count for its CURRENT size. The incremental
+    * path's per-batch cost is |batch| × within-cell occupancy, and
+    * occupancy grows as increments append — a store clustered for its
+    * original size eventually makes every increment pay quadratic
+    * within-cell comparisons (measured: the catalog query's fixed 400-row
+    * corpus at k=8 turns 3× data into 13× wall at sf3; ScaleProbe's
+    * SPARK_GRAFT_SEMINCR_ONLY duel). Periodically re-derive k from the
+    * store size ([[nlistFor]]) and re-assign — the SemDeDup sibling of
+    * [[graft.operators.Dedup.compactStore]]'s lifecycle role. Returns the
+    * fresh centroids (persist via [[graft.sources.Models]]) and the
+    * re-clustered store. Cluster count is a RECALL knob of SemDeDup
+    * itself (coarser cells compare more cross-direction pairs) —
+    * identical vectors still co-locate under ANY k because assignment is
+    * a deterministic argmin — so re-clustering gives exactly the recall a
+    * fresh clustering at the new size would have. 100 TB: one narrow
+    * assignment pass over the store; centroids stay k×dim driver doubles. */
+  def semDedupRecluster(store: DataFrame, targetClusterSize: Long = 256L,
+                        lloydIters: Int = 0): (Array[Array[Double]], DataFrame) = {
+    val k = nlistFor(store.count(), targetClusterSize)
+    val cents = kmeansCentroids(store, col("id"), col("vec"), k, lloydIters)
+    (cents, semDedupStore(store, col("id"), col("vec"), cents))
+  }
+
   /** First-class distributed spherical k-means: md5-seeded centroids
     * ([[md5Seeds]] — engine-neutral, no RNG state), `iters` Lloyd
     * refinement rounds ([[lloydRound]] — per-round cost is one narrow

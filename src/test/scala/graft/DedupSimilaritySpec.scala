@@ -383,6 +383,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.nlistFor(130, targetClusterSize = 2) == 65)
   }
 
+  test("semDedupRecluster: occupancy-right k, same vector set, planted dup still caught") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    // a store that has outgrown its clustering: 600 vectors in k=2 cells
+    val rows = (0L until 600L).map(i =>
+      (i, (0 until dim).map(_ => rnd.nextDouble() - 0.5)))
+    val embs = rows.toDF("id", "vec")
+    val cents2 = Similarity.kmeansCentroids(embs, col("id"), col("vec"), k = 2)
+    val store2 = Similarity.semDedupStore(embs, col("id"), col("vec"), cents2)
+    val (centsK, storeK) = Similarity.semDedupRecluster(store2, targetClusterSize = 50L)
+    // k re-derived from the CURRENT store size, not the original corpus
+    assert(centsK.length == Similarity.nlistFor(600L, 50L))
+    // re-assignment only: the vector population is unchanged
+    assert(storeK.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 600L))
+    // within-cell occupancy — the per-increment cost driver — actually drops
+    def maxCell(s: org.apache.spark.sql.DataFrame) =
+      s.groupBy("cell").count().agg(max("count")).head.getLong(0)
+    assert(maxCell(storeK) < maxCell(store2))
+    // a batch duplicating a stored vector is still caught against the
+    // re-clustered store: identical vectors co-locate under ANY k
+    val probe = Seq((9999L, rows(123)._2)).toDF("id", "vec")
+    val verd = Similarity.semDedupIncremental(probe, col("id"), col("vec"),
+      centsK, storeK, threshold = 0.95).collect()
+    assert(verd.length == 1 && !verd(0).getBoolean(3) && verd(0).getLong(2) == 123L)
+  }
+
   test("quantizeInt8: full-range mapping, scale/2 reconstruction bound, constant vectors") {
     val vecs = Seq(
       (1L, Array(-2.0f, 0.0f, 1.0f, 3.5f)),
