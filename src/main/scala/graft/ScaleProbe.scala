@@ -783,9 +783,12 @@ object ScaleProbe {
     val corpus = embs.filter(col("vec_id") < 400).localCheckpoint()
     val unit = embs.filter(col("vec_id") >= 400)
     val cents8 = S.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = 8)
-    def copies(m: Int): DataFrame = (0 until m).map(i =>
-      unit.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"), col("embedding")))
-      .reduce(_ unionByName _)
+    // one scan regardless of m (a union of m branches re-plans the scan
+    // per branch and bloats the plan tree past m ≈ 100)
+    def copies(m: Int): DataFrame = unit
+      .crossJoin(spark.range(m).select(col("id").as("__i")))
+      .select((col("vec_id") + col("__i") * lit(1000000000L)).as("vec_id"),
+        col("embedding"))
     // the next increment: ids above every grown-store id
     val inc = unit.select((col("vec_id") + lit(900L * 1000000000L)).as("vec_id"),
       col("embedding")).localCheckpoint()
@@ -802,7 +805,7 @@ object ScaleProbe {
       S.semDedupIncremental(probe, col("vec_id"), col("embedding"), cents, store,
         threshold = 0.95).filter(!col("keep")).count() == 1
     }
-    for (m <- Seq(4, 16, 64)) {
+    for (m <- Seq(4, 16, 64, 256)) {
       val grown = corpus.unionByName(copies(m))
       val storeF = S.semDedupStore(grown, col("vec_id"), col("embedding"), cents8)
         .localCheckpoint()
