@@ -43,6 +43,7 @@ class FuzzAsOfStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private val Seed = 20260814L
+  private val N = sys.env.getOrElse("SPARK_GRAFT_ASOFFUZZ_N", "3").toInt
   private val Rounds = 4
   private val PerRound = 30
   private val RoundSpanS = 120
@@ -172,8 +173,8 @@ class FuzzAsOfStreamSpec extends SparkSpec {
   test(s"randomized streaming asOf (backward + forward) == batch asOf (seed=$Seed)") {
     val rnd = new scala.util.Random(Seed)
     var anyStrictDiff = false
-    for (trial <- 0 until 3) {
-      val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + trial)
+    for (trial <- 0 until N) {
+      val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + (trial % 4))
       val back = feedAndCollect(lefts, rights, "backward", 0L, s"asof_fz_b$trial")
       val backExp = batchExpected(lefts, rights, "backward", 0L,
         sliceWidthUs = randWidthUs(rnd))
