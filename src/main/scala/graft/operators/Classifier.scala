@@ -45,15 +45,22 @@ object Classifier {
       val wDf = w.toIndexedSeq.zipWithIndex.collect {
         case (v, b) if v != 0.0 => (b.toLong, v)
       }.toDF("bucket", "wt")
+      // per-doc margins compute ONCE per round: both gradient reads (the
+      // per-bucket join and the bias sum) hit the cached frame — without
+      // this, the bias job recomputed the whole broadcast-join + per-doc
+      // aggregate a second time (~2x redundant work per round, the r13
+      // bench's single most expensive redundancy)
       val z = hashed.join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("cnt") * coalesce(col("wt"), lit(0.0))).as("s"))
-        .select(col("doc_id"), col("y"),
+        .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("s")))) - col("y")).as("err"))
-      val grads = hashed.join(z.select(col("doc_id"), col("err")), "doc_id")
+        .cache()
+      val grads = hashed.join(z, "doc_id")
         .groupBy(col("bucket")).agg(sum(col("err") * col("cnt")).as("g"))
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
       val g0 = z.agg(sum(col("err"))).head().getDouble(0)
+      z.unpersist()
       bias -= lr * g0 / n
       w = w.zipWithIndex.map { case (v, b) => v - lr * grads.getOrElse(b, 0.0) / n }
     }

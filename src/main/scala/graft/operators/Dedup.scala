@@ -405,7 +405,14 @@ object Dedup {
     // sf1 (7M-edge near-clique candidate graph) the swap-union formulation
     // cost 5.2 s just to materialize edges vs ~1.4 s for the pair pipeline
     // itself — measured by ScaleProbe's dedupClusterProbe.
-    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+    // rawEdges keeps SELF-pairs: a doc whose only candidate pair is
+    // (a, a) is still a node of the graph and must appear in the output
+    // (cluster_id = itself). Persisted so the expensive upstream candidate
+    // pipeline computes exactly once; `edges` (self-loops out, distinct)
+    // and `nodes` (ALL endpoints, self-pairs included) both derive from it.
+    val rawEdges = pairs.select(idA.as("src"), idB.as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = rawEdges
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -457,16 +464,15 @@ object Dedup {
         else Some(unionFindLabels(es)(Utf8ByteOrder).toDF("node", "root"))
       }
     }
-    val entryLabels = if (localCapable) driverFinish(edges) else None
-    if (entryLabels.isDefined) {
-      edges.unpersist()
-      return entryLabels.get
-        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
-    }
-    // All nodes ever seen — the star fixpoint only carries non-root nodes,
-    // so roots (component minima) are recovered by a left join at the end.
-    // Edges are undirected, so both endpoint columns contribute nodes.
-    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+    var localLabels: Option[DataFrame] =
+      if (localCapable) driverFinish(edges) else None
+    // All nodes ever seen — derived from rawEdges (BEFORE the self-loop
+    // filter) so a doc whose only pair is a self-pair still reaches the
+    // output. The star fixpoint / union-find labels only carry
+    // edge-connected non-root nodes; everything else (roots and
+    // self-loop-only nodes) self-labels via the final left-join coalesce.
+    // Both endpoint columns contribute nodes (edges are undirected).
+    val nodes = rawEdges.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -504,10 +510,9 @@ object Dedup {
     // truncates lineage to the materialized partitions each round, and
     // ContextCleaner reclaims a round's blocks once its Dataset becomes
     // unreferenced (unlike persist, which pins via CacheManager).
-    var cur = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint(true)
-    var converged = false
-    var localLabels: Option[DataFrame] = None
+    var cur: DataFrame =
+      if (localLabels.isDefined) null else edges.localCheckpoint(true)
+    var converged = localLabels.isDefined
     var i = 0
     while (!converged && localLabels.isEmpty && i < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
@@ -540,7 +545,7 @@ object Dedup {
       }
     }
     if (!converged && localLabels.isEmpty) {
-      edges.unpersist(); nodes.unpersist()
+      rawEdges.unpersist(); edges.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
         s"nearDupClusters: connected-components did not reach the star fixpoint " +
         s"after maxIter=$maxIter alternating large-star/small-star rounds. " +
@@ -560,6 +565,7 @@ object Dedup {
       .join(labels, Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
+    rawEdges.unpersist()
     edges.unpersist()
     nodes.unpersist()
     out

@@ -335,6 +335,16 @@ object Joins {
       s"rightPayload must not collide with left columns: ${rightPayload.intersect(leftCols)}")
     require(!rightPayload.contains("__rts"),
       "rightPayload name __rts is reserved (internal ts field of the payload struct)")
+    // the operator's internal columns: a user column with one of these
+    // names would be silently OVERWRITTEN by withColumn (sliced mode's
+    // __slice/__carry*/__ck<i>) or made ambiguous (__ts/__side/__rp) —
+    // reject loudly instead of corrupting the output
+    val reservedRe = "__(ts|side|rp|slice|carryB|carryF|ck\\d+)".r
+    val reservedHits = (leftCols ++ rightPayload).distinct
+      .filter(c => reservedRe.pattern.matcher(c).matches())
+    require(reservedHits.isEmpty,
+      s"asOf reserves internal column names __ts/__side/__rp/__slice/" +
+        s"__carryB/__carryF/__ck<i>; rename: ${reservedHits.mkString(", ")}")
 
     // the struct carries the right ts internally (first field) so
     // "nearest" can compare distances; output columns are unchanged.

@@ -356,16 +356,26 @@ object AsOfStream {
           decisionTs(t, best(t, hist)) }.min)
       // dominance GC (backward's rule): future lefts may look back at the
       // latest right at-or-before the watermark — keep it, drop older.
-      // STRICT mode adds one guard: a still-pending left at exactly the
-      // dominant's ts needs the right STRICTLY before it (the equal-ts
-      // dominant is not its candidate), so the keep-threshold also drops
-      // to the latest right strictly below the earliest pending left —
-      // at most a handful of extra retained rows, gone once that left
-      // resolves
+      // STRICT mode adds one guard: a left at exactly the dominant's ts
+      // needs the right STRICTLY before it (the equal-ts dominant is not
+      // its candidate). Such a left may be still-pending here, so the
+      // keep-threshold also caps at the earliest pending left. It is
+      // ALSO capped at the watermark itself even with nothing pending —
+      // defense for the lts == wm boundary: under Spark 4.1's admission
+      // rule that row is never admitted in a later batch (the late filter
+      // drops ts <= the previous batch's watermark — LessThanOrEqual in
+      // WatermarkSupport.watermarkExpression, pinned by StreamingSpec and
+      // the boundary case in FuzzAsOfStreamSpec), but one extra retained
+      // row per key buys correctness that doesn't depend on that <= vs <
+      // subtlety ever changing.
       val wmIdx = hist.lastIndexWhere(_._1 <= wm)
       val dominantIdx =
-        if (allowExact || still.isEmpty) wmIdx
-        else math.min(wmIdx, hist.lastIndexWhere(_._1 < still.map(_._1).min))
+        if (allowExact) wmIdx
+        else {
+          val bound =
+            if (still.isEmpty) wm else math.min(wm, still.map(_._1).min)
+          math.min(wmIdx, hist.lastIndexWhere(_._1 < bound))
+        }
       if (dominantIdx > 0)
         hist.take(dominantIdx).foreach { case (ts, _) => rights.removeKey(ts) }
       if (hist.length - math.max(dominantIdx, 0) > 1 && still.isEmpty)

@@ -214,6 +214,56 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     assert(anyStrictDiff, "strict-nearest cell vacuous: no trial differed from exact")
   }
 
+  test("strict-nearest watermark boundary: a cross-batch left at lts == wm never " +
+      "gets a wrong answer after the dominance GC ran at exactly that watermark") {
+    // r13-advice scenario: rights a@10, a@20; the watermark advances to
+    // EXACTLY 20 and the strict-mode dominance GC runs; then a left a@20
+    // arrives in a LATER batch. Under Spark 4.1's admission rule the left
+    // is dropped (the late filter drops ts <= the previous batch's
+    // watermark — LessThanOrEqual in WatermarkSupport.watermarkExpression;
+    // StreamingSpec's backward boundary test observes it), so no a-row may
+    // appear. If a future Spark ever admits the boundary row, the
+    // strict-GC watermark cap retains a@10 and the ONLY acceptable answer
+    // is the true backward match (10, 100) — a no-match row or a forward
+    // match here is the r13 GC bug (dominantIdx = wmIdx deleted a@10).
+    Stateful.requireRocksDBStateStore(spark)
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val leftIn = MemoryStream[(String, Timestamp, String)](spark)
+    val rightIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val out = AsOfStream.asOfJoinNearest(leftIn.toDS(), rightIn.toDS(),
+        toleranceMs = 30000L, allowExactMatches = false)
+      .map(j => (j.key, j.leftTs / 1000, j.left, j.rightTs.map(_ / 1000), j.right))
+    val q = out.toDF("k", "lts", "lbl", "rts", "v")
+      .writeStream.format("memory").queryName("asof_fz_boundary")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      rightIn.addData(("a", ts(10), 100L), ("a", ts(20), 200L))
+      q.processAllAvailable() // watermark reaches exactly 20 after this batch
+      leftIn.addData(("b", ts(20), "B20")) // wm holds at 20; a's GC timer fires
+      q.processAllAvailable()
+      leftIn.addData(("a", ts(20), "L20")) // the boundary left, later batch
+      q.processAllAvailable()
+      leftIn.addData(("zzz", ts(100000), "S")) // close every pending row
+      rightIn.addData(("zzz", ts(100000), 0L))
+      q.processAllAvailable()
+      val aRows = spark.table("asof_fz_boundary").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .filter(_._1 == "a").toSet
+      val correct = Set(("a", 20L, "L20", Some(10L), Some(100L)))
+      assert(aRows.isEmpty || aRows == correct,
+        s"boundary left got a WRONG answer (strict-GC deleted a@10): $aRows")
+      // b@20 sanity: admitted in its batch (late wm lags one batch), no
+      // right within 30s of any b row -> exactly one unmatched final
+      val bRows = spark.table("asof_fz_boundary").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .filter(_._1 == "b").toSet
+      assert(bRows == Set(("b", 20L, "B20", None)), bRows.mkString)
+    } finally q.stop()
+  }
+
   test("lateness trial: displaced (genuinely late) arrivals still converge to the batch answer") {
     // the dominance-GC-under-laggards path: a 60s watermark delay admits
     // rows arriving one round late; pending rows must resolve against the

@@ -86,12 +86,17 @@ class FuzzConnectedComponentsSpec extends SparkSpec {
           }
       }
     }
-    // dirty the edge list: duplicates, swapped orientations, self-loops
+    // dirty the edge list: duplicates, swapped orientations, self-loops —
+    // both on connected nodes AND on fresh ISOLATED nodes whose only pair
+    // is the self-pair (they must still appear in the output, labeled by
+    // themselves; r13's self-loop filter silently dropped them)
+    val loners = fresh(1 + rnd.nextInt(3)).map(x => (x, x))
     val clean = edges.toSeq
     val dirty = clean ++
       rnd.shuffle(clean).take(clean.size / 4) ++
       rnd.shuffle(clean).take(clean.size / 4).map(_.swap) ++
-      clean.take(3).map(e => (e._1, e._1))
+      clean.take(3).map(e => (e._1, e._1)) ++
+      loners
     // permute ids so component minima aren't clustered at low ranges
     val perm = rnd.shuffle((0L until nextId).toVector)
     rnd.shuffle(dirty.map { case (a, b) => (perm(a.toInt), perm(b.toInt)) })
@@ -192,6 +197,26 @@ class FuzzConnectedComponentsSpec extends SparkSpec {
     val fixCount = expected.size - expected.values.toSet.size
     assert(fixCount < initCount, "trial graph leaves no cutover room")
     assert(srun(fixCount.toLong) == sExpected, "string mid-loop cutover")
+  }
+
+  test("a node whose ONLY candidate pair is a self-pair survives on every path") {
+    // the r13 regression: filtering self-loops before deriving the node
+    // set dropped doc 99 (self-pair only) from the output entirely
+    val edges = Seq((1L, 2L), (2L, 3L), (99L, 99L), (1L, 1L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L)
+    val pairs = Create.of(spark, edges).toDF("id_a", "id_b")
+    def run(threshold: Long) =
+      Dedup.nearDupClusters(pairs, col("id_a"), col("id_b"),
+          maxIter = 10, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1000000L) == expected, "driver union-find entry gate")
+    assert(run(0L) == expected, "distributed star rounds")
+    // string-id variant through the entry gate (separate collect path)
+    val spairs = Create.of(spark, edges.map { case (a, b) => (s"d$a", s"d$b") })
+      .toDF("id_a", "id_b")
+    val sGot = Dedup.nearDupClusters(spairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == expected.map { case (k, v) => (s"d$k", s"d$v") })
   }
 
   test("string ids with supplementary characters: driver order matches Spark's byte order") {

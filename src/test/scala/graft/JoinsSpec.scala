@@ -455,6 +455,34 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf rejects reserved internal column names instead of silently overwriting them") {
+    // r13 advice: sliced mode withColumn("__slice", ...) would OVERWRITE a
+    // user column of that name — the guard must fire loudly, in plain and
+    // sliced mode alike, for every internal name family
+    val r = Seq(("a", 1L, 9L)).toDF("k", "rts", "v")
+    for (bad <- Seq("__slice", "__carryB", "__carryF", "__ck0", "__ts", "__side", "__rp")) {
+      val l = Seq(("a", 1L, 0L)).toDF("k", "ts", bad)
+      val e = intercept[IllegalArgumentException] {
+        Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"), sliceWidth = 10L)
+      }
+      assert(e.getMessage.contains(bad), s"guard must name the offender: $bad")
+      intercept[IllegalArgumentException] { // plain mode guards too
+        Joins.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"))
+      }
+    }
+    // payload-side hit
+    val l2 = Seq(("a", 1L)).toDF("k", "ts")
+    val r2 = Seq(("a", 1L, 9L)).toDF("k", "rts", "__carryF")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l2, r2, Seq("k"), "ts", "rts", Seq("__carryF"), sliceWidth = 10L)
+    }
+    // near-miss names stay legal (the regex is anchored, not a prefix scan)
+    val l3 = Seq(("a", 5L, 1L)).toDF("k", "ts", "__slices")
+    val out = Joins.asOf(l3, r2.select(col("k"), col("rts"), col("__carryF").as("v")),
+      Seq("k"), "ts", "rts", Seq("v"), sliceWidth = 10L)
+    assert(out.collect().map(_.getLong(3)).toSeq == Seq(9L))
+  }
+
   test("pointInIntervalJoin: half-open bounds, bin-crossing intervals, empty intervals") {
     val points = Seq(5L, 10L, 19L, 20L, 25L).toDF("p")
     val intervals = Seq(
