@@ -1685,9 +1685,8 @@ object Queries {
     * genuinely separable data. */
   def qQualityClf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (b, w) = Classifier.trainLogReg(docs, col("doc_id"), col("text"),
-      col("lang") === "en", buckets = 512, rounds = 3, lr = 0.5)
-    Classifier.scoreLogReg(docs, col("doc_id"), col("text"), b, w)
+    Classifier.trainAndScore(docs, col("doc_id"), col("text"),
+        col("lang") === "en", buckets = 512, rounds = 3, lr = 0.5)
       .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"),
         col("predicted"))
   }
