@@ -20,9 +20,11 @@ import graft.streaming.Triggers._
   * (window, paneIndex, timing, isFinal, values) for every pane.
   *
   * The interpreter is structurally independent where it counts: node
-  * state lives in a mutable TREE (one object per AST node), not the
-  * engine's path-string-keyed flat map, so path-bookkeeping bugs in the
-  * engine cannot be mirrored; and the scheduler is ~40 lines of direct
+  * state lives in a mutable TREE (one object per AST node — the shared
+  * [[TriggerSim]], also the reference for the merging-session transcript
+  * layer), not the engine's path-string-keyed flat map, so
+  * path-bookkeeping bugs in the engine cannot be mirrored; and the
+  * scheduler is ~40 lines of direct
   * micro-batch modeling (wm = max event ts, timers fire at wm >= expiry
   * — the rule TimerTieProbeSpec pins) with none of the processor's
   * state-store/timer machinery.
@@ -43,28 +45,7 @@ class FuzzTriggerTranscriptSpec extends SparkSpec {
   private val Trials = sys.env.getOrElse("SPARK_GRAFT_TRIGFUZZ_N", "5").toInt
   private val WindowMs = 10000L
 
-  // ------------------------------------------------------------- generator
-
-  private def genLeaf(rnd: scala.util.Random): TriggerAst = rnd.nextInt(8) match {
-    case 0 | 1 => AfterWatermarkT
-    case 2 | 3 | 4 => AfterCountT(1L + rnd.nextInt(3))
-    case 5 => NeverT
-    case _ =>
-      val early = if (rnd.nextBoolean()) Some(AfterCountT(1L + rnd.nextInt(2))) else None
-      val late = if (rnd.nextBoolean()) Some(AfterCountT(1L + rnd.nextInt(2))) else None
-      AfterWatermarkEL(early, late)
-  }
-
-  private def genAst(rnd: scala.util.Random, depth: Int): TriggerAst =
-    if (depth <= 0) genLeaf(rnd)
-    else rnd.nextInt(6) match {
-      case 0 => genLeaf(rnd)
-      case 1 => AfterFirstT(Seq.fill(2 + rnd.nextInt(2))(genAst(rnd, depth - 1)))
-      case 2 => AfterAllT(Seq.fill(2 + rnd.nextInt(2))(genAst(rnd, depth - 1)))
-      case 3 => AfterEachT(Seq.fill(2 + rnd.nextInt(2))(genAst(rnd, depth - 1)))
-      case 4 => RepeatedlyT(genAst(rnd, depth - 1))
-      case 5 => OrFinallyT(genAst(rnd, depth - 1), genAst(rnd, depth - 1))
-    }
+  import TriggerSim.{genAst, build, Sim}
 
   sealed private trait Step
   private case class In(ts: Seq[Long]) extends Step // seconds
@@ -86,107 +67,6 @@ class FuzzTriggerTranscriptSpec extends SparkSpec {
     }
     steps += Wm(3000L) // past every GC horizon: flush/GC everything
     (steps.result(), latenessSec)
-  }
-
-  // ------------------------------------------------- plain-Scala interpreter
-
-  /** Tree-state trigger node simulator (Beam semantics, written against
-    * the RCORE/triggers contract): each node owns its element count /
-    * finished flag directly. */
-  sealed private trait Sim {
-    var fin = false
-    def add(n: Long): Unit
-    def shouldFire(wmPast: Boolean): Boolean
-    def onFire(wmPast: Boolean): Unit
-    def reset(): Unit = { fin = false }
-  }
-  private final class SimNever extends Sim {
-    def add(n: Long): Unit = ()
-    def shouldFire(wmPast: Boolean): Boolean = false
-    def onFire(wmPast: Boolean): Unit = ()
-  }
-  private final class SimWatermark extends Sim {
-    def add(n: Long): Unit = ()
-    def shouldFire(wmPast: Boolean): Boolean = !fin && wmPast
-    def onFire(wmPast: Boolean): Unit = { fin = true }
-  }
-  private final class SimCount(n: Long) extends Sim {
-    private var c = 0L
-    def add(k: Long): Unit = c += k
-    def shouldFire(wmPast: Boolean): Boolean = !fin && c >= n
-    def onFire(wmPast: Boolean): Unit = { c = 0; fin = true }
-    override def reset(): Unit = { c = 0; fin = false }
-  }
-  private final class SimWmEL(early: Option[Sim], late: Sim) extends Sim {
-    private var wmFired = false
-    def add(n: Long): Unit = { early.foreach(_.add(n)); late.add(n) }
-    def shouldFire(wmPast: Boolean): Boolean = !fin && {
-      if (!wmPast) early.exists(_.shouldFire(wmPast))
-      else if (!wmFired) true
-      else late.shouldFire(wmPast)
-    }
-    def onFire(wmPast: Boolean): Unit =
-      if (!wmPast) early.foreach { e => e.onFire(wmPast); e.reset() }
-      else if (!wmFired) { wmFired = true; late.reset() }
-      else { late.onFire(wmPast); late.reset() }
-    override def reset(): Unit = {
-      fin = false; wmFired = false; early.foreach(_.reset()); late.reset()
-    }
-  }
-  private final class SimFirst(cs: Seq[Sim]) extends Sim {
-    def add(n: Long): Unit = cs.foreach(_.add(n))
-    def shouldFire(wmPast: Boolean): Boolean = !fin && cs.exists(_.shouldFire(wmPast))
-    def onFire(wmPast: Boolean): Unit = {
-      cs.foreach(c => if (c.shouldFire(wmPast)) c.onFire(wmPast)); fin = true
-    }
-    override def reset(): Unit = { fin = false; cs.foreach(_.reset()) }
-  }
-  private final class SimAll(cs: Seq[Sim]) extends Sim {
-    def add(n: Long): Unit = cs.foreach(_.add(n))
-    def shouldFire(wmPast: Boolean): Boolean =
-      !fin && cs.forall(c => c.fin || c.shouldFire(wmPast))
-    def onFire(wmPast: Boolean): Unit = {
-      cs.foreach(c => if (!c.fin) c.onFire(wmPast)); fin = true
-    }
-    override def reset(): Unit = { fin = false; cs.foreach(_.reset()) }
-  }
-  private final class SimEach(cs: Seq[Sim]) extends Sim {
-    def add(n: Long): Unit = cs.foreach(_.add(n))
-    def shouldFire(wmPast: Boolean): Boolean =
-      !fin && cs.find(!_.fin).exists(_.shouldFire(wmPast))
-    def onFire(wmPast: Boolean): Unit = {
-      cs.find(!_.fin).foreach(_.onFire(wmPast))
-      if (cs.forall(_.fin)) fin = true
-    }
-    override def reset(): Unit = { fin = false; cs.foreach(_.reset()) }
-  }
-  private final class SimRepeat(c: Sim) extends Sim {
-    def add(n: Long): Unit = c.add(n)
-    def shouldFire(wmPast: Boolean): Boolean = !fin && c.shouldFire(wmPast)
-    def onFire(wmPast: Boolean): Unit = { c.onFire(wmPast); c.reset() }
-    override def reset(): Unit = { fin = false; c.reset() }
-  }
-  private final class SimOrFinally(m: Sim, u: Sim) extends Sim {
-    def add(n: Long): Unit = { m.add(n); u.add(n) }
-    def shouldFire(wmPast: Boolean): Boolean =
-      !fin && (u.shouldFire(wmPast) || m.shouldFire(wmPast))
-    def onFire(wmPast: Boolean): Unit =
-      if (u.shouldFire(wmPast)) fin = true
-      else { m.onFire(wmPast); if (m.fin) m.reset() }
-    override def reset(): Unit = { fin = false; m.reset(); u.reset() }
-  }
-  private def build(t: TriggerAst): Sim = t match {
-    case NeverT => new SimNever
-    case AfterWatermarkT => new SimWatermark
-    case AfterCountT(n) => new SimCount(n)
-    case AfterWatermarkEL(e, l) =>
-      new SimWmEL(e.map(build), build(l.getOrElse(AfterCountT(1))))
-    case AfterFirstT(cs) => new SimFirst(cs.map(build))
-    case AfterAllT(cs) => new SimAll(cs.map(build))
-    case AfterEachT(cs) => new SimEach(cs.map(build))
-    case RepeatedlyT(c) => new SimRepeat(build(c))
-    case OrFinallyT(m, u) => new SimOrFinally(build(m), build(u))
-    case other => sys.error(s"not fuzzed: $other")
   }
 
   private type PaneT = (Long, Int, String, Boolean, Seq[Long])
