@@ -330,13 +330,18 @@ object Triggers {
 
   /** Mutable per-window trigger state: node path →
     * (count, finished, procDeadlineMs; Long.MaxValue = unarmed). */
-  private type TrigState = collection.mutable.Map[String, (Long, Boolean, Long)]
+  private[graft] type TrigState = collection.mutable.Map[String, (Long, Boolean, Long)]
 
   /** Evaluation context: where the watermark stands relative to
-    * end-of-window, and the processing-time clock for AfterProcessingTimeT. */
-  private final case class TrigCtx(wmPastEnd: Boolean, nowProcMs: Long)
+    * end-of-window, and the processing-time clock for AfterProcessingTimeT.
+    * `nowProcMs` is the ONLY processing-time input to every trigger
+    * decision — the pane processors forward Spark's
+    * `getCurrentProcessingTimeInMs()` here, and tests inject a virtual
+    * clock at this seam (TriggersSpec's deterministic
+    * AfterProcessingTime scenarios — no sleeps). */
+  private[graft] final case class TrigCtx(wmPastEnd: Boolean, nowProcMs: Long)
 
-  private object TriggerEval {
+  private[graft] object TriggerEval {
     def childPath(p: String, i: Int): String = s"$p.$i"
     private val NONE = (0L, false, Long.MaxValue)
     private def entry(path: String, st: TrigState) = st.getOrElse(path, NONE)

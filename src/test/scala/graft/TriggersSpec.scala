@@ -204,4 +204,109 @@ class TriggersSpec extends SparkSpec {
       graft.testing.PAssert.inWindow(panes, 10000L, 20000L)(Seq.empty)
     }
   }
+
+  // ------------- virtual-clock AfterProcessingTime scenarios (r13 item 7)
+  // TestStream's processing-time narrowing leaves AfterProcessingTime
+  // cadence wall-clock-approximate at the query level; these drive the
+  // trigger state machine DETERMINISTICALLY through its one proc-time
+  // seam (TrigCtx.nowProcMs — the value the pane processors forward from
+  // getCurrentProcessingTimeInMs), porting the reference transcript rows
+  // (RCORE/triggers/AfterProcessingTimeStateMachine.java + the alignedTo
+  // transform of SDK AfterProcessingTime.java:82). No sleeps anywhere.
+
+  private def freshSt(): Triggers.TrigState =
+    scala.collection.mutable.Map.empty[String, (Long, Boolean, Long)]
+
+  test("virtual clock: AfterProcessingTime arms at the pane's FIRST element, " +
+      "ignores later elements, fires exactly at deadline, then finishes") {
+    import Triggers.{TriggerEval => E, TrigCtx}
+    val t = AfterProcessingTimeT(1000L)
+    val st = freshSt()
+    // pastFirstElementInPane: arm at clock=5000 -> deadline 6000
+    E.addElements(t, "r", st, 1L, nowProcMs = 5000L)
+    assert(!E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 5999L)))
+    // a SECOND element at 5500 must NOT re-arm (deadline stays 6000)
+    E.addElements(t, "r", st, 1L, nowProcMs = 5500L)
+    assert(!E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 5999L)))
+    assert(E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 6000L)),
+      "fires exactly AT the armed deadline, not 5500+1000")
+    E.onFire(t, "r", st, TrigCtx(wmPastEnd = false, 6000L))
+    assert(E.finished("r", st))
+    assert(!E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 99999L)))
+  }
+
+  test("virtual clock: Repeatedly(AfterProcessingTime) re-arms from the NEXT pane's " +
+      "first element after each firing") {
+    import Triggers.{TriggerEval => E, TrigCtx}
+    val t = RepeatedlyT(AfterProcessingTimeT(1000L))
+    val st = freshSt()
+    E.addElements(t, "r", st, 1L, 5000L)
+    assert(E.shouldFire(t, "r", st, TrigCtx(false, 6000L)))
+    E.onFire(t, "r", st, TrigCtx(false, 6000L)) // repeatedly: child resets
+    assert(!E.finished("r", st))
+    // quiescent until the next element; clock alone never fires it
+    assert(!E.shouldFire(t, "r", st, TrigCtx(false, 7200L)))
+    E.addElements(t, "r", st, 1L, 7300L) // new pane's first element
+    assert(!E.shouldFire(t, "r", st, TrigCtx(false, 8299L)))
+    assert(E.shouldFire(t, "r", st, TrigCtx(false, 8300L)))
+  }
+
+  test("virtual clock: alignedTo ceiling-aligns the deadline to the period grid " +
+      "(exact multiples stay; offset shifts the grid)") {
+    import Triggers.{TriggerEval => E, TrigCtx}
+    // delay 500, grid 1000/offset 0: first element at 5200 -> 5700 -> 6000
+    val a = AfterProcessingTimeT(500L, alignPeriodMs = 1000L)
+    val st1 = freshSt()
+    E.addElements(a, "r", st1, 1L, 5200L)
+    assert(!E.shouldFire(a, "r", st1, TrigCtx(false, 5999L)))
+    assert(E.shouldFire(a, "r", st1, TrigCtx(false, 6000L)))
+    // exact multiple: element at 5500 -> 6000, rem 0 -> stays 6000
+    val st2 = freshSt()
+    E.addElements(a, "r", st2, 1L, 5500L)
+    assert(E.shouldFire(a, "r", st2, TrigCtx(false, 6000L)))
+    assert(!E.shouldFire(a, "r", st2, TrigCtx(false, 5999L)))
+    // offset 250 shifts the grid: 5200 -> 5700, (5700-250) mod 1000 = 450,
+    // deadline 5700 + (1000-450) = 6250
+    val b = AfterProcessingTimeT(500L, alignPeriodMs = 1000L, alignOffsetMs = 250L)
+    val st3 = freshSt()
+    E.addElements(b, "r", st3, 1L, 5200L)
+    assert(!E.shouldFire(b, "r", st3, TrigCtx(false, 6249L)))
+    assert(E.shouldFire(b, "r", st3, TrigCtx(false, 6250L)))
+  }
+
+  test("virtual clock: merging windows takes the EARLIEST armed deadline " +
+      "(AfterProcessingTimeStateMachine.onMerge)") {
+    import Triggers.{TriggerEval => E, TrigCtx}
+    val t = AfterProcessingTimeT(1000L)
+    val stA = freshSt(); val stB = freshSt()
+    E.addElements(t, "r", stA, 1L, 5000L) // deadline 6000
+    E.addElements(t, "r", stB, 1L, 7000L) // deadline 8000
+    val merged = E.merge(
+      stA.toList.map { case (p, (c, f, d)) => (p, c, f, d) },
+      stB.toList.map { case (p, (c, f, d)) => (p, c, f, d) })
+    val st = freshSt(); merged.foreach { case (p, c, f, d) => st(p) = (c, f, d) }
+    assert(!E.shouldFire(t, "r", st, TrigCtx(false, 5999L)))
+    assert(E.shouldFire(t, "r", st, TrigCtx(false, 6000L)),
+      "merged deadline must be the EARLIEST constituent deadline")
+  }
+
+  test("virtual clock: AfterWatermarkEL early = AfterProcessingTime fires on the " +
+      "proc-time cadence before the watermark, then hands over to ON_TIME") {
+    import Triggers.{TriggerEval => E, TrigCtx}
+    val t = AfterWatermarkEL(Some(AfterProcessingTimeT(1000L)), None)
+    val st = freshSt()
+    E.addElements(t, "r", st, 2L, 5000L)
+    assert(!E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 5999L)))
+    assert(E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 6000L)))
+    E.onFire(t, "r", st, TrigCtx(wmPastEnd = false, 6000L)) // EARLY; early child resets
+    // re-arms from the NEXT element, not from the firing
+    assert(!E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 9999L)))
+    E.addElements(t, "r", st, 1L, 6400L)
+    assert(E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = false, 7400L)))
+    E.onFire(t, "r", st, TrigCtx(wmPastEnd = false, 7400L))
+    // watermark passes: ON_TIME fires regardless of the proc clock
+    assert(E.shouldFire(t, "r", st, TrigCtx(wmPastEnd = true, 0L)))
+    E.onFire(t, "r", st, TrigCtx(wmPastEnd = true, 0L))
+    assert(!E.finished("r", st), "EL root stays open for late panes")
+  }
 }
