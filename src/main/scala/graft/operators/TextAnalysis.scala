@@ -63,9 +63,21 @@ object TextAnalysis {
     * per-trigram lambda (the interpreted-HOF let-binding idiom — inlining
     * lower(text) into the lambda would recompute it per trigram). Docs
     * with < 3 chars have no trigrams and are absent from the output.
-    * Output: (doc_id, lm_score = round(avg ln p, 6), n_tri). */
+    * Output: (doc_id, lm_score = round(avg ln p, 6), n_tri).
+    *
+    * `maxVocab` (0 = unlimited, the exact self-trained model): cap the
+    * broadcast model to the top-`maxVocab` trigrams by corpus count (ties
+    * by trigram, deterministic). The sf10 ladder measured the UNCAPPED
+    * model's broadcast-build cost drifting ~1.13x over linear per decade
+    * of corpus growth — the vocabulary is bounded by charset³ for clean
+    * text but grows with noise/unicode at a 100 TB crawl. Out-of-vocab
+    * trigrams score the count-1 floor ln(1/total) against the SAME
+    * full-corpus total (kept probabilities stay honest, the floor is a
+    * true lower bound), so every doc still scores and low-score ordering
+    * is preserved for gibberish. */
   def lmTrigramScore(docs: DataFrame, id: Column, text: Column,
-                     materializeTrigrams: Boolean = false): DataFrame = {
+                     materializeTrigrams: Boolean = false,
+                     maxVocab: Int = 0): DataFrame = {
     val docsT = docs.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
     // ONE compiled extraction pass (graft.expressions.CharNgramCounts)
     // emits the already-reduced per-doc map tri → count — no interpreted
@@ -83,20 +95,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("key").as("tri"), col("value").as("cnt"))
       .groupBy(col("doc_id"), col("tri")).agg(sum(col("cnt")).as("cnt"))
     val perDoc = if (materializeTrigrams) perDocRaw.localCheckpoint() else perDocRaw
-    val model = perDoc.groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
+    val modelAll = perDoc.groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
     // Scalar corpus total + broadcast, NOT sum().over(Window.partitionBy()):
     // the unpartitioned window would serialize the whole vocabulary frame
     // through a single-partition WindowExec; the scalar agg is one tiny job
-    // and the cross join broadcasts a single row.
-    val total = model.agg(sum(col("cnt")).as("__total"))
+    // and the cross join broadcasts a single row. The total is over ALL
+    // trigram instances even when the vocab is capped — kept probabilities
+    // stay honest and the OOV floor divides by the same denominator.
+    val total = modelAll.agg(sum(col("cnt")).as("__total"))
+    // vocab cap: orderBy+limit compiles to TakeOrderedAndProject — no full
+    // sort shuffle; tri tiebreak makes the kept set deterministic
+    val model =
+      if (maxVocab > 0) modelAll.orderBy(col("cnt").desc, col("tri").asc).limit(maxVocab)
+      else modelAll
     val logp = model.crossJoin(broadcast(total)).select(col("tri"),
       log(col("cnt").cast("double") / col("__total").cast("double")).as("__logp"))
     // avg over trigram INSTANCES = cnt-weighted average over the reduced
-    // frame; n_tri likewise recovers the instance count
-    perDoc.join(broadcast(logp), "tri")
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("cnt") * col("__logp")) / sum(col("cnt")), 6).as("lm_score"),
-        sum(col("cnt")).as("n_tri"))
+    // frame; n_tri likewise recovers the instance count. Uncapped keeps
+    // the exact inner-join plan; capped left-joins and floors OOV.
+    if (maxVocab <= 0)
+      perDoc.join(broadcast(logp), "tri")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("cnt") * col("__logp")) / sum(col("cnt")), 6).as("lm_score"),
+          sum(col("cnt")).as("n_tri"))
+    else
+      perDoc.join(broadcast(logp), Seq("tri"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("cnt"),
+          coalesce(col("__logp"),
+            log(lit(1.0) / col("__total").cast("double"))).as("__lp"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("cnt") * col("__lp")) / sum(col("cnt")), 6).as("lm_score"),
+          sum(col("cnt")).as("n_tri"))
   }
 
   /** APPROXIMATE subword token count: word-piece regex (letter runs, digit

@@ -55,6 +55,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(out(1L)._1 - expected) < 2e-6, s"${out(1L)._1} vs $expected")
   }
 
+  test("lmTrigramScore maxVocab: capped model floors OOV trigrams, cap >= vocab is identical") {
+    val docs = Seq(
+      (1L, "ababab"), (2L, "ababab"), (3L, "ababab"),
+      (4L, "zqxzqx")).toDF("doc_id", "text")
+    // corpus trigram counts: aba=6, bab=6, zqx=2, qxz=1, xzq=1 (total 16).
+    // cap=2 keeps {aba, bab}; doc 4's trigrams are all OOV -> every
+    // instance scores the count-1 floor ln(1/16)
+    val capped = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"),
+        maxVocab = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(capped(1L)._1 - r6(math.log(6.0 / 16))) < 2e-6,
+      s"kept trigrams keep their full-total probability: $capped")
+    assert(math.abs(capped(4L)._1 - r6(math.log(1.0 / 16))) < 2e-6,
+      s"OOV doc must score the count-1 floor: $capped")
+    assert(capped(4L)._2 == 4, "n_tri still counts every instance")
+    assert(capped(4L)._1 < capped(1L)._1, "gibberish ordering preserved under the cap")
+    // cap >= vocabulary: identical to the uncapped model, row for row
+    val un = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val wide = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"),
+        maxVocab = 100)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(wide == un, s"cap >= vocab must be a no-op: $wide vs $un")
+    // deterministic tiebreak: cap=4 keeps exactly {aba,bab,zqx} + the
+    // lexicographically FIRST of the two count-1 trigrams (qxz < xzq), so
+    // doc 4 scores ln(2/16,1/16,1/16-floor...) — just pin determinism by
+    // running twice
+    val c4a = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"), maxVocab = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c4b = TextAnalysis.lmTrigramScore(docs, col("doc_id"), col("text"), maxVocab = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c4a == c4b, "tie at the cap boundary must resolve deterministically")
+  }
+
   test("charNgramCounts kernel ≡ interpreted transform+substr (multi-byte, surrogates, edges)") {
     // the kernel packs code points, not UTF-16 units or bytes — pin
     // equivalence with the Catalyst lambda form on text where those
