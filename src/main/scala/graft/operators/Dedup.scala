@@ -405,17 +405,25 @@ object Dedup {
     // sf1 (7M-edge near-clique candidate graph) the swap-union formulation
     // cost 5.2 s just to materialize edges vs ~1.4 s for the pair pipeline
     // itself — measured by ScaleProbe's dedupClusterProbe.
-    // rawEdges keeps SELF-pairs: a doc whose only candidate pair is
-    // (a, a) is still a node of the graph and must appear in the output
-    // (cluster_id = itself). Persisted so the expensive upstream candidate
-    // pipeline computes exactly once; `edges` (self-loops out, distinct)
-    // and `nodes` (ALL endpoints, self-pairs included) both derive from it.
-    val rawEdges = pairs.select(idA.as("src"), idB.as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = rawEdges
-      .filter(col("src") =!= col("dst"))
+    // `canon` keeps SELF-pairs without paying a second cache: a self-pair
+    // (a, a) canonicalizes to the marker (a, null) — a doc whose only
+    // candidate pair is a self-pair is still a node of the graph and must
+    // appear in the output (cluster_id = itself). ONE distinct + ONE
+    // persisted frame (same cache volume as an edges-only formulation:
+    // markers add at most one row per self-paired doc); `edges` and
+    // `nodes` are both cheap cached scans of it, so the expensive
+    // upstream candidate pipeline computes exactly once. Rows with a
+    // null endpoint are malformed input and dropped up front (the
+    // pre-r14 `src =!= dst` filter dropped them silently; this keeps
+    // that contract explicit instead of letting a null masquerade as a
+    // self-marker).
+    val canon = pairs.select(idA.as("src"), idB.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"),
+        when(col("dst") =!= col("src"), col("dst")).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = canon.filter(col("dst").isNotNull)
     // Small-graph fast path: near-dup candidate graphs are usually tiny
     // relative to the corpus (pairs above a high similarity threshold).
     // Below `localThreshold` edges, a driver-side union-find replaces
@@ -427,7 +435,7 @@ object Dedup {
     // for DEFAULT-collation strings (doc ids are as often URLs/UUIDs as
     // numbers); collated string types stay distributed because the driver
     // Ordering below matches only UTF8_BINARY semantics.
-    val idType = edges.schema("src").dataType
+    val idType = canon.schema("src").dataType
     val integralId = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
@@ -466,13 +474,15 @@ object Dedup {
     }
     var localLabels: Option[DataFrame] =
       if (localCapable) driverFinish(edges) else None
-    // All nodes ever seen — derived from rawEdges (BEFORE the self-loop
-    // filter) so a doc whose only pair is a self-pair still reaches the
-    // output. The star fixpoint / union-find labels only carry
-    // edge-connected non-root nodes; everything else (roots and
-    // self-loop-only nodes) self-labels via the final left-join coalesce.
-    // Both endpoint columns contribute nodes (edges are undirected).
-    val nodes = rawEdges.select(explode(array(col("src"), col("dst"))).as("node"))
+    // All nodes ever seen — from canon, where a null dst is the
+    // self-pair marker contributing its src — so a doc whose only pair
+    // is a self-pair still reaches the output. The star fixpoint /
+    // union-find labels only carry edge-connected non-root nodes;
+    // everything else (roots and self-loop-only nodes) self-labels via
+    // the final left-join coalesce. Both endpoint columns contribute
+    // nodes (edges are undirected).
+    val nodes = canon
+      .select(explode(array(col("src"), coalesce(col("dst"), col("src")))).as("node"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -545,7 +555,7 @@ object Dedup {
       }
     }
     if (!converged && localLabels.isEmpty) {
-      rawEdges.unpersist(); edges.unpersist(); nodes.unpersist()
+      canon.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
         s"nearDupClusters: connected-components did not reach the star fixpoint " +
         s"after maxIter=$maxIter alternating large-star/small-star rounds. " +
@@ -565,8 +575,7 @@ object Dedup {
       .join(labels, Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
-    rawEdges.unpersist()
-    edges.unpersist()
+    canon.unpersist()
     nodes.unpersist()
     out
   }
