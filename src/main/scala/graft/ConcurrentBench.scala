@@ -63,14 +63,17 @@ object ConcurrentBench {
     // sequential pass: median of `runs` in one thread, one fresh session
     // (same tenancy shape as the workers so the comparison is apples-only)
     val seqSess = spark.newSession()
-    val loadSeq0 = loadavg
     val seqT0 = System.nanoTime()
     val seq = names.map { n =>
       val ts = (1 to runs).map(_ => execute(seqSess, n, sfDir)).filter(_ >= 0).sorted
-      n -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+      // LOWER median for even run counts: ts(size/2) would be the MAX of
+      // runs=2, inflating every seq baseline and understating the
+      // contention ratios this bench exists to gate
+      n -> (if (ts.isEmpty) -1.0 else ts((ts.size - 1) / 2))
     }.toMap
     val seqWallPass = (System.nanoTime() - seqT0) / 1e9 / runs
     val seqTotal = seq.values.filter(_ >= 0).sum
+    val loadSeq = loadavg // sampled at the END of the pass it labels
 
     // concurrent pass: N workers drain a shared queue, one FAIR pool each
     val queue = new ConcurrentLinkedQueue[String]()
@@ -78,7 +81,6 @@ object ConcurrentBench {
     scala.util.Random.shuffle(names).foreach(queue.add) // no sorted-order bias
     val conc = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val done = new CountDownLatch(nThreads)
-    val loadConc0 = loadavg
     val concT0 = System.nanoTime()
     val workers = (0 until nThreads).map { i =>
       val th = new Thread(() => {
@@ -95,6 +97,7 @@ object ConcurrentBench {
     }
     done.await()
     val concWall = (System.nanoTime() - concT0) / 1e9
+    val loadConc = loadavg // trailing average over the concurrent pass
     workers.foreach(_.join(1000))
 
     val ratioFloor = 0.15
@@ -120,7 +123,7 @@ object ConcurrentBench {
         f""""conc_wall":$concWall%.2f,"speedup_vs_seq":${seqWallPass / concWall}%.2f,""" +
         f""""over3x_count":${over3x.size},"over3x":[${over3x.take(10).map(r => "\"" + r._1 + "\"").mkString(",")}]""" +
         maxJson +
-        f""","loadavg_seq":$loadSeq0%.2f,"loadavg_conc":$loadConc0%.2f,""" +
+        f""","loadavg_seq":$loadSeq%.2f,"loadavg_conc":$loadConc%.2f,""" +
         f""""queries":$perQ}}"""
     try {
       java.nio.file.Files.createDirectories(file.getParent)

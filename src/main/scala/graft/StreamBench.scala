@@ -74,6 +74,22 @@ object StreamBench {
 
     val winMs = 60000L
 
+    // checkpoint dirs are deleted after each pipeline's q.stop() —
+    // every run otherwise leaks its full RocksDB state footprint to /tmp
+    val ckptDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+    def startNoop(df: DataFrame): StreamingQuery = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-streambench")
+      ckptDirs += dir
+      df.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", dir.toString).start()
+    }
+    def cleanCkpts(): Unit = {
+      ckptDirs.foreach(d => try {
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      } catch { case _: Throwable => () })
+      ckptDirs.clear()
+    }
+
     /** Drive `q`: per batch, feed `mk(batch)` rows into the stream(s) via
       * `feed`, processAllAvailable; then run `flush` twice (watermark past
       * every GC horizon). Returns throughput/latency/state numbers. */
@@ -93,16 +109,11 @@ object StreamBench {
       val p95 = if (durs.isEmpty) -1L else durs(math.min(durs.size - 1, (durs.size * 95) / 100))
       val states = prog.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
       q.stop()
+      cleanCkpts()
       Res(name, rows, wall, med, p95,
         if (states.isEmpty) -1 else states.max, if (states.isEmpty) -1 else states.last)
     }
 
-    def ckptDir(): String =
-      java.nio.file.Files.createTempDirectory("graft-streambench").toString
-
-    def startNoop(df: DataFrame): StreamingQuery =
-      df.writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", ckptDir()).start()
 
     // ---- fixed windows: batch b covers window b per key --------------------
     def winRows(ks: Seq[String], b: Int): Seq[(String, Timestamp, Long)] = {

@@ -81,13 +81,14 @@ object Classifier {
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("s")))) - col("y")).as("err"))
         .cache()
-      val grads = hashed.join(z, "doc_id")
-        .groupBy(col("bucket")).agg(sum(col("err") * col("cnt")).as("g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-      val g0 = z.agg(sum(col("err"))).head().getDouble(0)
-      z.unpersist()
-      bias -= lr * g0 / n
-      w = w.zipWithIndex.map { case (v, b) => v - lr * grads.getOrElse(b, 0.0) / n }
+      try {
+        val grads = hashed.join(z, "doc_id")
+          .groupBy(col("bucket")).agg(sum(col("err") * col("cnt")).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        val g0 = z.agg(sum(col("err"))).head().getDouble(0)
+        bias -= lr * g0 / n
+        w = w.zipWithIndex.map { case (v, b) => v - lr * grads.getOrElse(b, 0.0) / n }
+      } finally z.unpersist()
     }
     (bias, w)
   }
@@ -123,11 +124,15 @@ object Classifier {
                     buckets: Int = 1 << 16, rounds: Int = 3,
                     lr: Double = 0.5): DataFrame = {
     val hashed = hashedByDoc(docs, id, text, label, buckets)
-    val (bias, w) = trainOnHashed(hashed, buckets, rounds, lr)
-    // score from the cached frame, then materialize so unpersist is safe
-    val out = scoreHashed(hashed.select(col("doc_id"), col("bucket"), col("cnt")),
-      bias, w).localCheckpoint(true)
-    hashed.unpersist()
-    out
+    try {
+      val (bias, w) = trainOnHashed(hashed, buckets, rounds, lr)
+      // score from the cached frame, then materialize the NARROW verdict
+      // frame (one (id, double, bool) row per doc — the minimal state that
+      // lets the feature cache release). Build-time execution is inherent
+      // to this operator either way: training is driver-coordinated, so
+      // constructing the result already ran `rounds` collect jobs.
+      scoreHashed(hashed.select(col("doc_id"), col("bucket"), col("cnt")),
+        bias, w).localCheckpoint(true)
+    } finally hashed.unpersist()
   }
 }

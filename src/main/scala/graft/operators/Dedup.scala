@@ -481,10 +481,13 @@ object Dedup {
     // everything else (roots and self-loop-only nodes) self-labels via
     // the final left-join coalesce. Both endpoint columns contribute
     // nodes (edges are undirected).
+    // NOT persisted: nodes is materialized exactly once (the final
+    // labeled-output join's localCheckpoint), and its one compute is a
+    // cached-canon scan — a persist here would be a pure extra
+    // full-node-set cache write with zero re-reads
     val nodes = canon
       .select(explode(array(col("src"), coalesce(col("dst"), col("src")))).as("node"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Large-star: at each node u with neighbor set N(u), attach every
     // strictly larger neighbor to m = min(N(u) ∪ {u}). Input must be the
@@ -555,7 +558,7 @@ object Dedup {
       }
     }
     if (!converged && localLabels.isEmpty) {
-      canon.unpersist(); nodes.unpersist()
+      canon.unpersist()
       throw new IllegalStateException(
         s"nearDupClusters: connected-components did not reach the star fixpoint " +
         s"after maxIter=$maxIter alternating large-star/small-star rounds. " +
@@ -576,7 +579,6 @@ object Dedup {
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
     canon.unpersist()
-    nodes.unpersist()
     out
   }
 
