@@ -94,7 +94,9 @@ class FuzzSessionTranscriptSpec extends SparkSpec {
     * against the PRE-batch watermark; timers fire once wm reaches them,
     * ascending). */
   private def interpret(trigger: TriggerAst, steps: Seq[Step],
-                        latenessMs: Long, accumulating: Boolean): Set[PaneT] = {
+                        latenessMs: Long, accumulating: Boolean,
+                        assign: (Long, Long) => (Long, Long) = (ts, _) => (ts, ts + GapMs))
+      : Set[PaneT] = {
     final class SWin(var start: Long, var end: Long) {
       val values = scala.collection.mutable.ListBuffer.empty[Long]
       var paneIndex = 0
@@ -118,7 +120,9 @@ class FuzzSessionTranscriptSpec extends SparkSpec {
     }
 
     def addElement(tsMs: Long): Option[SWin] = {
-      val ps = tsMs; val pe = tsMs + GapMs
+      // the engine's WindowFn.assign sees (eventTimeMs, value); the fuzz
+      // corpora feed v = ts seconds, so the same pair is derivable here
+      val (ps, pe) = assign(tsMs, tsMs / 1000)
       if (wm >= pe + latenessMs) return None // too late — no state touched
       val overlapping = wins.filter(o => o.start < pe && ps < o.end).toList
       if (overlapping.exists(_.closed)) return None // closed span: dropped
@@ -209,16 +213,22 @@ class FuzzSessionTranscriptSpec extends SparkSpec {
   // ------------------------------------------------------------ engine run
 
   private def engine(trigger: TriggerAst, steps: Seq[Step], latenessMs: Long,
-                     accumulating: Boolean, sink: String): Set[PaneT] = {
+                     accumulating: Boolean, sink: String,
+                     assign: Option[(Long, Long) => (Long, Long)] = None): Set[PaneT] = {
     val input = MemoryStream[(String, Timestamp, Long)](spark)
     val events = input.toDF().toDF("k", "t", "v")
       .withWatermark("t", "0 seconds")
       .selectExpr("k", "CAST(unix_millis(t) AS LONG) AS ts", "v")
       .as[(String, Long, Long)]
       .filter(_._1 != "__wm")
-    val panes = Triggers.sessionAggregateTriggered(events, collectLongsFn,
-      gapMs = GapMs, trigger = trigger, allowedLatenessMs = latenessMs,
-      accumulating = accumulating)
+    val panes = assign match {
+      case Some(a) => Triggers.mergingWindowAggregate(events, collectLongsFn,
+        (ts: Long, v: Long) => a(ts, v), trigger,
+        allowedLatenessMs = latenessMs, accumulating = accumulating)
+      case None => Triggers.sessionAggregateTriggered(events, collectLongsFn,
+        gapMs = GapMs, trigger = trigger, allowedLatenessMs = latenessMs,
+        accumulating = accumulating)
+    }
     val q = panes.toDF("k", "ws", "we", "vs", "idx", "timing", "fin")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt()).start()
@@ -275,6 +285,37 @@ class FuzzSessionTranscriptSpec extends SparkSpec {
     assert(mergedSeen && earlySeen && lateSeen && finalSeen && multiPane,
       s"coverage hole: merged=$mergedSeen early=$earlySeen late=$lateSeen " +
         s"final=$finalSeen multiPane=$multiPane")
+  }
+
+  test("dynamic-gap merging windows (mergingWindowAggregate, gap read off the value): " +
+      "engine == interpreter") {
+    // the CUSTOM merging-WindowFn path: each element's proto-window width
+    // depends on its VALUE (4/8/12 s by v mod 3) — asymmetric reach, so
+    // element A can pull B into its session while B alone would not reach
+    // A. Only hand-tested before (SessionTriggerSpec dynamic-gap); this
+    // runs the same random corpora/trigger matrix through
+    // mergingWindowAggregate directly.
+    val rnd = new scala.util.Random(Seed + 11)
+    val dynAssign: (Long, Long) => (Long, Long) =
+      (tsMs, v) => (tsMs, tsMs + 4000L + (v % 3) * 4000L)
+    var merged = false
+    var panes = 0
+    val n = math.max(3, Trials / 2)
+    for (trial <- 0 until n) {
+      val ast = genAst(rnd, 2)
+      val (steps, latenessSec) = genSchedule(rnd)
+      val acc = rnd.nextBoolean()
+      val exp = interpret(ast, steps, latenessSec * 1000, acc, dynAssign)
+      val got = engine(ast, steps, latenessSec * 1000, acc,
+        s"sessfz_dyn$trial", Some(dynAssign))
+      assert(got == exp,
+        s"dyn trial $trial diverged\n ast=$ast\n lateness=${latenessSec}s acc=$acc\n " +
+          s"steps=$steps\n engine-only=${(got -- exp).toSeq.sortBy(p => (p._1, p._3))}\n " +
+          s"interp-only=${(exp -- got).toSeq.sortBy(p => (p._1, p._3))}")
+      merged ||= got.exists(_._6.size > 1)
+      panes += got.size
+    }
+    assert(merged && panes > n, s"dynamic-gap cells too sparse: merged=$merged panes=$panes")
   }
 
   test("deterministic merge scenario: a bridge element merges two OPEN sessions; " +
