@@ -472,4 +472,49 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_mhstore")
     }
   }
+
+  test("classifier GD round: margin aggregate and gradient join are exchange-free " +
+      "over the doc_id-partitioned feature cache; rollup = one bucket shuffle") {
+    // the r14 BASELINE claim behind q_quality_clf's 2x: hashedByDoc
+    // repartitions by doc_id ONCE (inside the cache), after which the
+    // per-round margin aggregate satisfies its clustering and the
+    // gradient join co-locates both sides — zero exchanges per round
+    // except the map-side-combined per-bucket rollup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = GraftSession.table(spark, dir, "documents")
+    val hashed = graft.operators.Classifier.hashedByDoc(
+      docs, col("doc_id"), col("text"), col("lang") === "en", 512)
+    try {
+      import spark.implicits._
+      // InMemoryTableScan is a LEAF of the collect traversal, so these
+      // counts see only the per-round plan ABOVE the cache boundary
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan
+          .collect { case _: ShuffleExchangeExec => 1 }.sum
+      val wDf = Seq((1L, 0.5)).toDF("bucket", "wt")
+      val z = hashed.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * coalesce(col("wt"), lit(0.0))).as("s"))
+        .select(col("doc_id"), col("s").as("err"))
+      assert(shuffles(z) == 0,
+        s"margin aggregate must run exchange-free on the doc_id partitioning:\n" +
+          z.queryExecution.executedPlan.toString.take(2000))
+      val grads = hashed.join(z, "doc_id")
+        .groupBy(col("bucket")).agg(sum(col("err") * col("cnt")).as("g"))
+      assert(shuffles(grads) == 1,
+        s"gradient pass = exactly the per-bucket rollup shuffle:\n" +
+          grads.queryExecution.executedPlan.toString.take(2500))
+      // and the rollup partial-aggregates before it moves (<= buckets rows
+      // per partition cross the wire)
+      val gp = grads.queryExecution.executedPlan.toString
+      assert(gp.contains("partial_sum") || gp.contains("partial"),
+        s"bucket rollup must map-side combine:\n${gp.take(2000)}")
+    } finally {
+      hashed.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
