@@ -173,6 +173,7 @@ class FuzzAsOfStreamSpec extends SparkSpec {
   test(s"randomized streaming asOf (backward + forward) == batch asOf (seed=$Seed)") {
     val rnd = new scala.util.Random(Seed)
     var anyStrictDiff = false
+    var anyMatched, anyUnmatched = false
     for (trial <- 0 until N) {
       val (lefts, rights) = mkCorpus(rnd, nKeys = 2 + (trial % 4))
       val back = feedAndCollect(lefts, rights, "backward", 0L, s"asof_fz_b$trial")
@@ -205,9 +206,16 @@ class FuzzAsOfStreamSpec extends SparkSpec {
         s"trial $trial nearest(tol=${tolS}s, strict) diverged: " +
           s"stream-only ${(nearS -- nearSExp).take(3)}, batch-only ${(nearSExp -- nearS).take(3)}")
       anyStrictDiff ||= nearSExp != nearExp
-      assert(backExp.exists(_._4.nonEmpty) && backExp.exists(_._4.isEmpty),
-        s"trial $trial: corpus too trivial (need both matched and unmatched lefts)")
+      // coverage flags aggregate ACROSS trials: a single random corpus can
+      // legitimately have every left matched (e.g. each key's first event
+      // is a right), which is not a harness bug — only ALL trials lacking
+      // one of the two outcomes would be
+      anyMatched ||= backExp.exists(_._4.nonEmpty)
+      anyUnmatched ||= backExp.exists(_._4.isEmpty)
     }
+    assert(anyMatched && anyUnmatched,
+      s"corpus generator too trivial across $N trials: " +
+        s"matched=$anyMatched unmatched=$anyUnmatched")
     // non-triviality: the planted equal-ts rights must make strict and
     // exact nearest genuinely disagree somewhere — otherwise the new
     // cell silently tested nothing
