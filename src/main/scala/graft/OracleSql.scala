@@ -141,6 +141,18 @@ object OracleSql {
       s"(CASE WHEN round(list_dot_product($vec, ${planeList(p, seed)}), 9) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Count-scaled variant: plane p contributes its bit only when
+    * `p < $pExpr` (a column from a kv CTE deriving the plane count from
+    * count(*) with pure INTEGER arithmetic — no float log2 whose ulp at
+    * exact powers of two could disagree with the Scala side). Literals
+    * are generated for all `maxPlanes`; prefix-stability of
+    * planeComponent makes the first p planes identical at every scale. */
+  private def bucketExprScaled(vec: String, maxPlanes: Int, seed: Long,
+                               pExpr: String): String =
+    (0 until maxPlanes).map { p =>
+      s"(CASE WHEN $p < $pExpr AND round(list_dot_product($vec, ${planeList(p, seed)}), 9) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val all: Map[String, String] = Map(
 
     // ------------------------------------------------------------ element-wise
@@ -921,9 +933,11 @@ object OracleSql {
     "q_semdedup" ->
       """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
-        |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
-        |                vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
-        |         FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |kv AS (SELECT least(65536, greatest(1, CAST(ceil(count(*) / 125.0) AS BIGINT))) AS k FROM n),
+        |cent AS (SELECT cell, cvec, cnorm FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
+        |           vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
+        |    FROM v), kv WHERE cell < kv.k),
         |asgn AS (SELECT n.id, n.vec, n.nrm, cent.cell,
         |                round(-list_dot_product(n.vec, cent.cvec) / (n.nrm * cent.cnorm), 9) AS negcos
         |         FROM n CROSS JOIN cent),
@@ -939,9 +953,13 @@ object OracleSql {
 
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |kv AS (SELECT coalesce(min(p), 24) AS p
+         |       FROM (SELECT unnest(range(6, 25)) AS p) ps,
+         |            (SELECT count(*) AS n FROM v) c
+         |       WHERE (CAST(1 AS BIGINT) << p) * 32 >= c.n),
          |b AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
-         |             ${bucketExpr("vec", 6, 42L)} AS bucket
-         |      FROM v)
+         |             ${bucketExprScaled("vec", 24, 42L, "kv.p")} AS bucket
+         |      FROM v, kv)
          |SELECT a.id AS id_a, c.id AS id_b,
          |       round(list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm), 6) AS cos
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id

@@ -1212,19 +1212,36 @@ object Queries {
     * the min-id-representative policy. Threshold 0.3 = this fixture's
     * near-dup regime (near-orthogonal synthetic vectors, see
     * [[qEmbedNearDup]]); 150 of 500 rows get a dup_of verdict. */
+  /** Cluster count is OCCUPANCY-DERIVED (the r13 q_semdedup_incr lesson,
+    * applied to the batch variant after the r14 sf10 bench caught it
+    * frozen at nlist=16: within-cell pairs grow as N²/k, 251 s at 200k
+    * vectors): nlistFor(count, 125) keeps sf0.1 at exactly the previous
+    * k=16 and scales to k=1600 at sf10 — within-cell comparisons stay
+    * linear in N. The oracle derives the same k from count(*). */
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      nlist = 16, threshold = 0.3)
+    Similarity.semDedupAuto(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      threshold = 0.3, targetClusterSize = 125L)
 
-  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     // The synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cosine ≈ 0.51 at sf0.01), so the "near-dup" regime for this
-    // fixture is ≥0.3; planes=6 keeps per-pair bucket-collision probability
-    // high enough to demonstrate recall. Production near-dup would use
-    // ≥0.9 with more planes + multi-table.
-    Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      planes = 6, threshold = 0.3)
+    // fixture is ≥0.3. Planes are OCCUPANCY-DERIVED (r14 sf10 ladder:
+    // frozen planes=6 means within-bucket pairs grow as N²/64 — 25.8 s at
+    // 200k vectors, superlinear past sf3): the smallest p in [6, 24] with
+    // 2^p buckets ≥ n/32 keeps expected occupancy ≤ 32. PURE INTEGER
+    // derivation so the DuckDB kv CTE lands on the identical p at every
+    // scale (a float log2 could differ by one at exact powers of two);
+    // the plane matrix is prefix-stable, so p=6 (all driver SFs) is
+    // bit-identical to the previous fixed-plane query. Production
+    // near-dup would use threshold ≥0.9 with multi-table probing
+    // (lshTopKAuto); the floor of 6 preserves this fixture's recall demo.
+    val embs = t(s, dir, "embeddings")
+    val n = embs.count()
+    val planes = (6 to 24).find(p => (1L << p) * 32 >= n).getOrElse(24)
+    Dedup.embeddingNearDup(embs, col("vec_id"), col("embedding"),
+      planes = planes, threshold = 0.3)
       .withColumn("cos", round(col("cos"), 6))
+  }
 
   def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"), col("doc_id"))
