@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming._
   *    the same retention argument as Flink's temporal-join state cleanup.
   *
   * Late data: Spark's stateful operators DROP input rows older than the
-  * global (min-across-sources) watermark before they reach the processor,
+  * global (min-across-sources) watermark before they reach the processor
+  * (including, before any batch has run, rows at event time <= epoch 0 —
+  * the initial watermark is 0 and the late filter drops ts <= wm; this
+  * is Spark-wide behavior for every watermarked operator, not specific
+  * to this join),
   * so admission is governed entirely by the `lateness` watermark delay —
   * and because the dominance GC is keyed to the SAME global watermark,
   * every row that is admitted always finds its complete right history

@@ -42,7 +42,7 @@ import graft.streaming.{AsOfStream, Stateful}
 class FuzzAsOfStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Seed = 20260814L
+  private val Seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260814").toLong
   private val N = sys.env.getOrElse("SPARK_GRAFT_ASOFFUZZ_N", "3").toInt
   private val Rounds = 4
   private val PerRound = 30
@@ -54,7 +54,14 @@ class FuzzAsOfStreamSpec extends SparkSpec {
     val lefts = Seq.newBuilder[(String, Long, String)]
     val rights = Seq.newBuilder[(String, Long, Long)]
     for (r <- 0 until Rounds; i <- 0 until PerRound) {
-      val ts = (r * RoundSpanS + rnd.nextInt(RoundSpanS)).toLong
+      // ts >= 1s: a row at EXACTLY epoch 0 is dropped by Spark's initial
+      // watermark (the late filter drops ts <= wm and the watermark starts
+      // at 0 before any batch) — that applies to every watermarked
+      // stateful operator, built-ins included, so the batch differential
+      // would "miss" it by design. Found by the second-seed sweep (seed
+      // 99331177 drew a ts=0 left); real event-time domains never sit at
+      // 1970-01-01T00:00:00.000.
+      val ts = math.max(1L, (r * RoundSpanS + rnd.nextInt(RoundSpanS)).toLong)
       val k = s"k${rnd.nextInt(nKeys)}"
       if (rnd.nextBoolean()) {
         lefts += ((k, ts, s"L$r-$i"))

@@ -39,7 +39,7 @@ import graft.operators.{Create, Dedup}
 class FuzzConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Seed = 20260815L
+  private val Seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
   private val N = sys.env.getOrElse("SPARK_GRAFT_CCFUZZ_N", "6").toInt
 
   /** Independent reference: plain union-find with union-by-min root. */

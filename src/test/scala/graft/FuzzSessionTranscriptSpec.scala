@@ -48,7 +48,7 @@ import graft.streaming.Triggers._
 class FuzzSessionTranscriptSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Seed = 20260815L
+  private val Seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
   private val Trials = sys.env.getOrElse("SPARK_GRAFT_SESSFUZZ_N", "5").toInt
   private val GapMs = 8000L
 

@@ -41,7 +41,7 @@ import graft.streaming.Triggers._
 class FuzzTriggerTranscriptSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Seed = 20260815L
+  private val Seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
   private val Trials = sys.env.getOrElse("SPARK_GRAFT_TRIGFUZZ_N", "5").toInt
   private val WindowMs = 10000L
 
