@@ -106,6 +106,10 @@ object ConcurrentBench {
       val ratio = if (s >= ratioFloor && c >= 0) c / s else -1.0
       (n, s, c, ratio)
     }
+    // failures are NOT silently excluded from the verdict: a query that
+    // crashes under contention must not read as a healthy summary line
+    val seqFailures = names.count(n => seq(n) < 0)
+    val concFailures = names.count(n => conc.getOrDefault(n, -1.0) < 0)
     val over3x = rows.filter(r => r._4 > 3.0).sortBy(-_._4)
     val maxR = rows.filter(_._4 > 0).maxByOption(_._4)
     val perQ = rows.map { case (n, s, c, r) =>
@@ -120,6 +124,7 @@ object ConcurrentBench {
     val line =
       f"""{"concurrent_bench":{"threads":$nThreads,"sf":"$sfDir","runs":$runs,""" +
         f""""seq_total":$seqTotal%.2f,"seq_pass_wall":$seqWallPass%.2f,""" +
+        f""""seq_failures":$seqFailures,"conc_failures":$concFailures,""" +
         f""""conc_wall":$concWall%.2f,"speedup_vs_seq":${seqWallPass / concWall}%.2f,""" +
         f""""over3x_count":${over3x.size},"over3x":[${over3x.take(10).map(r => "\"" + r._1 + "\"").mkString(",")}]""" +
         maxJson +
@@ -136,7 +141,10 @@ object ConcurrentBench {
     println(
       f"""{"concurrent_summary":{"threads":$nThreads,"seq_pass_wall":$seqWallPass%.2f,""" +
         f""""conc_wall":$concWall%.2f,"speedup":${seqWallPass / concWall}%.2f,""" +
-        f""""over3x_count":${over3x.size}$maxJson}}""")
+        f""""over3x_count":${over3x.size},"seq_failures":$seqFailures,""" +
+        f""""conc_failures":$concFailures$maxJson}}""")
     spark.stop()
+    // a crashing query is a FAILED bench run, whatever the ratios say
+    if (seqFailures + concFailures > 0) sys.exit(1)
   }
 }

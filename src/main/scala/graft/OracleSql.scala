@@ -966,18 +966,32 @@ object OracleSql {
          |WHERE list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) >= 0.3""".stripMargin,
 
     // char-trigram self-LM replayed in full: same trigram grid, same
-    // relative frequencies; ln noise absorbed by the 6dp round
+    // relative frequencies; ln noise absorbed by the 6dp round. The
+    // POPULATION-DERIVED vocab cap (maxVocabFor: docs clamped to
+    // [4096, 65536]) is re-derived here from count(*) and the top-N
+    // selection + OOV floor replayed, so a derivation drift between the
+    // engines breaks the hash — at test SFs the cap exceeds the actual
+    // vocabulary (~400 trigrams), keeping values identical to the
+    // uncapped model while gating the capped CODE PATH end to end
     "q_lm_score" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |cap AS (SELECT LEAST(65536, GREATEST(4096, count(*))) AS mv FROM documents),
         |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
         |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         |              FROM d WHERE len(t) >= 3)),
         |m AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1),
         |tot AS (SELECT sum(cnt) AS total FROM m),
-        |lp AS (SELECT tri, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM m, tot)
-        |SELECT doc_id, round(avg(logp), 6) AS lm_score,
+        |kept AS (SELECT tri, cnt FROM
+        |           (SELECT tri, cnt,
+        |                   row_number() OVER (ORDER BY cnt DESC, tri ASC) AS rn
+        |            FROM m), cap
+        |         WHERE rn <= mv),
+        |lp AS (SELECT tri, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM kept, tot)
+        |SELECT doc_id,
+        |       round(avg(COALESCE(logp, ln(1.0 / (SELECT total FROM tot)))), 6)
+        |         AS lm_score,
         |       count(*) AS n_tri
-        |FROM tri JOIN lp USING (tri) GROUP BY 1""".stripMargin,
+        |FROM tri LEFT JOIN lp USING (tri) GROUP BY 1""".stripMargin,
 
     // context-window chunking replayed in full: same token grid, same
     // integer chunk-boundary arithmetic (stride 24, size 32)
@@ -2031,9 +2045,17 @@ object OracleSql {
 
     // DSIR importance resampling: full replay — hashed unigram+bigram
     // buckets (engine-neutral md5 60-bit hash), smoothed target/raw
-    // multinomials, 6-dp-rounded log-weights, seeded Gumbel top-50
+    // multinomials, 6-dp-rounded log-weights, seeded Gumbel top-50.
+    // The bucket count is POPULATION-DERIVED (Dsir.bucketsFor: one bucket
+    // per 16 docs, clamped to [512, 65536] — integer ceil-division), so
+    // it is re-derived here from count(*): exactly 512 at test SFs
+    // (bit-identical to the old constant), growing at sf1+; a derivation
+    // drift between the engines breaks every hash below
     "q_dsir" ->
-      """WITH d AS (
+      """WITH bk AS (
+        |  SELECT LEAST(65536, GREATEST(512, (count(*) + 15) // 16)) AS b
+        |  FROM documents),
+        |d AS (
         |  SELECT doc_id, lang = 'en' AS is_target,
         |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |                     w -> w <> '') AS words
@@ -2045,18 +2067,18 @@ object OracleSql {
         |  FROM d),
         |hc AS (
         |  SELECT doc_id, is_target,
-        |         CAST(('0x' || substr(md5(ng),1,15)) AS BIGINT) % 512 AS bucket,
+        |         CAST(('0x' || substr(md5(ng),1,15)) AS BIGINT) % b AS bucket,
         |         count(*) AS cnt
-        |  FROM ng GROUP BY 1,2,3),
+        |  FROM ng, bk GROUP BY 1,2,3),
         |model AS (
         |  SELECT bucket, sum(cnt) AS q_cnt,
         |         sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt
         |  FROM hc GROUP BY 1),
         |tot AS (SELECT sum(q_cnt) AS qt, sum(t_cnt) AS tt FROM model),
         |dl AS (SELECT bucket,
-        |              ln((t_cnt + 1.0)/(tt + 512.0)) -
-        |              ln((q_cnt + 1.0)/(qt + 512.0)) AS dlogp
-        |       FROM model, tot),
+        |              ln((t_cnt + 1.0)/(tt + 1.0 * b)) -
+        |              ln((q_cnt + 1.0)/(qt + 1.0 * b)) AS dlogp
+        |       FROM model, tot, bk),
         |w AS (
         |  SELECT hc.doc_id, round(sum(cnt * dlogp), 6) + 0.0 AS dsir_logw
         |  FROM hc JOIN dl USING (bucket) WHERE NOT is_target GROUP BY 1),

@@ -23,6 +23,19 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Memoized table row count for the population-derived parameter
+    * builders (qEmbedNearDup's planes, qLmScore's vocab cap, qDsir's
+    * bucket count): the count is a property of the DATA, not the session,
+    * so one scan per (dir, table) serves every builder invocation —
+    * repeated builds (ConcurrentBench workers, plan audits) no longer pay
+    * a table scan each. Unbounded only by the number of distinct test
+    * dirs (a handful). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  private[graft] def tableCount(s: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name),
+      _ => java.lang.Long.valueOf(t(s, dir, name).count()))
+
   /** Exact integer cents from a cents-aligned (or computed) double. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
@@ -555,25 +568,36 @@ object Queries {
   }
 
   /** Build-time scope for the RangeJoinRewrite width conf (shared by the
-    * q_range_rewrite / q_overlap_rewrite builders): force the optimizer on
-    * `naive` with the conf set, require the rewrite fired (the plan
-    * carries the bucketed __bin join), restore the conf, and return the
-    * frame carrying the already-rewritten plan — nothing leaks into the
-    * session, and later executions re-optimize an already-bucketed plan. */
+    * q_range_rewrite / q_overlap_rewrite builders): apply the REWRITE RULE
+    * directly to the analyzed `naive` plan with the conf set, require it
+    * fired (the plan carries the bucketed __bin join), restore the conf,
+    * and return the frame carrying the already-rewritten plan — nothing
+    * leaks into the session, and execution optimizes the bucketed plan
+    * once (the rewrite is idempotent: its join condition is equalities
+    * only, so the session-injected rule instance finds nothing to match).
+    *
+    * Deliberately NOT `queryExecution.optimizedPlan`: forcing the FULL
+    * optimizer at build time was measured as the one 8-way-FAIR
+    * contention outlier (ConcurrentBench r14: q_range_rewrite_ts 3.25×
+    * its isolated pace, all of it driver-side plan work — the optimizer
+    * ran once at build and again at execution). One rule application over
+    * the analyzed tree is the cheap sufficient step: the rule matches the
+    * as-written join condition (bare attribute comparisons), which
+    * analysis preserves. */
   private def withBucketWidth(s: SparkSession, widthUs: Long,
                               naive: DataFrame, tag: String): DataFrame = {
     val widthConf = "spark.graft.rangeJoin.bucketWidth"
     val prev = s.conf.getOption(widthConf)
     s.conf.set(widthConf, widthUs.toString)
     try {
-      val optimized = naive.queryExecution.optimizedPlan
+      val rewritten = graft.plans.RangeJoinRewrite(s)(naive.queryExecution.analyzed)
       // STRUCTURAL fired-check, not a plan-string grep (shared with the
       // ScaleProbe duels): a rename of the temp column fails this require
       // loudly instead of silently weakening it.
-      require(graft.plans.PlanLint.binJoinFired(optimized),
+      require(graft.plans.PlanLint.binJoinFired(rewritten),
         s"$tag: RangeJoinRewrite did not fire on the naive plan " +
-          s"(no join keyed on a __bin attribute):\n${optimized.toString.take(2000)}")
-      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, optimized)
+          s"(no join keyed on a __bin attribute):\n${rewritten.toString.take(2000)}")
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(s, rewritten)
     } finally prev match {
       case Some(v) => s.conf.set(widthConf, v)
       case None => s.conf.unset(widthConf)
@@ -1219,8 +1243,9 @@ object Queries {
     * k=16 and scales to k=1600 at sf10 — within-cell comparisons stay
     * linear in N. The oracle derives the same k from count(*). */
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupAuto(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      threshold = 0.3, targetClusterSize = 125L)
+    Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      nlist = Similarity.nlistFor(tableCount(s, dir, "embeddings"), 125L),
+      threshold = 0.3)
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     // The synthetic embeddings are near-orthogonal random vectors (max
@@ -1236,7 +1261,7 @@ object Queries {
     // near-dup would use threshold ≥0.9 with multi-table probing
     // (lshTopKAuto); the floor of 6 preserves this fixture's recall demo.
     val embs = t(s, dir, "embeddings")
-    val n = embs.count()
+    val n = tableCount(s, dir, "embeddings")
     val planes = (6 to 24).find(p => (1L << p) * 32 >= n).getOrElse(24)
     Dedup.embeddingNearDup(embs, col("vec_id"), col("embedding"),
       planes = planes, threshold = 0.3)
@@ -1386,9 +1411,19 @@ object Queries {
     * oracle replays the whole self-trained model — same trigram grid,
     * same relative frequencies, ln-probability averages rounded to 6dp
     * (ln is ±1 ulp across engines; the per-doc average is ~1e-15 relative
-    * noise, far below the rounding grain). */
+    * noise, far below the rounding grain).
+    *
+    * The model vocabulary is POPULATION-CAPPED ([[TextAnalysis
+    * .maxVocabFor]] over the document count — the r14 sf10 ladder's only
+    * superlinear drift was this broadcast model's build cost): the oracle
+    * derives the identical cap from count(*) and replays the top-N
+    * selection + OOV floor, so the derivation sits inside the
+    * engine-vs-oracle differential like nlistFor. At driver SFs the cap
+    * (≥4096) exceeds the actual trigram vocabulary (~400 rows), so kept
+    * values are identical to the uncapped model. */
   def qLmScore(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.lmTrigramScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+    TextAnalysis.lmTrigramScore(t(s, dir, "documents"), col("doc_id"), col("text"),
+      maxVocab = TextAnalysis.maxVocabFor(tableCount(s, dir, "documents")))
 
   /** Context-window chunking (TextAnalysis.chunkTokens): 32-token chunks
     * advancing by 24 (8-token overlap); pure integer index arithmetic, so
@@ -1737,7 +1772,7 @@ object Queries {
   def qSemDedupIncr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     val corpus = embs.filter(col("vec_id") < 400)
-    val k = Similarity.nlistFor(embs.count(), targetClusterSize = 256L)
+    val k = Similarity.nlistFor(tableCount(s, dir, "embeddings"), targetClusterSize = 256L)
     val cents = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = k)
     val store = Similarity.semDedupStore(corpus, col("vec_id"), col("embedding"), cents)
     Similarity.semDedupIncremental(embs.filter(col("vec_id") >= 400),
@@ -1768,9 +1803,16 @@ object Queries {
     * models, 6-dp-rounded weights before the seeded Gumbel perturbation,
     * salted bounded top-k (never a global rank window). */
   def qDsir(s: SparkSession, dir: String): DataFrame = {
+    // bucket count is POPULATION-DERIVED (Dsir.bucketsFor — one bucket per
+    // 16 docs, floor 512, budget 2^16): exactly 512 at all driver SFs
+    // (bit-identical to the previous constant), growing at sf1+ so hash
+    // collisions don't blur the contrast as the corpus diversifies; the
+    // oracle derives the same count from count(*)
     val w = operators.Dsir.importanceWeights(
       t(s, dir, "documents"), col("doc_id"), col("text"),
-      col("lang") === "en", buckets = 512, alpha = 1.0)
+      col("lang") === "en",
+      buckets = operators.Dsir.bucketsFor(tableCount(s, dir, "documents")),
+      alpha = 1.0)
     val raw = w.filter(!col("is_target"))
       .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
     operators.Dsir.resample(raw, k = 50)

@@ -68,6 +68,11 @@ object StreamBench {
     val nKeys = sys.env.getOrElse("SPARK_GRAFT_SB_KEYS", "2000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_SB_BATCHES", "8").toInt
     val perKey = sys.env.getOrElse("SPARK_GRAFT_SB_ROWS", "64").toInt
+    // the asof pipelines feed perKey/2 rows per SIDE; an odd knob would
+    // silently give them one fewer row per key than the window/session
+    // pipelines — require even so cross-pipeline row counts agree
+    require(perKey % 2 == 0,
+      s"SPARK_GRAFT_SB_ROWS must be even (asof pipelines use perKey/2 per side), got $perKey")
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -67,6 +67,28 @@ object Dsir {
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
       .agg(sum(col("__c")).as("cnt"))
 
+  /** Population-derived bucket count for [[importanceWeights]] — the
+    * SCALING.md meta-rule applied to the hashed feature space: collisions
+    * blur the target/raw contrast once distinct n-grams ≫ buckets, and
+    * distinct n-grams track corpus size, so the hash space grows with the
+    * population (one bucket per `docsPerBucket` documents), floored at
+    * `floor` (tiny corpora keep a stable small space) and hard-capped at
+    * `budget` (the paper's 2^16 — the broadcast-model bound; beyond it
+    * extra buckets buy little contrast at real smoothing levels). Pure
+    * integer ceil-division so a SQL oracle derives the identical count
+    * from count(*): LEAST(budget, GREATEST(floor, (n + dpb - 1) // dpb)).
+    * NOTE: the bucket count is part of the MODEL — score increments
+    * against a persisted model with the model's own bucket count, not a
+    * re-derived one (same contract as randomProject's seed). */
+  def bucketsFor(corpusDocs: Long, docsPerBucket: Int = 16,
+                 floor: Int = 512, budget: Int = 1 << 16): Int = {
+    require(docsPerBucket >= 1 && floor >= 1 && budget >= floor,
+      s"need docsPerBucket >= 1 and budget >= floor >= 1, got " +
+        s"docsPerBucket=$docsPerBucket floor=$floor budget=$budget")
+    val grown = (corpusDocs + docsPerBucket - 1) / docsPerBucket
+    math.min(budget.toLong, math.max(floor.toLong, grown)).toInt
+  }
+
   /** Per-doc importance log-weights against the `isTarget` slice.
     * Output: (doc_id, is_target, dsir_logw) — weights for ALL docs
     * (callers typically resample only the non-target side but scoring the

@@ -75,6 +75,25 @@ object TextAnalysis {
     * full-corpus total (kept probabilities stay honest, the floor is a
     * true lower bound), so every doc still scores and low-score ordering
     * is preserved for gibberish. */
+  /** Population-derived vocabulary cap for [[lmTrigramScore]] — the
+    * SCALING.md bucket-count meta-rule applied to a broadcast MODEL: the
+    * model may keep at most one trigram row per corpus document (a trigram
+    * rarer than one-per-doc carries no more signal than the OOV floor it
+    * would replace), floored at `floor` so small corpora keep the exact
+    * uncapped model (clean-text trigram vocabularies are a few hundred
+    * rows — far under 4096 — so at test SFs the cap NEVER truncates and
+    * values are bit-identical to the uncapped model), and hard-capped at
+    * `budget` rows so the broadcast stays a few MB at ANY corpus size
+    * (the r14 sf10 ladder measured the uncapped model's build cost
+    * drifting ~1.13× over linear per decade — a 100 TB noisy crawl grows
+    * trigram vocab without bound through unicode/noise). Pure integer
+    * arithmetic so a SQL oracle derives the identical cap from count(*). */
+  def maxVocabFor(corpusDocs: Long, floor: Int = 4096, budget: Int = 65536): Int = {
+    require(floor >= 1 && budget >= floor,
+      s"need budget >= floor >= 1, got floor=$floor budget=$budget")
+    math.min(budget.toLong, math.max(floor.toLong, corpusDocs)).toInt
+  }
+
   def lmTrigramScore(docs: DataFrame, id: Column, text: Column,
                      materializeTrigrams: Boolean = false,
                      maxVocab: Int = 0): DataFrame = {

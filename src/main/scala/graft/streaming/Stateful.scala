@@ -104,9 +104,20 @@ object Stateful {
     * SDK/transforms/GroupIntoBatches.java:79 — buffer per key in BagState,
     * flush on size n or on the window-expiry event-time timer). Here:
     * ListState buffer, flush on size n; a per-key event-time timer at
-    * watermark + `flushDelayMs` flushes stragglers. */
+    * watermark + `flushDelayMs` flushes stragglers.
+    *
+    * State-write batching: Beam's contract buffers per key in BagState
+    * but nowhere requires one state op per ELEMENT — and per-row RocksDB
+    * traffic was this operator's entire linear constant (top of the r14
+    * sf10 profile). Rows therefore buffer in MEMORY within one
+    * handleInputRows call (bounded by n — every n-th row flushes — plus
+    * whatever Spark already holds for the call), full batches emit
+    * straight from memory (the stored-prefix read happens only when a
+    * previous call left a partial batch), and state sees at most ONE
+    * appendList + one counter write per (key, call). */
   class GroupIntoBatchesProcessor[K, V](n: Int, flushDelayMs: Long)(
-      implicit vEnc: Encoder[V], kvListEnc: Encoder[(K, List[V])])
+      implicit vEnc: Encoder[V], kvListEnc: Encoder[(K, List[V])],
+      vTag: scala.reflect.ClassTag[V])
       extends StatefulProcessor[K, V, (K, List[V])] {
     @transient private var buf: ListState[V] = _
     @transient private var cnt: ValueState[Long] = _
@@ -120,15 +131,25 @@ object Stateful {
 
     override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[(K, List[V])] = {
       var out = List.empty[(K, List[V])]
-      var pending = if (cnt.exists()) cnt.get() else 0L
+      // stored-prefix length from the PREVIOUS call (0 on a fresh key);
+      // rows of THIS call accumulate in `mem` until a flush or the end
+      var stored = if (cnt.exists()) cnt.get() else 0L
+      val mem = scala.collection.mutable.ArrayBuffer.empty[V]
       rows.foreach { v =>
-        buf.appendValue(v)
-        pending += 1
-        if (pending >= n) {
-          out = (key, buf.get().toList) :: out
-          buf.clear(); pending = 0
+        mem += v
+        if (stored + mem.length >= n) {
+          // batch = stored prefix (state read only when one exists) +
+          // this call's rows, in arrival order — identical contents and
+          // order to the per-row-append formulation
+          val batch =
+            if (stored > 0) buf.get().toList ++ mem.toList else mem.toList
+          out = (key, batch) :: out
+          if (stored > 0) { buf.clear(); stored = 0 }
+          mem.clear()
         }
       }
+      if (mem.nonEmpty) buf.appendList(mem.toArray)
+      val pending = stored + mem.length
       cnt.update(pending)
       if (pending > 0) {
         // straggler-flush timer: fires once the clock (watermark in
@@ -155,7 +176,8 @@ object Stateful {
   def groupIntoBatches[K, V](grouped: KeyValueGroupedDataset[K, V], n: Int,
                              flushDelayMs: Long = 0L,
                              timeMode: TimeMode = TimeMode.EventTime())(
-      implicit vEnc: Encoder[V], outEnc: Encoder[(K, List[V])]): Dataset[(K, List[V])] = {
+      implicit vEnc: Encoder[V], outEnc: Encoder[(K, List[V])],
+      vTag: scala.reflect.ClassTag[V]): Dataset[(K, List[V])] = {
     val ds = grouped.transformWithState(
       new GroupIntoBatchesProcessor[K, V](n, flushDelayMs), timeMode, OutputMode.Append())
     ensureStateStoreCoordinator(ds.sparkSession)
