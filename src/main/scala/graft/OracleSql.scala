@@ -933,7 +933,13 @@ object OracleSql {
     "q_semdedup" ->
       """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
-        |kv AS (SELECT least(65536, greatest(1, CAST(ceil(count(*) / 125.0) AS BIGINT))) AS k FROM n),
+        |kv AS (SELECT least(
+        |         least(65536, greatest(1, CAST(ceil(c.n / 125.0) AS BIGINT))),
+        |         (SELECT min(CAST(1 AS BIGINT) << i)
+        |          FROM (SELECT unnest(range(0, 17)) AS i)
+        |          WHERE (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) >= c.n)
+        |       ) AS k
+        |       FROM (SELECT count(*) AS n FROM n) c),
         |cent AS (SELECT cell, cvec, cnorm FROM (
         |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
         |           vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm
@@ -1968,15 +1974,24 @@ object OracleSql {
         |            ELSE 'head' END AS ppl_bucket
         |FROM sc, thr""".stripMargin,
 
-    // incremental SemDeDup: corpus (<400) clusters via md5 seeds, batch
-    // (>=400) assigned to the SAME cells, verdicts within-cell against
-    // store + smaller-id batch rows; least() ignores NULLs in both engines
+    // incremental SemDeDup: corpus (first 400 ids of every 1e9 id-block —
+    // identity below 2000, so driver SFs match the old `< 400` exactly)
+    // clusters via md5 seeds, batch assigned to the SAME cells, verdicts
+    // within-cell against store + smaller-id batch rows; least() ignores
+    // NULLs in both engines. kv is the r15 BALANCED derivation (occupancy
+    // capped at the integer power-of-two sqrt) — same as q_semdedup.
     "q_semdedup_incr" ->
       """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
-        |corp AS (SELECT * FROM n WHERE id < 400),
-        |bat AS (SELECT * FROM n WHERE id >= 400),
-        |kv AS (SELECT least(65536, greatest(1, CAST(ceil(count(*) / 256.0) AS BIGINT))) AS k FROM n),
+        |corp AS (SELECT * FROM n WHERE id % 1000000000 < 400),
+        |bat AS (SELECT * FROM n WHERE id % 1000000000 >= 400),
+        |kv AS (SELECT least(
+        |         least(65536, greatest(1, CAST(ceil(c.n / 256.0) AS BIGINT))),
+        |         (SELECT min(CAST(1 AS BIGINT) << i)
+        |          FROM (SELECT unnest(range(0, 17)) AS i)
+        |          WHERE (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) >= c.n)
+        |       ) AS k
+        |       FROM (SELECT count(*) AS n FROM n) c),
         |cent AS (SELECT cell, cvec, cnorm FROM (
         |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell,
         |           vec AS cvec, sqrt(list_dot_product(vec, vec)) AS cnorm

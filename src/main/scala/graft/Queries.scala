@@ -1242,9 +1242,15 @@ object Queries {
     * vectors): nlistFor(count, 125) keeps sf0.1 at exactly the previous
     * k=16 and scales to k=1600 at sf10 — within-cell comparisons stay
     * linear in N. The oracle derives the same k from count(*). */
+  /** r15: the cluster count is now the BALANCED derivation
+    * ([[Similarity.nlistBalancedFor]] — occupancy rule capped at the
+    * integer power-of-two √n): the r15 sf30 probe caught the occupancy
+    * rule's n·k centroid-assignment term quadratic (290 s at 600k
+    * vectors). Identical k at all driver SFs and sf1; the oracle's kv CTE
+    * derives the same min(occupancy, pow2-sqrt). */
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      nlist = Similarity.nlistFor(tableCount(s, dir, "embeddings"), 125L),
+      nlist = Similarity.nlistBalancedFor(tableCount(s, dir, "embeddings"), 125L),
       threshold = 0.3)
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -1761,21 +1767,35 @@ object Queries {
     * a keep/dup verdict against corpus AND batch without re-clustering.
     * Full DuckDB replay (md5 seeds, 9-dp argmin, 6-dp cosine gate).
     *
-    * Cluster count is OCCUPANCY-DERIVED ([[Similarity.nlistFor]] over the
-    * total population, capped at the corpus size by the seed limit) — at
-    * sf0.1 and below this is exactly the previous k=8, but at sf1/sf3 it
-    * scales (79/235), keeping the within-cell comparison count linear in
-    * data. The r13 sf3 probe caught the frozen-k=8 version superlinear
-    * (3× data → 13× wall, 46.4 s vs 3.1 s at a 51k batch in ScaleProbe's
-    * SPARK_GRAFT_SEMINCR_ONLY duel); production lifecycle for a store
-    * that outgrows its clustering is [[Similarity.semDedupRecluster]]. */
+    * Cluster count is the BALANCED derivation
+    * ([[Similarity.nlistBalancedFor]] over the total population — at
+    * sf0.1 and below exactly the previous k=8, at sf1/sf3 the occupancy
+    * values 79/235, capped at the power-of-two √n from sf10 up). History
+    * of this query's scale lessons: r13 caught frozen k=8 superlinear at
+    * sf3 (13× wall for 3× data — occupancy fix); r15's sf30 probe caught
+    * the SECOND quadratic, the frozen 400-row corpus capping k at the
+    * seed limit while the batch grew (8.8× for 3× — fixed by the modulo
+    * corpus split so the store grows with scale, plus the balanced k).
+    * Production lifecycle for a store that outgrows its clustering is
+    * [[Similarity.semDedupRecluster]]. */
   def qSemDedupIncr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
-    val corpus = embs.filter(col("vec_id") < 400)
-    val k = Similarity.nlistFor(tableCount(s, dir, "embeddings"), targetClusterSize = 256L)
+    // r15: corpus = the first 400 ids of EVERY 1e9 id-block (Sf1Gen shifts
+    // copies by 1e9), not a frozen 400-row slice — identical membership at
+    // driver SFs (all ids < 2000) but the store now GROWS with scale, the
+    // realistic increment shape. The r15 sf30 probe caught the frozen
+    // fixture superlinear (8.8x wall for 3x data): with the store stuck at
+    // 400 rows the seed limit capped k at 400 while the batch grew, so the
+    // within-cell batch-vs-batch term was quadratic. k is the BALANCED
+    // derivation (same rationale as qSemDedup); the oracle replays both
+    // the modulo corpus split and the kv derivation.
+    val corpus = embs.filter(pmod(col("vec_id"), lit(1000000000L)) < 400)
+    val k = Similarity.nlistBalancedFor(tableCount(s, dir, "embeddings"),
+      targetClusterSize = 256L)
     val cents = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), k = k)
     val store = Similarity.semDedupStore(corpus, col("vec_id"), col("embedding"), cents)
-    Similarity.semDedupIncremental(embs.filter(col("vec_id") >= 400),
+    Similarity.semDedupIncremental(
+        embs.filter(pmod(col("vec_id"), lit(1000000000L)) >= 400),
         col("vec_id"), col("embedding"), cents, store, threshold = 0.3)
       .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"),
         col("dup_of"), col("keep"))

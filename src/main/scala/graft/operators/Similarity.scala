@@ -452,7 +452,7 @@ object Similarity {
     * assignment pass over the store; centroids stay k×dim driver doubles. */
   def semDedupRecluster(store: DataFrame, targetClusterSize: Long = 256L,
                         lloydIters: Int = 0): (Array[Array[Double]], DataFrame) = {
-    val k = nlistFor(store.count(), targetClusterSize)
+    val k = nlistBalancedFor(store.count(), targetClusterSize)
     val cents = kmeansCentroids(store, col("id"), col("vec"), k, lloydIters)
     (cents, semDedupStore(store, col("id"), col("vec"), cents))
   }
@@ -546,13 +546,35 @@ object Similarity {
       math.ceil(corpusCount.toDouble / targetClusterSize.toDouble).toInt))
   }
 
+  /** BALANCED cluster count — [[nlistFor]] capped at the smallest power of
+    * two ≥ √n. The occupancy rule alone (k ∝ n) keeps within-cell pairs
+    * linear but makes the nearest-CENTROID assignment n·k ∝ n² — the r15
+    * sf30 probe measured q_semdedup at 10.3× wall for 3× data from exactly
+    * this term (2.9G assignment dot-products at 600k vectors, k=4800).
+    * Balancing assignment (n·k) against within-cell pairs (n²/k) puts the
+    * optimum at k ≈ √n — the standard IVF sizing (FAISS recommends nlist
+    * ~ 4√n to 16√n for the same reason); total cost then grows as n^1.5,
+    * the exact-in-cell IVF curve, instead of n². The √ is taken as the
+    * smallest power of two p with p² ≥ n — pure INTEGER comparison, so a
+    * SQL oracle derives the identical k (a float sqrt could land on
+    * either side of an exact square). min() keeps small corpora on the
+    * occupancy rule (below the crossover the occupancy k is smaller):
+    * bit-identical to [[nlistFor]] at n = 500/2k/20k (all driver SFs and
+    * sf1); diverges from sf3 up (60k → 256 vs 480; 200k → 512; 600k →
+    * 1024). */
+  def nlistBalancedFor(corpusCount: Long, targetClusterSize: Long = 256L): Int = {
+    var i = 0
+    while (i < 16 && (1L << i) * (1L << i) < corpusCount) i += 1
+    math.min(nlistFor(corpusCount, targetClusterSize), 1 << i)
+  }
+
   /** [[semDedup]] with [[nlistFor]]-derived cluster count. Counts the
     * corpus once; at 100 TB pass a known count to
     * `semDedup(nlist = nlistFor(n))` instead. */
   def semDedupAuto(embs: DataFrame, id: Column, vec: Column,
                    threshold: Double = 0.95, targetClusterSize: Long = 256L,
                    lloydIters: Int = 0): DataFrame =
-    semDedup(embs, id, vec, nlistFor(embs.count(), targetClusterSize),
+    semDedup(embs, id, vec, nlistBalancedFor(embs.count(), targetClusterSize),
       threshold, lloydIters)
 
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
