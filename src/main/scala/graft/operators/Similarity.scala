@@ -568,9 +568,9 @@ object Similarity {
     math.min(nlistFor(corpusCount, targetClusterSize), 1 << i)
   }
 
-  /** [[semDedup]] with [[nlistFor]]-derived cluster count. Counts the
-    * corpus once; at 100 TB pass a known count to
-    * `semDedup(nlist = nlistFor(n))` instead. */
+  /** [[semDedup]] with [[nlistBalancedFor]]-derived cluster count. Counts
+    * the corpus once; at 100 TB pass a known count to
+    * `semDedup(nlist = nlistBalancedFor(n))` instead. */
   def semDedupAuto(embs: DataFrame, id: Column, vec: Column,
                    threshold: Double = 0.95, targetClusterSize: Long = 256L,
                    lloydIters: Int = 0): DataFrame =
