@@ -46,6 +46,51 @@ import graft.streaming.Triggers._
   */
 object StreamBench {
 
+  /** BENCH-ONLY copy of the pre-r15 GroupIntoBatches formulation — one
+    * RocksDB appendValue per ELEMENT plus a full list read per flush —
+    * kept here solely as the comparison arm for the `gib_perrow` pipeline
+    * (the library operator batches its state writes; see
+    * [[graft.streaming.Stateful.GroupIntoBatchesProcessor]]). */
+  private final class PerRowBatcher[K, V](n: Int, flushDelayMs: Long)(
+      implicit vEnc: org.apache.spark.sql.Encoder[V],
+      kvListEnc: org.apache.spark.sql.Encoder[(K, List[V])])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, V, (K, List[V])] {
+    import org.apache.spark.sql.streaming._
+    @transient private var buf: ListState[V] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: K, rows: Iterator[V],
+                                 tv: TimerValues): Iterator[(K, List[V])] = {
+      var out = List.empty[(K, List[V])]
+      var pending = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { v =>
+        buf.appendValue(v)
+        pending += 1
+        if (pending >= n) {
+          out = (key, buf.get().toList) :: out
+          buf.clear(); pending = 0
+        }
+      }
+      cnt.update(pending)
+      if (pending > 0)
+        getHandle.registerTimer(tv.getCurrentWatermarkInMs() + flushDelayMs)
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(K, List[V])] = {
+      val pending = if (cnt.exists()) cnt.get() else 0L
+      if (pending > 0) {
+        val batch = buf.get().toList
+        buf.clear(); cnt.update(0L)
+        Iterator((key, batch))
+      } else Iterator.empty
+    }
+  }
+
   private val sumFn: CombineFn[Long, Long, Long] = new CombineFn[Long, Long, Long] {
     def createAccumulator(): Long = 0L
     def addInput(acc: Long, in: Long): Long = acc + in
@@ -192,6 +237,32 @@ object StreamBench {
         b => in.addData(sessRows(ks, b)), winFlush(in, nb))
     }
 
+    // ---- GroupIntoBatches: the r15 state-write-batching fix, quantified in
+    // STREAMING mode (the 20x q_stateful_batches win was batch-mode). Two
+    // arms over identical feeds: the library processor (one appendList per
+    // key-call) vs a bench-local copy of the pre-r15 per-row-append
+    // formulation — so the ratio isolates exactly the state-traffic change.
+    def gib(name: String, perRowArm: Boolean, ks: Seq[String], nb: Int): Res = {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val in = MemoryStream[(String, Timestamp, Long)](spark)
+      val grouped = in.toDF().toDF("k", "t", "v")
+        .withWatermark("t", "0 seconds")
+        .as[(String, Timestamp, Long)]
+        .filter(_._1 != "__wm")
+        .groupByKey(_._1)
+      val out =
+        if (perRowArm)
+          grouped.transformWithState(
+            new PerRowBatcher[String, (String, Timestamp, Long)](100, 0L),
+            TimeMode.EventTime(), OutputMode.Append())
+        else
+          graft.streaming.Stateful.groupIntoBatches(grouped, n = 100,
+            flushDelayMs = 0L, timeMode = TimeMode.EventTime())
+      val sizes = out.map { case (k, vs) => (k, vs.size) }
+      drive(name, startNoop(sizes.toDF()), ks.size.toLong * nb * perKey, nb,
+        b => in.addData(winRows(ks, b)), winFlush(in, nb))
+    }
+
     // ---- streaming as-of: half rights, half lefts per batch ----------------
     def asof(name: String, direction: String, ks: Seq[String], nb: Int): Res = {
       val leftIn = MemoryStream[(String, Timestamp, String)](spark)
@@ -229,6 +300,7 @@ object StreamBench {
     winBuiltin("warm_wb", wk, 2); winCustom("warm_wc", wk, 2)
     sessBuiltin("warm_sb", wk, 2); sessCustom("warm_sc", wk, 2)
     asof("warm_a", "backward", wk, 2)
+    gib("warm_g", perRowArm = false, wk, 2)
     val results = Seq(
       winBuiltin("win_builtin", keys, nBatches),
       winCustom("win_custom", keys, nBatches),
@@ -236,14 +308,17 @@ object StreamBench {
       sessCustom("sess_custom", keys, nBatches),
       asof("asof_backward", "backward", keys, nBatches),
       asof("asof_forward", "forward", keys, nBatches),
-      asof("asof_nearest", "nearest", keys, nBatches))
+      asof("asof_nearest", "nearest", keys, nBatches),
+      gib("gib_batched", perRowArm = false, keys, nBatches),
+      gib("gib_perrow", perRowArm = true, keys, nBatches))
     results.foreach(r => println(r.json))
     def of(n: String) = results.find(_.name == n).get
     val winRatio = of("win_custom").wallSec / of("win_builtin").wallSec
     val sessRatio = of("sess_custom").wallSec / of("sess_builtin").wallSec
+    val gibRatio = of("gib_perrow").wallSec / of("gib_batched").wallSec
     println(f"""{"stream_bench_summary":{"keys":$nKeys,"batches":$nBatches,""" +
       f""""rows_per_pipeline":${nKeys.toLong * nBatches * perKey},"win_custom_over_builtin":$winRatio%.2f,""" +
-      f""""sess_custom_over_builtin":$sessRatio%.2f}}""")
+      f""""sess_custom_over_builtin":$sessRatio%.2f,"gib_perrow_over_batched":$gibRatio%.2f}}""")
     spark.stop()
   }
 }
