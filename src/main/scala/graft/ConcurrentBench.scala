@@ -64,8 +64,15 @@ object ConcurrentBench {
     // (same tenancy shape as the workers so the comparison is apples-only)
     val seqSess = spark.newSession()
     val seqT0 = System.nanoTime()
+    // Per-RUN failure count across the pass: a query failing some-but-not-
+    // all of its runs still yields a healthy median below, so the median
+    // alone can't carry the failure signal — flaky-under-load queries must
+    // trip the same nonzero-exit gate as hard failures (r15 advice).
+    var seqRunFailures = 0
     val seq = names.map { n =>
-      val ts = (1 to runs).map(_ => execute(seqSess, n, sfDir)).filter(_ >= 0).sorted
+      val all = (1 to runs).map(_ => execute(seqSess, n, sfDir))
+      seqRunFailures += all.count(_ < 0)
+      val ts = all.filter(_ >= 0).sorted
       // LOWER median for even run counts: ts(size/2) would be the MAX of
       // runs=2, inflating every seq baseline and understating the
       // contention ratios this bench exists to gate
@@ -107,8 +114,10 @@ object ConcurrentBench {
       (n, s, c, ratio)
     }
     // failures are NOT silently excluded from the verdict: a query that
-    // crashes under contention must not read as a healthy summary line
-    val seqFailures = names.count(n => seq(n) < 0)
+    // crashes under contention must not read as a healthy summary line.
+    // seq_failures counts every failed RUN (partial failures included),
+    // not just queries whose every run crashed.
+    val seqFailures = seqRunFailures
     val concFailures = names.count(n => conc.getOrDefault(n, -1.0) < 0)
     val over3x = rows.filter(r => r._4 > 3.0).sortBy(-_._4)
     val maxR = rows.filter(_._4 > 0).maxByOption(_._4)

@@ -27,6 +27,16 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Storage floor 0.1 (Spark default 0.5): every persist in this
+      // library is MEMORY_AND_DISK (recomputable lineage or disk-backed
+      // block), so evicting a cached block under pressure costs one disk
+      // read — while the default floor pins half the unified pool away
+      // from execution even when sorts/joins are starving. The failure
+      // mode it prevents is real: the r15 sf30 sweep OOM'd
+      // q_dedup_clusters' star-contraction sorts while half the pool sat
+      // in no-longer-hot verify-join caches (BASELINE.md r16). On a
+      // production cluster the same reasoning holds per executor.
+      .config("spark.memory.storageFraction", "0.1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // transformWithState (stateful ParDo / trigger engine) needs a state

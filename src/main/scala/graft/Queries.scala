@@ -35,6 +35,17 @@ object Queries {
   private[graft] def tableCount(s: SparkSession, dir: String, name: String): Long =
     countCache.computeIfAbsent((dir, name),
       _ => java.lang.Long.valueOf(t(s, dir, name).count()))
+  /** Drop cached counts for `dir`. The cache assumes immutable fixture
+    * dirs; any flow that REWRITES a table at the same path inside one JVM
+    * (generate-then-query probes, fixture regeneration) must call this or
+    * the population-derived k/planes/vocab/buckets silently size from the
+    * stale count while the SQL oracle recomputes count(*) fresh — an
+    * opaque hash mismatch instead of a pointer at the cache (r15 advice).
+    * [[Sf1Gen]] calls it after writing. */
+  private[graft] def invalidateCounts(dir: String): Unit = {
+    val it = countCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
 
   /** Exact integer cents from a cents-aligned (or computed) double. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")

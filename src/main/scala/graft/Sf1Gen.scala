@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sf1 generator (dev tool, r12 verdict item 2): a ×10
@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *  - events shift ts by i·31 days: the 100 TB shape is a LONGER history
   *    at similar density (same users, ×10 the span), which also keeps
   *    per-user as-of/session history genuinely growing
-  *  - documents get a per-copy text suffix (" c<i>") so exact/near-dup
-  *    structure is perturbed rather than multiplied 10-fold, and n_chars
-  *    is updated to keep the n_chars = length(text) invariant the driver
-  *    data holds
+  *  - documents (copies ≥ 1) are SYNTHESIZED per global doc id — see
+  *    [[synthText]] — so the shingle-frequency shape, planted near-dup
+  *    density, and candidate-graph family are identical at every scale
+  *    factor (the r15 copy-suffix scheme degenerated at ×300: every base
+  *    shingle crossed the stop-shingle cap and the residual copy-suffix
+  *    shingles formed 112M-edge per-copy near-cliques); n_chars keeps the
+  *    n_chars = length(text) invariant the driver data holds
   *  - embeddings perturb element 0 by i·0.001f so ANN distances don't
   *    carry 10-way exact ties across copies (tie-rule stress belongs to
   *    the fuzz layers, not the scale gate)
@@ -31,42 +34,112 @@ import org.apache.spark.sql.functions._
 object Sf1Gen {
   private val OFF = 1000000000L
 
+  /** Scale-honest synthetic document text, keyed by GLOBAL doc id only
+    * (r15 verdict item 2). The previous copy-suffix scheme replicated the
+    * 5000 base documents, so at ×300 every base shingle crossed the
+    * maxShingleFreq stop-shingle cap and the sf30 candidate graph was a
+    * structurally different (sparser) family than sf10's — the sweep could
+    * not measure dedup-family scaling at all (BASELINE.md r15 caveat).
+    *
+    * This generator makes the shingle-frequency SHAPE scale-invariant:
+    *  - two-tier vocabulary. Each word position is, with p=0.4, one of 30
+    *    uniform stop words ("w0".."w29") — every stop-stop bigram exceeds
+    *    any realistic frequency cap at EVERY generated SF (≥ ~900 docs per
+    *    bigram from sf1 up), so the capped-out set is the same family at
+    *    every scale — or, with p=0.6, a rare word ("r<k>") from a fixed
+    *    30M-id space, whose doc-frequency stays O(1) per word up to the
+    *    sf100 decade probe (≈5 docs/word at 5M docs). Shared-rare-shingle
+    *    candidates therefore grow LINEARLY with corpus size.
+    *  - planted near-duplicates at constant density. Per 25 consecutive
+    *    base slots: one PAIR (slots 0,1) and one QUAD (slots 10-13) share
+    *    a content seed; variant v ≥ 1 replaces exactly ONE word at a
+    *    v-specific position with a v-specific rare word, so any two group
+    *    members differ in ≤ 2 positions → bigram Jaccard ≈ 0.88-0.95,
+    *    comfortably above the 0.8 verify threshold, and each group is one
+    *    connected component (pairs + 6-edge quad cliques) at every SF.
+    *  - ~100 words/doc (80-120, seed-derived) so the one-word
+    *    perturbations stay far from the 0.8 threshold after the cap
+    *    removes the ~16% stop-stop shingles from both sides equally.
+    *
+    * Everything derives from xxhash64 of (salt, seed, position): a doc's
+    * text is identical whether the corpus holds 50k or 5M docs — one graph
+    * family across the whole SF ladder. Copy 0 stays the verbatim driver
+    * fixture (its tiny-vocabulary shingles are capped out identically at
+    * every generated SF, a constant-size subgraph). */
+  private val RareVocab = 30000000L
+  private def synthText(g: Column): Column = {
+    val b = pmod(g, lit(OFF))
+    val m = pmod(b, lit(25L))
+    val v = when(m < 2, m).when(m >= 10 && m <= 13, m - 10).otherwise(lit(0L))
+    val s = g - v // shared content seed within a planted group
+    val len = lit(80L) + pmod(xxhash64(lit(0), s), lit(41L))
+    val words = transform(sequence(lit(1L), len), j =>
+      when(pmod(xxhash64(lit(1), s, j), lit(10L)) < 4,
+        concat(lit("w"), pmod(xxhash64(lit(2), s, j), lit(30L))))
+      .otherwise(
+        concat(lit("r"), pmod(xxhash64(lit(4), s, j), lit(RareVocab)))))
+    val pos = pmod(xxhash64(lit(5), s, v), len) + 1
+    val rep = concat(lit("r"), pmod(xxhash64(lit(3), s, v), lit(RareVocab)))
+    val arr = when(v === 0, words).otherwise(
+      transform(words, (w, j0) =>
+        when(j0.cast("long") + 1 === pos, rep).otherwise(w)))
+    concat_ws(" ", arr)
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/root/repo/target/sf1"
     val copies = if (args.length > 1) args(1).toInt else 10
+    // optional table filter (args 3+): the sf100 decade probe only needs
+    // documents/embeddings — no reason to write a ×1000 lineitem
+    val onlyTables = args.drop(2).toSet
     val base = "/root/testdata/sf0.1"
     val spark = GraftSession.getOrCreate()
 
-    def copyOf(name: String, i: Int): DataFrame = {
+    // One explode per table instead of a `copies`-branch union: at ×1000
+    // a thousand-branch plan (each branch re-reading the base parquet)
+    // spends minutes in planning alone; the explode is a single scan with
+    // a row-local fan-out.
+    def scaled(name: String): DataFrame = {
       val t = spark.read.parquet(s"$base/$name.parquet")
+      if (Set("region", "nation")(name)) return t
+      val x = t.withColumn("__i",
+        explode(sequence(lit(0L), lit(copies - 1L))))
       def shift(df: DataFrame, cols: String*): DataFrame =
-        cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
-      name match {
-        case "region" | "nation" => t
-        case "customer" => shift(t, "c_custkey")
-        case "supplier" => shift(t, "s_suppkey")
-        case "part"     => shift(t, "p_partkey")
-        case "orders"   => shift(t, "o_orderkey", "o_custkey")
-        case "lineitem" => shift(t, "l_orderkey", "l_partkey", "l_suppkey")
-        case "events"   => shift(t, "event_id")
-          .withColumn("ts", col("ts") + expr(s"INTERVAL ${31 * i} DAY"))
+        cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + col("__i") * OFF))
+      val out = name match {
+        case "customer" => shift(x, "c_custkey")
+        case "supplier" => shift(x, "s_suppkey")
+        case "part"     => shift(x, "p_partkey")
+        case "orders"   => shift(x, "o_orderkey", "o_custkey")
+        case "lineitem" => shift(x, "l_orderkey", "l_partkey", "l_suppkey")
+        case "events"   => shift(x, "event_id")
+          .withColumn("ts", expr("timestampadd(DAY, __i * 31, ts)"))
         case "documents" =>
-          if (i == 0) t
-          else shift(t, "doc_id")
-            .withColumn("text", concat(col("text"), lit(s" c$i")))
-            .withColumn("n_chars", col("n_chars") + lit(2L + i.toString.length))
-        case "embeddings" => shift(t, "vec_id")
+          val synth = shift(x.filter(col("__i") > 0).select(col("doc_id"), col("__i")), "doc_id")
+            .withColumn("text", synthText(col("doc_id")))
+            .select(col("doc_id"), col("text"), lit("en").as("lang"),
+              concat(lit("src"),
+                pmod(xxhash64(lit(9), col("doc_id")), lit(20L))).as("source"),
+              length(col("text")).cast("long").as("n_chars"),
+              col("__i"))
+          t.withColumn("__i", lit(0L)).unionByName(synth)
+        case "embeddings" => shift(x, "vec_id")
           .withColumn("embedding", transform(col("embedding"),
-            (x, j) => when(j === 0, x + lit(i * 0.001f)).otherwise(x)))
+            (v, j) => when(j === 0,
+              v + col("__i").cast("float") * lit(0.001f)).otherwise(v)))
       }
+      out.drop("__i")
     }
 
-    GraftSession.tableNames.foreach { name =>
-      val n = (0 until (if (Set("region", "nation")(name)) 1 else copies))
-        .map(copyOf(name, _)).reduce(_ unionByName _)
-      n.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[sf1gen] $name -> $out/$name.parquet")
-    }
+    GraftSession.tableNames
+      .filter(n => onlyTables.isEmpty || onlyTables(n))
+      .foreach { name =>
+        scaled(name).write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[sf1gen] $name -> $out/$name.parquet")
+      }
+    // the memoized population counts assume immutable dirs; this write
+    // may have replaced tables a prior query in this JVM already counted
+    Queries.invalidateCounts(out)
     spark.stop()
   }
 }

@@ -296,32 +296,68 @@ object Dedup {
   }
 
   /** N-gram Jaccard verification over candidate pairs: docs sharing a
-    * shingle become pairs; |A∩B| counted by the join, |A∪B| = |A|+|B|−|∩|.
-    * Shuffle carries (shingle, id, size) triples. Pairs with huge fanout
-    * (stop-shingles) should be frequency-capped upstream at 100 TB —
-    * `maxShingleFreq` drops shingles seen in more than that many docs. */
+    * shingle become pairs; |A∩B| counted per shared shingle, |A∪B| =
+    * |A|+|B|−|∩|. Pairs with huge fanout (stop-shingles) should be
+    * frequency-capped upstream at 100 TB — `maxShingleFreq` drops shingles
+    * seen in more than that many docs.
+    *
+    * Memory shape (r16 — the r15 sf30 sweep OOM'd the 8 GB harness heap on
+    * the previous formulation's persisted exploded (doc_id, shingle-string)
+    * rows + shingle-string self-join):
+    *  - shingle STRINGS leave the plan immediately: verification needs only
+    *    shingle EQUALITY, so each n-gram collapses to a 64-bit `xxhash64`
+    *    id right after extraction. Every shuffled row downstream is two
+    *    longs, never an n-gram of text (at web scale a 3-shingle is ~30
+    *    bytes; the id is 8). A cross-corpus hash collision would merge two
+    *    distinct shingles (P ≈ distinct²/2⁶⁵ — immaterial below ~10¹²
+    *    distinct shingles, and deterministic either way).
+    *  - the self-join is gone: after the frequency cap, one aggregate packs
+    *    each shingle's doc list into a single row (≤ `maxShingleFreq` ids —
+    *    BOUNDED, which an uncapped collect_list would not be), and the
+    *    (i < j) pair fan-out is a row-local generator over that sorted
+    *    list. Per-task transient peak = one list's pair array
+    *    (≤ maxShingleFreq²/2 structs ≈ 8 MB at the default cap), not a
+    *    join build side.
+    *  - that packed table is the ONLY persisted frame (it feeds the pair
+    *    fan-out and the per-doc sizes): ~16 bytes per (shingle, doc)
+    *    membership, ~4× under the exploded-string cache it replaces;
+    *    Spark's ContextCleaner unpersists it once the returned frame's
+    *    lineage is garbage-collected. The aggregate reuses the frequency
+    *    window's hash partitioning on the shingle id — no extra Exchange. */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         shingleN: Int = 3, threshold: Double = 0.8,
                         maxShingleFreq: Int = 1000, minShingles: Int = 0): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
-    // The capped shingle table feeds FOUR consumers (sizes + both join
-    // sides + the pair join); without persist Catalyst recomputes the
-    // shingle extraction and the frequency window per consumer — ~3× the
-    // runtime at sf0.1, worse at scale. The persisted set is the narrow
-    // (doc_id, shingle) projection only; Spark's ContextCleaner unpersists
-    // it once the returned frame's lineage is garbage-collected.
+      .select(col("doc_id"), xxhash64(col("s")).as("__h"))
     val capped = sh.withColumn("__freq",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("__freq") <= maxShingleFreq)
+    // array_sort = Spark's native ordering (UTF8 binary for strings), the
+    // same order the previous join's `a.doc_id < b.doc_id` used, so emitted
+    // pairs stay canonical (id_a < id_b).
+    val byShingle = capped
+      .groupBy(col("__h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("__docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = capped.as("a"); val b = capped.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val sizes = byShingle.select(explode(col("__docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = byShingle
+      .select(explode(flatten(transform(col("__docs"), (x, i) =>
+        transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // merge-hint both sizes joins: `sizes` is one row per DOC — corpus-
+    // sized — and its narrow rows compress under the adaptive broadcast
+    // threshold at bench SFs, so AQE would otherwise build a driver-side
+    // broadcast of a table that is billions of rows at 100 TB (and OOMs
+    // the 8 GB harness driver at sf30 already). Shuffle-merge is the only
+    // shape that scales on both ends.
     inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")
+        .hint("merge"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b")
+        .hint("merge"), "id_b")
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       // minShingles > 0 demands minimum EVIDENCE: when the stop-shingle cap
@@ -497,7 +533,11 @@ object Dedup {
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
         .select(col("src"), least(col("__mn"), col("src")).as("m"))
-      sym.join(mins, "src")
+      // merge hint: `mins` is one row per NODE — corpus-sized at 100 TB;
+      // its two-long rows compress under the adaptive broadcast threshold
+      // at bench SFs, and a driver-side broadcast of a per-node table is
+      // the wrong shape at any scale (see ngramJaccardPairs' sizes note)
+      sym.join(mins.hint("merge"), "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
@@ -510,7 +550,8 @@ object Dedup {
           least(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst"))
       val grouped = directed.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      directed.join(grouped, "src")
+      // merge hint: per-node table, same rationale as large-star's `mins`
+      directed.join(grouped.hint("merge"), "src")
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(grouped.select(col("src"), col("m").as("dst")))
@@ -575,7 +616,8 @@ object Dedup {
     val labels = localLabels.getOrElse(
       cur.select(col("src").as("node"), col("dst").as("root")))
     val out = nodes
-      .join(labels, Seq("node"), "left")
+      // merge hint: `labels` is per-node — never broadcast (see above)
+      .join(labels.hint("merge"), Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
     canon.unpersist()
