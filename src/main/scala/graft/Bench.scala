@@ -26,12 +26,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Cool-down gate (r15 verdict item 6): three rounds of drift-vs-
+    // regression adjudication came down to "was the box loaded at capture
+    // time". Wait (bounded) for loadavg to drop under the gate before the
+    // timed pass, and record the load at start AND end in the artifact so
+    // the adjudication is mechanical. SPARK_GRAFT_BENCH_COOLDOWN_SECS=0
+    // disables the wait (the loads are still recorded).
+    val coolGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "3.0").toDouble
+    val coolMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SECS", "300").toInt
+    var waited = 0
+    while (loadavg >= coolGate && waited < coolMax) {
+      System.err.println(f"[bench] loadavg ${loadavg}%.1f >= $coolGate%.1f — cooling down ($waited/$coolMax s)")
+      Thread.sleep(15000); waited += 15
+    }
+
     // warmup: one pass at the smallest SF primes codegen/JIT per query shape
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val loadStart = loadavg
 
     val results = names.map { n =>
       val times = (1 to runs).map(_ => execute(n)).filter(_ >= 0).sorted
@@ -44,8 +61,6 @@ object Bench {
     // produced 2-5x inflated per-query walls in past rounds, and without
     // the load average in the JSON that is indistinguishable from a code
     // regression after the fact
-    def loadavg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val load = loadavg
     val ncpu = Runtime.getRuntime.availableProcessors
     if (load > ncpu * 0.5)
@@ -74,7 +89,7 @@ object Bench {
           ",\"recheck_loadavg\":" + f"$loadavg%.2f"
       }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"ncpu":$ncpu""" + recheckJson + "}"
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cooldown_waited_sec":$waited,"ncpu":$ncpu""" + recheckJson + "}"
     println(line)
     // also persist to a file: the driver's stdout tail-capture has
     // truncated the per-query map in past rounds (BENCH_r10 kept 72/144
@@ -91,6 +106,24 @@ object Bench {
       System.err.println(s"[bench] full per-query map written to $benchFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $benchFile write failed: ${e.getMessage}")
+    }
+    // round-stamped archive (r15 verdict item 6): bench_last.json is
+    // overwritten every run and target/ is gitignored, so cross-round
+    // per-query comparison had no committed artifact when the driver's
+    // stdout capture truncated. bench_archive/ lives in the repo proper
+    // (committed at round end); one timestamped file per capture.
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val archiveFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", sys.props("user.dir")),
+      "bench_archive", s"bench_${stamp}_${names.size}q.json").toAbsolutePath
+    try {
+      java.nio.file.Files.createDirectories(archiveFile.getParent)
+      java.nio.file.Files.writeString(archiveFile, line + "\n")
+      System.err.println(s"[bench] archived to $archiveFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $archiveFile write failed: ${e.getMessage}")
     }
     // LAST stdout line is a SHORT summary the driver's tail-capture can
     // never truncate (the full long line above has been head-truncated in

@@ -263,6 +263,40 @@ object StreamBench {
         b => in.addData(winRows(ks, b)), winFlush(in, nb))
     }
 
+    // ---- composite trigger: MANY live windows per key ----------------------
+    // The CompositeTriggerProcessor regime none of the arms above exercise:
+    // `liveWindows` fixed windows per key held open SIMULTANEOUSLY for the
+    // whole run (the watermark lags by liveWindows*winMs), early panes
+    // firing every perWin rows (Repeatedly(AfterCount) under
+    // AfterWatermarkEL) in accumulating mode — live state =
+    // keys × liveWindows window accumulators + per-window trigger-AST
+    // state, the worst case for the trigger engine's state envelope.
+    val liveWindows = 16
+    def compRows(ks: Seq[String], b: Int): Seq[(String, Timestamp, Long)] = {
+      val perWin = math.max(1, perKey / liveWindows)
+      ks.flatMap(k => (0 until perKey).map { j =>
+        val w = j % liveWindows
+        val off = b.toLong * perWin + j / liveWindows
+        (k, new Timestamp(w * winMs + (off % (winMs - 4000)) + 1), j.toLong)
+      })
+    }
+    def compCustom(name: String, ks: Seq[String], nb: Int): Res = {
+      val wmDelayMs = liveWindows * winMs
+      val in = MemoryStream[(String, Timestamp, Long)](spark)
+      val assigned = Triggers.assignFixedWindows(
+        in.toDF().toDF("k", "t", "v")
+          .withWatermark("t", s"${wmDelayMs / 1000} seconds")
+          .as[(String, Timestamp, Long)].filter(_._1 != "__wm"), winMs)
+      val panes = Triggers.triggeredAggregateComposite(assigned, sumFn,
+        trigger = AfterWatermarkEL(
+          Some(RepeatedlyT(AfterCountT(math.max(1, perKey / liveWindows)))), None),
+        windowSizeMs = winMs, accumulating = true)
+      def flush(i: Int): Unit = in.addData(
+        ("__wm", new Timestamp(wmDelayMs + (liveWindows + 4 + 4 * i) * winMs), 0L))
+      drive(name, startNoop(panes.toDF()), ks.size.toLong * nb * perKey, nb,
+        b => in.addData(compRows(ks, b)), flush)
+    }
+
     // ---- streaming as-of: half rights, half lefts per batch ----------------
     def asof(name: String, direction: String, ks: Seq[String], nb: Int): Res = {
       val leftIn = MemoryStream[(String, Timestamp, String)](spark)
@@ -301,6 +335,7 @@ object StreamBench {
     sessBuiltin("warm_sb", wk, 2); sessCustom("warm_sc", wk, 2)
     asof("warm_a", "backward", wk, 2)
     gib("warm_g", perRowArm = false, wk, 2)
+    compCustom("warm_cc", wk, 2)
     val results = Seq(
       winBuiltin("win_builtin", keys, nBatches),
       winCustom("win_custom", keys, nBatches),
@@ -310,15 +345,39 @@ object StreamBench {
       asof("asof_forward", "forward", keys, nBatches),
       asof("asof_nearest", "nearest", keys, nBatches),
       gib("gib_batched", perRowArm = false, keys, nBatches),
-      gib("gib_perrow", perRowArm = true, keys, nBatches))
+      gib("gib_perrow", perRowArm = true, keys, nBatches),
+      compCustom("comp_custom", keys, nBatches))
     results.foreach(r => println(r.json))
+    // Bounded-state assertions (r15 verdict item 7): every pipeline must
+    // return to its documented quiescent envelope after the flush
+    // advances — fully evicted for the windowed/session/batching/composite
+    // arms, ≤ one dominant right per key + sentinels for backward/nearest
+    // as-of, O(1) for forward. A leak at volume exits nonzero instead of
+    // silently shipping a bigger number. SPARK_GRAFT_SB_ASSERT=0 disables.
+    if (sys.env.getOrElse("SPARK_GRAFT_SB_ASSERT", "1") == "1") {
+      val leaks = results.flatMap { r =>
+        val bound = r.name match {
+          case "asof_backward" | "asof_nearest" => nKeys.toLong + 10
+          case "asof_forward" => 10L
+          case _ => 0L
+        }
+        if (r.finalState > bound)
+          Some(s"${r.name}: final_state_rows ${r.finalState} > bound $bound")
+        else None
+      }
+      if (leaks.nonEmpty) {
+        leaks.foreach(l => System.err.println(s"[streambench] STATE LEAK $l"))
+        spark.stop(); sys.exit(1)
+      }
+    }
     def of(n: String) = results.find(_.name == n).get
     val winRatio = of("win_custom").wallSec / of("win_builtin").wallSec
     val sessRatio = of("sess_custom").wallSec / of("sess_builtin").wallSec
     val gibRatio = of("gib_perrow").wallSec / of("gib_batched").wallSec
     println(f"""{"stream_bench_summary":{"keys":$nKeys,"batches":$nBatches,""" +
       f""""rows_per_pipeline":${nKeys.toLong * nBatches * perKey},"win_custom_over_builtin":$winRatio%.2f,""" +
-      f""""sess_custom_over_builtin":$sessRatio%.2f,"gib_perrow_over_batched":$gibRatio%.2f}}""")
+      f""""sess_custom_over_builtin":$sessRatio%.2f,"gib_perrow_over_batched":$gibRatio%.2f,""" +
+      f""""comp_live_windows":${nKeys.toLong * liveWindows},"comp_rows_per_sec":${of("comp_custom").eps}%.0f}}""")
     spark.stop()
   }
 }
