@@ -1107,9 +1107,16 @@ object Queries {
   /** SimHash with its locality property as the oracle-checkable output: for
     * every verified near-dup pair (bigram Jaccard ≥ 0.8 over ≥10 surviving
     * shingles each — a pair set DuckDB computes exactly), the 64-bit
-    * fingerprints must be within Hamming distance 16 (near-dups share most
-    * shingle votes; unrelated docs sit near the random baseline of 32;
-    * measured max over the fixture's engineered near-dups: 9). The
+    * fingerprints must be within Hamming distance 24. The bound is the
+    * binomial tail, not a vibe: H ~ Binomial(64, θ/π) with cos θ =
+    * |A∩B|/√(|A||B|) ≥ 2J/(1+J) = 0.889 at the J = 0.8 admission floor
+    * (balanced sets minimize cos at fixed J), so p ≤ 0.152, E[H] ≤ 9.7,
+    * σ ≤ 2.9 — 24 is mean + 5σ (per-pair violation ~3e-7; expected-clean
+    * through million-pair corpora) while the random-pair baseline is 32.
+    * The previous bound of 16 was measured off the copy-suffix fixture's
+    * J ≈ 0.95 pairs and sat at mean + 2.5σ for honest J ≈ 0.8-0.85 pairs —
+    * the scale-honest sf1 corpus (12.6k verified pairs, planted quads at
+    * J ≈ 0.85) promptly produced the expected tail violations. The
     * minShingles=10 floor matters: the stop-shingle cap can strip a doc to
     * 2-3 rare shingles, and jaccard=1.0 on that residue pairs unrelated
     * docs whose full fingerprints rightly disagree. The fingerprints
@@ -1124,7 +1131,7 @@ object Queries {
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("__ha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("__hb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 16).as("hamming_close"))
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 24).as("hamming_close"))
   }
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =

