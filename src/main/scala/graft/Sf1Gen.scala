@@ -46,9 +46,10 @@ object Sf1Gen {
     *    uniform stop words ("w0".."w29") — every stop-stop bigram exceeds
     *    any realistic frequency cap at EVERY generated SF (≥ ~900 docs per
     *    bigram from sf1 up), so the capped-out set is the same family at
-    *    every scale — or, with p=0.6, a rare word ("r<k>") from a fixed
-    *    30M-id space, whose doc-frequency stays O(1) per word up to the
-    *    sf100 decade probe (≈5 docs/word at 5M docs). Shared-rare-shingle
+    *    every scale — or, with p=0.6, a rare word (syllable-rendered
+    *    "r<...>", see [[RareVocab]]) from a fixed 41M-id space, whose
+    *    doc-frequency stays O(1)-small per word up to the sf100 decade
+    *    probe (≈7 docs/word at 5M docs). Shared-rare-shingle
     *    candidates therefore grow LINEARLY with corpus size.
     *  - planted near-duplicates at constant density. Per 25 consecutive
     *    base slots: one PAIR (slots 0,1) and one QUAD (slots 10-13) share
@@ -64,25 +65,48 @@ object Sf1Gen {
     *    keeping the one-word perturbations clear of the 0.8 threshold
     *    (worst case at 50 words: ≤4 of 49 bigrams differ between two
     *    group members → J ≥ 0.849 before the cap, which removes stop
-    *    shingles from both sides equally). Rare ids render in base-36
-    *    ("r" + ≤6 chars at the 30M space) — word length also prices
-    *    every char-level op (trigram LM, cleaning), and decimal ids made
-    *    words 9-10 chars vs the driver fixture's ~5.
+    *    shingles from both sides equally). Rare ids render as "r" + four
+    *    consonant-vowel syllables (see [[RareVocab]]) — word length and
+    *    trigram repetition price every char-level op like real text.
     *
     * Everything derives from xxhash64 of (salt, seed, position): a doc's
     * text is identical whether the corpus holds 50k or 5M docs — one graph
     * family across the whole SF ladder. Copy 0 stays the verbatim driver
     * fixture (its tiny-vocabulary shingles are capped out identically at
     * every generated SF, a constant-size subgraph). */
-  private val RareVocab = 30000000L
+  /** Rare-word space: 80^4 ≈ 41M ids, rendered as "r" + four
+    * consonant-vowel syllables (16 consonants × 5 vowels). Why syllables
+    * and not raw digits/base-36: real text has a SMALL, heavily repeated
+    * char-trigram vocabulary (Zipf), and the trigram-LM family's reduced
+    * per-doc (doc, tri) frame is priced by per-doc DISTINCT trigrams —
+    * digit/base-36 ids made ~every trigram unique per doc (a worst case
+    * no real corpus exhibits; q_lm_score/q_ccnet/q_dsir benched 200-260 s
+    * at sf10 on it) while CV syllables bound the trigram space at ~2.5k
+    * with realistic repetition. Word df stays tiny through the sf100
+    * decade (300M draws into 41M ids → df ≈ 7, under q_cooccur's
+    * support floor) and BIGRAM df stays O(1) at every SF (the dedup
+    * family's scale-invariance). */
+  private val RareVocab = 40960000L // 80^4
+  private val Cons = Seq("b","d","f","g","h","k","l","m",
+                         "n","p","s","t","v","z","j","c")
+  private val Vows = Seq("a","e","i","o","u")
   private def synthText(g: Column): Column = {
     val b = pmod(g, lit(OFF))
     val m = pmod(b, lit(25L))
     val v = when(m < 2, m).when(m >= 10 && m <= 13, m - 10).otherwise(lit(0L))
     val s = g - v // shared content seed within a planted group
     val len = lit(50L) + pmod(xxhash64(lit(0), s), lit(31L))
-    def rare(h: Column): Column =
-      concat(lit("r"), lower(conv(pmod(h, lit(RareVocab)).cast("string"), 10, 36)))
+    def rare(h: Column): Column = {
+      val consArr = array(Cons.map(lit): _*)
+      val vowArr = array(Vows.map(lit): _*)
+      val id = pmod(h, lit(RareVocab))
+      val syls = (0 until 4).map { i =>
+        val s = pmod(floor(id / lit(math.pow(80, i).toLong)).cast("long"), lit(80L))
+        concat(element_at(consArr, pmod(s, lit(16L)).cast("int") + 1),
+               element_at(vowArr, floor(s / lit(16L)).cast("int") + 1))
+      }
+      concat(lit("r") +: syls: _*)
+    }
     val words = transform(sequence(lit(1L), len), j =>
       when(pmod(xxhash64(lit(1), s, j), lit(10L)) < 4,
         concat(lit("w"), pmod(xxhash64(lit(2), s, j), lit(30L))))
