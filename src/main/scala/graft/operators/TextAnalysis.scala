@@ -101,18 +101,23 @@ object TextAnalysis {
     // ONE compiled extraction pass (graft.expressions.CharNgramCounts)
     // emits the already-reduced per-doc map tri → count — no interpreted
     // per-position lambda, no O(corpus chars) single-gram explode. The
-    // groupBy re-aggregation is a near-identity (kernel output is already
-    // distinct per doc) but gives both consumers — the model aggregate and
-    // the scoring join — an IDENTICAL exchange subtree, so Catalyst plans
-    // the second occurrence as a ReusedExchange: extraction runs once with
-    // no checkpoint. `materializeTrigrams = true` additionally pins the
-    // reduced frame — bounded by distinct (doc, tri) pairs, NOT corpus
-    // chars — to executor storage for re-entrant callers.
+    // exploded rows are consumed IN PLACE by both consumers, with no
+    // (doc_id, tri) re-aggregation in between: the model aggregate's
+    // partial agg collapses to ≤ vocab rows per task before its exchange,
+    // and the scoring aggregate's partial agg collapses to one row per
+    // doc (a doc's exploded rows never leave its scan partition), so
+    // NOTHING corpus-sized is ever shuffled. A previous formulation
+    // re-grouped by (doc_id, tri) to give both consumers a shared
+    // ReusedExchange — a near-identity when per-doc distinct trigrams are
+    // few, but on trigram-diverse corpora it shuffled the whole
+    // (doc, tri) string frame twice (measured 256 s at sf10 where the
+    // two kernel passes cost seconds). `materializeTrigrams = true` pins
+    // the exploded frame for re-entrant callers (extraction then runs
+    // once at the cost of materializing it).
     val perDocRaw = docsT
       .select(col("doc_id"),
         explode(graft.expressions.TextExpressions.charNgramCounts(col("__t"), 3)))
       .select(col("doc_id"), col("key").as("tri"), col("value").as("cnt"))
-      .groupBy(col("doc_id"), col("tri")).agg(sum(col("cnt")).as("cnt"))
     val perDoc = if (materializeTrigrams) perDocRaw.localCheckpoint() else perDocRaw
     val modelAll = perDoc.groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
     // Scalar corpus total + broadcast, NOT sum().over(Window.partitionBy()):
