@@ -42,13 +42,19 @@ object Bench {
       Thread.sleep(15000); waited += 15
     }
 
+    // loadavg_start is the POST-COOLDOWN, PRE-WARMUP load — the state the
+    // cool-down gate actually validated (sampling after warmup recorded
+    // warmup-inflated load and made clean captures read as 'loaded'
+    // during drift adjudication); loadavg_warmed is sampled again after
+    // the warmup pass, immediately before the timed runs.
+    val loadStart = loadavg
     // warmup: one pass at the smallest SF primes codegen/JIT per query shape
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val loadStart = loadavg
+    val loadWarmed = loadavg
 
     val results = names.map { n =>
       val times = (1 to runs).map(_ => execute(n)).filter(_ >= 0).sorted
@@ -89,7 +95,7 @@ object Bench {
           ",\"recheck_loadavg\":" + f"$loadavg%.2f"
       }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cooldown_waited_sec":$waited,"ncpu":$ncpu""" + recheckJson + "}"
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"loadavg_warmed":$loadWarmed%.2f,"cooldown_waited_sec":$waited,"ncpu":$ncpu""" + recheckJson + "}"
     println(line)
     // also persist to a file: the driver's stdout tail-capture has
     // truncated the per-query map in past rounds (BENCH_r10 kept 72/144

@@ -48,13 +48,18 @@ object OracleSql {
     // every CTE is MATERIALIZED: v_r is referenced by sy_{r+1}, v_{r+1}
     // and (via 4 scalar subqueries) p_r — inlined CTEs would re-execute
     // the whole chain per reference, ~5^rounds scans
+    // the HAVING floor re-derives Bpe.minFreqFor (one occurrence per 20k
+    // docs, floor 1 — exact at the gate SFs) from count(*), so a
+    // derivation drift between the engines breaks the hash
     val v0 =
       """v0 AS MATERIALIZED (SELECT '  ' || array_to_string(
         |          list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  ' AS s, f
         |  FROM (SELECT w, count(*) AS f FROM (
         |      SELECT unnest(regexp_extract_all(text,
         |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w FROM documents)
-        |    GROUP BY 1))""".stripMargin
+        |    GROUP BY 1
+        |    HAVING count(*) >= (SELECT GREATEST(1, count(*) // 20000)
+        |                        FROM documents)))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       s"""sy$r AS MATERIALIZED (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms, f FROM v${r - 1}),
          |p$r AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(f) AS cnt FROM (
@@ -906,7 +911,8 @@ object OracleSql {
     // SimHash locality property: DuckDB independently computes the verified
     // near-dup pair set (bigram Jaccard >= 0.8, same CTE as q_ngram_jaccard)
     // and asserts every such pair is Hamming-close (the Spark side emits the
-    // measured bound <= 16 per pair).
+    // binomial-tail bound <= 24 per pair — mean + 5σ at the J = 0.8
+    // admission floor, Queries.scala q_simhash).
     "q_simhash" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS s
@@ -2081,10 +2087,16 @@ object OracleSql {
         |                  i -> words[i] || ' ' || words[i+1])) AS ng
         |  FROM d),
         |hc AS (
+        |  -- grouped by DISTINCT ngram, not by bucket: mirrors the Spark
+        |  -- kernel (WordNgramCounts emits one row per distinct per-doc
+        |  -- ngram; hash-colliding ngrams stay separate rows), so the
+        |  -- sum(cnt * dlogp) below adds the same multiset of terms in
+        |  -- both engines instead of a bucket-pre-summed association that
+        |  -- differs in last-ulp FP
         |  SELECT doc_id, is_target,
         |         CAST(('0x' || substr(md5(ng),1,15)) AS BIGINT) % b AS bucket,
         |         count(*) AS cnt
-        |  FROM ng, bk GROUP BY 1,2,3),
+        |  FROM ng, bk GROUP BY doc_id, is_target, ng, b),
         |model AS (
         |  SELECT bucket, sum(cnt) AS q_cnt,
         |         sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt

@@ -1775,7 +1775,14 @@ object Queries {
     * non-overlapping replace in both engines). */
   def qBpeLearn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Bpe.learnMerges(t(s, dir, "documents"), col("text"), rounds = 6)
+    // minFreq is POPULATION-DERIVED (Bpe.minFreqFor: one occurrence per
+    // 20k docs, floor 1) — the r16 sf30 sweep OOM'd the word-vocabulary
+    // aggregate at the default heap because this knob was frozen at 1
+    // while the long-tail corpus made distinct words grow with the
+    // corpus. The oracle re-derives the same floor from count(*).
+    val docs = t(s, dir, "documents")
+    Bpe.learnMerges(docs, col("text"), rounds = 6,
+        minFreq = Bpe.minFreqFor(tableCount(s, dir, "documents")))
       .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
   }
 
@@ -2362,7 +2369,10 @@ object Queries {
     * n_docs is replayed from the documents table. */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = Bpe.learnMerges(docs, col("text"), rounds = 6)
+    // population-derived minFreq — see qBpeLearn; frozen-at-1 was the
+    // r16 sf30/8g OOM (corpus-sized vocabulary frame)
+    val merges = Bpe.learnMerges(docs, col("text"), rounds = 6,
+        minFreq = Bpe.minFreqFor(tableCount(s, dir, "documents")))
       .map(m => (m._2, m._3))
     val vocab = Bpe.vocabFromCorpus(docs, col("text"), merges)
     val enc = Bpe.encode(docs, col("text"), col("doc_id"), merges, vocab)

@@ -154,13 +154,14 @@ object Sf1Gen {
           // 0's 5000 docs, and q_domain_mix's epoch-repetition factor for
           // 'de' then grows linearly with SF until the maxEpochs fail-loud
           // guard trips (caught at sf10: repeat 388× > 64). Per-mille
-          // thresholds from the sf0.1 counts keep domain shares
-          // scale-invariant; lang does not need to match the synthetic
-          // text's content (both engines recompute from the same columns).
+          // thresholds from the sf0.1 counts (en 41.2 / zh 15.1 / es 14.9 /
+          // fr 14.8 / de 14.0) keep domain shares scale-invariant; lang
+          // does not need to match the synthetic text's content (both
+          // engines recompute from the same columns).
           val langBucket = pmod(xxhash64(lit(8), col("doc_id")), lit(1000L))
           val synthLang = when(langBucket < 412, "en")
-            .when(langBucket < 562, "zh").when(langBucket < 711, "es")
-            .when(langBucket < 859, "fr").otherwise("de")
+            .when(langBucket < 563, "zh").when(langBucket < 712, "es")
+            .when(langBucket < 860, "fr").otherwise("de")
           val synth = shift(x.filter(col("__i") > 0).select(col("doc_id"), col("__i")), "doc_id")
             .withColumn("text", synthText(col("doc_id")))
             .select(col("doc_id"), col("text"), synthLang.as("lang"),
@@ -177,11 +178,31 @@ object Sf1Gen {
       out.drop("__i")
     }
 
+    // Scaled-fixture FILE LAYOUT (r16 verdict item 1): the explode is
+    // row-local, so a single-file base table stayed a single-file output
+    // at EVERY scale factor — scan parallelism 1, and AQE coalesced the
+    // downstream stages from the tiny pre-fanout map stats (q_semdedup
+    // read 12-16× slower at sf10 on identical code+data). A real ×N
+    // table is ~N× the files; repartition the scaled output to `copies`
+    // bounded by the core count, growing past it only when a 64 MB/file
+    // target demands more — honest parallelism without a tiny-file
+    // explosion. (region/nation are unscaled constant dims: left as-is.)
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    def targetFiles(name: String): Int = {
+      val est = dirBytes(new java.io.File(s"$base/$name.parquet")) * copies
+      val bySize = ((est + (64L << 20) - 1) / (64L << 20)).toInt
+      math.max(math.min(copies, 32), math.max(1, bySize))
+    }
     GraftSession.tableNames
       .filter(n => onlyTables.isEmpty || onlyTables(n))
       .foreach { name =>
-        scaled(name).write.mode("overwrite").parquet(s"$out/$name.parquet")
-        println(s"[sf1gen] $name -> $out/$name.parquet")
+        val df = scaled(name)
+        val parts = if (Set("region", "nation")(name)) 1 else targetFiles(name)
+        val sized = if (parts <= 1) df else df.repartition(parts)
+        sized.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[sf1gen] $name -> $out/$name.parquet ($parts part target)")
       }
     // the memoized population counts assume immutable dirs; this write
     // may have replaced tables a prior query in this JVM already counted

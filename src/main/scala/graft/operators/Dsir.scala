@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *    probability ∝ w (Vieira 2014's Gumbel-max trick, public). Selection
   *    uses the salted two-phase bounded top-k, never a global rank window.
   *
-  * 100 TB story: per-doc work is row-local (ngram hash → ≤min(|doc|, B)
-  * bucket rows); the only shuffles are the per-(doc,bucket) count and the
-  * tiny model aggregate; the model join is a broadcast; top-k is the salted
-  * bounded heap. Nothing grows with corpus size except the linear scan.
+  * 100 TB story: per-doc work is row-local (ngram hash → one row per
+  * DISTINCT per-doc ngram, never re-grouped — see [[hashedCounts]]); the
+  * only shuffles are each consumer's own partial-aggregated reduction
+  * (model aggregate ≤ buckets rows, per-doc score one row per doc); the
+  * model join is a broadcast; top-k is the salted bounded heap. Nothing
+  * grows with corpus size except the linear scan.
   */
 object Dsir {
 

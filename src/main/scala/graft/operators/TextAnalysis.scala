@@ -521,6 +521,24 @@ object Bpe {
     * iteration shape as Lloyd rounds. `minFreq` bounds the vocab under
     * web-scale typo tails (standard practice; dropped words simply can't
     * vote on merges). */
+  /** Population-derived word-frequency floor for [[learnMerges]] — the
+    * SCALING.md frozen-parameter rule applied to the BPE vocabulary.
+    * On a web-scale long tail (typos, ids, rare names) DISTINCT words
+    * grow with the corpus, so a minFreq frozen at 1 makes the word
+    * vocabulary frame — the thing every merge round re-scans and
+    * re-caches — corpus-sized: the r16 sf30 sweep OOM'd the vocabulary
+    * hash aggregate at the default heap exactly here. One occurrence per
+    * `perDocs` documents keeps small corpora exact (floor 1 below
+    * `perDocs` docs — the correctness-gate SFs are byte-identical) and
+    * bounds the per-round frames by the corpus's high-frequency head at
+    * any scale; dropped words simply can't vote on merges (standard
+    * practice, Sennrich et al. 2016 §4). The DuckDB oracle re-derives
+    * the identical floor from count(*)
+    * (GREATEST(1, count(*) // perDocs)), so a derivation drift between
+    * engines breaks the hash gate. */
+  def minFreqFor(corpusDocs: Long, perDocs: Long = 20000L): Long =
+    math.max(1L, corpusDocs / perDocs)
+
   def learnMerges(docs: DataFrame, text: Column, rounds: Int,
                   minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
     require(rounds >= 1, s"learnMerges needs rounds >= 1, got $rounds")
