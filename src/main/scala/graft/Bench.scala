@@ -23,7 +23,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // leak visibility: persisted RDDs still registered after the action
+      // are either deliberate cleaner-released intermediates (bounded by
+      // the periodicGC interval) or a real leak — the count in the log
+      // makes in-sweep memory accumulation diagnosable after the fact
+      // (the r17 sf30 in-sweep OOMs were exactly this class)
+      val live = spark.sparkContext.getPersistentRDDs.size
+      if (live > 0) System.err.println(f"[bench] $name: $sec%.1f s, $live persisted RDDs still registered")
+      sec
     }
 
     def loadavg: Double = java.lang.management.ManagementFactory

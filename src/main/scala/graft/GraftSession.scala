@@ -36,7 +36,20 @@ object GraftSession {
       // q_dedup_clusters' star-contraction sorts while half the pool sat
       // in no-longer-hot verify-join caches (BASELINE.md r16). On a
       // production cluster the same reasoning holds per executor.
-      .config("spark.memory.storageFraction", "0.1")
+      // (env override is for A/B measurement only — see BASELINE.md r17.)
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.1"))
+      // ContextCleaner depends on DRIVER GC to discover unreferenced
+      // broadcasts/persists (several operators share an intermediate
+      // across two branches of one action and rely on the cleaner for
+      // release — Dedup.pairSimilarity's shingle-doc lists being the
+      // largest). The default periodic-GC interval (30 min) lets a
+      // long-lived session running many heavy queries back-to-back
+      // accumulate tens of GBs of dead-but-unGC'd blocks; the r17 sf30
+      // full sweep at the default 8g heap OOM'd two verify-join queries
+      // in-sweep that pass in isolation. Two minutes bounds dead-block
+      // lifetime at negligible GC cost (one driver GC per 2 min).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // transformWithState (stateful ParDo / trigger engine) needs a state
