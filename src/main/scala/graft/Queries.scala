@@ -911,24 +911,29 @@ object Queries {
     * (prev >= cur), then emits the route's average speed and
     * `slowdownEvent = slowdowns >= 2 * speedups`. Spark-first shape: the
     * per-station walk runs ONCE per (route, station) — NOT once per
-    * overlapping window — over a sorted collect_list via codegen'd
-    * higher-order functions ([[Aggregates.consecutivePairs]]: zip_with of
-    * the array against its own tail — no per-row UDF, no WindowExec); each
-    * pair is then attributed to the ≤ 4 sliding windows covering both
-    * endpoints ([[Windows.slidingWindowStartsCovering]], exact integer grid
-    * bins). Exact because a window's per-station sequence is a contiguous
-    * slice of the global (tsu, event_id, speed)-sorted sequence, so
+    * overlapping window — as a `lag` window over the (tsu, event_id,
+    * speed)-ordered station sequence (one hash shuffle + an external
+    * within-partition sort, both spill-safe); each consecutive pair is
+    * then attributed to the ≤ 4 sliding windows covering both endpoints
+    * ([[Windows.slidingWindowStartsCovering]], exact integer grid bins).
+    * Exact because a window's per-station sequence is a contiguous slice
+    * of the global (tsu, event_id, speed)-sorted sequence, so
     * window-consecutive ⟺ globally-consecutive with both endpoints inside
     * the window. The avg-speed side is a separate windowed sum/count over
     * narrow (route, speed) rows; the two small (window, route) aggregates
     * join at the end (left, zero-filled: a window whose stations each have
     * one reading has pairs=0 but still reports its average). vs the
     * fan-out-first formulation this ships each reading once with payload
-    * instead of 4×, and walks each station's array once instead of 4× —
-    * 2.3× wall at sf0.1. Both shuffles key on their full grouping set, so
-    * no route or station funnels through one task; station groups are
-    * bounded by one station's total readings — same in-memory-walk contract
-    * as the reference's GatherStats. route = event_type, station =
+    * instead of 4×, and walks each station's sequence once instead of 4×
+    * — 2.3× wall at sf0.1. An earlier formulation materialized each
+    * station's full history via sort_array(collect_list(...)): semantically
+    * identical, but partial collect_list buffers every map task's whole
+    * input partition as JVM objects (ObjectHashAggregate never falls back
+    * to sort-based at ~100 groups), a corpus-sized heap spike that tipped
+    * the r17 sf30 full sweep over at the default 8g heap — the WindowExec
+    * formulation streams each group through a spillable row buffer
+    * instead. Both shuffles key on their full grouping set, so no route
+    * or station funnels through one task. route = event_type, station =
     * user_id % 20, speed = value-cents (exact integers; the avg divides
     * once at the end). */
   def qTrafficRoutes(s: SparkSession, dir: String): DataFrame = {
@@ -940,16 +945,20 @@ object Queries {
         Windows.WindowingStrategy(Windows.SlidingWindows("1 hour", "15 minutes")),
         col("ts"), Seq(col("route")),
         Seq(sum(col("speed")).as("ss"), count(lit(1)).as("sc")))
+    val seqWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("route"), col("station"))
+      .orderBy(col("tsu"), col("event_id"), col("speed"))
     val pairs = readings
-      .groupBy(col("route"), col("station"))
-      .agg(sort_array(collect_list(struct(col("ts").as("tsu"),
-        col("event_id"), col("speed")))).as("arr"))
+      .select(col("route"), col("station"), col("ts").as("tsu"),
+        col("event_id"), col("speed"))
+      .select(col("route"), col("tsu"), col("speed"),
+        lag(col("tsu"), 1).over(seqWin).as("prev_tsu"),
+        lag(col("speed"), 1).over(seqWin).as("prev_speed"))
+      .filter(col("prev_tsu").isNotNull)
       .select(col("route"),
-        explode(Aggregates.consecutivePairs(col("arr"))).as("p"))
-      .select(col("route"),
-        when(col("p.cur.speed") > col("p.prev.speed"), 1L).otherwise(0L).as("up"),
-        explode(Windows.slidingWindowStartsCovering(col("p.prev.tsu"),
-          col("p.cur.tsu"), "1 hour", "15 minutes")).as("wstart"))
+        when(col("speed") > col("prev_speed"), 1L).otherwise(0L).as("up"),
+        explode(Windows.slidingWindowStartsCovering(col("prev_tsu"),
+          col("tsu"), "1 hour", "15 minutes")).as("wstart"))
     val pairAgg = pairs.groupBy(col("wstart"), col("route"))
       .agg(sum(col("up")).as("speedups"),
         (count(lit(1)) - sum(col("up"))).as("slowdowns"))
