@@ -27,6 +27,15 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOT raising spark.sql.adaptive.coalescePartitions.initialPartitionNum
+      // globally: a 512-start was A/B'd in r17 as the fix for the sf30
+      // verify-join per-task memory squeeze and it worked there, but the
+      // catalog's ITERATIVE drivers (GD rounds, BPE merge rounds — many
+      // tiny exchanges per query) regressed ~3x at sf0.1 from the
+      // per-exchange map-side bucket overhead. Operators whose reduce-side
+      // state grows with the corpus size instead size their own exchange
+      // from the population (Dedup.verifyPartitionsFor — the SCALING.md
+      // rule applied to partition counts).
       // Storage floor 0.1 (Spark default 0.5): every persist in this
       // library is MEMORY_AND_DISK (recomputable lineage or disk-backed
       // block), so evicting a cached block under pressure costs one disk

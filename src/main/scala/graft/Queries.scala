@@ -1135,7 +1135,8 @@ object Queries {
     val docs = t(s, dir, "documents")
     val sh = Dedup.simHash(docs, col("text"), col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
-      shingleN = 2, threshold = 0.8, maxShingleFreq = 200, minShingles = 10)
+      shingleN = 2, threshold = 0.8, maxShingleFreq = 200, minShingles = 10,
+      partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents")))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("__ha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("__hb")), "id_b")
@@ -1153,8 +1154,12 @@ object Queries {
     // capped) while contributing nothing to near-dup discrimination. The
     // absolute document-frequency cutoff is the standard stop-shingle
     // treatment and holds at any corpus size.
+    // the shingle exchange is POPULATION-SIZED (verifyPartitionsFor: one
+    // partition per 12.5k docs once past the session width) so per-task
+    // sort state stays flat across the SF ladder — see the r17 sf30 note
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
-        shingleN = 2, threshold = 0.8, maxShingleFreq = 200)
+        shingleN = 2, threshold = 0.8, maxShingleFreq = 200,
+        partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents")))
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1233,7 +1238,8 @@ object Queries {
     // q_ngram_jaccard) → connected components → (doc_id, cluster_id)
     Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
-        shingleN = 2, threshold = 0.8, maxShingleFreq = 200),
+        shingleN = 2, threshold = 0.8, maxShingleFreq = 200,
+        partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents"))),
       col("id_a"), col("id_b"))
 
   def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
@@ -1984,13 +1990,30 @@ object Queries {
       .select(col("doc_id"), explode(array(col("corpus_cand"), col("batch_cand")))
         .as("cand"))
       .filter(col("cand").isNotNull).distinct()
-    val sh = docs.select(col("doc_id"),
-      explode(Dedup.shingles(col("text"), 3)).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // "computed ONLY for candidate pairs" must hold in the PLAN, not just
+    // the output: the previous formulation joined the corpus-sized shingle
+    // frame wholesale (the sb side sorted EVERY doc's shingle strings to
+    // serve a candidate-only probe — 100-200 MB per task at sf30, one of
+    // the r17 in-sweep OOMs). Semi-join both sides down to candidate-pair
+    // membership first (candidate ids are bounded by the verdict set, so
+    // AQE broadcasts the filter), and carry 64-bit xxhash shingle ids
+    // instead of strings through the equality join — same counts (equality
+    // is all Jaccard needs; collision odds are the documented
+    // ngramJaccardPairs bound), a quarter of the shuffle bytes.
+    val candKeys = pairs.select(col("doc_id").as("__d"))
+      .union(pairs.select(col("cand").as("__d"))).distinct()
+    val shCand = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("__h"))
+      .join(candKeys, col("doc_id") === col("__d"), "leftsemi")
+    // sizes only ever joins on candidate ids, so it too reads the
+    // restricted frame (non-candidates would be dropped by those inner
+    // joins anyway; zero-shingle docs are absent either way)
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = pairs.as("p")
-      .join(sh.as("sa"), col("p.doc_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("p.cand") === col("sb.doc_id") &&
-        col("sa.s") === col("sb.s"))
+      .join(shCand.as("sa"), col("p.doc_id") === col("sa.doc_id"))
+      .join(shCand.as("sb"), col("p.cand") === col("sb.doc_id") &&
+        col("sa.__h") === col("sb.__h"))
       .groupBy(col("p.doc_id").as("doc_id"), col("p.cand").as("cand"))
       .agg(count(lit(1)).as("__i"))
     pairs.join(inter, Seq("doc_id", "cand"), "left")

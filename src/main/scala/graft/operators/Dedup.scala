@@ -324,11 +324,37 @@ object Dedup {
     *    Spark's ContextCleaner unpersists it once the returned frame's
     *    lineage is garbage-collected. The aggregate reuses the frequency
     *    window's hash partitioning on the shingle id — no extra Exchange. */
+  /** Population-derived partition count for the verify-join's shingle
+    * exchange — the SCALING.md frozen-parameter rule applied to PARTITION
+    * COUNTS: the (doc, shingle-id) frame grows linearly with the corpus
+    * (~60 shingles/doc), but a session-constant shuffle width means
+    * per-task sort/aggregate state grows linearly too, and each task's
+    * execution share is capped at pool/slots — the r17 sf30 sweep OOM'd
+    * exactly this exchange at the default heap (in-sweep, where the
+    * margin is thinnest). One partition per `docsPerPartition` docs keeps
+    * per-task state flat across the SF ladder; 0 below the session width
+    * (no repartition — small-SF plans and walls unchanged); budget-capped
+    * (at 100 TB a cluster deployment sizes the session width itself). */
+  def verifyPartitionsFor(corpusDocs: Long, docsPerPartition: Long = 12500L,
+                          sessionWidth: Int = 32, budget: Int = 1 << 14): Int = {
+    require(docsPerPartition >= 1 && budget >= 1,
+      s"need docsPerPartition >= 1 and budget >= 1, got $docsPerPartition/$budget")
+    val n = corpusDocs / docsPerPartition
+    if (n <= sessionWidth) 0 else math.min(budget.toLong, n).toInt
+  }
+
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         shingleN: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Int = 1000, minShingles: Int = 0): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
+                        maxShingleFreq: Int = 1000, minShingles: Int = 0,
+                        partitions: Int = 0): DataFrame = {
+    val sh0 = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("__h"))
+    // partitions > 0 pre-partitions the shingle frame BY THE WINDOW KEY at
+    // a population-derived width ([[verifyPartitionsFor]]); the frequency
+    // window and the packing aggregate both reuse it, so this is the same
+    // single Exchange as the default plan, just wider than the session
+    // constant when the corpus demands it
+    val sh = if (partitions > 0) sh0.repartition(partitions, col("__h")) else sh0
     val capped = sh.withColumn("__freq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("__freq") <= maxShingleFreq)
