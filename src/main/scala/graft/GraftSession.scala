@@ -71,7 +71,8 @@ object GraftSession {
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // diagnosis knob: INFO exposes DAGScheduler stage→callsite mapping
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     s
   }
 

@@ -350,6 +350,102 @@ case class PqEncodeVec(child: Expression, codebooks: Array[Array[Array[Double]]]
     copy(child = newChild)
 }
 
+/** Nearest-centroid argmin against a constant centroid matrix — the
+  * >64-centroid assignment kernel for the IVF/SemDeDup family
+  * ([[graft.operators.Similarity.assignToCentroids]]). Replaces a
+  * crossJoin(broadcast(centroids)) + per-(row,centroid) struct + min-by-id
+  * aggregate: at 2M rows × 2048 centroids (the r17 sf100 decade probe)
+  * that plan materialized 4.1B short-lived struct rows through an
+  * aggregate and exhausted the default 8g harness heap on allocation
+  * pressure alone. This kernel is one virtual call per row around
+  * primitive loops ([[PqEncodeVec]] precedent) — no join, no shuffle, no
+  * per-candidate allocation.
+  *
+  * Argmin contract, identical to the replaced plan and to the DuckDB
+  * replay: the cell minimizing round(-dot/(‖v‖·‖c‖), 9), ties to the
+  * LOWER cell index. Raw doubles decide when the gap exceeds 1e-8 (10×
+  * the worst 9-dp rounding displacement, so the rounded comparison
+  * provably agrees); only near-ties pay the exact Spark-round (BigDecimal
+  * HALF_UP at 9 dp). The dot products and the row norm accumulate
+  * left-to-right with float→double widening — bit-identical to
+  * [[VecDotProduct]] / sqrt(vecDot(v,v)). NULL input or NULL element →
+  * NULL; a dimension mismatch is a loud error (corrupt vector, not a
+  * rankable row); an all-zero vector (cosine undefined against every
+  * centroid — the old plan's NaN-everywhere tie) resolves to cell 0, the
+  * same tie-to-lowest outcome. */
+case class NearestCentroidVec(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val dim = centroids(0).length
+  private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a float/double array input, got $other")
+    }
+
+  private def round9(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector length $n != centroid dim $dim")
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      xs(i) = elemType match {
+        case FloatType  => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case other      => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < n) { ss += xs(i) * xs(i); i += 1 }
+    val vnorm = math.sqrt(ss)
+    if (vnorm == 0.0) return 0
+    var bestCell = 0
+    var bestRaw = {
+      var s = 0.0; var p = 0
+      while (p < dim) { s += xs(p) * centroids(0)(p); p += 1 }
+      -s / (vnorm * cnorms(0))
+    }
+    var c = 1
+    while (c < centroids.length) {
+      var s = 0.0; var p = 0
+      while (p < dim) { s += xs(p) * centroids(c)(p); p += 1 }
+      val raw = -s / (vnorm * cnorms(c))
+      if (raw < bestRaw - 1e-8) { bestRaw = raw; bestCell = c }
+      else if (raw < bestRaw + 1e-8 && round9(raw) < round9(bestRaw)) {
+        bestRaw = raw; bestCell = c
+      }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass Johnson–Lindenstrauss random projection: y_j = (1/√k) ·
   * Σ_i sign(h(seed, j, i)) · x_i — a Rademacher (±1) projection matrix
   * materialized NOWHERE: each sign is recomputed from a splitmix64 mix of
@@ -446,6 +542,11 @@ object VectorExpressions {
     * pass per row). */
   def pqEncodeVec(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeVec(ColumnBridge.expression(v), codebooks))
+
+  /** Nearest-centroid cell index of a vector column against a constant
+    * centroid matrix (native, one pass per row). */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidVec(ColumnBridge.expression(v), centroids))
 
   /** One-pass int8 quantization (native expression, O(d) per row). */
   def quantizeInt8Vec(v: Column): Column =

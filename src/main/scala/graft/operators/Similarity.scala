@@ -363,33 +363,29 @@ object Similarity {
     // Two assignment paths with IDENTICAL semantics (9-dp rounded argmin,
     // cell-index tiebreak): ≤64 centroids inline as literal expressions —
     // one codegen'd narrow pass, no join; beyond that the literal tree
-    // would blow up codegen, so centroids become a BROADCAST table and the
-    // argmin is a map-side cross join + partial min per id (shuffle payload
-    // = one 16-byte struct per row) followed by a re-attach join.
+    // would blow up codegen, so the argmin runs as ONE native kernel per
+    // row against the constant centroid matrix
+    // ([[graft.expressions.NearestCentroidVec]], PqEncodeVec precedent).
+    // History: the previous >64 formulation was a
+    // crossJoin(broadcast(centroids)) + per-(row,centroid) struct +
+    // min-by-id aggregate — at 2M×2048 (the r17 sf100 decade probe) it
+    // materialized 4.1B short-lived rows and exhausted the default 8g
+    // heap on allocation pressure, and its localCheckpoint'd output held
+    // DESERIALIZED row blocks whose pool-accounted size badly
+    // underestimates JVM object overhead. The kernel path is a narrow
+    // projection (no join, no shuffle); a SERIALIZED persist still
+    // materializes it once for semDedup's three consumers (k·dim work per
+    // row is real at large k, unlike the ≤64 literal path which stays
+    // lazy), sized exactly, evictable to disk, and released by the
+    // periodic-GC'd ContextCleaner.
     val assigned =
       if (centroids.length <= 64)
         base.withColumn("cell",
           element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1).getField("cell"))
-      else {
-        val spark = embs.sparkSession
-        import spark.implicits._
-        val centDf = centroids.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
-          .toDF("c_cell", "cvec", "c_nrm")
-        val best = base.crossJoin(broadcast(centDf))
-          .select(col("id"), struct(
-            round(-dotProduct(col("vec"), col("cvec")) / (col("nrm") * col("c_nrm")), 9)
-              .as("negcos"),
-            col("c_cell").as("cell")).as("nc"))
-          .groupBy(col("id")).agg(min(col("nc")).as("best"))
-          .select(col("id"), col("best.cell").as("cell"))
-        // semDedup consumes the assignment three times (both self-join
-        // sides + the final rollup); without truncation each consumer
-        // re-runs the argmin shuffle. localCheckpoint materializes it once
-        // on the executors. The ≤64 literal path stays lazy — recomputing
-        // a narrow codegen'd pass is cheaper than storing it.
-        base.join(best, "id").localCheckpoint()
-      }
+      else
+        base.withColumn("cell",
+            graft.expressions.VectorExpressions.nearestCentroid(col("vec"), centroids))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     assigned
   }
 
