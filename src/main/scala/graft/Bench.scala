@@ -103,7 +103,18 @@ object Bench {
           ",\"recheck_loadavg\":" + f"$loadavg%.2f"
       }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"loadavg_warmed":$loadWarmed%.2f,"cooldown_waited_sec":$waited,"ncpu":$ncpu""" + recheckJson + "}"
+    // Persist-leak gate (r17 verdict item 8): the per-query live counts go
+    // to stderr; the END-OF-SWEEP count lands in the artifact itself so a
+    // leak can't hide — every persist in the catalog is cleaner-released,
+    // so after a full sweep the registry should be (close to) empty. The
+    // loud threshold is deliberately loose: a handful of blocks can sit in
+    // the <=2-min periodic-GC window legitimately.
+    val persistedEnd = spark.sparkContext.getPersistentRDDs.size
+    if (persistedEnd > 8)
+      System.err.println(s"[bench] WARNING: $persistedEnd persisted RDDs still " +
+        "registered at end of sweep — possible persist leak (expect ~0 after periodic GC)")
+
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"loadavg_warmed":$loadWarmed%.2f,"cooldown_waited_sec":$waited,"ncpu":$ncpu,"persisted_rdds_end":$persistedEnd""" + recheckJson + "}"
     println(line)
     // also persist to a file: the driver's stdout tail-capture has
     // truncated the per-query map in past rounds (BENCH_r10 kept 72/144

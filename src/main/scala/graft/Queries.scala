@@ -1136,7 +1136,7 @@ object Queries {
     val sh = Dedup.simHash(docs, col("text"), col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
       shingleN = 2, threshold = 0.8, maxShingleFreq = 200, minShingles = 10,
-      partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents")))
+      partitions = Dedup.verifyPartitionsFor(s, tableCount(s, dir, "documents")))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("__ha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("__hb")), "id_b")
@@ -1159,7 +1159,7 @@ object Queries {
     // sort state stays flat across the SF ladder — see the r17 sf30 note
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
         shingleN = 2, threshold = 0.8, maxShingleFreq = 200,
-        partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents")))
+        partitions = Dedup.verifyPartitionsFor(s, tableCount(s, dir, "documents")))
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1239,7 +1239,7 @@ object Queries {
     Dedup.nearDupClusters(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"),
         shingleN = 2, threshold = 0.8, maxShingleFreq = 200,
-        partitions = Dedup.verifyPartitionsFor(tableCount(s, dir, "documents"))),
+        partitions = Dedup.verifyPartitionsFor(s, tableCount(s, dir, "documents"))),
       col("id_a"), col("id_b"))
 
   def qIvfAnn(s: SparkSession, dir: String): DataFrame = {

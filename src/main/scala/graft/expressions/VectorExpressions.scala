@@ -372,7 +372,10 @@ case class PqEncodeVec(child: Expression, codebooks: Array[Array[Array[Double]]]
   * NULL; a dimension mismatch is a loud error (corrupt vector, not a
   * rankable row); an all-zero vector (cosine undefined against every
   * centroid — the old plan's NaN-everywhere tie) resolves to cell 0, the
-  * same tie-to-lowest outcome. */
+  * same tie-to-lowest outcome. A zero-norm CENTROID ranks +Inf (never
+  * wins over a real centroid) — the literal path's NaN negcos sorts last
+  * in the struct array_sort, and raw NaN here would instead poison every
+  * comparison and freeze the argmin at cell 0. */
 case class NearestCentroidVec(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
@@ -422,17 +425,24 @@ case class NearestCentroidVec(child: Expression, centroids: Array[Array[Double]]
     while (i < n) { ss += xs(i) * xs(i); i += 1 }
     val vnorm = math.sqrt(ss)
     if (vnorm == 0.0) return 0
+    // a zero-norm centroid's cosine is undefined (-0/0 = NaN); NaN would
+    // poison the argmin (every comparison false), so it ranks as +Inf —
+    // never beats a real centroid, matching the <=64 literal path where
+    // the NaN negcos sorts LAST in the struct array_sort. +Inf never
+    // reaches round9 (the near-tie window around +-Inf is empty).
     var bestCell = 0
-    var bestRaw = {
+    var bestRaw = if (cnorms(0) == 0.0) Double.PositiveInfinity else {
       var s = 0.0; var p = 0
       while (p < dim) { s += xs(p) * centroids(0)(p); p += 1 }
       -s / (vnorm * cnorms(0))
     }
     var c = 1
     while (c < centroids.length) {
-      var s = 0.0; var p = 0
-      while (p < dim) { s += xs(p) * centroids(c)(p); p += 1 }
-      val raw = -s / (vnorm * cnorms(c))
+      val raw = if (cnorms(c) == 0.0) Double.PositiveInfinity else {
+        var s = 0.0; var p = 0
+        while (p < dim) { s += xs(p) * centroids(c)(p); p += 1 }
+        -s / (vnorm * cnorms(c))
+      }
       if (raw < bestRaw - 1e-8) { bestRaw = raw; bestCell = c }
       else if (raw < bestRaw + 1e-8 && round9(raw) < round9(bestRaw)) {
         bestRaw = raw; bestCell = c

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication. Not present in the reference
@@ -342,6 +342,15 @@ object Dedup {
     val n = corpusDocs / docsPerPartition
     if (n <= sessionWidth) 0 else math.min(budget.toLong, n).toInt
   }
+
+  /** [[verifyPartitionsFor]] with the session width read from the LIVE
+    * `spark.sql.shuffle.partitions` instead of the 32-thread test-box
+    * default — on a wider session (SPARK_GRAFT_CPUS=64+) a constant 32
+    * would let a mid-size corpus repartition BELOW the session default,
+    * narrowing the shingle exchange instead of widening it. */
+  def verifyPartitionsFor(spark: SparkSession, corpusDocs: Long): Int =
+    verifyPartitionsFor(corpusDocs,
+      sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         shingleN: Int = 3, threshold: Double = 0.8,

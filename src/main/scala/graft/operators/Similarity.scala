@@ -312,7 +312,8 @@ object Similarity {
   def semDedup(embs: DataFrame, id: Column, vec: Column,
                nlist: Int = 16, threshold: Double = 0.95,
                lloydIters: Int = 0): DataFrame = {
-    val assignedOpt = assignCells(embs, id, vec, nlist, lloydIters)
+    val assignedOpt = assignCells(embs, id, vec, nlist, lloydIters,
+      multiConsumer = true)
     if (assignedOpt.isEmpty)
       return embs.select(id.cast("long").as("id"), lit(0).as("cell"),
         lit(null).cast("long").as("dup_of"), lit(true).as("keep")).limit(0)
@@ -341,14 +342,15 @@ object Similarity {
   }
 
   private[graft] def assignCells(embs: DataFrame, id: Column, vec: Column,
-                                 nlist: Int, lloydIters: Int): Option[DataFrame] = {
+                                 nlist: Int, lloydIters: Int,
+                                 multiConsumer: Boolean = false): Option[DataFrame] = {
     requireIntegralId(embs, id)
     val seeds = md5Seeds(embs, id, vec, nlist)
     if (seeds.isEmpty) return None
     val centroids = (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
       lloydRound(embs, vec, cents)
     }
-    Some(assignToCentroids(embs, id, vec, centroids))
+    Some(assignToCentroids(embs, id, vec, centroids, multiConsumer))
   }
 
   /** Nearest-centroid assignment of arbitrary rows against FIXED centroids:
@@ -356,16 +358,21 @@ object Similarity {
     * as the in-corpus path, so incremental batches land in exactly the
     * cells the corpus clustering would give them. */
   def assignToCentroids(embs: DataFrame, id: Column, vec: Column,
-                        centroids: Array[Array[Double]]): DataFrame = {
+                        centroids: Array[Array[Double]],
+                        multiConsumer: Boolean = false): DataFrame = {
     requireIntegralId(embs, id)
     val base = embs.select(id.cast("long").as("id"), vec.as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     // Two assignment paths with IDENTICAL semantics (9-dp rounded argmin,
-    // cell-index tiebreak): ≤64 centroids inline as literal expressions —
-    // one codegen'd narrow pass, no join; beyond that the literal tree
-    // would blow up codegen, so the argmin runs as ONE native kernel per
-    // row against the constant centroid matrix
-    // ([[graft.expressions.NearestCentroidVec]], PqEncodeVec precedent).
+    // cell-index tiebreak, null-element vector → NULL cell): ≤64 centroids
+    // inline as literal expressions — one codegen'd narrow pass, no join;
+    // beyond that the literal tree would blow up codegen, so the argmin
+    // runs as ONE native kernel per row against the constant centroid
+    // matrix ([[graft.expressions.NearestCentroidVec]], PqEncodeVec
+    // precedent). The `when(exists(...))` guard applies the kernel's
+    // null-element contract (NULL, the vector-family poisoning convention)
+    // to the literal path too — unguarded, a null negcos sorts FIRST in
+    // the struct array_sort and silently lands the corrupt row in cell 0.
     // History: the previous >64 formulation was a
     // crossJoin(broadcast(centroids)) + per-(row,centroid) struct +
     // min-by-id aggregate — at 2M×2048 (the r17 sf100 decade probe) it
@@ -373,19 +380,28 @@ object Similarity {
     // heap on allocation pressure, and its localCheckpoint'd output held
     // DESERIALIZED row blocks whose pool-accounted size badly
     // underestimates JVM object overhead. The kernel path is a narrow
-    // projection (no join, no shuffle); a SERIALIZED persist still
-    // materializes it once for semDedup's three consumers (k·dim work per
-    // row is real at large k, unlike the ≤64 literal path which stays
-    // lazy), sized exactly, evictable to disk, and released by the
-    // periodic-GC'd ContextCleaner.
+    // projection (no join, no shuffle). `multiConsumer` callers (semDedup's
+    // 2-sided self-join, the incremental batch's three reads,
+    // centroidOutliers' sketch+rejoin) persist it SERIALIZED so the k·dim
+    // per-row argmin runs once, not once per consumer; single-consumer
+    // callers (semDedupStore, kmeans) skip the persist — they'd pay a full
+    // materialization for nothing. Lifecycle: no eager unpersist is
+    // possible (the frame is consumed lazily by the caller's plan), so
+    // release relies on ContextCleaner + GraftSession's 2-minute periodic
+    // GC; the bench recheck asserts the persisted-RDD count stays bounded.
     val assigned =
       if (centroids.length <= 64)
         base.withColumn("cell",
-          element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1).getField("cell"))
-      else
-        base.withColumn("cell",
-            graft.expressions.VectorExpressions.nearestCentroid(col("vec"), centroids))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          when(!exists(col("vec"), e => e.isNull),
+            element_at(cellsFor(centroids)(col("vec"), col("nrm")), 1)
+              .getField("cell")))
+      else {
+        val withCell = base.withColumn("cell",
+          graft.expressions.VectorExpressions.nearestCentroid(col("vec"), centroids))
+        if (multiConsumer)
+          withCell.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        else withCell
+      }
     assigned
   }
 
@@ -411,7 +427,7 @@ object Similarity {
   def semDedupIncremental(batch: DataFrame, id: Column, vec: Column,
                           centroids: Array[Array[Double]], store: DataFrame,
                           threshold: Double = 0.95): DataFrame = {
-    val b = assignToCentroids(batch, id, vec, centroids)
+    val b = assignToCentroids(batch, id, vec, centroids, multiConsumer = true)
     val vsCorpus = b.as("a")
       .join(store.as("c"), col("a.cell") === col("c.cell"))
       .filter(round(cosineFromNorms(col("a.vec"), col("c.vec"),
@@ -516,7 +532,7 @@ object Similarity {
     val centDf = broadcast(centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
       .toDF("cell", "cvec", "c_nrm"))
-    val scored = assignToCentroids(embs, id, vec, centroids)
+    val scored = assignToCentroids(embs, id, vec, centroids, multiConsumer = true)
       .join(centDf, Seq("cell"))
       .select(col("id"), col("cell"),
         round(lit(1.0) - dotProduct(col("vec"), col("cvec")) /

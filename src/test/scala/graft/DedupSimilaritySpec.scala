@@ -362,11 +362,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cells(1L) == cells(2L) && cells(2L) == cells(3L))
   }
 
-  test("semDedup broadcast assignment path (nlist > 64) finds every exact-duplicate pair") {
+  test("semDedup kernel assignment path (nlist > 64) finds every exact-duplicate pair") {
     // 65 orthogonal directions, two vectors each (ids 2k and 2k+1):
-    // nlist = 70 forces the broadcast-join argmin; identical vectors get
-    // identical rounded argmin, so every pair co-locates and the larger id
-    // must point at the smaller.
+    // nlist = 70 forces the NearestCentroidVec kernel argmin (the >64 path;
+    // the broadcast-join formulation it replaced OOM'd the r17 sf100
+    // probe); identical vectors get identical rounded argmin, so every
+    // pair co-locates and the larger id must point at the smaller.
     val dim = 65
     val embs = (0 until 65).flatMap { axis =>
       val v = (0 until dim).map(d => if (d == axis) 1.0 else 0.0)

@@ -318,17 +318,28 @@ class PlanShapeSpec extends SparkSpec {
       s"map-side partial max expected:\n${p.take(2500)}")
   }
 
-  test("q_traffic_routes: per-station pair walk is row-local HOFs, no WindowExec, no UDF") {
-    // the consecutive-reading comparison must run inside the level-1 hash
-    // aggregate's collected array via codegen'd higher-order functions —
-    // a lag()/WindowExec formulation would add a per-(window,route,station)
-    // sort exchange, and a UDF would break codegen on the hot exploded frame
+  test("q_traffic_routes: per-station walk is one spillable lag window, no collect_list, no UDF") {
+    // the consecutive-reading comparison runs ONCE per (route, station) as a
+    // lag() over the timestamp-ordered station sequence — WindowExec streams
+    // each group through a spillable row buffer, so the per-station history
+    // never sits on the heap (the earlier sort_array(collect_list(...))
+    // formulation buffered whole map partitions as JVM objects inside
+    // ObjectHashAggregate's partial and tipped the sf30 sweep at 8g); pairs
+    // then fan out to the <=4 covering windows and hash-aggregate
     val p = plan("q_traffic_routes")
-    assert(!p.contains("Window "), s"pair walk must not use WindowExec:\n${p.take(2500)}")
+    assert(p.contains("Window "), s"spillable lag window expected:\n${p.take(2500)}")
+    assert(p.contains("partitionBy=[route#") || p.contains("route#"),
+      s"window must partition by (route, station):\n${p.take(2500)}")
+    assert(!p.contains("collect_list"),
+      s"no corpus-sized collect_list buffering:\n${p.take(2500)}")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"no UDFs in the traffic-routes path:\n${p.take(2500)}")
-    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
-      s"two-level aggregation expected:\n${p.take(2500)}")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"no object-hash aggregate of raw readings:\n${p.take(2500)}")
+    // both shuffles key on their full grouping sets — no route funnel
+    assert(p.contains("hashpartitioning(route#") ||
+      p.contains("hashpartitioning(wstart#"),
+      s"shuffles must key on full grouping sets:\n${p.take(2500)}")
   }
 
   test("q_join_examples: dim side broadcasts — no shuffle of the fact table") {
