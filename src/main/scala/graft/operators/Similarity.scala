@@ -405,6 +405,27 @@ object Similarity {
     assigned
   }
 
+  /** Cell-occupancy diagnostics for a frame assigned against FIXED
+    * centroids — the cheap pre-flight check for [[semDedupIncremental]]:
+    * within-cell pair work is Σocc² (not cells·avg²), so an increment
+    * that has DRIFTED from the store's clustering announces itself here
+    * as max-occupancy / Σocc² blowup long before the quadratic join is
+    * paid. One narrow assignment pass + one four-scalar aggregate;
+    * returns a single row (cells, max_occ, avg_occ, sum_occ_sq).
+    * Measured motivation (r18 sf100 probe, BASELINE.md): a batch whose
+    * base directions the store centroids don't span measured
+    * Σocc² = 6.0e9 (max cell 12211) vs 2.1e9 (max 6232) under
+    * population-derived centroids — a 3.4× within-batch wall gap with
+    * the SAME occupied-cell count; when sum_occ_sq grows materially
+    * faster than the batch, run [[semDedupRecluster]]. */
+  def cellOccupancy(embs: DataFrame, id: Column, vec: Column,
+                    centroids: Array[Array[Double]]): DataFrame =
+    assignToCentroids(embs, id, vec, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("cells"), max(col("occ")).as("max_occ"),
+        avg(col("occ")).as("avg_occ"),
+        sum(col("occ") * col("occ")).as("sum_occ_sq"))
+
   /** Corpus-side state for [[semDedupIncremental]]: the clustered vector
     * store (cell, id, vec, nrm). Persist it BUCKETED on `cell`
     * (IO.writeBucketed) and increments join it with no store-side

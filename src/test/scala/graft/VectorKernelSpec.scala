@@ -128,6 +128,19 @@ class VectorKernelSpec extends SparkSpec {
     assert(got == 1)
   }
 
+  test("cellOccupancy: counts, max, and sum-of-squares match a hand-built assignment") {
+    // 2 orthogonal centroids; 3 vectors near axis 0, 1 near axis 1 —
+    // occupancies (3, 1): cells=2, max=3, avg=2.0, sum_occ_sq=10
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val embs = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)), (3L, Seq(0.99, 0.0)),
+      (4L, Seq(0.1, 0.9))).toDF("id", "vec")
+    val r = Similarity.cellOccupancy(embs, col("id"), col("vec"), cents).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(r.getLong(3) == 10L) // 9 + 1: the within-cell pair-work proxy
+  }
+
   // --- r17 scale derivations (SCALING.md frozen-parameter rule) ---
 
   test("Bpe.minFreqFor: floor 1 below perDocs (gate SFs byte-identical), linear above") {
