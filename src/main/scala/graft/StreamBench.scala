@@ -75,9 +75,12 @@ object StreamBench {
           buf.clear(); pending = 0
         }
       }
-      cnt.update(pending)
-      if (pending > 0)
+      // clear-vs-update(0) parity with the library processor (the r18
+      // state-row leak fix): a drained key must leave ZERO quiescent rows
+      if (pending > 0) {
+        cnt.update(pending)
         getHandle.registerTimer(tv.getCurrentWatermarkInMs() + flushDelayMs)
+      } else cnt.clear()
       out.reverseIterator
     }
     override def handleExpiredTimer(key: K, tv: TimerValues,
@@ -85,9 +88,9 @@ object StreamBench {
       val pending = if (cnt.exists()) cnt.get() else 0L
       if (pending > 0) {
         val batch = buf.get().toList
-        buf.clear(); cnt.update(0L)
+        buf.clear(); cnt.clear()
         Iterator((key, batch))
-      } else Iterator.empty
+      } else { cnt.clear(); Iterator.empty }
     }
   }
 
@@ -327,26 +330,40 @@ object StreamBench {
     }
 
     val keys = (0 until nKeys).map(i => s"k$i")
+    // SPARK_GRAFT_SB_ARMS: comma-separated arm names to run (default all).
+    // Needed for volume runs: a MemoryStream retains its ENTIRE feed on
+    // the driver for the pipeline's lifetime (test-source semantics), so
+    // the all-arms sweep at ×10 rows holds ~10 × 10.24M feed tuples
+    // reachable and OOMs an 8g driver — the feeds, not the engine state,
+    // whose envelopes the per-arm assertions pin. A single-arm ×10 run
+    // fits comfortably.
+    val armFilter = sys.env.get("SPARK_GRAFT_SB_ARMS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String) = armFilter.forall(_.contains(name))
     // warm pass: tiny run of every pipeline family so no measured query
     // pays JVM/codegen/RocksDB-JNI first-load costs (the first query
     // otherwise reads ~2x slower than steady state)
     val wk = keys.take(20)
-    winBuiltin("warm_wb", wk, 2); winCustom("warm_wc", wk, 2)
-    sessBuiltin("warm_sb", wk, 2); sessCustom("warm_sc", wk, 2)
-    asof("warm_a", "backward", wk, 2)
-    gib("warm_g", perRowArm = false, wk, 2)
-    compCustom("warm_cc", wk, 2)
+    if (want("win_builtin")) winBuiltin("warm_wb", wk, 2)
+    if (want("win_custom")) winCustom("warm_wc", wk, 2)
+    if (want("sess_builtin")) sessBuiltin("warm_sb", wk, 2)
+    if (want("sess_custom")) sessCustom("warm_sc", wk, 2)
+    if (Seq("asof_backward", "asof_forward", "asof_nearest").exists(want))
+      asof("warm_a", "backward", wk, 2)
+    if (want("gib_batched") || want("gib_perrow")) gib("warm_g", perRowArm = false, wk, 2)
+    if (want("comp_custom")) compCustom("warm_cc", wk, 2)
     val results = Seq(
-      winBuiltin("win_builtin", keys, nBatches),
-      winCustom("win_custom", keys, nBatches),
-      sessBuiltin("sess_builtin", keys, nBatches),
-      sessCustom("sess_custom", keys, nBatches),
-      asof("asof_backward", "backward", keys, nBatches),
-      asof("asof_forward", "forward", keys, nBatches),
-      asof("asof_nearest", "nearest", keys, nBatches),
-      gib("gib_batched", perRowArm = false, keys, nBatches),
-      gib("gib_perrow", perRowArm = true, keys, nBatches),
-      compCustom("comp_custom", keys, nBatches))
+      "win_builtin" -> (() => winBuiltin("win_builtin", keys, nBatches)),
+      "win_custom" -> (() => winCustom("win_custom", keys, nBatches)),
+      "sess_builtin" -> (() => sessBuiltin("sess_builtin", keys, nBatches)),
+      "sess_custom" -> (() => sessCustom("sess_custom", keys, nBatches)),
+      "asof_backward" -> (() => asof("asof_backward", "backward", keys, nBatches)),
+      "asof_forward" -> (() => asof("asof_forward", "forward", keys, nBatches)),
+      "asof_nearest" -> (() => asof("asof_nearest", "nearest", keys, nBatches)),
+      "gib_batched" -> (() => gib("gib_batched", perRowArm = false, keys, nBatches)),
+      "gib_perrow" -> (() => gib("gib_perrow", perRowArm = true, keys, nBatches)),
+      "comp_custom" -> (() => compCustom("comp_custom", keys, nBatches)))
+      .collect { case (n, run) if want(n) => run() }
     results.foreach(r => println(r.json))
     // Bounded-state assertions (r15 verdict item 7): every pipeline must
     // return to its documented quiescent envelope after the flush
@@ -370,14 +387,18 @@ object StreamBench {
         spark.stop(); sys.exit(1)
       }
     }
-    def of(n: String) = results.find(_.name == n).get
-    val winRatio = of("win_custom").wallSec / of("win_builtin").wallSec
-    val sessRatio = of("sess_custom").wallSec / of("sess_builtin").wallSec
-    val gibRatio = of("gib_perrow").wallSec / of("gib_batched").wallSec
-    println(f"""{"stream_bench_summary":{"keys":$nKeys,"batches":$nBatches,""" +
-      f""""rows_per_pipeline":${nKeys.toLong * nBatches * perKey},"win_custom_over_builtin":$winRatio%.2f,""" +
-      f""""sess_custom_over_builtin":$sessRatio%.2f,"gib_perrow_over_batched":$gibRatio%.2f,""" +
-      f""""comp_live_windows":${nKeys.toLong * liveWindows},"comp_rows_per_sec":${of("comp_custom").eps}%.0f}}""")
+    // the ratio summary only makes sense on the full-arm sweep; a
+    // filtered run (SPARK_GRAFT_SB_ARMS) gets the per-arm JSON lines only
+    if (armFilter.isEmpty) {
+      def of(n: String) = results.find(_.name == n).get
+      val winRatio = of("win_custom").wallSec / of("win_builtin").wallSec
+      val sessRatio = of("sess_custom").wallSec / of("sess_builtin").wallSec
+      val gibRatio = of("gib_perrow").wallSec / of("gib_batched").wallSec
+      println(f"""{"stream_bench_summary":{"keys":$nKeys,"batches":$nBatches,""" +
+        f""""rows_per_pipeline":${nKeys.toLong * nBatches * perKey},"win_custom_over_builtin":$winRatio%.2f,""" +
+        f""""sess_custom_over_builtin":$sessRatio%.2f,"gib_perrow_over_batched":$gibRatio%.2f,""" +
+        f""""comp_live_windows":${nKeys.toLong * liveWindows},"comp_rows_per_sec":${of("comp_custom").eps}%.0f}}""")
+    }
     spark.stop()
   }
 }

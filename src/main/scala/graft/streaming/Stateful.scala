@@ -150,14 +150,22 @@ object Stateful {
       }
       if (mem.nonEmpty) buf.appendList(mem.toArray)
       val pending = stored + mem.length
-      cnt.update(pending)
       if (pending > 0) {
+        cnt.update(pending)
         // straggler-flush timer: fires once the clock (watermark in
         // EventTime mode — Beam's window-expiry timer,
         // GroupIntoBatches.java:79) advances past now + flushDelayMs
         val now = if (eventTime) tv.getCurrentWatermarkInMs()
                   else tv.getCurrentProcessingTimeInMs()
         getHandle.registerTimer(now + flushDelayMs)
+      } else {
+        // nothing buffered: DELETE the count row rather than writing 0 —
+        // an update(0) pins one state row per key forever (a dead key
+        // never evicts), which is unbounded state growth over the key
+        // cardinality's lifetime. Caught by StreamBench's r18
+        // bounded-state assertion: 2000 quiescent rows where the
+        // documented envelope is 0.
+        cnt.clear()
       }
       out.reverseIterator
     }
@@ -165,10 +173,16 @@ object Stateful {
     override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[(K, List[V])] = {
       val pending = if (cnt.exists()) cnt.get() else 0L
       if (pending > 0) {
+        // materialize the batch (toList is eager) BEFORE clearing, then
+        // DELETE both states — update(0) here pinned one quiescent state
+        // row per key forever; see the handleInputRows note
         val batch = buf.get().toList
-        buf.clear(); cnt.update(0L)
+        buf.clear(); cnt.clear()
         Iterator((key, batch))
-      } else Iterator.empty
+      } else {
+        cnt.clear()
+        Iterator.empty
+      }
     }
   }
 

@@ -334,6 +334,19 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val sizes = spark.table("gib_test").collect().map(_.getInt(1)).sorted.toSeq
       assert(sizes.contains(5), s"straggler batch flushed by event-time timer: $sizes")
+
+      // state-row leak pin (r18, caught by StreamBench's bounded-state
+      // assertion): a FLUSHED key must leave ZERO quiescent state rows —
+      // the old cnt.update(0) pinned one row per key forever, unbounded
+      // over the key cardinality's lifetime. After this advance only the
+      // newest key ("other3") may hold state (its 1 buffered row + count
+      // + timer); "k", "other" and "other2" are all fully flushed.
+      input.addData(("other3", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      val finalRows = states.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(finalRows >= 0 && finalRows <= 4,
+        s"flushed keys must not retain state rows (update(0) leak), got $finalRows")
     } finally q.stop()
   }
 
