@@ -2258,9 +2258,18 @@ object Queries {
     * IGNORE NULLS forward fill. */
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // maxSlotsPerKey is resampleFill's ACCIDENT guard (a span/step combo
+    // that would explode the grid), not a scale cap — and this fixture's
+    // span grows honestly with the ladder (Sf1Gen shifts events by 31 days
+    // per copy: ~37k six-hour slots/key at sf30, ~124k at sf100 — over the
+    // operator's 100k default, caught by the r18 sf100 catalog sweep). A
+    // 2^20 budget covers the ladder through ~sf800; per-key grid state is
+    // a spillable keyed window, so the cost of a wider budget is linear
+    // grid rows, never per-task memory.
     Windows.resampleFill(ev, col("user_id"), col("ts"),
         round(col("value"), 6), stepSeconds = 21600L,
-        order = Seq(col("event_id")))
+        order = Seq(col("event_id")),
+        maxSlotsPerKey = 1L << 20)
       .select(col("key").as("user_id"), col("slot_ts"),
         round(col("value"), 6).as("value"), col("filled"))
   }
