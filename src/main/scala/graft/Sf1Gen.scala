@@ -135,7 +135,16 @@ object Sf1Gen {
     def scaled(name: String): DataFrame = {
       val t = spark.read.parquet(s"$base/$name.parquet")
       if (Set("region", "nation")(name)) return t
-      val x = t.withColumn("__i",
+      // The driver's base tables are single parquet files, so without this
+      // the row-local ×copies explode runs as ONE map task — a ×1000
+      // lineitem build spent 15+ min single-threaded generating 600M rows
+      // into the repartition shuffle. Fanning the 600k-row base across the
+      // session width first is a trivially cheap shuffle that parallelizes
+      // the expensive part (synthText especially). Content is id-derived,
+      // so the generated SET is identical either way; only file-internal
+      // row order changes, which nothing downstream observes.
+      val fan = t.repartition(spark.sparkContext.defaultParallelism)
+      val x = fan.withColumn("__i",
         explode(sequence(lit(0L), lit(copies - 1L))))
       def shift(df: DataFrame, cols: String*): DataFrame =
         cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + col("__i") * OFF))
