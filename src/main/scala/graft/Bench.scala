@@ -9,14 +9,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = GraftSession.getOrCreate()
+    var spark = GraftSession.getOrCreate()
     // optional args: bench only the named queries (diagnosis runs)
     val names =
       if (args.nonEmpty) args.toSeq.sorted.map { n =>
         require(SparkEntry.queries.contains(n), s"unknown query $n"); n
       } else SparkEntry.queries.keys.toSeq.sorted
 
+    // One query OOMing an executor thread stops the local SparkContext
+    // (SparkUncaughtExceptionHandler), and without this every LATER query
+    // dies with "Cannot call methods on a stopped SparkContext" — the
+    // first full sf100 sweep recorded 123 such cascade failures behind
+    // ONE real q_corpus_jaccard heap OOM. Rebuild the session between
+    // queries so each failure stays attributed to the query that caused
+    // it; queries are self-contained, so a fresh session loses nothing.
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      System.err.println("[bench] SparkContext stopped by prior query — rebuilding session")
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      spark = GraftSession.getOrCreate()
+    }
+
     def execute(name: String): Double = {
+      ensureAlive()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -58,6 +73,7 @@ object Bench {
     val loadStart = loadavg
     // warmup: one pass at the smallest SF primes codegen/JIT per query shape
     names.foreach { n =>
+      ensureAlive()
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -109,7 +125,8 @@ object Bench {
     // so after a full sweep the registry should be (close to) empty. The
     // loud threshold is deliberately loose: a handful of blocks can sit in
     // the <=2-min periodic-GC window legitimately.
-    val persistedEnd = spark.sparkContext.getPersistentRDDs.size
+    val persistedEnd =
+      if (spark.sparkContext.isStopped) -1 else spark.sparkContext.getPersistentRDDs.size
     if (persistedEnd > 8)
       System.err.println(s"[bench] WARNING: $persistedEnd persisted RDDs still " +
         "registered at end of sweep — possible persist leak (expect ~0 after periodic GC)")

@@ -2488,12 +2488,23 @@ object Queries {
     val est = Dedup.kmvJaccard(
       Dedup.kmvSketch(a, col("text"), col("doc_id"), 3, k),
       Dedup.kmvSketch(b, col("text"), col("doc_id"), 3, k), k)
-    def shingleSet(df: DataFrame, tag: String) = df
-      .select(explode(Dedup.shingles(col("text"), 3)).as("s"))
-      .distinct().withColumn("__t", lit(tag))
-    val exact = shingleSet(a, "a").union(shingleSet(b, "b"))
-      .groupBy(col("s")).agg(count(lit(1)).as("__n"))
-      .agg((sum(when(col("__n") === 2, 1).otherwise(0)).cast("double") /
+    // Exact-side ground truth in ONE corpus pass on LONG keys: per-shingle
+    // A/B presence flags grouped on xxhash64(shingle), not two string-keyed
+    // distinct()s unioned and regrouped — the string formulation held two
+    // corpus-wide hash maps of ~40-byte keys and OOM'd the 8g heap at
+    // sf100, while a single long-keyed aggregate is 8x smaller per entry,
+    // spills declaratively, and shuffles the corpus once instead of three
+    // times. xxhash64 collisions merge distinct shingles with probability
+    // ~n²/2^65 (≈ single digits at sf100's ~1e9-1e10 distinct shingles) —
+    // a ~1e-9 perturbation of __j that cannot move the ±0.2 err_ok band
+    // the query outputs, so the string-exact DuckDB oracle agrees.
+    val exact = docs
+      .select((pmod(col("doc_id"), lit(2)) === 0).as("__a"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .groupBy(xxhash64(col("s")).as("__h"))
+      .agg(max(when(col("__a"), 1).otherwise(0)).as("__ina"),
+        max(when(!col("__a"), 1).otherwise(0)).as("__inb"))
+      .agg((sum(when(col("__ina") + col("__inb") === 2, 1).otherwise(0)).cast("double") /
         count(lit(1))).as("__j"))
     est.crossJoin(exact)
       .select(col("j_est"), col("k_used"),

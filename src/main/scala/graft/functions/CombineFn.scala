@@ -196,6 +196,52 @@ class ApproximateUniqueFn[T](sampleSize: Int,
   }
 }
 
+/** Bottom-k DISTINCT values — the KMV sketch accumulator as a first-class
+  * CombineFn (same bottom-k construction as [[ApproximateUniqueFn]], here
+  * keeping the VALUES, not just estimating a count; reference:
+  * SDK/transforms/ApproximateUnique.java:61-66 LargestUnique keeps the
+  * sample the same way). Exists so `Dedup.kmvSketch` never materializes a
+  * corpus-wide distinct: `distinct().orderBy().limit(k)` shuffles every
+  * distinct shingle hash of the corpus (billions of 32-char md5 strings at
+  * sf100 — the q_corpus_jaccard heap OOM in the first full sf100 sweep),
+  * while this accumulator holds ≤ k strings per task and merges in O(k),
+  * so the corpus NEVER shuffles for the sketch side. Result is identical
+  * to the distinct-sort-limit formulation (the k lexicographically
+  * smallest distinct values), so the DuckDB oracle replay is unchanged.
+  *
+  * Accumulator: sorted ascending Array[String] capped at k — same
+  * steady-state O(1) rejection argument as ApproximateUniqueFn (almost
+  * every input is ≥ the kth-minimum once saturated). Pure: never mutates
+  * `acc` in place. */
+class BottomKDistinctFn(k: Int) extends CombineFn[String, Array[String], Seq[String]] {
+  require(k >= 1, s"BottomKDistinctFn needs k >= 1, got $k")
+  override def createAccumulator(): Array[String] = Array.empty[String]
+  override def addInput(acc: Array[String], in: String): Array[String] = insert(acc, in)
+  override def mergeAccumulators(a: Array[String], b: Array[String]): Array[String] =
+    b.foldLeft(a)(insert)
+  override def extractOutput(acc: Array[String]): Seq[String] = acc.toSeq
+  private def insert(acc: Array[String], h: String): Array[String] = {
+    val n = acc.length
+    if (n >= k && h.compareTo(acc(n - 1)) >= 0) acc
+    else {
+      val idx = java.util.Arrays.binarySearch(
+        acc.asInstanceOf[Array[AnyRef]], h.asInstanceOf[AnyRef])
+      if (idx >= 0) acc // already present
+      else {
+        val ins = -idx - 1
+        val outLen = math.min(n + 1, k)
+        val out = new Array[String](outLen)
+        System.arraycopy(acc, 0, out, 0, math.min(ins, outLen))
+        if (ins < outLen) {
+          out(ins) = h
+          System.arraycopy(acc, ins, out, ins + 1, outLen - ins - 1)
+        }
+        out
+      }
+    }
+  }
+}
+
 /** Munro–Paterson approximate quantiles — the reference's OWN algorithm
   * (reference: SDK/transforms/ApproximateQuantiles.java:215
   * ApproximateQuantilesCombineFn; buffer scheme :239-258): level-l buffers

@@ -241,9 +241,22 @@ object Dedup {
   def kmvSketch(docs: DataFrame, text: Column, id: Column,
                 shingleN: Int = 3, k: Int = 256): DataFrame = {
     require(k >= 1, s"kmvSketch needs k >= 1, got $k")
+    // Bounded-state bottom-k aggregation, NOT distinct().orderBy().limit(k):
+    // the distinct formulation shuffles every distinct shingle digest of
+    // the corpus (billions of 32-char strings at sf100 — it OOM'd the 8g
+    // heap in the first full sf100 sweep), where the sketch only ever
+    // needs k of them. Each map task keeps the k smallest distinct digests
+    // (≤ k strings of state), merge is O(k), and the exchange carries one
+    // k-element accumulator per task regardless of corpus size. Output is
+    // identical (the k lexicographically smallest distinct md5 digests),
+    // so the DuckDB oracle replay is unchanged.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fn = new graft.functions.BottomKDistinctFn(k)
     docs.select(explode(shingles(text, shingleN)).as("s"))
-      .select(md5(col("s")).as("h")).distinct()
-      .orderBy(col("h")).limit(k)
+      .select(md5(col("s")).as("h")).as[String]
+      .select(fn.asAggregator.toColumn.name("__hs"))
+      .select(explode(col("__hs")).as("h"))
   }
 
   /** Corpus-level Jaccard similarity estimated from two [[kmvSketch]]es —

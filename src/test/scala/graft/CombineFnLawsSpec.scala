@@ -99,6 +99,36 @@ class CombineFnLawsSpec extends SparkSpec {
     assert(e.getMessage.contains("sampleSize"))
   }
 
+  test("BottomKDistinctFn: shard/order-insensitive; k smallest distinct, sorted") {
+    lawCheck(new BottomKDistinctFn(4), r => r.nextInt(30).toString)
+    val fn = new BottomKDistinctFn(3)
+    // dedups, sorts lexicographically, caps at k
+    assert(run(fn, Seq("d", "b", "b", "a", "c", "a"), 2) == Seq("a", "b", "c"))
+    // below k: everything, still sorted + distinct
+    assert(run(fn, Seq("x", "x", "m"), 3) == Seq("m", "x"))
+    assert(run(fn, Seq.empty[String], 1) == Seq.empty)
+    // merge-heavy: singleton accumulators merged in shuffled order — every
+    // merge insert exercises binary-search + arraycopy, result must match
+    // the one-shot accumulation (mirrors the ApproximateUniqueFn pin)
+    val rnd = new Random(20260816L)
+    (1 to 20).foreach { i =>
+      val xs = List.fill(30 + rnd.nextInt(200))(rnd.nextInt(80).toString)
+      val oneShot = run(fn, xs, 1)
+      val singletons = rnd.shuffle(xs).map(x => fn.addInput(fn.createAccumulator(), x))
+      val merged = fn.extractOutput(singletons.reduce(fn.mergeAccumulators))
+      assert(merged == oneShot, s"case $i: merge-heavy $merged != one-shot $oneShot")
+    }
+    // equivalence with the distinct-sort-take formulation it replaces in
+    // kmvSketch (the KMV contract: k lexicographically smallest distinct)
+    (1 to 20).foreach { i =>
+      val xs = List.fill(rnd.nextInt(300))(rnd.nextInt(100).toString)
+      val expect = xs.distinct.sorted.take(3)
+      assert(run(fn, xs, 1 + rnd.nextInt(6)) == expect, s"case $i vs distinct-sort-take")
+    }
+    val e = intercept[IllegalArgumentException](new BottomKDistinctFn(0))
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
   test("ApproximateQuantilesFn: epsilon accuracy under any sharding/order") {
     val fn = new ApproximateQuantilesFn(numQuantiles = 5, bufferSize = 64)
     val rnd = new Random(7L)
