@@ -1986,10 +1986,19 @@ object Queries {
     val store = Dedup.minHashStore(corpus, col("text"), col("doc_id"), 3, 4)
     val verdicts = Dedup.minHashIncremental(batch, col("text"), col("doc_id"),
       store, 3, 4)
+    // localCheckpoint: the downstream verification references `pairs` four
+    // times (candKeys' union twice, inter's probe side, the final join) and
+    // `shCand` four more (sa/sb, both `sizes` joins) — left as lazy lineage
+    // the minhash store/verdict subtree expands ~108× in the physical plan
+    // (806 nodes, 248 Exchanges at r18 capture) and the candidate docs are
+    // re-scanned and re-shingled once per reference. Both frames are
+    // bounded (candidate pairs; candidate docs' 16-byte shingle-hash rows),
+    // so materialize each once and let every consumer read the blocks.
     val pairs = verdicts
       .select(col("doc_id"), explode(array(col("corpus_cand"), col("batch_cand")))
         .as("cand"))
       .filter(col("cand").isNotNull).distinct()
+      .localCheckpoint()
     // "computed ONLY for candidate pairs" must hold in the PLAN, not just
     // the output: the previous formulation joined the corpus-sized shingle
     // frame wholesale (the sb side sorted EVERY doc's shingle strings to
