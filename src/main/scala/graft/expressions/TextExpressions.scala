@@ -352,6 +352,177 @@ case class WordNgramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-doc hashed bag-of-ngram feature ARRAYS — the fused form of
+  * `wordNgramCounts` + per-key md5 bucketing that [[graft.operators.Classifier]]
+  * keeps at rest: one pass over the (pre-lowered) text builds the
+  * insertion-ordered distinct unigram+bigram count map (identical scan to
+  * [[WordNgramCounts.computeCounts]] — [a-z] runs, adjacent bigrams), then
+  * each distinct ngram hashes through the engine-neutral 60-bit md5 prefix
+  * (the exact value of `conv(substring(md5(k),1,15),16,10) % buckets` —
+  * DuckDB-replayable) into aligned (bkts, cnts) arrays. Why a native
+  * expression: the HOF spelling (`transform(map_keys(m), k -> pmod(...))`)
+  * evaluates an interpreted md5→substring→conv tree per ELEMENT with
+  * per-element boxing — measured 3.5× the whole-query wall at sf0.1 —
+  * while this runs one JVM loop per row (the WordShingles precedent).
+  * NULL text → empty arrays (same contract as wordNgramCounts' empty map;
+  * callers filter `size(bkts) > 0` to keep featureless docs out of the
+  * model, matching the oracle replay which derives its doc set from the
+  * feature table). */
+case class HashedNgramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, s"hashed_ngram_buckets needs buckets > 0, got $buckets")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bkts", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("cnts", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hashed_ngram_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input (got ${child.dataType})")
+
+  // MessageDigest is stateful and NOT thread-safe; the expression object is
+  // shared across task threads via the codegen reference, so give each
+  // thread its own instance.
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 15 hex chars of md5(s) as a 60-bit non-negative long, mod
+    * buckets — bit-identical to pmod(conv(substring(md5(s),1,15),16,10), B). */
+  private def bucketOf(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((b(7) & 0xffL) >>> 4)
+    v % buckets
+  }
+
+  val emptyRow: org.apache.spark.sql.catalyst.InternalRow = {
+    val e = new GenericArrayData(Array.empty[Any])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](e, e))
+  }
+
+  def computeBuckets(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val len = s.length
+    val map = new java.util.LinkedHashMap[String, Array[Long]](64)
+    def inc(key: String): Unit = {
+      val slot = map.get(key)
+      if (slot == null) map.put(key, Array(1L)) else slot(0) += 1L
+    }
+    var prev: String = null
+    var i = 0
+    while (i < len) {
+      while (i < len && (s.charAt(i) < 'a' || s.charAt(i) > 'z')) i += 1
+      val start = i
+      while (i < len && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        inc(w)
+        if (prev != null) inc(prev + " " + w)
+        prev = w
+      }
+    }
+    if (map.isEmpty) return emptyRow
+    val n = map.size
+    val bkts = new Array[Any](n)
+    val cnts = new Array[Any](n)
+    val it = map.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      bkts(k) = bucketOf(e.getKey)
+      cnts(k) = e.getValue()(0)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(bkts), new GenericArrayData(cnts)))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) emptyRow else computeBuckets(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketer", this, classOf[HashedNgramBuckets].getName)
+    val childGen = child.genCode(ctx)
+    val rowCls = classOf[org.apache.spark.sql.catalyst.InternalRow].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$rowCls ${ev.value} = ${childGen.isNull}
+        |  ? $ref.emptyRow() : $ref.computeBuckets(${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ_i cnts[i] · weights[bkts[i]] — the logistic-regression margin (and
+  * scoring) dot product over a doc's hashed feature arrays against a dense
+  * weight vector that rides as ONE plain double[] codegen reference (not a
+  * 2^16-literal expression tree, not a per-round broadcast join). Fully
+  * codegen'd tight loop; the HOF spelling
+  * (`aggregate(zip_with(...element_at(lit(w))...))`) is interpreted per
+  * element. Addends accumulate left-to-right in array order — the same
+  * float-noise class as any partial-aggregation order, absorbed by the
+  * caller's end-of-pipeline rounding. NULL arrays → NULL. Bucket values
+  * outside [0, |weights|) fail loud (corrupt input, not a scorable row). */
+case class WeightedBucketDot(left: Expression, right: Expression,
+                             weights: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(weights.nonEmpty, "weighted_bucket_dot needs a non-empty weight vector")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "weighted_bucket_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got $other")
+    }
+
+  def dot(bkts: ArrayData, cnts: ArrayData): Double = {
+    val n = bkts.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += cnts.getLong(i).toDouble * weights(bkts.getLong(i).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(b: Any, c: Any): Any =
+    dot(b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotter", this, classOf[WeightedBucketDot].getName)
+    nullSafeCodeGen(ctx, ev, (b, c) => s"${ev.value} = $ref.dot($b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode normalization (java.text.Normalizer) as a Catalyst expression —
   * the canonicalization step every multilingual corpus needs BEFORE
   * hashing/dedup/tokenization (the same logical text arrives from
@@ -415,6 +586,16 @@ object TextExpressions {
     * pass pre-lowered text). */
   def wordNgramCounts(text: Column): Column =
     ColumnBridge.column(WordNgramCounts(ColumnBridge.expression(text)))
+
+  /** Per-row struct(bkts, cnts) of md5-bucketed distinct word
+    * unigram+bigram counts (codegen'd; pass pre-lowered text). */
+  def hashedNgramBuckets(text: Column, buckets: Int): Column =
+    ColumnBridge.column(HashedNgramBuckets(ColumnBridge.expression(text), buckets))
+
+  /** Σ cnts[i]·weights[bkts[i]] (codegen'd dense-weight dot). */
+  def weightedBucketDot(bkts: Column, cnts: Column, weights: Array[Double]): Column =
+    ColumnBridge.column(WeightedBucketDot(ColumnBridge.expression(bkts),
+      ColumnBridge.expression(cnts), weights))
 
   /** Unicode-normalize a string column (NFC/NFD/NFKC/NFKD; ASCII
     * fast-path). */

@@ -553,6 +553,16 @@ object Bpe {
       .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
       .cache()
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    // r18 opt (guide §1.2 "don't compute things you throw away"): the old
+    // loop ran TWO jobs per round — the pair-count TakeOrdered plus a bare
+    // `vocab.count()` whose only purpose was materializing the new cache
+    // before unpersisting its parent. The count is redundant: the NEXT
+    // round's pair-count action materializes the new cache anyway, so we
+    // just defer the parent's unpersist by one round (`prev`). Peak cached
+    // state is unchanged — two vocab generations, exactly what the old
+    // count-then-unpersist window held — and the merge table is
+    // byte-identical (no arithmetic moved). 13 → 7 jobs for 6 rounds.
+    var prev: org.apache.spark.sql.Dataset[(Seq[String], Long)] = null
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -563,18 +573,20 @@ object Bpe {
         .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
         .collect()
+      // this action materialized `vocab`'s cache end-to-end, so the
+      // generation it was derived from can release without recompute risk
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((r, a, b, cnt))
-        val old = vocab
-        vocab = old.map { case (syms, f) => (applyMerge(syms, a, b), f) }.cache()
-        vocab.count() // materialize before releasing the parent
-        old.unpersist()
+        prev = vocab
+        vocab = prev.map { case (syms, f) => (applyMerge(syms, a, b), f) }.cache()
         r += 1
       }
     }
     vocab.unpersist()
+    if (prev != null) prev.unpersist()
     out.toList
   }
 }

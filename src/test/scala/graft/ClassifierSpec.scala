@@ -50,6 +50,69 @@ class ClassifierSpec extends SparkSpec {
       s"loss must fall: r1=${loss(b1, w1)} r4=${loss(b4, w4)}")
   }
 
+  // r18 kernel pins: the classifier's hot path moved to two native
+  // expressions (HashedNgramBuckets, WeightedBucketDot). Each is pinned
+  // against its interpreted HOF/SQL specification on real-ish text, plus
+  // the edge cases (the VectorKernelSpec convention for new kernels).
+  test("HashedNgramBuckets is bit-identical to the wordNgramCounts + md5-conv HOF specification") {
+    import graft.expressions.TextExpressions
+    val buckets = 977 // non-power-of-two so a modulo slip can't hide
+    val docs = (train.select(col("text")) union Seq(
+      "", "  ", "NO lowercase HERE 123", "a", "a a a b", "über café naïve",
+      "x\ny\tz", (1 to 50).map(i => s"w$i").mkString(" ")
+    ).toDF("text")).withColumn("low", lower(col("text")))
+    val kernel = docs.select(
+      TextExpressions.hashedNgramBuckets(col("low"), buckets).as("h"))
+      .select(col("h.bkts").as("bkts"), col("h.cnts").as("cnts"))
+    val spec = docs.select(
+      TextExpressions.wordNgramCounts(col("low")).as("m"))
+      .select(
+        transform(map_keys(col("m")), k =>
+          pmod(conv(substring(md5(k), 1, 15), 16, 10).cast("long"),
+            lit(buckets.toLong))).as("bkts"),
+        map_values(col("m")).as("cnts"))
+    val k = kernel.collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    val s = spec.collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    assert(k.toSeq == s.toSeq, "kernel diverged from the HOF specification")
+  }
+
+  test("HashedNgramBuckets: null text yields empty arrays") {
+    import graft.expressions.TextExpressions
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(TextExpressions.hashedNgramBuckets(col("text"), 64).as("h"))
+      .select(col("h.bkts"), col("h.cnts")).collect()(0)
+    assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
+  }
+
+  test("WeightedBucketDot agrees with the interpreted HOF aggregate; null array -> null; bad bucket fails loud") {
+    import graft.expressions.TextExpressions
+    val w = Array.tabulate(97)(i => math.sin(i) * 3.7)
+    val rows = Seq(
+      (Seq(0L, 5L, 96L, 5L), Seq(2L, 1L, 4L, 3L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(42L), Seq(7L))
+    ).toDF("bkts", "cnts")
+    val got = rows.select(
+      TextExpressions.weightedBucketDot(col("bkts"), col("cnts"), w).as("d"))
+      .collect().map(_.getDouble(0))
+    val want = rows.select(aggregate(
+      zip_with(col("bkts"), col("cnts"),
+        (b, c) => c.cast("double") * element_at(lit(w), b.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x).as("d")).collect().map(_.getDouble(0))
+    assert(got.toSeq == want.toSeq, s"dot mismatch: ${got.toSeq} vs ${want.toSeq}")
+    val withNull = Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
+      .toDF("bkts", "cnts")
+      .select(TextExpressions.weightedBucketDot(col("bkts"), col("cnts"), w))
+      .collect()(0)
+    assert(withNull.isNullAt(0), "null bkts must yield NULL")
+    val bad = intercept[Exception] {
+      Seq((Seq(999L), Seq(1L))).toDF("bkts", "cnts")
+        .select(TextExpressions.weightedBucketDot(col("bkts"), col("cnts"), w))
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("invalid hyperparameters fail loud") {
     intercept[IllegalArgumentException] {
       Classifier.trainLogReg(train, col("doc_id"), col("text"),
