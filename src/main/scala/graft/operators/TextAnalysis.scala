@@ -514,11 +514,19 @@ object Bpe {
     * [[tokenCount]] via `.map(r => (r.pair_a, r.pair_b))`.
     *
     * 100 TB story: the corpus is scanned ONCE (the word-count shuffle,
-    * map-side combined, vocabulary-bounded output). Every round after that
-    * touches only the vocabulary frame: one pair aggregate (bounded by
-    * total vocab symbols, shrinking each round), a 1-row TakeOrdered
-    * collect, and a row-local merge map — the same driver-coordinated
-    * iteration shape as Lloyd rounds. `minFreq` bounds the vocab under
+    * map-side combined, vocabulary-bounded output), and the merge rounds
+    * run DRIVER-LOCAL over the collected head vocabulary (r18 shape —
+    * guide §1.2: the old distributed loop paid 2 jobs + a typed
+    * cache/unpersist cycle per round to move ≤ a few MB of pair counts).
+    * The collect is safe by the same derivation that bounds the frame:
+    * with minFreq = minFreqFor(n) = n/perDocs, the head vocabulary has at
+    * most Σf/minFreq ≈ perDocs·(avg words per doc) entries — a
+    * corpus-size-INDEPENDENT bound (≈ 4M rows at 200 words/doc, Zipf
+    * reality far less), the same driver-state class as Lloyd centroids
+    * and GD gradient vectors; a fail-loud cap guards the frozen-minFreq
+    * misuse (minFreq=1 on a web corpus is exactly the r16 OOM). Ties
+    * break on UTF-8 BYTE order (what Spark's orderBy and DuckDB's max()
+    * both use), not JVM UTF-16 order. `minFreq` bounds the vocab under
     * web-scale typo tails (standard practice; dropped words simply can't
     * vote on merges). */
   /** Population-derived word-frequency floor for [[learnMerges]] — the
@@ -539,54 +547,91 @@ object Bpe {
   def minFreqFor(corpusDocs: Long, perDocs: Long = 20000L): Long =
     math.max(1L, corpusDocs / perDocs)
 
+  /** UTF-8 byte-order less-than — the collation Spark's `orderBy` on
+    * strings (UTF8String binary compare) and DuckDB's ORDER BY both use;
+    * JVM String.compareTo (UTF-16 units) diverges above U+FFFF. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   def learnMerges(docs: DataFrame, text: Column, rounds: Int,
                   minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
     require(rounds >= 1, s"learnMerges needs rounds >= 1, got $rounds")
     val s = docs.sparkSession
     import s.implicits._
-    val words = docs.select(explode(regexp_extract_all(text.cast("string"),
-      lit(pretoken.pattern()), lit(0))).as("w"))
-    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] = words
+    // ONE distributed job: word-count shuffle (map-side combined), head
+    // filter, collect. The head is bounded corpus-size-independently by
+    // the minFreq derivation (see the scale story above); the cap makes a
+    // frozen-minFreq misuse fail loud instead of OOMing the driver.
+    val head = docs.select(explode(regexp_extract_all(text.cast("string"),
+        lit(pretoken.pattern()), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .filter(col("f") >= minFreq)
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
-      .cache()
+      .collect()
+    require(head.length <= (1 << 23),
+      s"learnMerges head vocabulary (${head.length} words) exceeds 2^23 — " +
+        "minFreq is not population-derived (use Bpe.minFreqFor); a " +
+        "corpus-sized vocabulary must not be collected")
+    val syms: Array[Array[String]] = head.map(_._1.map(_.toString).toArray)
+    val freq: Array[Long] = head.map(_._2)
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    // r18 opt (guide §1.2 "don't compute things you throw away"): the old
-    // loop ran TWO jobs per round — the pair-count TakeOrdered plus a bare
-    // `vocab.count()` whose only purpose was materializing the new cache
-    // before unpersisting its parent. The count is redundant: the NEXT
-    // round's pair-count action materializes the new cache anyway, so we
-    // just defer the parent's unpersist by one round (`prev`). Peak cached
-    // state is unchanged — two vocab generations, exactly what the old
-    // count-then-unpersist window held — and the merge table is
-    // byte-identical (no arithmetic moved). 13 → 7 jobs for 6 rounds.
-    var prev: org.apache.spark.sql.Dataset[(Seq[String], Long)] = null
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val best = vocab.flatMap { case (syms, f) =>
-          if (syms.length < 2) Iterator.empty
-          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
-        }.toDF("a", "b", "f")
-        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-        .collect()
-      // this action materialized `vocab`'s cache end-to-end, so the
-      // generation it was derived from can release without recompute risk
-      if (prev != null) { prev.unpersist(); prev = null }
-      if (best.isEmpty) exhausted = true
+      // weighted adjacent-pair counts over the head (exact longs)
+      val cnt = new java.util.HashMap[(String, String), Array[Long]](1 << 12)
+      var i = 0
+      while (i < syms.length) {
+        val w = syms(i); val f = freq(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val k = (w(j), w(j + 1))
+          val slot = cnt.get(k)
+          if (slot == null) cnt.put(k, Array(f)) else slot(0) += f
+          j += 1
+        }
+        i += 1
+      }
+      if (cnt.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += ((r, a, b, cnt))
-        prev = vocab
-        vocab = prev.map { case (syms, f) => (applyMerge(syms, a, b), f) }.cache()
+        // max by (cnt desc, a asc, b asc) under UTF-8 byte collation —
+        // the exact TakeOrdered the distributed formulation ran
+        var bestA: String = null; var bestB: String = null; var bestC = Long.MinValue
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0); val (a, b) = e.getKey
+          if (c > bestC ||
+              (c == bestC && (utf8Lt(a, bestA) ||
+                (a == bestA && utf8Lt(b, bestB))))) {
+            bestA = a; bestB = b; bestC = c
+          }
+        }
+        out += ((r, bestA, bestB, bestC))
+        i = 0
+        while (i < syms.length) {
+          // cheap containment pre-check before the allocating merge sweep
+          val w = syms(i)
+          var j = 0; var hit = false
+          while (!hit && j < w.length - 1) {
+            if (w(j) == bestA && w(j + 1) == bestB) hit = true
+            j += 1
+          }
+          if (hit) syms(i) = applyMerge(w.toSeq, bestA, bestB).toArray
+          i += 1
+        }
         r += 1
       }
     }
-    vocab.unpersist()
-    if (prev != null) prev.unpersist()
     out.toList
   }
 }
