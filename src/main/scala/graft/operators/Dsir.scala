@@ -102,31 +102,64 @@ object Dsir {
   /** Per-doc importance log-weights against the `isTarget` slice.
     * Output: (doc_id, is_target, dsir_logw) — weights for ALL docs
     * (callers typically resample only the non-target side but scoring the
-    * target slice too is free and useful for calibration). */
+    * target slice too is free and useful for calibration).
+    *
+    * r18 shape (guide §1.2): the model is ≤ `buckets` rows BY DESIGN (the
+    * paper's broadcast-model bound), so instead of leaving it lazy — which
+    * duplicated the corpus-sized ngram subtree across the model aggregate,
+    * the totals-of-model aggregate, and the scoring join, and paid a
+    * per-AQE-stage replan of the 276-node plan — ONE job builds and
+    * collects the model, the driver folds smoothing + totals into a dense
+    * Δlogp double[] (same Math.log as the executor would run — bit-equal),
+    * and scoring is a row-local [[graft.expressions.WeightedBucketDot]]
+    * over per-doc (bkts, cnts) arrays: no broadcast join, no per-doc
+    * re-aggregation, corpus touched exactly twice (model pass + scoring
+    * pass — the two passes the algorithm fundamentally needs). Note this
+    * executes the model job at CONSTRUCTION time (the repo's established
+    * driver-coordinated-operator contract, like Lloyd/GD rounds). */
   def importanceWeights(docs: DataFrame, id: Column, text: Column,
                         isTarget: Column, buckets: Int = 1 << 16,
                         alpha: Double = 1.0): DataFrame = {
     require(buckets > 0 && alpha > 0,
       s"DSIR needs buckets > 0 and alpha > 0, got buckets=$buckets alpha=$alpha")
-    val hashed = hashedCounts(docs, id, text, isTarget, buckets)
-    // one aggregate feeds BOTH models: raw = all docs, target = flagged docs
-    val model = hashed.groupBy(col("bucket")).agg(
-      sum(col("cnt")).as("q_cnt"),
-      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_cnt"))
-    val totals = model.agg(
-      sum(col("q_cnt")).as("__q_tot"), sum(col("t_cnt")).as("__t_tot"))
-    // smoothed log-ratio per OBSERVED bucket (a doc's buckets are always
-    // observed in the raw model, so the left side of the join never needs
-    // the unobserved-bucket floor)
-    val dlogp = model.crossJoin(broadcast(totals)).select(col("bucket"),
-      (log((col("t_cnt") + lit(alpha)) /
-           (col("__t_tot") + lit(alpha * buckets))) -
-       log((col("q_cnt") + lit(alpha)) /
-           (col("__q_tot") + lit(alpha * buckets)))).as("__dlogp"))
-    hashed.join(broadcast(dlogp), "bucket")
-      .groupBy(col("doc_id"))
-      .agg(first(col("is_target")).as("is_target"),
-        sum(col("cnt") * col("__dlogp")).as("dsir_logw"))
+    // per-doc aligned (bkts, cnts) arrays — one codegen'd kernel pass
+    // (HashedNgramBuckets = wordNgramCounts scan + the SAME engine-neutral
+    // md5 hash60 % buckets, fused); featureless docs drop out exactly as
+    // the exploded form dropped them (no rows)
+    val perDoc = docs.select(id.cast("long").as("doc_id"),
+        isTarget.as("is_target"),
+        graft.expressions.TextExpressions
+          .hashedNgramBuckets(lower(text), buckets).as("__h"))
+      .select(col("doc_id"), col("is_target"),
+        col("__h.bkts").as("bkts"), col("__h.cnts").as("cnts"))
+      .filter(size(col("bkts")) > 0)
+      .cache()
+    try {
+      // one aggregate feeds BOTH models: raw = all docs, target = flagged
+      val model = perDoc
+        .select(col("is_target"),
+          explode(arrays_zip(col("bkts"), col("cnts"))).as("e"))
+        .groupBy(col("e.bkts").as("bucket"))
+        .agg(sum(col("e.cnts")).as("q_cnt"),
+          sum(when(col("is_target"), col("e.cnts")).otherwise(0L)).as("t_cnt"))
+        .collect()
+      // exact-integer totals; smoothing folded on the driver — the same
+      // IEEE ops (Math.log, double +/÷) the in-plan expressions ran, on the
+      // same exact-long inputs, so every Δlogp value is bit-identical
+      var qTotL = 0L; var tTotL = 0L
+      model.foreach { r => qTotL += r.getLong(1); tTotL += r.getLong(2) }
+      val qTot = qTotL.toDouble; val tTot = tTotL.toDouble
+      val dlogp = new Array[Double](buckets)
+      model.foreach { r =>
+        dlogp(r.getLong(0).toInt) =
+          math.log((r.getLong(2) + alpha) / (tTot + alpha * buckets)) -
+            math.log((r.getLong(1) + alpha) / (qTot + alpha * buckets))
+      }
+      perDoc.select(col("doc_id"), col("is_target"),
+          graft.expressions.TextExpressions
+            .weightedBucketDot(col("bkts"), col("cnts"), dlogp).as("dsir_logw"))
+        .localCheckpoint(true)
+    } finally perDoc.unpersist()
   }
 
   /** Gumbel key for weight w (log space): logw − ln(−ln u), u seeded from

@@ -105,11 +105,16 @@ class DsirSpec extends SparkSpec {
     }
   }
 
-  test("plan: model join is BROADCAST, no global rank window, no cartesian") {
+  test("plan: scoring is join-free (driver-folded dense model), no global rank window, no cartesian") {
+    // r18 contract: the model collects (<= buckets rows by design) and
+    // rides as a dense double[] inside the WeightedBucketDot kernel, so
+    // the scored frame must contain NO join of any strategy — the old pin
+    // asserted the broadcast model JOIN this shape replaced.
     val p = SparkEntry.queries("q_dsir")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      p.take(3000))
+    assert(!p.contains("Join"), s"q_dsir must be join-free:\n${p.take(3000)}")
+    assert(p.contains("weighted_bucket_dot") || p.contains("Scan ExistingRDD"),
+      s"expected the kernel-scored (or checkpointed) frame:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // selection must ride the salted top-k: every window partitions by salt
     val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
