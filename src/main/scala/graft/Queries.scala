@@ -1529,23 +1529,31 @@ object Queries {
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0,
       "zh" -> 1.0)
     val cap = 512L
-    // 1. quality gate (deterministic, shared 6dp-rounded formulas)
+    // 1. quality gate (deterministic, shared 6dp-rounded formulas).
+    // r18: project EARLY (guide §2.3) — everything downstream needs only
+    // (doc_id, lang, __nt) plus the dedup hash, so the text column (and
+    // the regex-heavy punct gate that reads it) is evaluated exactly once
+    // and never materialized: the old shape recomputed `kept` — including
+    // punctRatio's regex — for each of its three consumers and
+    // checkpointed corpus-sized TEXT in `survivors`.
     val kept = docs
       .withColumn("__nt", TextAnalysis.tokenCountWs(col("text")))
       .withColumn("__pr", TextAnalysis.punctRatio(col("text")))
       .filter(col("__nt") >= 20 && col("__pr") <= lit(0.1))
+      .select(col("doc_id"), col("lang"), col("__nt"), md5(col("text")).as("__h"))
+      .localCheckpoint(false)
     // 2. exact dedup: the min doc id represents each content hash
-    val reps = kept.groupBy(md5(col("text")).as("__h"))
+    val reps = kept.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // localCheckpoint: survivors feed three consumers (counts, thinning,
-    // packing) — materialize once, blocks GC-reclaimed after the query
-    val survivors = kept.join(reps, Seq("doc_id"), "left_semi").localCheckpoint()
+    // narrow now (16-byte rows) — cheap to materialize for its three
+    // consumers (counts, thinning, packing)
+    val survivors = kept.join(reps, Seq("doc_id"), "left_semi").localCheckpoint(false)
     // 3. mixture thinning  4. packing
     val mixed = Curation.stratifiedFractions(
       survivors, col("lang"), col("doc_id"), fractions, seed = 13L)
     val packed = Curation.packTokens(mixed, col("doc_id"), col("__nt"),
-      capacity = cap, numGroups = 4, seed = 13L).localCheckpoint()
+      capacity = cap, numGroups = 4, seed = 13L).localCheckpoint(false)
     // per-language exact counts (oracle replays these values)
     val cand = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_candidates"))
     val ded = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
@@ -1591,7 +1599,7 @@ object Queries {
     // operator itself stays single-pass — this is harness cost only.
     val packed = Curation.packTokens(docs, col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")), capacity = cap, numGroups = 8,
-      seed = 3L).localCheckpoint()
+      seed = 3L).localCheckpoint(false)
     val bins = packed.groupBy(col("group"), col("bin")).agg(
       sum(col("tok")).as("bin_tok"), count(lit(1)).as("bin_docs"),
       min_by(col("tok"), col("doc")).as("first_tok"))
@@ -1998,7 +2006,7 @@ object Queries {
       .select(col("doc_id"), explode(array(col("corpus_cand"), col("batch_cand")))
         .as("cand"))
       .filter(col("cand").isNotNull).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // "computed ONLY for candidate pairs" must hold in the PLAN, not just
     // the output: the previous formulation joined the corpus-sized shingle
     // frame wholesale (the sb side sorted EVERY doc's shingle strings to
@@ -2011,10 +2019,14 @@ object Queries {
     // ngramJaccardPairs bound), a quarter of the shuffle bytes.
     val candKeys = pairs.select(col("doc_id").as("__d"))
       .union(pairs.select(col("cand").as("__d"))).distinct()
+    // localCheckpoint for the same reason as `pairs`: three consumers
+    // (sa, sb, sizes) would otherwise each re-scan and re-shingle the
+    // corpus; the frame is bounded (candidate docs only, 16-byte rows)
     val shCand = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("__h"))
       .join(candKeys, col("doc_id") === col("__d"), "leftsemi")
+      .localCheckpoint(false)
     // sizes only ever joins on candidate ids, so it too reads the
     // restricted frame (non-candidates would be dropped by those inner
     // joins anyway; zero-shingle docs are absent either way)

@@ -434,7 +434,7 @@ object Aggregates {
     // |keys|-row counts frame once so the raw corpus is scanned ONCE
     // (the assignToCentroids precedent), not three times
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the totals collect right below materializes it
     val Array(n, nKeys) = counts
       .agg(sum(col("cnt")).cast("double"), count(lit(1)))
       .head().toSeq.toArray

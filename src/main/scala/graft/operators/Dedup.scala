@@ -613,11 +613,12 @@ object Dedup {
     // ContextCleaner reclaims a round's blocks once its Dataset becomes
     // unreferenced (unlike persist, which pins via CacheManager).
     var cur: DataFrame =
-      if (localLabels.isDefined) null else edges.localCheckpoint(true)
+      if (localLabels.isDefined) null else edges.localCheckpoint(false)
     var converged = localLabels.isDefined
     var i = 0
     while (!converged && localLabels.isEmpty && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // lazy + the count right below = materialize and count in ONE job
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextCount = next.count()
       // Fixpoint = edge set unchanged. Edge COUNTS alone can stay equal
       // across a round that still rewires parents, so count equality is

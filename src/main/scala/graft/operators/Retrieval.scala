@@ -25,7 +25,7 @@ object Retrieval {
         split(lower(text), "\\s+").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         filter(col("toks"), t => t.isin(vocab: _*)).as("mtoks"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the stats collect materializes it (one fewer job)
 
   /** BM25 top-k: (doc_id, score) for the `k` best-matching docs.
     *

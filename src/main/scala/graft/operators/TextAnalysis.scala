@@ -118,7 +118,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.expressions.TextExpressions.charNgramCounts(col("__t"), 3)))
       .select(col("doc_id"), col("key").as("tri"), col("value").as("cnt"))
-    val perDoc = if (materializeTrigrams) perDocRaw.localCheckpoint() else perDocRaw
+    val perDoc = if (materializeTrigrams) perDocRaw.localCheckpoint(false) else perDocRaw
     val modelAll = perDoc.groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
     // Scalar corpus total + broadcast, NOT sum().over(Window.partitionBy()):
     // the unpartitioned window would serialize the whole vocabulary frame
