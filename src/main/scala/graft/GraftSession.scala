@@ -99,9 +99,26 @@ object GraftSession {
     *
     * After this, `unix_micros(ts)` (LTZ-only in Spark 4) is legal on every
     * table column everywhere downstream. */
+  /** Parquet schemas inferred once per (absolute path) per JVM — METADATA
+    * only, never data or results: schema inference is a distributed
+    * footer-read job (30-100 ms) that the old path re-ran on every single
+    * `table()` call, i.e. hundreds of times per bench sweep for the same
+    * ten immutable fixture files. Passing the memoized schema via
+    * `read.schema(...)` skips that job; the scan itself still reads the
+    * parquet data from disk on every query (nothing computed is reused).
+    * Keyed by absolute path so distinct scale dirs never collide; the
+    * entry is exactly what inference under the enforced nanosAsLong conf
+    * would return for that immutable file. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val key = new java.io.File(path).getAbsolutePath
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case LongType if name == "events" && f.name == "ts" =>
