@@ -471,6 +471,86 @@ case class HashedNgramBuckets(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Per-doc BM25 scan statistics against a FIXED query vocabulary: one JVM
+  * pass over the (pre-lowered — pass `lower(text)`) document splits on the
+  * exact `\s+` convention (`Pattern.split(s, -1)`, the same limit Spark's
+  * `split(str, regex)` uses, so leading-empty artifacts and token counts
+  * are bit-identical to the Catalyst spelling), counts the document length
+  * `dl`, and emits aligned (terms, tfs) arrays for the tokens that hit the
+  * vocabulary — i.e. the per-doc term frequencies ALREADY REDUCED. Why a
+  * native expression: the HOF spelling `filter(toks, t -> t.isin(vocab))`
+  * evaluates an interpreted In-chain per corpus TOKEN, and its consumer
+  * then re-aggregated the exploded matches through a corpus-wide
+  * (doc, dl, term) hash aggregate + exchange; this kernel leaves one
+  * O(1)-probe hash-set lookup per token inside the scan and makes the
+  * downstream tf explode row-local (guide rule 4 + §2.3 "aggregate before
+  * you shuffle"). NULL text → NULL (same as split(lower(NULL))). */
+case class WsVocabTokenCounts(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "ws_vocab_token_counts needs a non-empty vocabulary")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", DoubleType, nullable = false),
+    StructField("terms", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("tfs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ws_vocab_token_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input (got ${child.dataType})")
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val vocabSet = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  def computeCounts(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // Pattern.split with limit -1: identical token array (incl. the
+    // leading-empty artifact on whitespace-initial text and retained
+    // trailing empties) to Spark's split(str, "\\s+")
+    val toks = ws.split(text.toString, -1)
+    val map = new java.util.LinkedHashMap[String, Array[Long]](16)
+    var i = 0
+    while (i < toks.length) {
+      if (vocabSet.contains(toks(i))) {
+        val slot = map.get(toks(i))
+        if (slot == null) map.put(toks(i), Array(1L)) else slot(0) += 1L
+      }
+      i += 1
+    }
+    val n = map.size
+    val terms = new Array[Any](n)
+    val tfs = new Array[Any](n)
+    val it = map.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      terms(k) = UTF8String.fromString(e.getKey)
+      tfs(k) = e.getValue()(0)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toDouble,
+        new GenericArrayData(terms), new GenericArrayData(tfs)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("counter", this, classOf[WsVocabTokenCounts].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.computeCounts($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Σ_i cnts[i] · weights[bkts[i]] — the logistic-regression margin (and
   * scoring) dot product over a doc's hashed feature arrays against a dense
   * weight vector that rides as ONE plain double[] codegen reference (not a
@@ -596,6 +676,12 @@ object TextExpressions {
   def weightedBucketDot(bkts: Column, cnts: Column, weights: Array[Double]): Column =
     ColumnBridge.column(WeightedBucketDot(ColumnBridge.expression(bkts),
       ColumnBridge.expression(cnts), weights))
+
+  /** Per-row struct(dl, terms, tfs): whitespace token count + reduced
+    * term frequencies over a fixed vocabulary (codegen'd; pass pre-lowered
+    * text). */
+  def wsVocabTokenCounts(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WsVocabTokenCounts(ColumnBridge.expression(text), vocab))
 
   /** Unicode-normalize a string column (NFC/NFD/NFKC/NFKD; ASCII
     * fast-path). */

@@ -13,19 +13,33 @@ object Retrieval {
 
   /** ONE corpus tokenize pass (the same lower + `\s+` split convention as
     * the dedup family), reduced IMMEDIATELY to what BM25 needs per doc:
-    * the document length and the tokens that hit the query vocabulary
-    * (`filter` HOF with an InSet membership probe — O(1) per token). The
-    * localCheckpoint pins that bounded frame (|docs| rows × ≤|vocab|
-    * matched tokens — never the corpus text) so every downstream consumer
-    * (corpus stats, df stats, scoring) replays the CHECKPOINT, not the
-    * tokenize: the corpus is scanned exactly once. */
+    * the document length and the ALREADY-COUNTED term frequencies over the
+    * query vocabulary — one codegen'd kernel pass
+    * ([[graft.expressions.WsVocabTokenCounts]]: O(1) hash-set probe per
+    * token; the previous HOF spelling ran an interpreted In-chain per
+    * corpus token, and its consumers re-aggregated the exploded matches
+    * through a corpus-wide (doc, dl, term) hash aggregate + exchange).
+    * The lazy localCheckpoint pins the bounded frame (|docs| rows ×
+    * ≤|vocab| matched terms — never the corpus text) so every downstream
+    * consumer (corpus stats, df stats, scoring) replays the CHECKPOINT:
+    * the corpus is scanned exactly once. */
   private def matchedPerDoc(docs: DataFrame, text: Column, id: Column,
                             vocab: Seq[String]): DataFrame =
     docs.select(id.cast("long").as("doc_id"),
-        split(lower(text), "\\s+").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        filter(col("toks"), t => t.isin(vocab: _*)).as("mtoks"))
+        graft.expressions.TextExpressions
+          .wsVocabTokenCounts(lower(text), vocab).as("__m"))
+      .select(col("doc_id"), col("__m.dl").as("dl"),
+        col("__m.terms").as("terms"), col("__m.tfs").as("tfs"))
       .localCheckpoint(false) // lazy: the stats collect materializes it (one fewer job)
+
+  /** (doc_id, dl, term, tf) from the reduced per-doc arrays — a row-local
+    * explode, NO aggregation (the kernel already counted); rows are unique
+    * per (doc, term) by construction. */
+  private def tfRows(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), col("dl"),
+        explode(arrays_zip(col("terms"), col("tfs"))).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.terms").as("term"),
+        col("e.tfs").cast("double").as("tf"))
 
   /** BM25 top-k: (doc_id, score) for the `k` best-matching docs.
     *
@@ -50,12 +64,11 @@ object Retrieval {
     val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     val n = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
-    val tf = perDoc
-      .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = tfRows(perDoc)
+    // (doc, term) rows are unique by construction, so the document
+    // frequency is a plain count — no countDistinct needed
     val dfByTerm = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
     val idf = queryTerms.map { t =>
@@ -112,12 +125,10 @@ object Retrieval {
     val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).collect()(0)
     val n = stats.getDouble(0)
     val avgdl = stats.getDouble(1)
-    val tf = perDoc
-      .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = tfRows(perDoc)
+    // unique (doc, term) rows: df is a plain count (see tfRows)
     val idfByTerm = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
       .select(col("term"),
         round(log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 9)
           .as("idf"))
