@@ -583,23 +583,42 @@ object Bpe {
         "corpus-sized vocabulary must not be collected")
     val syms: Array[Array[String]] = head.map(_._1.map(_.toString).toArray)
     val freq: Array[Long] = head.map(_._2)
+    // The head is corpus-size-independent but its CONSTANT is big (a few
+    // million rows at the derivation bound), so the per-round pair count
+    // and merge sweep run data-parallel over strided slices (exact-long
+    // partial maps merged sequentially — sums are order-free; the merge
+    // sweep mutates disjoint slots). Single-threaded this loop measured
+    // 2× the whole query at sf10.
+    val lanes = math.max(1, math.min(Runtime.getRuntime.availableProcessors, 32))
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       // weighted adjacent-pair counts over the head (exact longs)
+      val partials = java.util.stream.IntStream.range(0, lanes).parallel()
+        .mapToObj[java.util.HashMap[(String, String), Array[Long]]] { lane =>
+          val m = new java.util.HashMap[(String, String), Array[Long]](1 << 12)
+          var i = lane
+          while (i < syms.length) {
+            val w = syms(i); val f = freq(i)
+            var j = 0
+            while (j < w.length - 1) {
+              val k = (w(j), w(j + 1))
+              val slot = m.get(k)
+              if (slot == null) m.put(k, Array(f)) else slot(0) += f
+              j += 1
+            }
+            i += lanes
+          }
+          m
+        }.collect(java.util.stream.Collectors.toList[
+          java.util.HashMap[(String, String), Array[Long]]])
       val cnt = new java.util.HashMap[(String, String), Array[Long]](1 << 12)
-      var i = 0
-      while (i < syms.length) {
-        val w = syms(i); val f = freq(i)
-        var j = 0
-        while (j < w.length - 1) {
-          val k = (w(j), w(j + 1))
+      partials.forEach { m =>
+        m.forEach { (k, v) =>
           val slot = cnt.get(k)
-          if (slot == null) cnt.put(k, Array(f)) else slot(0) += f
-          j += 1
+          if (slot == null) cnt.put(k, v) else slot(0) += v(0)
         }
-        i += 1
       }
       if (cnt.isEmpty) exhausted = true
       else {
@@ -617,17 +636,16 @@ object Bpe {
           }
         }
         out += ((r, bestA, bestB, bestC))
-        i = 0
-        while (i < syms.length) {
+        val a0 = bestA; val b0 = bestB
+        java.util.stream.IntStream.range(0, syms.length).parallel().forEach { i =>
           // cheap containment pre-check before the allocating merge sweep
           val w = syms(i)
           var j = 0; var hit = false
           while (!hit && j < w.length - 1) {
-            if (w(j) == bestA && w(j + 1) == bestB) hit = true
+            if (w(j) == a0 && w(j + 1) == b0) hit = true
             j += 1
           }
-          if (hit) syms(i) = applyMerge(w.toSeq, bestA, bestB).toArray
-          i += 1
+          if (hit) syms(i) = applyMerge(w.toSeq, a0, b0).toArray
         }
         r += 1
       }
