@@ -484,13 +484,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("classifier GD round: margin aggregate and gradient join are exchange-free " +
-      "over the doc_id-partitioned feature cache; rollup = one bucket shuffle") {
-    // the r14 BASELINE claim behind q_quality_clf's 2x: hashedByDoc
-    // repartitions by doc_id ONCE (inside the cache), after which the
-    // per-round margin aggregate satisfies its clustering and the
-    // gradient join co-locates both sides — zero exchanges per round
-    // except the map-side-combined per-bucket rollup
+  test("classifier GD round: JOIN-FREE codegen pass over the per-doc array cache; " +
+      "rollup = one map-side-combined bucket shuffle") {
+    // r18 contract (replaces the r14 exploded-frame pin): features live as
+    // per-doc (bkts, cnts) arrays built by the HashedNgramBuckets kernel;
+    // the per-round margin is the codegen'd WeightedBucketDot (no
+    // broadcast join, no groupBy(doc_id)), and the WHOLE gradient round is
+    // one pass whose only shuffle is the <= buckets+1-row rollup.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions._
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -499,30 +499,33 @@ class PlanShapeSpec extends SparkSpec {
     val hashed = graft.operators.Classifier.hashedByDoc(
       docs, col("doc_id"), col("text"), col("lang") === "en", 512)
     try {
-      import spark.implicits._
-      // InMemoryTableScan is a LEAF of the collect traversal, so these
-      // counts see only the per-round plan ABOVE the cache boundary
       def shuffles(df: org.apache.spark.sql.DataFrame): Int =
         df.queryExecution.executedPlan
           .collect { case _: ShuffleExchangeExec => 1 }.sum
-      val wDf = Seq((1L, 0.5)).toDF("bucket", "wt")
-      val z = hashed.join(broadcast(wDf), Seq("bucket"), "left")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("cnt") * coalesce(col("wt"), lit(0.0))).as("s"))
-        .select(col("doc_id"), col("s").as("err"))
-      assert(shuffles(z) == 0,
-        s"margin aggregate must run exchange-free on the doc_id partitioning:\n" +
-          z.queryExecution.executedPlan.toString.take(2000))
-      val grads = hashed.join(z, "doc_id")
-        .groupBy(col("bucket")).agg(sum(col("err") * col("cnt")).as("g"))
-      assert(shuffles(grads) == 1,
-        s"gradient pass = exactly the per-bucket rollup shuffle:\n" +
-          grads.queryExecution.executedPlan.toString.take(2500))
-      // and the rollup partial-aggregates before it moves (<= buckets rows
-      // per partition cross the wire)
-      val gp = grads.queryExecution.executedPlan.toString
-      assert(gp.contains("partial_sum") || gp.contains("partial"),
-        s"bucket rollup must map-side combine:\n${gp.take(2000)}")
+      // one GD-round pass, exactly as trainOnHashed builds it
+      val w = new Array[Double](512); w(1) = 0.5
+      val err = (lit(1.0) / (lit(1.0) + exp(-(lit(0.0) +
+        graft.expressions.TextExpressions
+          .weightedBucketDot(col("bkts"), col("cnts"), w)))) - col("y")).as("err")
+      val round = hashed.select(err,
+          explode(concat(
+            array(struct(lit(-1L).as("bkts"), lit(1L).as("cnts"))),
+            arrays_zip(col("bkts"), col("cnts")))).as("e"))
+        .groupBy(col("e.bkts").as("bucket"))
+        .agg(sum(col("err") * col("e.cnts")).as("g"), count(lit(1)).as("rows"))
+      val rp = round.queryExecution.executedPlan
+      assert(shuffles(round) == 1,
+        s"GD round = exactly the per-bucket rollup shuffle:\n${rp.toString.take(2500)}")
+      assert(!rp.toString.contains("Join"),
+        s"GD round must be join-free (kernel-scored margin):\n${rp.toString.take(2500)}")
+      // and the rollup partial-aggregates before it moves (<= buckets+1
+      // rows per partition cross the wire)
+      assert(rp.toString.contains("partial_sum") || rp.toString.contains("partial"),
+        s"bucket rollup must map-side combine:\n${rp.toString.take(2000)}")
+      // scoring stays a zero-shuffle row-local pass
+      val scored = graft.operators.Classifier.scoreHashed(hashed, 0.0, w)
+      assert(shuffles(scored) == 0,
+        s"scoring must be row-local:\n${scored.queryExecution.executedPlan.toString.take(2000)}")
     } finally {
       hashed.unpersist()
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
