@@ -2307,7 +2307,13 @@ object Queries {
     val docs = t(s, dir, "documents")
     val merges = Bpe.defaultMerges
     val vocab = Bpe.vocabFromCorpus(docs, col("text"), merges)
+    // lazy checkpoint: `enc` feeds the packer AND the independent total —
+    // left as lineage the corpus would BPE-encode twice (the old shape
+    // additionally ran the total as its own blocking job at construction);
+    // the materialized frame is the same (doc_id, input_ids) payload the
+    // pack shuffle moves anyway
     val enc = Bpe.encode(docs, col("text"), col("doc_id"), merges, vocab)
+      .localCheckpoint(false)
     val packs = Curation.packSequences(enc, capacity = 512L, numGroups = 8,
       seed = 13L)
     val perPack = packs.select(
@@ -2320,14 +2326,24 @@ object Queries {
                acc -> acc.ok)""").as("__contig"),
       expr("aggregate(spans, CAST(0 AS BIGINT), (a, sp) -> a + sp.len)")
         .as("__spansum"))
-    val total = enc.agg(sum(col("n_tokens"))).head().getLong(0)
+    // the independent corpus token total rides as a broadcast 1-row frame
+    // instead of a collected driver literal: same exact-long comparison,
+    // ONE action instead of a blocking construction job + the final action
+    val totalDf = enc.agg(sum(col("n_tokens")).as("__tot"))
     perPack.agg(
-      sum(col("__nd")).as("n_docs"),
-      (sum(col("__sz")) === total && sum(col("n_tokens")) === total).as("coverage_ok"),
-      min(when(col("__nd") >= 2, col("__sz") <= 512L).otherwise(!col("overflow") ||
-        col("__nd") === 1)).as("capacity_ok"),
-      min(col("__contig")).as("spans_contiguous_ok"),
-      (sum(col("__spansum")) === total).as("span_lens_ok"))
+        sum(col("__nd")).as("n_docs"),
+        sum(col("__sz")).as("__sumsz"),
+        sum(col("n_tokens")).as("__sumnt"),
+        min(when(col("__nd") >= 2, col("__sz") <= 512L).otherwise(!col("overflow") ||
+          col("__nd") === 1)).as("capacity_ok"),
+        min(col("__contig")).as("spans_contiguous_ok"),
+        sum(col("__spansum")).as("__sumspan"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("n_docs"),
+        (col("__sumsz") === col("__tot") && col("__sumnt") === col("__tot"))
+          .as("coverage_ok"),
+        col("capacity_ok"), col("spans_contiguous_ok"),
+        (col("__sumspan") === col("__tot")).as("span_lens_ok"))
   }
 
   /** StreamingWordExtract port (reference:
